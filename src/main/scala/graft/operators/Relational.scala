@@ -1,0 +1,532 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY.md §2b "rebuild adds"): joins, aggregations,
+  * analytic windows, set ops, scalar functions over the TPC-H-ish star
+  * schema.
+  *
+  * Determinism rules for the DuckDB oracle (SURVEY.md §7):
+  *  - every query ends with a total-order `orderBy` (explicit tiebreaks);
+  *  - money doubles are exact at 2 decimals (FIXTURES.md), so sums go
+  *    through DECIMAL(18,2) (lossless) and cast back to double — identical
+  *    bits regardless of accumulation order on either engine;
+  *  - averages are computed as exact-decimal-sum / count, in doubles.
+  *
+  * Scale notes are per-query below; the shared principles: dimension joins
+  * (region/nation/supplier/part at fixed or sub-linear cardinality) are
+  * broadcast; fact-fact joins (lineitem ⋈ orders) shuffle on the join key
+  * and benefit from AQE; aggregations rely on Catalyst's partial+final
+  * HashAggregate so the shuffle carries combined partials, not raw rows.
+  */
+object Relational {
+
+  /** Exact 2-decimal sum of a money double, returned as double. */
+  private def msum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  /** Exact sum of a product of two money doubles (scale 4 intermediate). */
+  private def msum4(c: Column): Column = sum(c.cast("decimal(24,4)")).cast("double")
+  private def msum6(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1-style pricing summary: the canonical multi-aggregate groupBy.
+    * One shuffle; partial aggregation reduces 600 k rows to 8 groups before
+    * the exchange. At 100 TB this stays a single map-side-combined pass. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val disc = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    val charge = disc * (lit(1).cast("decimal(18,2)") + col("l_tax").cast("decimal(18,2)"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        msum(col("l_quantity")).as("sum_qty"),
+        msum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** TPC-H Q3-style: 3-way join (customer ⋈ orders ⋈ lineitem) + agg + top-k.
+    * customer is the small side → broadcast; orders ⋈ lineitem shuffles on
+    * orderkey. Top-10 via TakeOrderedAndProject (sort+limit fused). */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1995-03-15"))
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+    val li   = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(msum4(col("l_extendedprice").cast("decimal(18,2)") *
+                 (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+             .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+              unix_timestamp(col("o_orderdate")).as("o_date"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate  > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** TPC-H Q5-style: 5-way star join through region/nation (broadcast dims)
+    * + lineitem ⋈ orders (shuffle) + supplier-nation co-membership filter. */
+  def regionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li   = Tables.lineitem(s, dir)
+    val ord  = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val supp = Tables.supplier(s, dir)
+    val nat  = Tables.nation(s, dir)
+    val reg  = Tables.region(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(msum4(col("l_extendedprice").cast("decimal(18,2)") *
+                 (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val regionalRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey  = c_custkey
+      |JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ------------------------------------------------------- semi/anti/outer
+  /** Left-semi join: customers having at least one 'F' order (EXISTS).
+    * Semi joins ship only the key column and short-circuit on first match. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    Tables.customer(s, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers with no 'F'-status orders (NOT EXISTS).
+    * (Every customer has *some* order in the driver data, so the filter
+    * keeps the result non-trivial at every SF.) */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-outer join + null-aware agg: per-customer order stats including
+    * order-less customers (count(order-col) skips nulls on both engines). */
+  def outerJoinStats(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           msum(col("o_totalprice")).as("total_spent"))
+      .select(col("c_custkey"), col("n_orders"),
+              coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+
+  val outerJoinStatsSql: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------ rollup/cube
+  /** ROLLUP over (returnflag, linestatus): hierarchical subtotals.
+    * Catalyst expands to a single Expand + HashAggregate — one shuffle. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), msum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+              col("cnt"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  val rollupAggSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** CUBE over (orderstatus, orderpriority): all grouping combinations. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), msum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("cnt"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  val cubeAggSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** GROUPING SETS via SQL (exercises the SQL entry path + temp views). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |       coalesce(l_linestatus, 'ALL') AS ls,
+      |       count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  // -------------------------------------------------------- distinct aggs
+  /** Multiple distinct aggregates in one pass (Catalyst expands to
+    * Expand + two-phase agg; stays a single logical query). */
+  def distinctAggs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val distinctAggsSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** approx_count_distinct (HLL++). Sketch internals differ from DuckDB's,
+    * so there is no SQL oracle (rows-only gate); the unit test bounds the
+    * relative error vs the exact count. At 100 TB this is the only sane
+    * distinct-count: fixed-size sketch, map-side mergeable, no expand. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  // ------------------------------------------------------ analytic windows
+  /** row_number/rank/dense_rank: top-3 orders per customer by price. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |         rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** lag/lead: per-customer order-to-order gap in days. */
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+              ((unix_timestamp(col("o_orderdate")) - unix_timestamp(col("prev_date"))) / 86400L)
+                .cast("long").as("gap_days"),
+              col("next_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowLagSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST((floor(epoch(o_orderdate)) - floor(epoch(lag(o_orderdate) OVER w))) / 86400 AS BIGINT) AS gap_days,
+      |       lead(o_orderkey) OVER w AS next_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Moving frame aggregate: trailing-7-day quantity sum per supplier.
+    * Uses a RANGE frame (not ROWS): lineitem has no unique key (duplicate
+    * (l_orderkey, l_linenumber) pairs exist in the data), so a ROWS frame
+    * would be nondeterministic at ordering ties — a RANGE frame includes
+    * every tied row regardless of tie order, which both engines agree on.
+    * The final ORDER BY lists every output column, making the row sequence
+    * total even in the presence of fully duplicate rows. */
+  def windowMovingSum(s: SparkSession, dir: String): DataFrame = {
+    val wk = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("ship_sec"))
+      .rangeBetween(-7L * 86400L, 0)
+    Tables.lineitem(s, dir)
+      .withColumn("ship_sec", unix_timestamp(col("l_shipdate")))
+      .withColumn("moving_qty",
+        sum(col("l_quantity").cast("decimal(18,2)")).over(wk).cast("double"))
+      .select("l_suppkey", "ship_sec", "l_orderkey", "l_linenumber", "l_quantity", "moving_qty")
+      .orderBy("l_suppkey", "ship_sec", "l_orderkey", "l_linenumber", "l_quantity", "moving_qty")
+  }
+
+  val windowMovingSumSql: String =
+    """WITH t AS (
+      |  SELECT l_suppkey, CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_sec,
+      |         l_orderkey, l_linenumber, l_quantity
+      |  FROM lineitem
+      |)
+      |SELECT l_suppkey, ship_sec, l_orderkey, l_linenumber, l_quantity,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+      |         OVER (PARTITION BY l_suppkey ORDER BY ship_sec
+      |               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty
+      |FROM t
+      |ORDER BY l_suppkey, ship_sec, l_orderkey, l_linenumber, l_quantity, moving_qty""".stripMargin
+
+  // --------------------------------------------------------------- set ops
+  /** UNION / INTERSECT / EXCEPT over nation keys of customers vs suppliers,
+    * tagged so all three set ops land in one checkable result. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nk")).distinct()
+    val p = Tables.supplier(s, dir).select(col("s_nationkey").as("nk")).distinct()
+    val u = c.union(p).distinct().withColumn("op", lit("union"))
+    val i = c.intersect(p).withColumn("op", lit("intersect"))
+    val e = c.except(p).withColumn("op", lit("except"))
+    u.union(i).union(e).select("op", "nk").orderBy("op", "nk")
+  }
+
+  val setOpsSql: String =
+    """WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+      |     s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+      |SELECT 'union' AS op, nk FROM (SELECT nk FROM c UNION SELECT nk FROM s)
+      |UNION ALL
+      |SELECT 'intersect', nk FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+      |UNION ALL
+      |SELECT 'except', nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+      |ORDER BY op, nk""".stripMargin
+
+  // ------------------------------------------------------- scalar functions
+  /** String functions: lower/upper/substring/concat/length/replace. */
+  def scalarString(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+              lower(col("p_name")).as("lname"),
+              upper(col("p_brand")).as("ubrand"),
+              substring(col("p_type"), 1, 5).as("type5"),
+              concat_ws("|", col("p_brand"), col("p_type")).as("btype"),
+              length(col("p_name")).cast("long").as("name_len"),
+              regexp_replace(col("p_name"), " ", "_").as("name_u"))
+      .orderBy("p_partkey")
+
+  val scalarStringSql: String =
+    """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+      |       substring(p_type, 1, 5) AS type5,
+      |       concat_ws('|', p_brand, p_type) AS btype,
+      |       CAST(length(p_name) AS BIGINT) AS name_len,
+      |       replace(p_name, ' ', '_') AS name_u
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date functions: truncation/extraction on o_orderdate (monthly counts). */
+  def scalarDate(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("yr"),
+              month(col("o_orderdate")).as("mo"),
+              dayofmonth(col("o_orderdate")).as("dom"),
+              col("o_totalprice"))
+      .groupBy("yr", "mo")
+      .agg(count(lit(1)).as("n_orders"),
+           msum(col("o_totalprice")).as("monthly_total"),
+           min(col("dom")).as("first_dom"),
+           max(col("dom")).as("last_dom"))
+      .orderBy("yr", "mo")
+
+  val scalarDateSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_total,
+      |       CAST(min(day(o_orderdate)) AS INT) AS first_dom,
+      |       CAST(max(day(o_orderdate)) AS INT) AS last_dom
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** JSON extraction: events.props is a JSON string ('{"k": 87}');
+    * parse, extract, aggregate. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |       sum(CAST(props->>'$.k' AS INT)) AS sum_k,
+      |       min(CAST(props->>'$.k' AS INT)) AS min_k,
+      |       max(CAST(props->>'$.k' AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Array functions: per-nation sorted list of customer market segments. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey")
+      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segs"),
+           count(lit(1)).as("n_cust"))
+      .select(col("c_nationkey"), array_join(col("segs"), ",").as("segments"),
+              size(col("segs")).cast("long").as("n_segs"), col("n_cust"))
+      .orderBy("c_nationkey")
+
+  val arrayFuncsSql: String =
+    """SELECT c_nationkey,
+      |       array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+      |       CAST(len(list_distinct(list(c_mktsegment))) AS BIGINT) AS n_segs,
+      |       count(*) AS n_cust
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Conditional aggregation (CASE WHEN pivot): order counts by status
+    * spread into columns, per priority. */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+           sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+           sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  val conditionalAggSql: String =
+    """SELECT o_orderpriority,
+      |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      |       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Correlated scalar subquery: customers whose account balance exceeds
+    * their nation's average (rewritten by Catalyst into a join). */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val natAvg = cust.groupBy("c_nationkey")
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+             .as("nat_avg"))
+      .withColumnRenamed("c_nationkey", "nk")
+    cust.join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("nat_avg"))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c1
+      |WHERE c_acctbal > (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (pricingSummary _),
+    "q3_shipping_priority" -> (shippingPriority _),
+    "q5_regional_revenue" -> (regionalRevenue _),
+    "join_semi"           -> (semiJoin _),
+    "join_anti"           -> (antiJoin _),
+    "join_outer_stats"    -> (outerJoinStats _),
+    "rollup_agg"          -> (rollupAgg _),
+    "cube_agg"            -> (cubeAgg _),
+    "grouping_sets"       -> (groupingSets _),
+    "distinct_aggs"       -> (distinctAggs _),
+    "approx_distinct"     -> (approxDistinct _),
+    "window_rank"         -> (windowRank _),
+    "window_lag"          -> (windowLag _),
+    "window_moving_sum"   -> (windowMovingSum _),
+    "set_ops"             -> (setOps _),
+    "scalar_string"       -> (scalarString _),
+    "scalar_date"         -> (scalarDate _),
+    "json_extract"        -> (jsonExtract _),
+    "array_funcs"         -> (arrayFuncs _),
+    "conditional_agg"     -> (conditionalAgg _),
+    "scalar_subquery"     -> (scalarSubquery _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> pricingSummarySql,
+    "q3_shipping_priority" -> shippingPrioritySql,
+    "q5_regional_revenue" -> regionalRevenueSql,
+    "join_semi"           -> semiJoinSql,
+    "join_anti"           -> antiJoinSql,
+    "join_outer_stats"    -> outerJoinStatsSql,
+    "rollup_agg"          -> rollupAggSql,
+    "cube_agg"            -> cubeAggSql,
+    "grouping_sets"       -> groupingSetsSql,
+    "distinct_aggs"       -> distinctAggsSql,
+    // approx_distinct: intentionally no oracle (sketch-dependent)
+    "window_rank"         -> windowRankSql,
+    "window_lag"          -> windowLagSql,
+    "window_moving_sum"   -> windowMovingSumSql,
+    "set_ops"             -> setOpsSql,
+    "scalar_string"       -> scalarStringSql,
+    "scalar_date"         -> scalarDateSql,
+    "json_extract"        -> jsonExtractSql,
+    "array_funcs"         -> arrayFuncsSql,
+    "conditional_agg"     -> conditionalAggSql,
+    "scalar_subquery"     -> scalarSubquerySql
+  )
+}

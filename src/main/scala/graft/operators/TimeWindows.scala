@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-window operators — the batch, oracle-checkable twins of the
+  * reference's windowed count (SURVEY.md §2 W1,
+  * `tweet-streamer/src/main/scala/main.scala:47`:
+  * `reduceByKeyAndWindow(_ + _, Seconds(10))` with a 5 s slide).
+  *
+  * The reference windows are processing-time and batch-aligned; here they
+  * are event-time over `events.ts`, epoch-aligned (Spark's `window()`
+  * aligns to 1970-01-01 UTC) so a DuckDB oracle reproduces the buckets with
+  * integer arithmetic. Window starts are emitted as epoch seconds (BIGINT)
+  * rather than timestamps to keep the hash-compare free of
+  * timestamp-rendering differences.
+  *
+  * The event data spans ~30 days, so windows are scaled up (1 h / 30 min)
+  * from the reference's 10 s / 5 s — same shape: window = 2 × slide, each
+  * event lands in exactly two sliding windows.
+  *
+  * Scale: each query is one shuffle (hash agg on (window, key)); the slide
+  * expansion is map-side (`explode` of 2 window starts). The streaming twin
+  * (graft.streaming.StreamingTopTokens) does the same agg incrementally with
+  * a state store + watermark.
+  */
+object TimeWindows {
+
+  private val SlideSec = 1800L  // 30 min
+  private val WinSec   = 3600L  // 1 h = 2 slides
+
+  /** W1 sliding: per-event_type counts over 1 h windows sliding by 30 min. */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), s"$WinSec seconds", s"$SlideSec seconds").as("w"),
+               col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"), col("cnt"))
+      .orderBy("win_start", "event_type")
+
+  val slidingCountsSql: String =
+    s"""WITH b AS (
+       |  SELECT event_type, CAST(floor(epoch(ts) / $SlideSec) AS BIGINT) * $SlideSec AS b0
+       |  FROM events
+       |), e AS (
+       |  SELECT event_type, b0 AS win_start FROM b
+       |  UNION ALL
+       |  SELECT event_type, b0 - $SlideSec FROM b
+       |)
+       |SELECT win_start, event_type, count(*) AS cnt
+       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** W1 tumbling (slide = window): per-event_type hourly counts + value sums.
+    * Money-ish doubles are summed as DECIMAL(18,2) (the data is exact at two
+    * decimals) then cast to double, so Spark and DuckDB agree bit-for-bit
+    * regardless of accumulation order. */
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), s"$WinSec seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"),
+              col("cnt"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  val tumblingCountsSql: String =
+    s"""SELECT CAST(floor(epoch(ts) / $WinSec) AS BIGINT) * $WinSec AS win_start,
+       |       event_type, count(*) AS cnt,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Top-k per sliding window: the reference's per-batch "top 10 hashtags"
+    * (`main.scala:49-52`) as an analytic-window rank over the sliding agg —
+    * the idiomatic distributed top-k (no global sort, no driver collect). */
+  def topPerWindow(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(window(col("ts"), s"$WinSec seconds", s"$SlideSec seconds").as("w"),
+               col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"), col("cnt"))
+    val rankW = Window.partitionBy(col("win_start"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    counts
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= 3)
+      .orderBy("win_start", "rnk")
+  }
+
+  val topPerWindowSql: String =
+    s"""WITH b AS (
+       |  SELECT event_type, CAST(floor(epoch(ts) / $SlideSec) AS BIGINT) * $SlideSec AS b0
+       |  FROM events
+       |), e AS (
+       |  SELECT event_type, b0 AS win_start FROM b
+       |  UNION ALL
+       |  SELECT event_type, b0 - $SlideSec FROM b
+       |), c AS (
+       |  SELECT win_start, event_type, count(*) AS cnt FROM e GROUP BY 1, 2
+       |)
+       |SELECT win_start, event_type, cnt,
+       |       row_number() OVER (PARTITION BY win_start ORDER BY cnt DESC, event_type) AS rnk
+       |FROM c
+       |QUALIFY rnk <= 3
+       |ORDER BY win_start, rnk""".stripMargin
+
+  /** Sessionization: per-user sessions split at >30 min inactivity gaps —
+    * lag + conditional cumulative sum, the classic two-window composition.
+    * Deterministic: (user_id, ts, event_id) is a total order. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min(unix_timestamp(col("ts"))).as("sess_start"),
+           max(unix_timestamp(col("ts"))).as("sess_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN prev_ts IS NULL
+      |                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM g
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM m
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(CAST(floor(epoch(ts)) AS BIGINT)) AS sess_start,
+      |       max(CAST(floor(epoch(ts)) AS BIGINT)) AS sess_end
+      |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Bounded range self-join: pairs of events by the same user within 5 min
+    * of each other (strictly later, different event). The time-bucket
+    * pre-join keeps it a bounded equi-join (scales: join key is
+    * (user_id, bucket), never a cross product) — the standard interval-join
+    * decomposition used by stream processors.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("sec"),
+              (unix_timestamp(col("ts")) / 300L).cast("long").as("bucket"))
+    val l = e.select(col("event_id").as("l_id"), col("user_id"),
+                     col("sec").as("l_sec"), col("bucket"))
+    // each left row probes its own bucket and the next (window ≤ bucket width)
+    val lExp = l.withColumn("probe", explode(array(col("bucket"), col("bucket") + 1L)))
+    val r = e.select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+                     col("sec").as("r_sec"), col("bucket").as("probe"))
+    lExp.join(r, lExp("user_id") === r("r_user") && lExp("probe") === r("probe"))
+      .filter(col("r_sec") > col("l_sec") && col("r_sec") - col("l_sec") <= 300L)
+      .select(col("l_id"), col("r_id"), (col("r_sec") - col("l_sec")).as("gap_sec"))
+      .orderBy("l_id", "r_id")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT a.event_id AS l_id, b.event_id AS r_id,
+      |       floor(epoch(b.ts)) - floor(epoch(a.ts)) AS gap_sec
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND floor(epoch(b.ts)) > floor(epoch(a.ts))
+      | AND floor(epoch(b.ts)) - floor(epoch(a.ts)) <= 300
+      |ORDER BY l_id, r_id""".stripMargin
+
+  /** As-of join: for each purchase, the most recent strictly-earlier click
+    * by the same user. Implemented with the union-tag + window trick (one
+    * shuffle on user_id, no range explosion); DuckDB oracle uses its native
+    * ASOF JOIN semantics via window functions for portability. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("sec"))
+    val tagged = ev
+      .withColumn("is_click", when(col("event_type") === "click", 1).otherwise(0))
+      .filter(col("event_type").isin("click", "purchase"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("is_click").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("last_click_id",
+        last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(byUser))
+      .withColumn("last_click_sec",
+        last(when(col("is_click") === 1, col("sec")), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase" && col("last_click_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("last_click_id").as("click_id"),
+              (col("sec") - col("last_click_sec")).as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), w AS (
+      |  SELECT event_id, user_id, event_type, sec,
+      |         last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY sec, is_click DESC, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+      |         last_value(CASE WHEN is_click = 1 THEN sec END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY sec, is_click DESC, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_sec
+      |  FROM ev
+      |)
+      |SELECT event_id AS purchase_id, user_id, click_id, sec - click_sec AS gap_sec
+      |FROM w WHERE event_type = 'purchase' AND click_id IS NOT NULL
+      |ORDER BY purchase_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_sliding_counts"  -> (slidingCounts _),
+    "w1_tumbling_counts" -> (tumblingCounts _),
+    "w1_top_per_window"  -> (topPerWindow _),
+    "sessionize"         -> (sessionize _),
+    "range_join"         -> (rangeJoin _),
+    "asof_join"          -> (asofJoin _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "w1_sliding_counts"  -> slidingCountsSql,
+    "w1_tumbling_counts" -> tumblingCountsSql,
+    "w1_top_per_window"  -> topPerWindowSql,
+    "sessionize"         -> sessionizeSql,
+    "range_join"         -> rangeJoinSql,
+    "asof_join"          -> asofJoinSql
+  )
+}
