@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Reference, Relational, TimeWindows}
+import graft.operators.{Dedup, Multimodal, Reference, Relational, Similarity, TextAnalysis, TimeWindows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,11 @@ object SparkEntry {
     Seq(
       (Reference.queries, Reference.oracles),
       (TimeWindows.queries, TimeWindows.oracles),
-      (Relational.queries, Relational.oracles)
+      (Relational.queries, Relational.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (Multimodal.queries, Multimodal.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

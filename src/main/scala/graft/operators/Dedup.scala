@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the LLM-training-pipeline
+  * extension scope (SURVEY.md §2c). The reference has no dedup of any kind;
+  * these are designed Spark-first for 100 TB corpora:
+  *
+  *  - exact dedup: one hash-shuffle on the text (at scale: on a digest of
+  *    the text so the shuffle carries 16 bytes, not documents);
+  *  - n-gram Jaccard: inverted-index candidate generation (explode shingles,
+  *    self-join on shingle) — the classic all-pairs similarity join; never
+  *    materializes the O(n²) cross product;
+  *  - MinHash + LSH: fixed-size signatures (k hash functions over the
+  *    shingle set), banded into buckets so only same-bucket pairs are
+  *    compared — the 100 TB-scale path, with exact-Jaccard verification of
+  *    candidates so false positives never escape;
+  *  - SimHash: 64-bit fingerprint whose Hamming distance tracks cosine
+  *    similarity of the token multiset; near-dup pairs found by
+  *    pigeonhole-blocking on 8-bit sub-blocks.
+  *
+  * Jaccard scores are ratios of integers computed in double — bit-identical
+  * across engines regardless of platform, so they are safe in hash-compared
+  * oracle output. MinHash/SimHash depend on xxhash64 internals, which the
+  * DuckDB oracle cannot reproduce → rows-only gate + scalatest recall checks
+  * against the exact-Jaccard result.
+  */
+object Dedup {
+
+  /** Distinct 3-token shingles per document. Shingling is map-side only
+    * (explode + distinct groups by (doc_id, shingle) — one shuffle). */
+  private[operators] def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', slice(tk, i + 1, $n)))"))
+          .as("s"))
+      .distinct()
+
+  // ------------------------------------------------------------ exact dedup
+  /** Exact dedup: keep the lowest doc_id of each identical text, with the
+    * group size. Implemented as a window over the text hash: at 100 TB the
+    * shuffle key is a 128-bit digest (16 bytes/row), not the document text;
+    * the full text never leaves the scan except for the single survivor.
+    * (Collision risk of md5 on equality grouping is ~2^-64 at corpus scale —
+    * the standard trade; a paranoid variant adds length to the key.) */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")), length(col("text")))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "n_copies", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val exactDedupSql: String =
+    """SELECT doc_id, count(*) OVER (PARTITION BY text) AS n_copies,
+      |       lang, source, n_chars
+      |FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- n-gram Jaccard near-dup join
+  /** All-pairs 3-shingle Jaccard ≥ 0.5 via inverted index: explode distinct
+    * shingles, self-join on shingle (only docs sharing ≥1 shingle ever
+    * meet), count the intersection, derive the union by
+    * |A∪B| = |A| + |B| − |A∩B|. The score is an integer ratio in double —
+    * exact on both engines. At 100 TB the one refinement this needs is a
+    * document-frequency cap on shingles (drop shingles appearing in > d
+    * docs — they generate quadratic candidates and never decide a ≥0.5
+    * pair on their own); semantics here keep every shingle so the DuckDB
+    * oracle is exact. */
+  def jaccardNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, dir))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("a_id"), col("s"))
+    val b = sh.select(col("doc_id").as("b_id"), col("s"))
+    val common = a.join(b, "s")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= 0.5)
+      .select("a_id", "b_id", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  val jaccardNearDupSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a_id, b_id, c * 1.0 / (sa.n + sb.n - c) AS jac
+      |FROM common JOIN sizes sa ON a_id = sa.doc_id
+      |            JOIN sizes sb ON b_id = sb.doc_id
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ------------------------------------------------------------ MinHash LSH
+  private val NumHashes = 16
+  private val BandRows  = 2  // rows per band → 8 bands; catches J≥0.5 w.p. ~0.9
+
+  /** MinHash signatures: k permutations simulated as xxhash64(seed_i, shingle),
+    * min per (doc, i). One explode (×k) + one shuffle. */
+  private[operators] def minhashSignature(sh: DataFrame): DataFrame =
+    sh.withColumn("i", explode(sequence(lit(0), lit(NumHashes - 1))))
+      .withColumn("h", xxhash64(col("i"), col("s")))
+      .groupBy("doc_id", "i")
+      .agg(min(col("h")).as("mh"))
+
+  /** MinHash + LSH near-dup pairs, exact-verified.
+    * Pipeline: shingles → k minhashes → band buckets (band id = hash of the
+    * band's minhash subsequence) → same-bucket candidate pairs → exact
+    * Jaccard verification ≥ 0.5. Candidates scale with the number of truly
+    * similar pairs, not n² — this is the 100 TB dedup path. Verification
+    * re-joins the shingle sets only for candidate pairs. No SQL oracle
+    * (xxhash64 internals) → rows-only gate; scalatest checks recall vs the
+    * exact-Jaccard query. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh  = shingles(Tables.documents(s, dir)).cache()
+    val sig = minhashSignature(sh)
+      .withColumn("band", (col("i") / BandRows).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(xxhash64(sort_array(collect_list(struct(col("i"), col("mh"))))).as("bucket"))
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("s").as("s2")), "b_id")
+      .filter(col("s") === col("s2"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= 0.5)
+      .select("a_id", "b_id", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  // --------------------------------------------------------------- SimHash
+  private val SimBits   = 64
+  private val SimBlocks = 8   // 8 blocks × 8 bits; pigeonhole catches hamming ≤ 7
+
+  /** 64-bit SimHash per document over distinct tokens: bit k is the sign of
+    * Σ_tokens (bit k of xxhash64(token) ? +1 : −1). Computed without
+    * exploding 64 rows per token: one explode per token, then 64 aggregate
+    * columns (map-side combined — the shuffle carries 64 ints per doc). */
+  private[operators] def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .filter(col("t") =!= "")
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums: Seq[Column] = (0 until SimBits).map { k =>
+      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0L, 1).otherwise(-1)).as(s"b$k")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until SimBits).map { k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming(simhash_a, simhash_b) ≤ 7, found by
+    * blocking on the 8 8-bit sub-blocks (pigeonhole: distance ≤ 7 ⇒ at
+    * least one of 8 blocks is identical), then verifying with bit_count.
+    * The candidate join key is (block index, block value) — n² never
+    * materializes. Rows-only gate (hash-function-dependent); scalatest
+    * checks the planted near-dups are found. */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sim = simhash(Tables.documents(s, dir)).cache()
+    val blocks = sim.withColumn("blk", explode(sequence(lit(0), lit(SimBlocks - 1))))
+      .withColumn("blkval",
+        expr(s"shiftrightunsigned(simhash, blk * ${SimBits / SimBlocks})")
+          .bitwiseAND(lit((1L << (SimBits / SimBlocks)) - 1)))
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.blkval") === col("y.blkval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.simhash").as("ha"),
+              col("y.doc_id").as("b_id"), col("y.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 7)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"          -> (exactDedup _),
+    "neardup_jaccard"      -> (jaccardNearDup _),
+    "neardup_minhash_lsh"  -> (minhashLsh _),
+    "neardup_simhash"      -> (simhashNearDup _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact"     -> exactDedupSql,
+    "neardup_jaccard" -> jaccardNearDupSql
+    // minhash/simhash: hash-internal-dependent → rows-only gate
+  )
+}

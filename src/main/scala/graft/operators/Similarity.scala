@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over `embeddings` (64-dim float vectors) —
+  * LLM-pipeline extension scope (SURVEY.md §2c).
+  *
+  *  - Brute-force cosine top-k: the exactness baseline. Queries are a tiny
+  *    filtered subset → broadcast against the full corpus; the per-pair dot
+  *    product is built-in `zip_with` + `aggregate` (codegen'd, no UDF); the
+  *    top-k is a per-query rank window — never a global sort.
+  *  - SRP-LSH bucketed ANN: 16 random-hyperplane sign bits (hyperplanes
+  *    derived from a hash of (plane, dim) — deterministic, no stored model)
+  *    → bucket id; search only the query's bucket. This is the 100 TB shape:
+  *    the index is a single extra column, candidates per query shrink by
+  *    ~2^16/ε, and the bucket join is a plain shuffle join on the bucket id.
+  *
+  * Determinism: dot products are computed in double with a fixed
+  * left-to-right `aggregate` fold; scores in oracle-checked output are
+  * additionally rounded to 6 dp, and ranks tie-break on vec_id.
+  */
+object Similarity {
+
+  private val K = 5
+
+  /** Cosine similarity of two array<double> columns in one codegen'd
+    * expression: Σ a·b / (√Σa² · √Σb²), all folds left-to-right. */
+  private[operators] def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+
+  // ---------------------------------------------------- brute-force top-k
+  /** Exact top-5 cosine neighbors for query vectors (vec_id % 100 == 0, so
+    * the query set scales with the corpus). Query side is broadcast; the
+    * corpus is scanned once; per-query top-k via rank window partitioned by
+    * query — the shuffle carries (query, candidate, score), and at 100 TB
+    * a TypedImperativeAggregate bounded heap would replace the window (same
+    * result, no sort) — see graft.functions if bench demands it. */
+  def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
+              round(col("score"), 6).as("score_r"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val bruteForceTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |s AS (
+       |  SELECT q.q_id, e.vec_id AS n_id,
+       |    list_dot_product(q.qv, e.v) /
+       |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+       |      AS score
+       |  FROM q JOIN e ON e.vec_id <> q.q_id
+       |), r AS (
+       |  SELECT q_id, n_id, score,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rnk
+       |  FROM s
+       |)
+       |SELECT q_id, n_id, rnk, round(score, 6) AS score_r
+       |FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------- SRP-LSH
+  /** 8 planes → 256 buckets. Sized for the harness corpus (500–2000
+    * vectors → ~2–8 per bucket); at 100 TB you'd raise planes with corpus
+    * size to keep per-bucket candidate counts roughly constant (each plane
+    * halves expected occupancy). */
+  private val Planes = 8
+
+  /** Deterministic pseudorandom hyperplane coefficient for (plane, dim):
+    * xxhash64 scaled to [-1, 1). No stored model — any executor recomputes
+    * the same planes, so the "index" ships as code, not data. */
+  private def planeCoef(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-random-projection bucket id: bit p = [Σ_d coef(p,d)·v_d ≥ 0]. */
+  private[operators] def srpBucket(v: Column): Column =
+    (0 until Planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(63)), (x, d) => x * planeCoef(p, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** ANN top-k: candidates restricted to the query's SRP bucket, with
+    * single-bit multi-probe (the query also probes the 8 buckets one
+    * hyperplane-flip away — near-boundary neighbors land there). Recall is
+    * probabilistic, so no SQL oracle — rows-only gate; scalatest measures
+    * recall vs brute force. Probing is query-side only: the corpus keeps
+    * one bucket id per vector, queries explode ×(Planes+1). */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).withColumn("bucket", srpBucket(col("v"))).cache()
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      .withColumn("bucket",
+        explode(array(col("bucket") +:
+          (0 until Planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id"), col("v")).distinct()
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
+              round(col("score"), 6).as("score_r"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Centroid-style coarse quantization stats (IVF building block): bucket
+    * occupancy histogram — how balanced is the SRP partitioning. Oracle-free
+    * diagnostics (hash-dependent), rows-only. */
+  def bucketStats(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .withColumn("bucket", srpBucket(col("v")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("n_vecs").desc, col("bucket"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk"  -> (bruteForceTopK _),
+    "ann_lsh_topk"    -> (lshTopK _),
+    "ann_bucket_stats" -> (bucketStats _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ann_brute_topk" -> bruteForceTopKSql
+    // lsh variants: hash-dependent bucketing → rows-only gate
+  )
+}

@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — LLM-pipeline extension scope
+  * (SURVEY.md §2c): token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting.
+  *
+  * All four are scan → narrow per-row expressions → (at most) one hash agg:
+  * the shape that scales linearly to 100 TB with zero shuffles beyond the
+  * final aggregation. Everything stays inside whole-stage codegen — built-in
+  * Catalyst expressions only, no UDFs.
+  *
+  * Determinism: scores are integer ratios evaluated in double (single
+  * division — bit-identical on any IEEE engine); fingerprints are pure
+  * integer arithmetic.
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  // --------------------------------------------------------- token counting
+  /** Whitespace tokens vs a BPE-ish regex token count ([A-Za-z]+ | digit
+    * runs | any other non-space char — the classic pre-tokenizer shape).
+    * Identical regex semantics in Java regex and RE2 for this pattern. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .cast("long").as("n_re_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_m
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- quality score
+  /** Per-document quality signals: token count, mean token length,
+    * type-token ratio (lexical diversity), stopword ratio, and a combined
+    * score. The score is a toy linear blend — the point is the *shape*:
+    * per-row signals a corpus filter would threshold on, computed in one
+    * codegen'd pass. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "or", "is")
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio = size(filter(t, x => x.isin(stop.map(lit): _*))).cast("double") / nTok
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        nTok.cast("long").as("n_tokens"),
+        round(meanLen, 6).as("mean_tok_len"),
+        round(ttr, 6).as("type_token_ratio"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(ttr * 0.5 + stopRatio * 0.3 + least(nTok / 100.0, lit(1.0)) * 0.2, 6)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, lang,
+      |    len(tk) AS n_tokens,
+      |    list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk) AS mean_tok_len,
+      |    len(list_distinct(tk)) * 1.0 / len(tk) AS ttr,
+      |    len(list_filter(tk, x -> x IN ('the','a','of','to','and','in','or','is'))) * 1.0
+      |      / len(tk) AS stop_ratio
+      |  FROM t
+      |)
+      |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  round(mean_tok_len, 6) AS mean_tok_len,
+      |  round(ttr, 6) AS type_token_ratio,
+      |  round(stop_ratio, 6) AS stopword_ratio,
+      |  round(ttr * 0.5 + stop_ratio * 0.3 + least(n_tokens / 100.0, 1.0) * 0.2, 6) AS quality
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ language ID
+  /** Stopword-voting language ID: count token hits in tiny per-language
+    * marker sets, argmax with a fixed preference order on ties. A real
+    * system uses char-n-gram profiles; the harness corpus is synthetic, so
+    * the *operator shape* (per-row vote vector + argmax, then a per-lang
+    * confusion rollup) is what's exercised. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "or"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val scores = markers.map { case (l, ws) =>
+      l -> size(filter(t, x => x.isin(ws.map(lit): _*))).cast("long")
+    }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    // first lang in `markers` order reaching the max; ties go to that order
+    val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+              best.as("best_score"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("best_score")).as("sum_score"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val langIdSql: String = {
+    val scoreExprs = markers.map { case (l, ws) =>
+      s"len(list_filter(tk, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+    }.mkString(",\n    ")
+    val bestExpr = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val predExpr = markers.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |  FROM documents
+       |), sc AS (
+       |  SELECT doc_id, lang,
+       |    $scoreExprs
+       |  FROM t
+       |), b AS (
+       |  SELECT doc_id, lang, $bestExpr AS best,
+       |         s_en, s_de, s_es, s_fr, s_zh
+       |  FROM sc
+       |), p AS (
+       |  SELECT doc_id, lang, best, $predExpr AS pred_lang FROM b
+       |)
+       |SELECT lang, pred_lang, count(*) AS n_docs, sum(best) AS sum_score
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------- fingerprinting
+  /** Positional rolling fingerprint: Σ_i (i+1) · ((127·len(tok_i) +
+    * codepoint(tok_i[0])) mod p), pure integer arithmetic — order-sensitive
+    * (a permuted document fingerprints differently), overflow-free
+    * (terms < 2³¹, ≤ thousands of tokens), and engine-portable. Real
+    * systems use a 64-bit polynomial hash; the shape (posexplode → one
+    * agg) is identical. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val p = 2147483647L
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "t")))
+      .withColumn("term",
+        (col("pos") + 1L) * ((length(col("t")) * 127L + ascii(col("t"))) % p))
+      .groupBy("doc_id")
+      .agg(sum(col("term")).as("fingerprint"), count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  sum(i * ((length(tk[i]) * 127 + ascii(substring(tk[i], 1, 1))) % 2147483647))
+      |    AS fingerprint,
+      |  count(*) AS n_tokens
+      |FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_counts" -> (tokenCounts _),
+    "text_quality"      -> (qualityScore _),
+    "text_lang_id"      -> (langId _),
+    "text_fingerprint"  -> (fingerprint _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_token_counts" -> tokenCountsSql,
+    "text_quality"      -> qualityScoreSql,
+    "text_lang_id"      -> langIdSql,
+    "text_fingerprint"  -> fingerprintSql
+  )
+}
