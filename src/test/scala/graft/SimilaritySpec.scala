@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends GraftSpec {
+  import spark.implicits._
+
+  test("cosine(v, v) = 1 within 1e-12") {
+    val df = Seq((Array(1.0, 2.0, -3.0), Array(1.0, 2.0, -3.0))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors = 0") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 5.0))).toDF("a", "b")
+    assert(math.abs(df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head()) < 1e-12)
+  }
+
+  test("brute-force top-k: scores are within [-1,1], ranks contiguous per query") {
+    val rows = Similarity.bruteForceTopK(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length))
+      rs.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.000001))
+    }
+  }
+
+  test("LSH top-k recall vs brute force >= 30% (single-bit multi-probe, 8 planes)") {
+    val brute = Similarity.bruteForceTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "LSH result must not be empty")
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, f"LSH recall $recall%.2f below floor")
+  }
+}

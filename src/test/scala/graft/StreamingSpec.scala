@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.TimeWindows
+import graft.streaming.StreamingWindows
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** The streaming twin must compute exactly what the batch, oracle-checked
+  * operators compute on the same data — that equivalence is the test. */
+class StreamingSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("file-replay sliding counts == batch oracle-checked slidingCounts") {
+    val stream = StreamingWindows.eventsFileStream(spark, sf0001)
+    val agg = StreamingWindows.slidingCounts(stream)
+    val q = agg.writeStream
+      .format("memory").queryName("sliding_mem")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sliding_mem")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = TimeWindows.slidingCounts(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("MemoryStream incremental: counts accumulate across micro-batches") {
+    val ms = MemoryStream[(Timestamp, String)](42, spark, None)
+    val df = ms.toDF().toDF("ts", "event_type")
+    val agg = StreamingWindows.slidingCounts(df, winSec = 60, slideSec = 30,
+      watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("inc_mem")
+      .outputMode("complete").start()
+    try {
+      ms.addData((Timestamp.valueOf("2024-01-01 00:00:10"), "click"))
+      q.processAllAvailable()
+      ms.addData((Timestamp.valueOf("2024-01-01 00:00:20"), "click"),
+                 (Timestamp.valueOf("2024-01-01 00:01:05"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("inc_mem")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // click@10,click@20 → windows starting at -30 and 0 with cnt 2
+      // view@65 → windows starting at 30 and 60 with cnt 1
+      val epoch = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+      assert(rows == Set(
+        (epoch - 30, "click", 2L), (epoch, "click", 2L),
+        (epoch + 30, "view", 1L), (epoch + 60, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming hashtag pipeline keeps reference tokenizer semantics") {
+    val ms = MemoryStream[(Timestamp, String, String)](43, spark, None)
+    val df = ms.toDF().toDF("ts", "lang", "text")
+    val agg = StreamingWindows.hashtagCounts(df, winSec = 60, slideSec = 60,
+      watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("tag_mem")
+      .outputMode("complete").start()
+    try {
+      ms.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:01"), "en", "#a  #b x #a"),
+        (Timestamp.valueOf("2024-01-01 00:00:02"), "de", "#nope"),
+        (Timestamp.valueOf("2024-01-01 00:00:03"), "en", "# plain"))
+      q.processAllAvailable()
+      val rows = spark.table("tag_mem")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      // lang≠en dropped; '#a' twice; bare '#' kept (reference quirk)
+      assert(rows == Set(("#a", 2L), ("#b", 1L), ("#", 1L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer splits on gap > threshold") {
+    val ms = MemoryStream[StreamingWindows.SessEvent](44, spark, None)
+    // NoTimeout: the assertion is about in-batch gap splitting; a
+    // processing-time timeout would keep scheduling batches and hang
+    // processAllAvailable.
+    val sessions = StreamingWindows.sessionize(ms.toDS(), gapSec = 60,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.format("memory").queryName("sess_mem")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      ms.addData(
+        StreamingWindows.SessEvent(1L, new Timestamp(t0)),
+        StreamingWindows.SessEvent(1L, new Timestamp(t0 + 30_000)),
+        StreamingWindows.SessEvent(1L, new Timestamp(t0 + 300_000)), // gap > 60 s
+        StreamingWindows.SessEvent(2L, new Timestamp(t0)))
+      q.processAllAvailable()
+      // first session of user 1 closed by the in-batch gap
+      val closed = spark.table("sess_mem")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(closed == Set((1L, t0 / 1000, t0 / 1000 + 30, 2L)))
+    } finally q.stop()
+  }
+}

