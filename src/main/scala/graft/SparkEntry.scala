@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Reference, Relational, Similarity, TextAnalysis, TimeWindows}
+import graft.operators.{Dedup, Multimodal, Reference, Relational, RelationalExt, Similarity, TextAnalysis, TimeWindows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,7 @@ object SparkEntry {
       (Reference.queries, Reference.oracles),
       (TimeWindows.queries, TimeWindows.oracles),
       (Relational.queries, Relational.oracles),
+      (RelationalExt.queries, RelationalExt.oracles),
       (Dedup.queries, Dedup.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Similarity.queries, Similarity.oracles),

@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Relational coverage, second batch (SURVEY.md §2b "rebuild adds"):
+  * pivot, exact-decimal variance, interpolated percentiles, full-outer
+  * join, SQL-path IN/EXISTS subqueries, JSON-as-map functions, arg-max by
+  * struct ordering, union-by-name.
+  *
+  * Same determinism discipline as `Relational`: total output order, integer
+  * or exact-decimal intermediates wherever accumulation order could differ,
+  * rounding only where both engines compute the same IEEE expression.
+  */
+object RelationalExt {
+
+  // ------------------------------------------------------------------ pivot
+  /** The DataFrame `pivot` API (Catalyst rewrites to a single-pass
+    * conditional aggregate — one shuffle, no joins). Pivot values are
+    * pinned so the plan never needs the extra distinct-values job. */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+              coalesce(col("F"), lit(0L)).as("n_f"),
+              coalesce(col("O"), lit(0L)).as("n_o"),
+              coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  val pivotStatusSql: String =
+    """SELECT o_orderpriority,
+      |       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+      |       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+      |       count(*) FILTER (o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------- exact variance via decimals
+  /** Sample variance/stddev computed from EXACT decimal power sums:
+    * var = (Σx² − (Σx)²/n)/(n−1), with Σx and Σx² as lossless decimals and
+    * only the final arithmetic in double — identical bits on both engines
+    * regardless of accumulation order (the one-pass streaming `stddev`
+    * would differ in the last ulp between engines). */
+  def stddevDecimal(s: SparkSession, dir: String): DataFrame = {
+    val x  = col("l_quantity").cast("decimal(18,2)")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(sum(x).cast("double").as("s1"),
+           sum((x * x).cast("decimal(30,4)")).cast("double").as("s2"),
+           count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+              round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 6)
+                .as("var_qty"),
+              round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 6)
+                .as("std_qty"),
+              col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val stddevDecimalSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS s2,
+      |    count(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag,
+      |  round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_qty,
+      |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS std_qty,
+      |  n
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------ percentiles
+  /** Exact interpolated percentiles (median, p90). Both engines use the
+    * (n−1)·p index with linear interpolation; results are rounded to 6 dp
+    * to absorb any last-ulp interpolation difference. At 100 TB the exact
+    * percentile needs a per-group sort — `approx_percentile` (t-digest
+    * style sketch) is the scale path and is covered rows-only. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+           round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+           count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val percentilesSql: String =
+    """SELECT o_orderpriority,
+      |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+      |       count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** approx_percentile sketch (no SQL oracle — implementation-defined). */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"))
+      .orderBy("o_orderpriority")
+
+  // -------------------------------------------------------- full-outer join
+  /** Full-outer join of per-nation customer vs supplier counts — nations
+    * can miss either side; coalesce restores totals. Both sides pre-agg to
+    * dimension cardinality before the join (aggregate-below-join: the join
+    * input is 25 rows, not 150 k). */
+  def fullOuterNation(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, dir).groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+    c.join(p, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+              coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+              coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  val fullOuterNationSql: String =
+    """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+      |     s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+      |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  // ------------------------------------------------- SQL-path subqueries
+  /** Correlated EXISTS with an extra predicate, through the SQL entry path
+    * (Catalyst de-correlates to a left-semi join). */
+  def existsHeavyItems(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val existsHeavyItemsSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Uncorrelated IN subquery (rewritten to a semi join over a one-row
+    * aggregate broadcast). */
+  def inRichSegment(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) * 1.5)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val inRichSegmentSql: String =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_custkey IN (
+      |  SELECT c_custkey FROM customer
+      |  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) * 1.5)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------- map functions
+  /** JSON parsed into a typed map column, then map functions (keys, values,
+    * element_at) — the `events.props` column as MapType instead of
+    * get_json_object string-poking. */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, IntegerType)))
+      .select(col("event_type"),
+              size(map_keys(col("m"))).cast("long").as("n_keys"),
+              element_at(col("m"), "k").as("k_val"))
+      .groupBy("event_type")
+      .agg(sum("n_keys").as("total_keys"), sum("k_val").as("sum_k"),
+           count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  val mapFuncsSql: String =
+    """WITH j AS (
+      |  SELECT event_type,
+      |         CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+      |         CAST(props->>'$.k' AS INT) AS k_val
+      |  FROM events
+      |)
+      |SELECT event_type, sum(n_keys) AS total_keys, sum(k_val) AS sum_k,
+      |       count(*) AS cnt
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------- arg-max via struct
+  /** Deterministic arg-max: the biggest (totalprice, orderkey) order per
+    * customer via max over a struct (lexicographic — ties broken by the
+    * orderkey inside the struct, unlike bare `max_by`, which is
+    * tie-nondeterministic on both engines). */
+  def argMaxOrder(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey"), col("m.o_orderkey").as("best_order"),
+              col("m.o_totalprice").as("best_price"))
+      .orderBy("o_custkey")
+
+  // struct-max is lexicographic: ties on price resolve to the LARGER
+  // orderkey, hence DESC on both sort keys here
+  val argMaxOrderSql: String =
+    """SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  // ------------------------------------------------------- union by name
+  /** `unionByName` with reordered projections (schema aligned by column
+    * name, not position), tagged per branch. */
+  def unionByNameTagged(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"),
+              lit("building").as("src"))
+    val b = Tables.customer(s, dir).filter(col("c_acctbal") < 0)
+      .select(lit("negative").as("src"), col("c_acctbal").as("bal"),
+              col("c_custkey").as("key"))
+    a.unionByName(b)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n"),
+           sum(col("bal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy("src")
+  }
+
+  val unionByNameTaggedSql: String =
+    """WITH u AS (
+      |  SELECT c_custkey AS key, c_acctbal AS bal, 'building' AS src
+      |  FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal, 'negative' FROM customer WHERE c_acctbal < 0
+      |)
+      |SELECT src, count(*) AS n,
+      |       CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM u GROUP BY src ORDER BY src""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_status"     -> (pivotStatus _),
+    "stddev_decimal"   -> (stddevDecimal _),
+    "percentiles"      -> (percentiles _),
+    "approx_percentiles" -> (approxPercentiles _),
+    "join_full_outer"  -> (fullOuterNation _),
+    "subquery_exists"  -> (existsHeavyItems _),
+    "subquery_in"      -> (inRichSegment _),
+    "map_funcs"        -> (mapFuncs _),
+    "argmax_order"     -> (argMaxOrder _),
+    "union_by_name"    -> (unionByNameTagged _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "pivot_status"    -> pivotStatusSql,
+    "stddev_decimal"  -> stddevDecimalSql,
+    "percentiles"     -> percentilesSql,
+    // approx_percentiles: sketch-dependent → rows-only
+    "join_full_outer" -> fullOuterNationSql,
+    "subquery_exists" -> existsHeavyItemsSql,
+    "subquery_in"     -> inRichSegmentSql,
+    "map_funcs"       -> mapFuncsSql,
+    "argmax_order"    -> argMaxOrderSql,
+    "union_by_name"   -> unionByNameTaggedSql
+  )
+}

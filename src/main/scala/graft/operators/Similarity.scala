@@ -131,6 +131,28 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Brute-force top-k via the bounded-heap `TopKByScore`
+    * TypedImperativeAggregate instead of a rank window. Result-identical to
+    * `bruteForceTopK` (same score, same tie-break) and shares its oracle —
+    * but the shuffle carries at most k pairs per partition per query
+    * (map-side partial merge) instead of every scored candidate, and
+    * nothing is ever sorted beyond 2k elements. This is the plan shape that
+    * survives 100 TB; the window variant exists as the readable baseline. */
+  def heapTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKAggregate
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+      .groupBy("q_id")
+      .agg(TopKAggregate.topK(col("score"), col("vec_id"), K).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("n_id"), col("t.rnk").as("rnk"),
+              round(col("t.score"), 6).as("score_r"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Centroid-style coarse quantization stats (IVF building block): bucket
     * occupancy histogram — how balanced is the SRP partitioning. Oracle-free
     * diagnostics (hash-dependent), rows-only. */
@@ -143,12 +165,16 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk"  -> (bruteForceTopK _),
+    "ann_heap_topk"   -> (heapTopK _),
     "ann_lsh_topk"    -> (lshTopK _),
     "ann_bucket_stats" -> (bucketStats _)
   )
 
   def oracles: Map[String, String] = Map(
-    "ann_brute_topk" -> bruteForceTopKSql
+    "ann_brute_topk" -> bruteForceTopKSql,
+    // the heap aggregate is result-identical to the window variant by
+    // construction — it shares the same oracle
+    "ann_heap_topk"  -> bruteForceTopKSql
     // lsh variants: hash-dependent bucketing → rows-only gate
   )
 }

@@ -28,6 +28,14 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("bounded-heap top-k aggregate is row-identical to the window variant") {
+    val win = Similarity.bruteForceTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val heap = Similarity.heapTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(heap == win)
+  }
+
   test("LSH top-k recall vs brute force >= 30% (single-bit multi-probe, 8 planes)") {
     val brute = Similarity.bruteForceTopK(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
