@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.ts is parquet TIMESTAMP(NANOS); read as LongType nanos
       // (graft.Tables.events converts to TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

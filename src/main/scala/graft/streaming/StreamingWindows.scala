@@ -78,6 +78,17 @@ object StreamingWindows {
     else raw
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen within
+    * the watermark horizon — the streaming twin of `Dedup.exactDedup`.
+    * State is one entry per key, evicted when the watermark passes it, so
+    * state size tracks the horizon, not the stream's history. This is the
+    * ingest-side dedup a 100 TB pipeline runs before anything else (at-
+    * least-once sources ⇒ duplicate deliveries). */
+  def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ----------------------------------------------------- custom state (FMG)
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
   case class SessState(start: Long, end: Long, n: Long)

@@ -1,0 +1,32 @@
+package graft
+
+/** The custom expressions registered through SparkSessionExtensions
+  * (`graft.GraftExtensions`, loaded by the fixture via
+  * `spark.sql.extensions`) must be reachable from plain SQL. */
+class ExtensionsSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("vector_dot is callable from SQL") {
+    val v = spark.sql(
+      "SELECT vector_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head().getDouble(0)
+    assert(v == 32.0)
+  }
+
+  test("vector_dot handles mismatched lengths by truncating (documented)") {
+    val v = spark.sql(
+      "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D)) AS d").head().getDouble(0)
+    assert(v == 3.0)
+  }
+
+  test("top_k_by_score is callable from SQL as a grouped aggregate") {
+    Seq((1L, 1.0), (2L, 3.0), (3L, 2.0), (4L, 5.0))
+      .toDF("id", "score").createOrReplaceTempView("tk_fixture")
+    val rows = spark.sql(
+      """SELECT t.id, t.rnk FROM (
+        |  SELECT top_k_by_score(score, id, 2) AS top FROM tk_fixture
+        |) LATERAL VIEW explode(top) AS t
+        |ORDER BY t.rnk""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((4L, 1), (2L, 2)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Reference, Relational, Similarity}
+
+/** Plan-shape regression tests: the scale properties SURVEY.md §4 commits
+  * to (filter pushdown, column pruning, broadcast dimension joins, fused
+  * top-k) asserted on the actual physical plans, so a refactor that
+  * silently loses one fails CI, not the 100 TB run. */
+class PlanSpec extends GraftSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("language filter is pushed down to the parquet scan") {
+    val plan = planOf(Reference.filterEnglishDocs(spark, sf0001))
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("EqualTo(lang,en)"), "filter must reach the scan")
+  }
+
+  test("column pruning: the projection-only query reads just its columns") {
+    val plan = planOf(Reference.filterEnglishDocs(spark, sf0001))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"text column must be pruned from the scan: $readSchema")
+  }
+
+  test("star join broadcasts every dimension side") {
+    val plan = planOf(Relational.regionalRevenue(spark, sf0001))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no full global sort)") {
+    val plan = planOf(Reference.topTokens(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("heap top-k plan carries partial aggregation (map-side combine)") {
+    val plan = planOf(Similarity.heapTopK(spark, sf0001))
+    assert(plan.contains("top_k_by_score"), plan.take(800))
+    // ObjectHashAggregate partial + final split around the exchange
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan.take(800))
+  }
+
+  test("whole-stage codegen covers the flagship pipeline") {
+    val df = Reference.topTokens(spark, sf0001)
+    df.collect() // AQE finalizes (and codegens) only on execution
+    val plan = planOf(df)
+    // codegen'd operators carry the "*(n)" stage prefix in toString
+    assert(plan.contains("*(1)"), plan.take(800))
+  }
+}

@@ -15,6 +15,7 @@ object SparkFixture {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 }

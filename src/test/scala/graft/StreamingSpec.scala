@@ -72,6 +72,23 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered keys across micro-batches") {
+    val ms = MemoryStream[(Long, Timestamp)](45, spark, None)
+    val df = ms.toDF().toDF("event_id", "ts")
+    val q = StreamingWindows.streamingDedup(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_mem")
+      .outputMode("append").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:01")
+      ms.addData((1L, t), (1L, t), (2L, t))   // in-batch duplicate
+      q.processAllAvailable()
+      ms.addData((1L, t), (3L, t))            // cross-batch re-delivery
+      q.processAllAvailable()
+      val ids = spark.table("dedup_mem").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer splits on gap > threshold") {
     val ms = MemoryStream[StreamingWindows.SessEvent](44, spark, None)
     // NoTimeout: the assertion is about in-batch gap splitting; a
