@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Reference, Relational, RelationalExt, Similarity, TextAnalysis, TimeWindows}
+import graft.operators.{Dedup, Multimodal, Reference, Relational, RelationalExt,
+  Similarity, SourcesSinks, TextAnalysis, TimeWindows, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +26,9 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Similarity.queries, Similarity.oracles),
-      (Multimodal.queries, Multimodal.oracles)
+      (Multimodal.queries, Multimodal.oracles),
+      (TypedOps.queries, TypedOps.oracles),
+      (SourcesSinks.queries, SourcesSinks.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -153,6 +153,35 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ 0.4
+    * (the harness corpus max is ~0.51, so the threshold is meaningful but
+    * non-empty). Implemented as the exact nested-loop join — correctness
+    * baseline with the codegen'd dot keeping the pair scoring cheap. At
+    * 100 TB this exact form is O(n²); the scale path is the SRP-bucketed
+    * candidates of `lshTopK` with this same verify-filter (recall < 1, so
+    * the exact form is the one under oracle). */
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .filter(col("score") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score_r"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val cosineNearDupSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       round(list_dot_product(a.v, b.v) /
+      |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      |         AS score_r
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Centroid-style coarse quantization stats (IVF building block): bucket
     * occupancy histogram — how balanced is the SRP partitioning. Oracle-free
     * diagnostics (hash-dependent), rows-only. */
@@ -167,14 +196,16 @@ object Similarity {
     "ann_brute_topk"  -> (bruteForceTopK _),
     "ann_heap_topk"   -> (heapTopK _),
     "ann_lsh_topk"    -> (lshTopK _),
-    "ann_bucket_stats" -> (bucketStats _)
+    "ann_bucket_stats" -> (bucketStats _),
+    "emb_neardup_cosine" -> (cosineNearDup _)
   )
 
   def oracles: Map[String, String] = Map(
     "ann_brute_topk" -> bruteForceTopKSql,
     // the heap aggregate is result-identical to the window variant by
     // construction — it shares the same oracle
-    "ann_heap_topk"  -> bruteForceTopKSql
+    "ann_heap_topk"  -> bruteForceTopKSql,
+    "emb_neardup_cosine" -> cosineNearDupSql
     // lsh variants: hash-dependent bucketing → rows-only gate
   )
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink coverage beyond the driver's parquet tables: CSV and JSON
+  * round-trips with explicit schemas, plus a partitioned-layout write —
+  * the reference has no file I/O at all (SURVEY.md §2b "scans/sources/
+  * sinks: ABSENT"), so this is rebuild-added surface.
+  *
+  * Round-trip queries are self-contained: write to a deterministic temp
+  * dir (overwrite mode keeps reruns idempotent), read back with a declared
+  * schema (never schema inference in production paths — inference is a
+  * full extra scan at 100 TB), and aggregate. The oracle checks the
+  * aggregate against the ORIGINAL parquet — so the round trip must be
+  * lossless to pass.
+  *
+  * The CSV write is `partitionBy(lang)` — the same directory-partitioning
+  * a 100 TB corpus uses for partition pruning (a `lang = 'en'` filter then
+  * reads 1/5 of the files; PlanSpec-style pruning applies to the read
+  * path). */
+object SourcesSinks {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io/$name"
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** CSV round-trip, partitioned by lang: parquet → csv(partitionBy lang,
+    * header) → read with explicit schema → per-lang aggregate. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("docs_csv")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").option("header", "true").csv(out)
+    s.read.schema(docSchema.add(StructField("lang", StringType)))
+      .option("header", "true").csv(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+           countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      |       count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** JSON-lines round-trip: events (with a nested struct) → json → read
+    * with explicit schema → aggregate. Exercises struct serialization and
+    * the json reader's timestamp handling. */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("events_json")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+              struct(col("user_id"), unix_timestamp(col("ts")).as("sec")).as("who"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("who", StructType(Seq(
+        StructField("user_id", LongType), StructField("sec", LongType))))))
+    s.read.schema(schema).json(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+           countDistinct(col("who.user_id")).as("n_users"),
+           min(col("who.sec")).as("first_sec"))
+      .orderBy("event_type")
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |       count(DISTINCT user_id) AS n_users,
+      |       min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_sec
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_csv_roundtrip"  -> (csvRoundtrip _),
+    "io_json_roundtrip" -> (jsonRoundtrip _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "io_csv_roundtrip"  -> csvRoundtripSql,
+    "io_json_roundtrip" -> jsonRoundtripSql
+  )
+}

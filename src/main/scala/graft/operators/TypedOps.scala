@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Typed Dataset API coverage: case-class Encoders, groupByKey, and a
+  * custom typed `Aggregator` — the type-safe face of the same Catalyst
+  * machinery (SURVEY.md §1 "Dataset[T] where typed ops help").
+  *
+  * The Aggregator compiles to an untyped partial+final agg like any SQL
+  * aggregate (no row-at-a-time penalty for the sum; the lambda surface is
+  * the groupByKey key extractor, which does force object deserialization —
+  * which is exactly why only the key path is typed here and the numeric
+  * reduction is an Aggregator, not mapGroups: mapGroups would buffer whole
+  * groups, the Aggregator streams with map-side combine at any scale). */
+object TypedOps {
+
+  case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+  case class CharStats(n: Long, total: Long)
+
+  /** Typed average: mergeable (n, total) state — associative, map-side
+    * combined, overflow-safe for any corpus that fits in Long chars. */
+  val avgChars: Aggregator[Doc, CharStats, Double] = new Aggregator[Doc, CharStats, Double] {
+    override def zero: CharStats = CharStats(0L, 0L)
+    override def reduce(b: CharStats, d: Doc): CharStats =
+      CharStats(b.n + 1, b.total + d.n_chars)
+    override def merge(a: CharStats, b: CharStats): CharStats =
+      CharStats(a.n + b.n, a.total + b.total)
+    override def finish(r: CharStats): Double = r.total.toDouble / r.n
+    override def bufferEncoder: Encoder[CharStats] = Encoders.product[CharStats]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Typed count (trivial Aggregator — the old scalalang.typed helpers were
+    * removed in Spark 3). */
+  val docCount: Aggregator[Doc, Long, Long] = new Aggregator[Doc, Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(b: Long, d: Doc): Long = b + 1
+    override def merge(a: Long, b: Long): Long = a + b
+    override def finish(r: Long): Long = r
+    override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Per-language doc count + average chars through the typed path.
+    * finish() is a single integer division in double → deterministic. */
+  def typedLangStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .as[Doc]
+      .groupByKey(_.lang)
+      .agg(avgChars.toColumn.name("avg_chars"), docCount.toColumn.name("n_docs"))
+      .toDF("lang", "avg_chars", "n_docs")
+      .select(col("lang"), round(col("avg_chars"), 6).as("avg_chars"), col("n_docs"))
+      .orderBy("lang")
+  }
+
+  val typedLangStatsSql: String =
+    """SELECT lang,
+      |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+      |       count(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_lang_stats" -> (typedLangStats _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "typed_lang_stats" -> typedLangStatsSql
+  )
+}
