@@ -17,6 +17,11 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Spark 4 session-artifact isolation installs an ExecutorClassLoader
+      // that resolves classes over the driver RPC file server; in long
+      // multi-query sessions the per-task class probes dominate (measured
+      // 60-90s/query late in bench runs). No artifacts are used — disable.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Spark 4 session-artifact isolation installs an ExecutorClassLoader
+      // that resolves classes over the driver RPC file server; in long
+      // multi-query sessions the per-task class probes dominate (measured
+      // 60-90s/query late in bench runs). No artifacts are used — disable.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS); read as LongType nanos
       // (graft.Tables.events converts to TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -16,6 +16,7 @@ object SparkFixture {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.artifact.isolation.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 }
