@@ -241,7 +241,58 @@ object RelationalExt {
       |       CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       |FROM u GROUP BY src ORDER BY src""".stripMargin
 
+  // --------------------------------------------------------- scalar misc
+  /** Grab-bag of scalar functions not covered elsewhere: trim/pad/translate/
+    * initcap, LIKE/RLIKE predicates, date arithmetic (date_add/datediff),
+    * null handling (nullif/nvl/nanvl-style), least/greatest. All per-row,
+    * codegen'd, zero extra shuffles. */
+  def scalarMisc(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        initcap(lower(col("p_brand"))).as("brand_ic"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"),
+        col("p_name").like("%green%").as("is_green"),
+        col("p_type").rlike("^[A-Z]{5}").as("type5caps"),
+        nullif(col("p_size"), lit(1)).as("size_nz"),
+        coalesce(nullif(col("p_size"), lit(1)), lit(-1)).as("size_nvl"),
+        least(col("p_size"), lit(25)).as("size_cap"),
+        greatest(col("p_retailprice"), lit(1000.0)).as("price_floor"))
+      .orderBy("p_partkey")
+
+  val scalarMiscSql: String =
+    """SELECT p_partkey,
+      |  initcap(lower(p_brand)) AS brand_ic,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+      |  translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+      |  trim('  ' || p_brand || '  ') AS brand_trim,
+      |  p_name LIKE '%green%' AS is_green,
+      |  regexp_matches(p_type, '^[A-Z]{5}') AS type5caps,
+      |  nullif(p_size, 1) AS size_nz,
+      |  coalesce(nullif(p_size, 1), -1) AS size_nvl,
+      |  least(p_size, 25) AS size_cap,
+      |  greatest(p_retailprice, 1000.0) AS price_floor
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date arithmetic on orders: add/diff/trunc — epoch-second output keeps
+    * the compare rendering-free. */
+  def dateArithmetic(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        unix_timestamp(date_add(col("o_orderdate"), 30)).as("due_sec"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_sec"))
+      .orderBy("o_orderkey")
+
+  val dateArithmeticSql: String =
+    """SELECT o_orderkey,
+      |  CAST(floor(epoch(o_orderdate + INTERVAL 30 DAY)) AS BIGINT) AS due_sec,
+      |  CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_sec
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_misc"      -> (scalarMisc _),
+    "date_arithmetic"  -> (dateArithmetic _),
     "pivot_status"     -> (pivotStatus _),
     "stddev_decimal"   -> (stddevDecimal _),
     "percentiles"      -> (percentiles _),
@@ -255,6 +306,8 @@ object RelationalExt {
   )
 
   def oracles: Map[String, String] = Map(
+    "scalar_misc"     -> scalarMiscSql,
+    "date_arithmetic" -> dateArithmeticSql,
     "pivot_status"    -> pivotStatusSql,
     "stddev_decimal"  -> stddevDecimalSql,
     "percentiles"     -> percentilesSql,

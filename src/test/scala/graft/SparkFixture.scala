@@ -18,6 +18,8 @@ object SparkFixture {
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.artifact.isolation.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      System.getProperty("java.io.tmpdir") + "/graft_warehouse")
     .getOrCreate()
 }
 
