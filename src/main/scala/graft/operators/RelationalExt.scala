@@ -249,7 +249,7 @@ object RelationalExt {
   def scalarMisc(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
       .select(col("p_partkey"),
-        initcap(lower(col("p_brand"))).as("brand_ic"),
+        reverse(lower(col("p_brand"))).as("brand_rev"),
         lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
         translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
         trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"),
@@ -263,7 +263,7 @@ object RelationalExt {
 
   val scalarMiscSql: String =
     """SELECT p_partkey,
-      |  initcap(lower(p_brand)) AS brand_ic,
+      |  reverse(lower(p_brand)) AS brand_rev,
       |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
       |  translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
       |  trim('  ' || p_brand || '  ') AS brand_trim,
