@@ -172,7 +172,24 @@ object TextAnalysis {
       |FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- stratified sample
+  /** Seeded stratified sampling (`sampleBy`): per-language keep fractions —
+    * the corpus rebalancing step of a training-data pipeline (downsample
+    * the dominant language, keep the rest). Bernoulli per row with a fixed
+    * seed: one pass, no shuffle, deterministic for a fixed input
+    * partitioning — but not SQL-expressible (hash-based coin flips) →
+    * rows-only gate + distribution-bound spec. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .stat.sampleBy("lang",
+        Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0),
+        seed = 42L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stratified_sample" -> (stratifiedSample _),
     "text_token_counts" -> (tokenCounts _),
     "text_quality"      -> (qualityScore _),
     "text_lang_id"      -> (langId _),

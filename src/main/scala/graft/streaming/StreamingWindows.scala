@@ -78,6 +78,29 @@ object StreamingWindows {
     else raw
   }
 
+  /** Stream-stream inner join: clicks ⋈ purchases by the same user within
+    * [0, maxGapSec] — both sides watermarked so the join state (buffered
+    * rows awaiting matches) is evicted once the watermark passes the range
+    * bound. Unbounded-state stream joins are the classic production OOM;
+    * the time-range predicate is what makes state finite, and Spark derives
+    * the eviction policy from it automatically. */
+  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame,
+                       maxGapSec: Long = 300L,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxGapSec SECONDS"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+              unix_timestamp(col("purchase_ts")).minus(unix_timestamp(col("click_ts")))
+                .as("gap_sec"))
+  }
+
   /** Streaming exact dedup: drop events whose key was already seen within
     * the watermark horizon — the streaming twin of `Dedup.exactDedup`.
     * State is one entry per key, evicted when the watermark passes it, so

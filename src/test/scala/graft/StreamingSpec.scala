@@ -72,6 +72,30 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases to preceding clicks within the gap") {
+    val clicks = MemoryStream[(Long, Long, Timestamp)](46, spark, None)
+    val purchases = MemoryStream[(Long, Long, Timestamp)](47, spark, None)
+    val joined = StreamingWindows.streamStreamJoin(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      maxGapSec = 300L)
+    val q = joined.writeStream.format("memory").queryName("ssj_mem")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      clicks.addData((100L, 1L, new Timestamp(t0)),
+                     (101L, 2L, new Timestamp(t0)))
+      purchases.addData(
+        (200L, 1L, new Timestamp(t0 + 60_000)),   // 60 s after click → match
+        (201L, 2L, new Timestamp(t0 + 600_000)),  // 600 s after → outside gap
+        (202L, 3L, new Timestamp(t0 + 30_000)))   // no click for user 3
+      q.processAllAvailable()
+      val rows = spark.table("ssj_mem")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(rows == Set((100L, 200L, 60L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered keys across micro-batches") {
     val ms = MemoryStream[(Long, Timestamp)](45, spark, None)
     val df = ms.toDF().toDF("event_id", "ts")

@@ -31,6 +31,19 @@ class TextAnalysisSpec extends GraftSpec {
     }
   }
 
+  test("stratified sample keeps 100% strata intact and downsamples 'en' to ~50%") {
+    val full = Tables.documents(spark, sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val sampled = TextAnalysis.stratifiedSample(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    full.foreach { case (lang, n) =>
+      val s = sampled.getOrElse(lang, 0L)
+      if (lang == "en") assert(s > n * 0.3 && s < n * 0.7, s"en: $s of $n")
+      else assert(s == n, s"$lang stratum must be kept whole: $s of $n")
+    }
+  }
+
   test("lang-id confusion rollup covers every document exactly once") {
     val n = TextAnalysis.langId(spark, sf0001)
       .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
