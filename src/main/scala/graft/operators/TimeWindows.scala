@@ -146,6 +146,48 @@ object TimeWindows {
       |       max(CAST(floor(epoch(ts)) AS BIGINT)) AS sess_end
       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Built-in `session_window` (gap-merged event-time sessions) — must
+    * agree with the manual lag+cumsum `sessionize` above: window start =
+    * first event, window end = last event + gap, so last-event time is
+    * recovered as end − gap. Same oracle shape as sessionize. */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      // truncate to whole seconds: session_window merges on full-precision
+      // timestamps, the oracle on floored epochs — a 1800.5 s gap would
+      // split here but merge there otherwise
+      .withColumn("ts", timestamp_seconds(unix_timestamp(col("ts"))))
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              unix_timestamp(col("w.start")).as("sess_start"),
+              (unix_timestamp(col("w.end")) - 1800L).as("sess_last"),
+              col("n_events"))
+      .orderBy("user_id", "sess_start")
+
+  val sessionWindowSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN prev_ts IS NULL
+      |                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM g
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM m
+      |)
+      |SELECT user_id,
+      |       min(CAST(floor(epoch(ts)) AS BIGINT)) AS sess_start,
+      |       max(CAST(floor(epoch(ts)) AS BIGINT)) AS sess_last,
+      |       count(*) AS n_events
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
   /** Bounded range self-join: pairs of events by the same user within 5 min
     * of each other (strictly later, different event). The time-bucket
     * pre-join keeps it a bounded equi-join (scales: join key is
@@ -229,6 +271,7 @@ object TimeWindows {
     "w1_tumbling_counts" -> (tumblingCounts _),
     "w1_top_per_window"  -> (topPerWindow _),
     "sessionize"         -> (sessionize _),
+    "session_window"     -> (sessionWindow _),
     "range_join"         -> (rangeJoin _),
     "asof_join"          -> (asofJoin _)
   )
@@ -238,6 +281,7 @@ object TimeWindows {
     "w1_tumbling_counts" -> tumblingCountsSql,
     "w1_top_per_window"  -> topPerWindowSql,
     "sessionize"         -> sessionizeSql,
+    "session_window"     -> sessionWindowSql,
     "range_join"         -> rangeJoinSql,
     "asof_join"          -> asofJoinSql
   )
