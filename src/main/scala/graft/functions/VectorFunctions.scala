@@ -26,6 +26,9 @@ case class DotProduct(left: Expression, right: Expression)
 
   // callers guarantee array<double> inputs (Similarity casts at the scan)
   override def dataType: DataType = DoubleType
+  // deterministic pure function of its children → literal inputs fold at
+  // optimization time (BinaryExpression does not set this by default)
+  override def foldable: Boolean = children.forall(_.foldable)
   override def prettyName: String = "vector_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -19,6 +19,13 @@ class ExtensionsSpec extends GraftSpec {
     assert(v == 3.0)
   }
 
+  test("vector_dot of literal arrays constant-folds at optimization time") {
+    val df = spark.sql(
+      "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d FROM range(1)")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("11.0"), s"expected folded literal 11.0 in:\n$optimized")
+  }
+
   test("top_k_by_score is callable from SQL as a grouped aggregate") {
     Seq((1L, 1.0), (2L, 3.0), (3L, 2.0), (4L, 5.0))
       .toDF("id", "score").createOrReplaceTempView("tk_fixture")
