@@ -213,6 +213,52 @@ object RelationalExt {
       |  FROM orders
       |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  // ----------------------------------------------------------- salted join
+  private val Salts = 8
+
+  /** Skew-mitigated join: the fact side salts its key into `Salts` subkeys,
+    * the dimension side replicates ×`Salts` — a hot key's rows spread over
+    * `Salts` reducers instead of one. The oracle is the PLAIN join's
+    * aggregate, so the rewrite is verified result-identical. (AQE skew
+    * splitting handles sort-merge skew automatically at runtime; manual
+    * salting remains the tool for skewed *aggregations* and for engines/
+    * paths AQE doesn't cover — this demonstrates the mechanics under
+    * oracle protection.) */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber"), col("l_quantity")), lit(Salts)))
+    val ord = Tables.orders(s, dir)
+      .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
+    li.join(ord,
+        li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val saltedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Mergeable HLL sketches (Spark 3.5+ datasketches functions): per-nation
+    * sketches of customer keys, unioned to a region-level estimate — the
+    * re-aggregatable distinct-count pattern (store sketches, merge any
+    * rollup later without rescanning). Sketch bytes are implementation-
+    * defined → rows-only gate. */
+  def hllSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val perNation = Tables.customer(s, dir)
+      .groupBy("c_nationkey")
+      .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+    perNation
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_customers"))
+      .orderBy("n_regionkey")
+  }
+
   // ------------------------------------------------------- union by name
   /** `unionByName` with reordered projections (schema aligned by column
     * name, not position), tagged per branch. */
@@ -302,7 +348,9 @@ object RelationalExt {
     "subquery_in"      -> (inRichSegment _),
     "map_funcs"        -> (mapFuncs _),
     "argmax_order"     -> (argMaxOrder _),
-    "union_by_name"    -> (unionByNameTagged _)
+    "union_by_name"    -> (unionByNameTagged _),
+    "join_salted"      -> (saltedJoin _),
+    "hll_sketch_merge" -> (hllSketchMerge _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -317,6 +365,8 @@ object RelationalExt {
     "subquery_in"     -> inRichSegmentSql,
     "map_funcs"       -> mapFuncsSql,
     "argmax_order"    -> argMaxOrderSql,
-    "union_by_name"   -> unionByNameTaggedSql
+    "union_by_name"   -> unionByNameTaggedSql,
+    "join_salted"     -> saltedJoinSql
+    // hll_sketch_merge: sketch-dependent → rows-only gate
   )
 }

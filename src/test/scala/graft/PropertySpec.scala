@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Property-based invariants (SURVEY.md §5.3) — randomized inputs through
+  * the REAL Spark expressions/aggregates, not reimplementations. Uses
+  * scalacheck Gens with fixed seeds sampled in-loop (the scalatestplus
+  * bridge artifact is not in the offline cache). */
+class PropertySpec extends GraftSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("TopKByScore == sort-take for random score/id sets") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0L, 30L)))
+    samples(gen, 8).foreach { pairs =>
+      val df = pairs.toDF("score", "id")
+      val viaAgg = df.agg(graft.functions.TopKAggregate.topK(col("score"), col("id"), 5).as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(col("e.id"), col("e.score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val expected = pairs.map { case (s, i) => (i, s) }
+        .sortBy { case (i, s) => (-s, i) }.take(5)
+      assert(viaAgg == expected, s"input: $pairs")
+    }
+  }
+
+  test("cosine(v, v) == 1 for random non-zero vectors") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
+      .suchThat(v => v.exists(math.abs(_) > 1e-3))
+    samples(vec, 8).foreach { v =>
+      val c = Seq((v.toArray, v.toArray)).toDF("a", "b")
+        .select(graft.operators.Similarity.cosine(col("a"), col("b")))
+        .head().getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-9, s"vector: $v")
+    }
+  }
+
+  test("sliding window mass == 2x input rows for any event times") {
+    val times = Gen.listOfN(50, Gen.chooseNum(0L, 100000L))
+    samples(times, 5).foreach { ts =>
+      val df = ts.map(t => (new java.sql.Timestamp(t * 1000), "k")).toDF("ts", "event_type")
+      val winSum = df
+        .groupBy(window(col("ts"), "3600 seconds", "1800 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum("cnt")).head().getLong(0)
+      assert(winSum == 2L * ts.length)
+    }
+  }
+
+  test("exact dedup is idempotent for any duplicate multiplicity") {
+    val gen = Gen.listOfN(30, Gen.oneOf("a b c", "d e f", "g h i", "j k l"))
+    samples(gen, 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def dd(in: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        in.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      }
+      val once  = dd(df).collect().map(_.getLong(0)).sorted.toSeq
+      val twice = dd(dd(df)).collect().map(_.getLong(0)).sorted.toSeq
+      assert(once == twice)
+      assert(once.length == texts.distinct.length)
+    }
+  }
+}
