@@ -38,6 +38,24 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Expected column names per table (SURVEY.md §1: fixed schemas declared
+    * in code; the parquet footer is the source of truth, this asserts we
+    * agree with it). Used by TablesSpec as a drift tripwire. */
+  val expectedColumns: Map[String, Seq[String]] = Map(
+    "region"   -> Seq("r_regionkey", "r_name"),
+    "nation"   -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"     -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders"   -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                      "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+                      "l_linestatus", "l_shipdate"),
+    "events"   -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
   /** Register all tables as temp views so queries can use spark.sql(...)
     * (grouping sets, lateral, etc.) with the same names the DuckDB oracle
     * uses. */

@@ -114,12 +114,16 @@ object Multimodal {
       .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
       .repartition(col("doc_id"))  // spread decode work evenly, not by file
       .mapPartitions { rows =>
-        // per-partition codec init would happen here (once per batch)
-        rows.map { r =>
-          val feats = decodeStub(r.getAs[Array[Byte]]("payload"))
-          MediaFeatures(r.getAs[Long]("doc_id"), r.getAs[String]("mime"),
-            feats.map(_.toLong).sum, feats.length,
-            feats.foldLeft(0.0)((a, f) => a + f))
+        // per-partition codec init happens here (once), then rows are
+        // decoded in fixed-size batches — the same batch shape a
+        // vectorized/pandas-style decode API wants, with constant memory
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val feats = decodeStub(r.getAs[Array[Byte]]("payload"))
+            MediaFeatures(r.getAs[Long]("doc_id"), r.getAs[String]("mime"),
+              feats.map(_.toLong).sum, feats.length,
+              feats.foldLeft(0.0)((a, f) => a + f))
+          }
         }
       }(enc)
       .toDF()

@@ -31,6 +31,13 @@ class ReferenceSpec extends GraftSpec {
     assert(tags.sameElements(Array("#", "#x")))
   }
 
+  test("tokenizer is unicode-safe: split(' ') only breaks on U+0020") {
+    val out = Reference.tokens(docs("héllo wörld nbsp 中文 #tag"))
+      .select("token").as[String].collect().sorted
+    // U+00A0 (nbsp) is NOT a split point — 'wörld nbsp' stays one token
+    assert(out.sameElements(Array("#tag", "héllo", "wörld nbsp", "中文")))
+  }
+
   test("flagship top-tokens on sf0.001 is non-empty, ordered by (cnt desc, token)") {
     val rows = Reference.topTokens(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 10)
