@@ -213,6 +213,26 @@ object RelationalExt {
       |  FROM orders
       |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  // ----------------------------------------------- SQL-path generator (UDTF)
+  /** LATERAL VIEW posexplode through the SQL entry path — the SQL face of
+    * the generator the flagship pipeline uses via the DataFrame API. */
+  def sqlLateralView(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT doc_id, pos, tok
+        |FROM documents
+        |LATERAL VIEW posexplode(filter(split(text, ' '), x -> x <> '')) t AS pos, tok
+        |WHERE pos < 3
+        |ORDER BY doc_id, pos""".stripMargin)
+  }
+
+  val sqlLateralViewSql: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |           FROM documents)
+      |SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+      |FROM t, LATERAL (SELECT unnest(generate_series(1, least(len(tk), 3))) AS i) g
+      |ORDER BY doc_id, pos""".stripMargin
+
   // ----------------------------------------------------------- salted join
   private val Salts = 8
 
@@ -289,9 +309,8 @@ object RelationalExt {
 
   // --------------------------------------------------------- scalar misc
   /** Grab-bag of scalar functions not covered elsewhere: trim/pad/translate/
-    * initcap, LIKE/RLIKE predicates, date arithmetic (date_add/datediff),
-    * null handling (nullif/nvl/nanvl-style), least/greatest. All per-row,
-    * codegen'd, zero extra shuffles. */
+    * reverse, LIKE/RLIKE predicates, null handling (nullif/coalesce),
+    * least/greatest. All per-row, codegen'd, zero extra shuffles. */
   def scalarMisc(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
       .select(col("p_partkey"),
@@ -350,7 +369,8 @@ object RelationalExt {
     "argmax_order"     -> (argMaxOrder _),
     "union_by_name"    -> (unionByNameTagged _),
     "join_salted"      -> (saltedJoin _),
-    "hll_sketch_merge" -> (hllSketchMerge _)
+    "hll_sketch_merge" -> (hllSketchMerge _),
+    "sql_lateral_view" -> (sqlLateralView _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -366,7 +386,8 @@ object RelationalExt {
     "map_funcs"       -> mapFuncsSql,
     "argmax_order"    -> argMaxOrderSql,
     "union_by_name"   -> unionByNameTaggedSql,
-    "join_salted"     -> saltedJoinSql
+    "join_salted"     -> saltedJoinSql,
+    "sql_lateral_view" -> sqlLateralViewSql
     // hll_sketch_merge: sketch-dependent → rows-only gate
   )
 }

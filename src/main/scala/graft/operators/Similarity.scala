@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   *    filtered subset → broadcast against the full corpus; the per-pair dot
   *    product is built-in `zip_with` + `aggregate` (codegen'd, no UDF); the
   *    top-k is a per-query rank window — never a global sort.
-  *  - SRP-LSH bucketed ANN: 16 random-hyperplane sign bits (hyperplanes
+  *  - SRP-LSH bucketed ANN: random-hyperplane sign bits (hyperplanes
   *    derived from a hash of (plane, dim) — deterministic, no stored model)
-  *    → bucket id; search only the query's bucket. This is the 100 TB shape:
-  *    the index is a single extra column, candidates per query shrink by
-  *    ~2^16/ε, and the bucket join is a plain shuffle join on the bucket id.
+  *    → bucket id; search only the query's bucket (+ 1-bit probes). This is
+  *    the 100 TB shape: the index is a single extra column, candidates per
+  *    query shrink by ~2^planes/ε, and the bucket join is a plain shuffle
+  *    join on the bucket id.
   *
   * Determinism: dot products are computed in double with a fixed
   * left-to-right `aggregate` fold; scores in oracle-checked output are
