@@ -72,6 +72,32 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stateful aggregation recovers from checkpoint across query restarts") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ms = MemoryStream[(Timestamp, String)](48, spark, None)
+    val agg = StreamingWindows.slidingCounts(
+      ms.toDF().toDF("ts", "event_type"), winSec = 60, slideSec = 60,
+      watermark = "10 minutes")
+    def start() = agg.writeStream.format("memory").queryName("ckpt_mem")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+
+    val q1 = start()
+    try {
+      ms.addData((Timestamp.valueOf("2024-01-01 00:00:10"), "click"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start() // restart from the same checkpoint
+    try {
+      ms.addData((Timestamp.valueOf("2024-01-01 00:00:20"), "click"))
+      q2.processAllAvailable()
+      val rows = spark.table("ckpt_mem")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      // state restored: both events in the same window → cnt 2, not 1
+      assert(rows == Set(("click", 2L)), s"got $rows")
+    } finally q2.stop()
+  }
+
   test("stream-stream join matches purchases to preceding clicks within the gap") {
     val clicks = MemoryStream[(Long, Long, Timestamp)](46, spark, None)
     val purchases = MemoryStream[(Long, Long, Timestamp)](47, spark, None)
