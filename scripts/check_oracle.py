@@ -47,6 +47,15 @@ def main():
         bad = None
         for c in gcols:
             gv, ev = g[c], e[c]
+            # the driver's hash is TYPED by KIND, not width: int32 vs int64
+            # passes (r01 evidence: window_rank et al.), but HUGEINT→object
+            # and DOUBLE vs BIGINT fail even when values are equal
+            gk = getattr(gv.dtype, "kind", "O")
+            ek = getattr(ev.dtype, "kind", "O")
+            if gk != ek and not ({gk, ek} <= {"i", "u"}):
+                bad = (c, -1, f"<dtype kind {gk}>", f"<dtype kind {ek}>",
+                       str(gv.dtype), str(ev.dtype))
+                break
             try:
                 eq = (gv == ev) | (gv.isna() & ev.isna())
             except Exception:

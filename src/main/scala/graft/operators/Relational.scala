@@ -422,9 +422,9 @@ object Relational {
 
   val jsonExtractSql: String =
     """SELECT event_type, count(*) AS cnt,
-      |       sum(CAST(props->>'$.k' AS INT)) AS sum_k,
-      |       min(CAST(props->>'$.k' AS INT)) AS min_k,
-      |       max(CAST(props->>'$.k' AS INT)) AS max_k
+      |       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+      |       CAST(min(CAST(props->>'$.k' AS INT)) AS INT) AS min_k,
+      |       CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Array functions: per-nation sorted list of customer market segments. */
@@ -456,9 +456,9 @@ object Relational {
 
   val conditionalAggSql: String =
     """SELECT o_orderpriority,
-      |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Correlated scalar subquery: customers whose account balance exceeds

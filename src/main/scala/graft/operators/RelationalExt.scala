@@ -185,7 +185,8 @@ object RelationalExt {
       |         CAST(props->>'$.k' AS INT) AS k_val
       |  FROM events
       |)
-      |SELECT event_type, sum(n_keys) AS total_keys, sum(k_val) AS sum_k,
+      |SELECT event_type, CAST(sum(n_keys) AS BIGINT) AS total_keys,
+      |       CAST(sum(k_val) AS BIGINT) AS sum_k,
       |       count(*) AS cnt
       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -46,7 +46,7 @@ object SourcesSinks {
   }
 
   val csvRoundtripSql: String =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |       count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -138,7 +138,8 @@ object TextAnalysis {
        |), p AS (
        |  SELECT doc_id, lang, best, $predExpr AS pred_lang FROM b
        |)
-       |SELECT lang, pred_lang, count(*) AS n_docs, sum(best) AS sum_score
+       |SELECT lang, pred_lang, count(*) AS n_docs,
+       |       CAST(sum(best) AS BIGINT) AS sum_score
        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
@@ -166,8 +167,8 @@ object TextAnalysis {
       |  FROM documents
       |)
       |SELECT doc_id,
-      |  sum(i * ((length(tk[i]) * 127 + ascii(substring(tk[i], 1, 1))) % 2147483647))
-      |    AS fingerprint,
+      |  CAST(sum(i * ((length(tk[i]) * 127 + ascii(substring(tk[i], 1, 1))) % 2147483647))
+      |       AS BIGINT) AS fingerprint,
       |  count(*) AS n_tokens
       |FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin

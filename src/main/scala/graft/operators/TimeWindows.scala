@@ -127,7 +127,7 @@ object TimeWindows {
   val sessionizeSql: String =
     """WITH g AS (
       |  SELECT user_id, event_id, ts,
-      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |  FROM events
       |), m AS (
       |  SELECT user_id, event_id, ts,
@@ -137,8 +137,8 @@ object TimeWindows {
       |  FROM g
       |), sess AS (
       |  SELECT user_id, ts,
-      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                             ROWS UNBOUNDED PRECEDING) AS session_id
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM m
       |)
       |SELECT user_id, session_id, count(*) AS n_events,
@@ -213,7 +213,7 @@ object TimeWindows {
 
   val rangeJoinSql: String =
     """SELECT a.event_id AS l_id, b.event_id AS r_id,
-      |       floor(epoch(b.ts)) - floor(epoch(a.ts)) AS gap_sec
+      |       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_sec
       |FROM events a JOIN events b
       |  ON a.user_id = b.user_id
       | AND floor(epoch(b.ts)) > floor(epoch(a.ts))
