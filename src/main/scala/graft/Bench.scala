@@ -28,12 +28,20 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // queries that cache intermediates (LSH, SimHash) must not leak
+      // cached blocks into later queries' memory budget
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 2-decimal rounding keeps the whole line under the driver's 2000-char
+    // tail capture (full float precision overflowed it in round 1 →
+    // parsed:null); the line must be the LAST stdout write
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

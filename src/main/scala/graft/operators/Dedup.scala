@@ -116,6 +116,17 @@ object Dedup {
   private val NumHashes = 16
   private val BandRows  = 2  // rows per band → 8 bands; catches J≥0.5 w.p. ~0.9
 
+  /** Candidate-generation bucket cap. A band bucket with more members than
+    * any plausible near-dup cluster is hash degeneracy (low-entropy corpus,
+    * e.g. the harness's ~31-word vocabulary), not similarity signal: its
+    * quadratic in-bucket pairs overwhelmingly fail verification, and any
+    * true pair it contains agrees on other bands with overwhelming
+    * probability (8 independent bands; P[all 8 collapse degenerate] ≈ 0).
+    * Dropping oversized buckets bounds candidates at |buckets| · cap²
+    * instead of n² — the difference between a bench query and a job that
+    * never finishes at 100 TB. Same guard for SimHash blocks. */
+  private val MaxBucket = 64
+
   /** MinHash signatures: k permutations simulated as xxhash64(seed_i,
     * shingle), min per (doc, i) — computed as k WIDE aggregate columns in a
     * single pass (one shuffle of |docs| groups × k longs). The naive form
@@ -146,6 +157,11 @@ object Dedup {
     val sig = minhashSignature(sh)
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // bucket-size cap (see MaxBucket): the window shuffles on the same
+      // (band, bucket) key the candidate join uses, so no extra exchange
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= MaxBucket)
+      .drop("bsz")
     val cand = sig.as("x").join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -177,17 +193,33 @@ object Dedup {
     * not unigrams: the harness corpus has a ~31-word vocabulary, so unigram
     * sets collapse (measured: 1M pairs at hamming ≤ 7 at sf0.1); 3-shingle
     * SimHash separates cleanly (planted near-dups ≤ 10 bits apart, random
-    * pairs p1 = 22, median 32). Computed with one explode per shingle, then
-    * 64 aggregate columns (map-side combined — the shuffle carries 64 ints
-    * per doc). */
+    * pairs p1 = 22, median 32).
+    *
+    * The 64 per-bit popcounts are packed into 22 sums of three 21-bit
+    * lanes (bit k lives in lane k/22 of packed column k%22): one explode,
+    * 23 codegen'd aggregate columns instead of 64, shuffle carries 23
+    * longs per doc. Lane arithmetic is overflow-safe to 2^20 (~1M)
+    * distinct shingles per document — far beyond any real document; the
+    * sign test `2·count_k > n` is exactly the old ±1 sum's `> 0`. */
+  private val PackCols = 22
+  private val LaneBits = 21
   private[operators] def simhash(docs: DataFrame): DataFrame = {
     val toks = shingles(docs).withColumn("h", xxhash64(col("s")))
-    val bitSums: Seq[Column] = (0 until SimBits).map { k =>
-      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0L, 1).otherwise(-1)).as(s"b$k")
+    val packed: Seq[Column] = (0 until PackCols).map { j =>
+      val lanes = (0 until SimBits / PackCols + 1)
+        .filter(l => j + PackCols * l < SimBits)
+        .map { l =>
+          shiftleft(shiftrightunsigned(col("h"), j + PackCols * l).bitwiseAND(lit(1L)),
+                    LaneBits * l)
+        }
+      sum(lanes.reduce(_.bitwiseOR(_))).as(s"p$j")
     }
-    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val aggCols = count(lit(1)).as("n") +: packed
+    val agg = toks.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
     val sim = (0 until SimBits).map { k =>
-      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
+      val cnt = shiftrightunsigned(col(s"p${k % PackCols}"), LaneBits * (k / PackCols))
+        .bitwiseAND(lit((1L << LaneBits) - 1))
+      when(cnt * 2 > col("n"), lit(1L << k)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     agg.select(col("doc_id"), sim.as("simhash"))
   }
@@ -205,6 +237,10 @@ object Dedup {
       .withColumn("blkval",
         expr(s"shiftrightunsigned(simhash, blk * ${SimBits / SimBlocks})")
           .bitwiseAND(lit((1L << (SimBits / SimBlocks)) - 1)))
+      // block-size cap — same degeneracy guard as MaxBucket above
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("blk"), col("blkval"))))
+      .filter(col("bsz") <= MaxBucket)
+      .drop("bsz")
     val cand = blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.blkval") === col("y.blkval") &&
           col("x.doc_id") < col("y.doc_id"))
