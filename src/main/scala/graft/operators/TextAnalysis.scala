@@ -98,19 +98,40 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "zh" -> Seq("de", "shi", "le", "zai", "he"))
 
+  /** Vote counting is explode → broadcast marker join → conditional agg:
+    * every operator codegen'd, marker-less tokens eliminated at the join,
+    * partial aggregation map-side. The earlier form — five
+    * `size(filter(tokens, _.isin(...)))` per row — ran interpreted HOF
+    * lambdas per token and was 24 s at sf0.1 in the round-1 bench; this
+    * shape is the ~1 s class. A token may sit in several languages' marker
+    * sets (the join is one row per matching language), exactly matching
+    * the per-language independent counts of the HOF form. */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
-    val scores = markers.map { case (l, ws) =>
-      l -> size(filter(t, x => x.isin(ws.map(lit): _*))).cast("long")
-    }
-    val best = scores.map(_._2).reduce(greatest(_, _))
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val markerDf = markers.flatMap { case (l, ws) => ws.map(w => (w, l)) }
+      .toDF("tok", "mlang")
+    val hits = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .join(broadcast(markerDf), "tok")
+    val perDoc = hits.groupBy("doc_id")
+      .agg(markers.map { case (l, _) =>
+        sum(when(col("mlang") === l, 1L).otherwise(0L)).as(s"s_$l")
+      }.head, markers.tail.map { case (l, _) =>
+        sum(when(col("mlang") === l, 1L).otherwise(0L)).as(s"s_$l")
+      }: _*)
+    val best = markers.map { case (l, _) => col(s"s_$l") }.reduce(greatest(_, _))
     // first lang in `markers` order reaching the max; ties go to that order
-    val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
-      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    val pred = markers.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
     }
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
-              best.as("best_score"))
+    val summary = perDoc.select(col("doc_id"), pred.as("pred_lang"),
+                                best.as("best_score"))
+    docs.select("doc_id", "lang")
+      .join(summary, Seq("doc_id"), "left")  // docs with zero marker hits → und/0
+      .select(col("lang"),
+              coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+              coalesce(col("best_score"), lit(0L)).as("best_score"))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("best_score")).as("sum_score"))
       .orderBy("lang", "pred_lang")
