@@ -13,6 +13,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Parquet splits at row-group granularity, and each harness file is a
+    * SINGLE row group — so every scan starts as one task and all narrow
+    * compute above it (tokenizing, hashing, JSON parsing of up to 600 k
+    * rows) runs on one core until the first shuffle; under host contention
+    * that lone task stalls the whole query. No scan config can split below
+    * a row group, so fact tables fan out through one cheap repartition —
+    * but only when the scan actually under-parallelizes: at corpus scale
+    * the file count far exceeds the core count, the guard never fires, and
+    * no full-data shuffle is introduced (and a well-split scan is never
+    * accidentally coalesced). Dimension tables stay on their natural
+    * partitioning so broadcast-join paths remain shuffle-free. Safe under
+    * the oracle: hash-checked queries already prove order-insensitivity
+    * (DuckDB computes in a completely different order). */
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
     * timestamp; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
     * (see Verify/Bench/specs) so it arrives as nanos-since-epoch LongType,
@@ -32,11 +50,11 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = eventsWithTs(table(s, d, "events"))
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def orders(s: SparkSession, d: String): DataFrame    = fanOut(s, table(s, d, "orders"))
+  def lineitem(s: SparkSession, d: String): DataFrame  = fanOut(s, table(s, d, "lineitem"))
+  def events(s: SparkSession, d: String): DataFrame    = eventsWithTs(fanOut(s, table(s, d, "events")))
+  def documents(s: SparkSession, d: String): DataFrame = fanOut(s, table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = fanOut(s, table(s, d, "embeddings"))
 
   /** Expected column names per table (SURVEY.md §1: fixed schemas declared
     * in code; the parquet footer is the source of truth, this asserts we
@@ -60,9 +78,11 @@ object Tables {
     * (grouping sets, lateral, etc.) with the same names the DuckDB oracle
     * uses. */
   def registerAll(s: SparkSession, d: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "documents", "embeddings")
-      .foreach(n => table(s, d, n).createOrReplaceTempView(n))
-    events(s, d).createOrReplaceTempView("events")
+    val loaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "region" -> (region _), "nation" -> (nation _), "customer" -> (customer _),
+      "supplier" -> (supplier _), "part" -> (part _), "orders" -> (orders _),
+      "lineitem" -> (lineitem _), "documents" -> (documents _),
+      "embeddings" -> (embeddings _), "events" -> (events _))
+    loaders.foreach { case (n, f) => f(s, d).createOrReplaceTempView(n) }
   }
 }

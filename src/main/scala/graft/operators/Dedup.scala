@@ -112,72 +112,106 @@ object Dedup {
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Distinct 3-shingle ARRAY per document, computed entirely per-row
+    * (`array_distinct` over a `transform` — no shuffle, unlike
+    * [[shingles]]' explode+distinct). The array form is what the LSH paths
+    * verify against: a candidate pair's exact Jaccard is
+    * `size(array_intersect(sa, sb))` over the two joined arrays — one
+    * codegen'd expression instead of a per-shingle re-join + re-aggregate.
+    * Documents are bounded (KBs), so a shingle array is a small row payload
+    * even at 100 TB corpus scale. */
+  private[operators] def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        array_distinct(expr(s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', slice(tk, i + 1, $n)))"))
+          .as("sh"))
+
   // ------------------------------------------------------------ MinHash LSH
   private val NumHashes = 16
   private val BandRows  = 2  // rows per band → 8 bands; catches J≥0.5 w.p. ~0.9
 
   /** Candidate-generation bucket cap. A band bucket with more members than
-    * any plausible near-dup cluster is hash degeneracy (low-entropy corpus,
-    * e.g. the harness's ~31-word vocabulary), not similarity signal: its
-    * quadratic in-bucket pairs overwhelmingly fail verification, and any
-    * true pair it contains agrees on other bands with overwhelming
-    * probability (8 independent bands; P[all 8 collapse degenerate] ≈ 0).
-    * Dropping oversized buckets bounds candidates at |buckets| · cap²
-    * instead of n² — the difference between a bench query and a job that
-    * never finishes at 100 TB. Same guard for SimHash blocks. */
+    * this is either hash degeneracy (low-entropy corpus, e.g. the harness's
+    * ~31-word vocabulary) or a giant duplicate cluster; in both cases its
+    * quadratic all-pairs expansion is the thing that cannot run at 100 TB.
+    * Buckets ≤ cap expand to all pairs as usual. Oversized buckets are NOT
+    * dropped (a true cluster of > cap near-identical docs lands in the same
+    * oversized bucket in EVERY band — dropping would deterministically lose
+    * it, with 0% recall for exactly the clusters dedup cares most about).
+    * Instead they contribute STAR candidates — each member paired with the
+    * bucket's minimum doc_id — which is linear in bucket size and keeps
+    * every member of a dense cluster connected to its representative;
+    * exact verification then scores each spoke. Degenerate buckets cost
+    * O(size) false candidates (killed by verification); true giant clusters
+    * stay fully recoverable via connected components over the output. */
   private val MaxBucket = 64
 
-  /** MinHash signatures: k permutations simulated as xxhash64(seed_i,
-    * shingle), min per (doc, i) — computed as k WIDE aggregate columns in a
-    * single pass (one shuffle of |docs| groups × k longs). The naive form
-    * (explode ×k then group) shuffles k× the shingle rows; at bench sf0.1
-    * that was 6.4 M rows vs 400 k here. */
-  private[operators] def minhashSignature(sh: DataFrame): DataFrame = {
-    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  /** Same-key candidate pairs with the oversized-bucket star fallback.
+    * Input must have columns (doc_id, k1, k2); output (a_id, b_id) distinct.
+    * Bucket stats come from a partial-agg `groupBy` — one skinny row per
+    * bucket, pre-filtered to buckets with ≥ 2 members (singleton buckets,
+    * the vast majority, never rejoin) — then joined back onto the block
+    * rows. AQE broadcasts the stats side while it is small; at corpus
+    * scales where even multi-member bucket stats outgrow a broadcast it
+    * degrades to a shuffled hash join on the bucket key, which the
+    * all-pairs self-join below then reuses. (A window over the bucket key
+    * computes the same stats in one shuffle, but each *use* of the result
+    * re-executes it — the self-join's two sides plus the star branch cost
+    * three window shuffles; the groupBy form is computed once.) */
+  private def bucketCandidates(rows: DataFrame, k1: String, k2: String): DataFrame = {
+    val bstats = rows.groupBy(k1, k2)
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+      .filter(col("bsz") >= 2)
+    // cached: the self-join's two sides and the star branch all read this
+    // diamond — uncached, each re-executes the stats aggregation and join
+    // (measured 3× the shuffles; exchange reuse does not fire across the
+    // aliased branches). Rows here are (doc_id, bucket key, two longs) in
+    // multi-member buckets only — a sliver of the corpus at any scale.
+    val joined = rows.join(bstats, Seq(k1, k2)).cache()
+    val small = joined.filter(col("bsz") <= MaxBucket).select("doc_id", k1, k2)
+    val smallPairs = small.as("x").join(small.as("y"),
+        col(s"x.$k1") === col(s"y.$k1") && col(s"x.$k2") === col(s"y.$k2") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val starPairs = joined
+      .filter(col("bsz") > MaxBucket && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a_id"), col("doc_id").as("b_id"))
+    smallPairs.union(starPairs).distinct()
   }
 
   /** MinHash + LSH near-dup pairs, exact-verified.
-    * Pipeline: shingles → k minhashes → band buckets (band id = hash of the
-    * band's minhash subsequence) → same-bucket candidate pairs → exact
-    * Jaccard verification ≥ 0.5. Candidates scale with the number of truly
-    * similar pairs, not n² — this is the 100 TB dedup path. Verification
-    * re-joins the shingle sets only for candidate pairs. No SQL oracle
-    * (xxhash64 internals) → rows-only gate; scalatest checks recall vs the
-    * exact-Jaccard query. */
+    * Pipeline: per-row shingle arrays → k minhashes (explode + one
+    * partial-agg shuffle of k longs per doc) → band buckets (band id = hash
+    * of the band's minhash subsequence) → same-bucket candidates (star
+    * fallback for oversized buckets, see [[MaxBucket]]) → join the two
+    * shingle arrays back (AQE broadcasts the doc-array side when small; a
+    * shuffled hash join on doc_id at scale) → exact Jaccard ≥ 0.5 via
+    * `array_intersect`. Candidates scale with the number of truly similar
+    * pairs, not n² — this is the 100 TB dedup path, in 4 shuffles end to
+    * end. No SQL oracle (xxhash64 internals) → rows-only gate; scalatest
+    * checks recall vs the exact-Jaccard query. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh  = shingles(Tables.documents(s, dir)).cache()
-    // band bucket b = hash of that band's minhash subsequence; one row per
-    // (doc, band) via a single explode of the wide signature
+    val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
+    // k permutations simulated as xxhash64(seed_i, shingle), min per
+    // (doc, i) — k WIDE aggregate columns in a single codegen'd pass
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+    val sig = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bandCols = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band"),
         xxhash64((lit(b) +: (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))): _*)
           .as("bucket"))
     }
-    val sig = minhashSignature(sh)
+    val buckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      // bucket-size cap (see MaxBucket): the window shuffles on the same
-      // (band, bucket) key the candidate join uses, so no extra exchange
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= MaxBucket)
-      .drop("bsz")
-    val cand = sig.as("x").join(sig.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // verify candidates on (id, shingle) join keys — never the per-pair
-    // shingle cross product
-    val common = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("s")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+    val cand = bucketCandidates(buckets, "band", "bucket")
+    cand
+      .join(docsArr.select(col("doc_id").as("a_id"), col("sh").as("sa"), size(col("sh")).as("na")), "a_id")
+      .join(docsArr.select(col("doc_id").as("b_id"), col("sh").as("sb"), size(col("sh")).as("nb")), "b_id")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= 0.5)
       .select("a_id", "b_id", "jac")
@@ -204,7 +238,12 @@ object Dedup {
   private val PackCols = 22
   private val LaneBits = 21
   private[operators] def simhash(docs: DataFrame): DataFrame = {
-    val toks = shingles(docs).withColumn("h", xxhash64(col("s")))
+    // per-row distinct shingle arrays (no shuffle) → explode → one
+    // partial-agg shuffle; the old explode+distinct pre-pass cost a second
+    // full-width shuffle of every (doc_id, shingle) row
+    val toks = shingleArrays(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
     val packed: Seq[Column] = (0 until PackCols).map { j =>
       val lanes = (0 until SimBits / PackCols + 1)
         .filter(l => j + PackCols * l < SimBits)
@@ -233,21 +272,19 @@ object Dedup {
     * found. */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val sim = simhash(Tables.documents(s, dir)).cache()
-    val blocks = sim.withColumn("blk", explode(sequence(lit(0), lit(SimBlocks - 1))))
+    val blocks = sim.select(col("doc_id"),
+        explode(sequence(lit(0), lit(SimBlocks - 1))).as("blk"), col("simhash"))
       .withColumn("blkval",
         expr(s"shiftrightunsigned(simhash, blk * ${SimBits / SimBlocks})")
           .bitwiseAND(lit((1L << (SimBits / SimBlocks)) - 1)))
-      // block-size cap — same degeneracy guard as MaxBucket above
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("blk"), col("blkval"))))
-      .filter(col("bsz") <= MaxBucket)
-      .drop("bsz")
-    val cand = blocks.as("x").join(blocks.as("y"),
-        col("x.blk") === col("y.blk") && col("x.blkval") === col("y.blkval") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("x.simhash").as("ha"),
-              col("y.doc_id").as("b_id"), col("y.simhash").as("hb"))
-      .distinct()
+      .select("doc_id", "blk", "blkval")
+    // oversized blocks fall back to star candidates (see MaxBucket) — a
+    // > cap cluster of near-identical fingerprints stays fully linked to
+    // its min-doc_id representative instead of being dropped
+    val cand = bucketCandidates(blocks, "blk", "blkval")
     cand
+      .join(sim.select(col("doc_id").as("a_id"), col("simhash").as("ha")), "a_id")
+      .join(sim.select(col("doc_id").as("b_id"), col("simhash").as("hb")), "b_id")
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= 12)
       .select("a_id", "b_id", "hamming")
