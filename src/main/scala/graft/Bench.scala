@@ -26,13 +26,19 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // queries that cache intermediates (LSH, SimHash) must not leak
       // cached blocks into later queries' memory budget; cleanup is billed
-      // to no query (elapsed captured above)
+      // to no query (elapsed captured above). The explicit GC makes
+      // ContextCleaner actually release shuffle/broadcast state between
+      // queries — its weak-ref queue otherwise only drains on a natural GC,
+      // which a 16 GiB heap may not trigger for the whole run
+      // (spark.cleaner.periodicGC.interval defaults to 30 min).
       spark.catalog.clearCache()
+      System.gc()
       name -> elapsed
     }.toMap
     // 2-decimal rounding keeps the whole line under the driver's 2000-char
