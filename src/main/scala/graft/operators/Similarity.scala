@@ -183,6 +183,35 @@ object Similarity {
       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** SRP-bucketed cosine near-duplicate pairs — the 100 TB path that
+    * [[cosineNearDup]]'s comment names: candidates are pairs meeting in the
+    * same SRP bucket (with single-bit multi-probe on the lower-id side —
+    * near-boundary pairs differ by one hyperplane sign, and a one-bit flip
+    * is symmetric, so probing one side finds them), then exact cosine ≥ 0.4
+    * verification over the joined vectors. Every join is an equi join on
+    * bucket id or vec_id — no nested loop anywhere in the plan; candidates
+    * scale with bucket occupancy, not n². Recall is probabilistic
+    * (hash-dependent bucketing) → rows-only gate; scalatest checks the
+    * output is a subset of the exact query with bounded recall. */
+  def cosineNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).withColumn("bucket", srpBucket(col("v"))).cache()
+    val probes = e.select(col("vec_id").as("a_id"), col("bucket"))
+      .withColumn("bucket",
+        explode(array(col("bucket") +:
+          (0 until Planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+    val cand = probes
+      .join(e.select(col("vec_id").as("b_id"), col("bucket")), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .filter(col("score") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score_r"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Centroid-style coarse quantization stats (IVF building block): bucket
     * occupancy histogram — how balanced is the SRP partitioning. Oracle-free
     * diagnostics (hash-dependent), rows-only. */
@@ -198,7 +227,8 @@ object Similarity {
     "ann_heap_topk"   -> (heapTopK _),
     "ann_lsh_topk"    -> (lshTopK _),
     "ann_bucket_stats" -> (bucketStats _),
-    "emb_neardup_cosine" -> (cosineNearDup _)
+    "emb_neardup_cosine" -> (cosineNearDup _),
+    "emb_neardup_cosine_lsh" -> (cosineNearDupLsh _)
   )
 
   def oracles: Map[String, String] = Map(

@@ -160,7 +160,7 @@ object TextAnalysis {
        |  SELECT doc_id, lang, best, $predExpr AS pred_lang FROM b
        |)
        |SELECT lang, pred_lang, count(*) AS n_docs,
-       |       CAST(sum(best) AS BIGINT) AS sum_score
+       |       CAST(sum(coalesce(best, 0)) AS BIGINT) AS sum_score
        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 

@@ -36,6 +36,17 @@ class SimilaritySpec extends GraftSpec {
     assert(heap == win)
   }
 
+  test("bucketed cosine near-dup is an exact subset of the O(n^2) query with bounded recall") {
+    val exact = Similarity.cosineNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupLsh(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup embedding pairs")
+    assert(lsh.subsetOf(exact), "exact verification must kill all false positives")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.3, f"bucketed near-dup recall $recall%.2f below floor")
+  }
+
   test("LSH top-k recall vs brute force >= 30% (single-bit multi-probe, 8 planes)") {
     val brute = Similarity.bruteForceTopK(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
