@@ -72,6 +72,36 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("Kafka-shaped source decodes to the events schema and feeds the same sliding counts") {
+    // no broker in the sandbox: a MemoryStream of Kafka-shaped rows (binary
+    // value) stands in for format("kafka"); decodeKafkaEvents is the same
+    // code either way, and the source options are asserted config-complete
+    val opts = StreamingWindows.kafkaSourceOptions("broker:9092", "events")
+    assert(opts("subscribe") == "events" && opts("kafka.bootstrap.servers") == "broker:9092"
+      && opts.contains("startingOffsets") && opts.contains("maxOffsetsPerTrigger")
+      && opts.contains("failOnDataLoss"))
+
+    val ms = MemoryStream[Array[Byte]](49, spark, None)
+    val decoded = StreamingWindows.decodeKafkaEvents(ms.toDF().toDF("value"))
+    val agg = StreamingWindows.slidingCounts(decoded, winSec = 60, slideSec = 30,
+      watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("kafka_mem")
+      .outputMode("complete").start()
+    try {
+      val epoch = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+      def rec(id: Long, tsSec: Long, et: String): Array[Byte] =
+        s"""{"event_id":$id,"ts":${tsSec * 1000000L},"user_id":1,"event_type":"$et","value":1.0,"props":"{}"}"""
+          .getBytes("UTF-8")
+      ms.addData(rec(1, epoch + 10, "click"), rec(2, epoch + 20, "click"),
+                 "not json at all".getBytes("UTF-8")) // poison pill: dropped, not fatal
+      q.processAllAvailable()
+      val rows = spark.table("kafka_mem")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // same window arithmetic as the MemoryStream/batch twins
+      assert(rows == Set((epoch - 30, "click", 2L), (epoch, "click", 2L)))
+    } finally q.stop()
+  }
+
   test("stateful aggregation recovers from checkpoint across query restarts") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val ms = MemoryStream[(Timestamp, String)](48, spark, None)
