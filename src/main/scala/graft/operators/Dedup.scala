@@ -112,6 +112,70 @@ object Dedup {
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Default document-frequency cap for [[jaccardNearDupDfCap]]. */
+  private val DfCap = 128
+
+  /** Jaccard near-dup with a shingle document-frequency cap — the web-scale
+    * refinement [[jaccardNearDup]]'s comment names: shingles appearing in
+    * more than `cap` documents ("stop-shingles": boilerplate, templates)
+    * are excluded from candidate GENERATION, bounding the inverted index's
+    * per-shingle join fan-out at cap² instead of (corpus df)² — on a skewed
+    * corpus the difference between linear and quadratic candidates.
+    * Verification still scores the FULL shingle sets (`array_intersect` of
+    * the per-doc arrays), so emitted scores are exact Jaccard; the only
+    * semantic delta vs the uncapped query is that a pair whose every shared
+    * shingle is a stop-shingle is never considered — by construction such
+    * pairs sit in dense boilerplate clusters a df-capped dedup is designed
+    * to skip. Fully deterministic (no hash functions) → oracle-checked. */
+  def jaccardNearDupDfCap(s: SparkSession, dir: String): DataFrame = {
+    val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
+    val sh = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rareShingles = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("s")
+    val rare = sh.join(rareShingles, "s")
+    val cand = rare.select(col("doc_id").as("a_id"), col("s"))
+      .join(rare.select(col("doc_id").as("b_id"), col("s")), "s")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(docsArr.select(col("doc_id").as("a_id"), col("sh").as("sa"), size(col("sh")).as("na")), "a_id")
+      .join(docsArr.select(col("doc_id").as("b_id"), col("sh").as("sb"), size(col("sh")).as("nb")), "b_id")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= 0.5)
+      .select("a_id", "b_id", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  val jaccardNearDupDfCapSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+       |  WHERE len(tk) >= 3
+       |),
+       |rare AS (
+       |  SELECT sh.doc_id, sh.s FROM sh
+       |  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $DfCap) r USING (s)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS c
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a_id, b_id, c * 1.0 / (sa.n + sb.n - c) AS jac
+       |FROM common JOIN sizes sa ON a_id = sa.doc_id
+       |            JOIN sizes sb ON b_id = sb.doc_id
+       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Distinct 3-shingle ARRAY per document, computed entirely per-row
     * (`array_distinct` over a `transform` — no shuffle, unlike
     * [[shingles]]' explode+distinct). The array form is what the LSH paths
@@ -292,15 +356,17 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_exact"          -> (exactDedup _),
-    "neardup_jaccard"      -> (jaccardNearDup _),
-    "neardup_minhash_lsh"  -> (minhashLsh _),
-    "neardup_simhash"      -> (simhashNearDup _)
+    "dedup_exact"           -> (exactDedup _),
+    "neardup_jaccard"       -> (jaccardNearDup _),
+    "neardup_jaccard_dfcap" -> (jaccardNearDupDfCap _),
+    "neardup_minhash_lsh"   -> (minhashLsh _),
+    "neardup_simhash"       -> (simhashNearDup _)
   )
 
   def oracles: Map[String, String] = Map(
-    "dedup_exact"     -> exactDedupSql,
-    "neardup_jaccard" -> jaccardNearDupSql
+    "dedup_exact"           -> exactDedupSql,
+    "neardup_jaccard"       -> jaccardNearDupSql,
+    "neardup_jaccard_dfcap" -> jaccardNearDupDfCapSql
     // minhash/simhash: hash-internal-dependent → rows-only gate
   )
 }

@@ -78,6 +78,27 @@ object StreamingWindows {
     else raw
   }
 
+  /** Processing-time twin of the reference's windows: the reference's
+    * `reduceByKeyAndWindow` counts by WALL-CLOCK arrival, batch-aligned
+    * (`main.scala:27,47`) — not by event time. This closes that last
+    * semantic delta (SURVEY §7 risk list): each record is stamped at
+    * ingestion with `current_timestamp()` (evaluated per micro-batch =
+    * processing time) and windowed on that stamp. Inherently
+    * non-deterministic across runs — correct by CONSTRUCTION here, spec
+    * asserts structural invariants (each event in exactly window/slide
+    * windows, slide-aligned starts, stamps near now) rather than golden
+    * values; the event-time queries remain the oracle-checked path. */
+  def processingTimeCounts(events: DataFrame,
+                           winSec: Long = 10L,
+                           slideSec: Long = 5L): DataFrame =
+    events
+      .withColumn("proc_ts", current_timestamp())
+      .groupBy(window(col("proc_ts"), s"$winSec seconds", s"$slideSec seconds").as("w"),
+               col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+              col("event_type"), col("cnt"))
+
   // ------------------------------------------------------------ Kafka source
   /** Wire schema of an event on a Kafka topic: one JSON object per record
     * value, `ts` as epoch MICROSECONDS (integer — no timezone/format

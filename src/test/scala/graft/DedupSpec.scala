@@ -23,6 +23,19 @@ class DedupSpec extends GraftSpec {
     assert(out.sameElements(Array((1L, 2L), (3L, 1L))))
   }
 
+  test("df-capped Jaccard is a subset of the uncapped query; equal where the cap doesn't bite") {
+    val exact = Dedup.jaccardNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.jaccardNearDupDfCap(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped.subsetOf(exact),
+      "cap only restricts candidate generation; scores are exact full-set Jaccard")
+    // on the harness corpus no >=0.5 pair depends solely on stop-shingles,
+    // so the capped output is identical (verified empirically; the oracle
+    // pins the exact cap semantics at every SF)
+    assert(capped == exact, s"lost pairs: ${exact.diff(capped)}")
+  }
+
   test("MinHash-LSH candidates, exact-verified, recover >=80% of true Jaccard pairs") {
     val exact = Dedup.jaccardNearDup(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -72,6 +72,33 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("processing-time windows: batch-arrival counting with reference window shape") {
+    // the reference counts by wall-clock arrival, not event time; golden
+    // values are impossible (the clock moves), so assert the invariants
+    // that define the semantics instead
+    val ms = MemoryStream[(Long, String)](50, spark, None)
+    val df = ms.toDF().toDF("event_id", "event_type")
+    val agg = StreamingWindows.processingTimeCounts(df, winSec = 60, slideSec = 30)
+    val q = agg.writeStream.format("memory").queryName("proc_mem")
+      .outputMode("complete").start()
+    try {
+      val before = System.currentTimeMillis() / 1000
+      ms.addData((1L, "click"), (2L, "click"), (3L, "view"))
+      q.processAllAvailable()
+      val after = System.currentTimeMillis() / 1000
+      val rows = spark.table("proc_mem")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // every event lands in exactly window/slide = 2 sliding windows
+      assert(rows.filter(_._2 == "click").map(_._3).sum == 4L)
+      assert(rows.filter(_._2 == "view").map(_._3).sum == 2L)
+      rows.foreach { case (start, _, _) =>
+        assert(start % 30 == 0, s"window start $start not slide-aligned")
+        assert(start >= before - 60 && start <= after,
+          s"window start $start not within the batch's wall-clock envelope")
+      }
+    } finally q.stop()
+  }
+
   test("Kafka-shaped source decodes to the events schema and feeds the same sliding counts") {
     // no broker in the sandbox: a MemoryStream of Kafka-shaped rows (binary
     // value) stands in for format("kafka"); decodeKafkaEvents is the same
