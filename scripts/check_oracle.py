@@ -7,6 +7,15 @@ Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB against the parquet
 tables in <sfDir>, and compares: schema (column names sorted), row count,
 and values (columns sorted by name, exact equality).
+
+ASSUMPTION (inferred from round-1 driver evidence, not from the driver's
+code): the driver's hash is typed by dtype KIND, not width — int32 vs
+int64 passed (window_rank et al.) while DOUBLE vs BIGINT and HUGEINT
+failed on equal values. This mimic treats {int, uint} as one kind and
+everything else as strict. If the real driver also distinguishes signed
+vs unsigned, or bool vs int, this mimic is too lenient there. Whenever a
+query flips between local PASS and driver FAIL, re-validate this gate
+against the driver's CORRECTNESS_r*.json before trusting either side.
 """
 import json, sys, glob, os
 import duckdb
