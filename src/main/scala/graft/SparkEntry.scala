@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Dedup, Multimodal, Reference, Relational, RelationalExt,
-  Similarity, SourcesSinks, TextAnalysis, TimeWindows, TypedOps}
+  RelationalMore, Similarity, SourcesSinks, TextAnalysis, TimeWindows, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
       (TimeWindows.queries, TimeWindows.oracles),
       (Relational.queries, Relational.oracles),
       (RelationalExt.queries, RelationalExt.oracles),
+      (RelationalMore.queries, RelationalMore.oracles),
       (Dedup.queries, Dedup.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Similarity.queries, Similarity.oracles),

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 relational coverage additions: distribution analytic functions
+  * (ntile / percent_rank / cume_dist), unpivot via `stack`, outer
+  * generators, and string→map parsing. Reference analogue: ABSENT (the
+  * reference has no analytic windows or generators beyond flatMap —
+  * SURVEY.md §2b) — these close the remaining gaps a relational user of
+  * the engine would expect.
+  *
+  * Determinism: every window ORDER BY carries a unique tie-break key
+  * (`ntile` is position-based, so ties would otherwise land in
+  * engine-dependent buckets); ratio outputs are ratios of integers.
+  */
+object RelationalMore {
+
+  // --------------------------------------------- distribution window funcs
+  /** Quartile bucket, percent rank, and cumulative distribution of
+    * customers by account balance within market segment. One shuffle
+    * (hash by segment), per-partition sort — the windowed-ranking shape
+    * that scales by segment cardinality. */
+  def windowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val windowDistributionSql: String =
+    """SELECT c_mktsegment, c_custkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  // ------------------------------------------------------- unpivot (stack)
+  /** Wide→long unpivot with `stack`: per-part metrics melted to
+    * (metric, value) rows — the columnar-to-EAV reshape. `stack` is a
+    * generator (one input row → n output rows) evaluated map-side; the
+    * DuckDB twin is the standard UNION ALL expansion. */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .selectExpr("p_partkey",
+        """stack(2,
+          |  'size',  CAST(p_size AS DOUBLE),
+          |  'price', CAST(p_retailprice AS DOUBLE)
+          |) AS (metric, value)""".stripMargin)
+      .orderBy("p_partkey", "metric")
+
+  val unpivotMetricsSql: String =
+    """SELECT p_partkey, metric, value FROM (
+      |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'price', CAST(p_retailprice AS DOUBLE) FROM part
+      |) ORDER BY p_partkey, metric""".stripMargin
+
+  // ------------------------------------------------------ outer generators
+  /** `posexplode_outer` over a sometimes-empty array: tokens longer than 7
+    * chars per document. Outer semantics keep documents with NO long
+    * tokens as a (null, null) row — the left-join-shaped generate that
+    * plain explode silently drops; the count distinguishes covered vs
+    * uncovered docs downstream. */
+  def generatorOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 7)").as("longs"))
+      .select(col("doc_id"), posexplode_outer(col("longs")).as(Seq("pos", "tok")))
+      .groupBy("doc_id")
+      .agg(count(col("tok")).as("n_long"),
+           max(col("pos")).as("max_pos"),
+           min(col("tok")).as("first_tok"))
+      .orderBy("doc_id")
+
+  val generatorOuterSql: String =
+    """WITH l AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 7) AS longs
+      |  FROM documents
+      |), x AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(longs) = 0 THEN NULL ELSE unnest(longs) END AS tok,
+      |         CASE WHEN len(longs) = 0 THEN NULL
+      |              ELSE unnest(generate_series(0, greatest(len(longs) - 1, 0))) END AS pos
+      |  FROM l
+      |)
+      |SELECT doc_id, count(tok) AS n_long,
+      |       max(pos) AS max_pos, min(tok) AS first_tok
+      |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- str_to_map
+  /** Parse a k=v,k=v string into a map and extract typed fields — the
+    * config/tag-string decode ubiquitous in event pipelines. The map is
+    * built and consumed per-row (no shuffle); the oracle reproduces the
+    * round-trip results directly from the source columns, which pins the
+    * extraction semantics without needing a DuckDB map literal. */
+  def strToMap(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .withColumn("tags",
+        concat(lit("brand="), col("p_brand"), lit(",size="), col("p_size")))
+      .withColumn("m", expr("str_to_map(tags, ',', '=')"))
+      .select(col("p_partkey"),
+        col("m")("brand").as("brand_tag"),
+        col("m")("size").cast("int").as("size_tag"),
+        size(map_keys(col("m"))).as("n_tags"))
+      .orderBy("p_partkey")
+
+  val strToMapSql: String =
+    """SELECT p_partkey, p_brand AS brand_tag,
+      |       CAST(p_size AS INTEGER) AS size_tag, 2 AS n_tags
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_distribution" -> (windowDistribution _),
+    "unpivot_stack"       -> (unpivotMetrics _),
+    "generator_outer"     -> (generatorOuter _),
+    "scalar_str_to_map"   -> (strToMap _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "window_distribution" -> windowDistributionSql,
+    "unpivot_stack"       -> unpivotMetricsSql,
+    "generator_outer"     -> generatorOuterSql,
+    "scalar_str_to_map"   -> strToMapSql
+  )
+}

@@ -212,6 +212,91 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  // ----------------------------------------------------------------- IVF
+  private val NProbe = 2
+
+  /** IVF-flat ANN: coarse centroids quantize the corpus into inverted
+    * lists; a query probes only the `NProbe` nearest lists. Centroids here
+    * are a deterministic corpus subset (`vec_id % 200 == 0` — at scale: a
+    * k-means fit, but the *operator shape* is identical and a fixed rule
+    * makes the whole pipeline engine-reproducible, so unlike the SRP-LSH
+    * variants this ANN path is fully ORACLE-CHECKED). Assignment is one
+    * broadcast join + rank-1 window; the candidate join is an equi join on
+    * the centroid id — candidates shrink by ~nlists/nprobe, the IVF-flat
+    * trade. Recall < 1 by construction (a true neighbor may live in an
+    * unprobed list); the oracle reproduces the same approximation exactly. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cent = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    // nearest centroid per corpus vector (rank-1 window, ties on c_id)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_score").desc, col("c_id"))
+    val assigned = e.join(broadcast(cent), lit(true))
+      .withColumn("c_score", cosine(col("v"), col("cv")))
+      .withColumn("c_rnk", row_number().over(wAssign))
+      .filter(col("c_rnk") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+    // queries probe their NProbe nearest centroid lists
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("p_score").desc, col("c_id"))
+    val probes = q.join(broadcast(cent), lit(true))
+      .withColumn("p_score", cosine(col("qv"), col("cv")))
+      .withColumn("p_rnk", row_number().over(wProbe))
+      .filter(col("p_rnk") <= NProbe)
+      .select(col("q_id"), col("qv"), col("c_id"))
+    val scored = probes.join(assigned, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
+              round(col("score"), 6).as("score_r"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val ivfTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 200 = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, c_id FROM (
+       |    SELECT e.vec_id, e.v, cent.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_dot_product(e.v, cent.cv) /
+       |               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+       |             DESC, cent.c_id) AS c_rnk
+       |    FROM e CROSS JOIN cent
+       |  ) WHERE c_rnk = 1
+       |),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |probes AS (
+       |  SELECT q_id, qv, c_id FROM (
+       |    SELECT q.q_id, q.qv, cent.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             list_dot_product(q.qv, cent.cv) /
+       |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+       |             DESC, cent.c_id) AS p_rnk
+       |    FROM q CROSS JOIN cent
+       |  ) WHERE p_rnk <= $NProbe
+       |),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |         list_dot_product(p.qv, a.v) /
+       |           (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS score
+       |  FROM probes p JOIN assigned a USING (c_id)
+       |  WHERE a.vec_id <> p.q_id
+       |), r AS (
+       |  SELECT q_id, n_id, score,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT q_id, n_id, rnk, round(score, 6) AS score_r
+       |FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+
   /** Centroid-style coarse quantization stats (IVF building block): bucket
     * occupancy histogram — how balanced is the SRP partitioning. Oracle-free
     * diagnostics (hash-dependent), rows-only. */
@@ -227,6 +312,7 @@ object Similarity {
     "ann_heap_topk"   -> (heapTopK _),
     "ann_lsh_topk"    -> (lshTopK _),
     "ann_bucket_stats" -> (bucketStats _),
+    "ann_ivf_topk"    -> (ivfTopK _),
     "emb_neardup_cosine" -> (cosineNearDup _),
     "emb_neardup_cosine_lsh" -> (cosineNearDupLsh _)
   )
@@ -236,6 +322,7 @@ object Similarity {
     // the heap aggregate is result-identical to the window variant by
     // construction — it shares the same oracle
     "ann_heap_topk"  -> bruteForceTopKSql,
+    "ann_ivf_topk"   -> ivfTopKSql,
     "emb_neardup_cosine" -> cosineNearDupSql
     // lsh variants: hash-dependent bucketing → rows-only gate
   )

@@ -47,6 +47,16 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.3, f"bucketed near-dup recall $recall%.2f below floor")
   }
 
+  test("IVF top-k recall vs brute force >= 30% (nprobe=2 deterministic coarse lists)") {
+    val brute = Similarity.bruteForceTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty, "IVF result must not be empty")
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, f"IVF recall $recall%.2f below floor")
+  }
+
   test("LSH top-k recall vs brute force >= 30% (single-bit multi-probe, 8 planes)") {
     val brute = Similarity.bruteForceTopK(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
