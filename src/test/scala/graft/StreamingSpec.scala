@@ -155,6 +155,35 @@ class StreamingSpec extends GraftSpec {
     } finally q2.stop()
   }
 
+  test("partitioned streaming parquet sink: hive layout, exactly-once across restart") {
+    // the production sink beyond memory/console: parquet + partitionBy with
+    // the file-sink transaction log (_spark_metadata) giving exactly-once
+    // output across query restarts from the same checkpoint
+    val dir  = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val ms = MemoryStream[(Long, String, Timestamp)](51, spark, None)
+    val df = ms.toDF().toDF("event_id", "event_type", "ts")
+    def start() = df.writeStream.format("parquet")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .partitionBy("event_type").outputMode("append").start()
+
+    val t = Timestamp.valueOf("2024-01-01 00:00:01")
+    val q1 = start()
+    try { ms.addData((1L, "click", t), (2L, "view", t)); q1.processAllAvailable() }
+    finally q1.stop()
+
+    val q2 = start() // restart from the same checkpoint: batch 0 must not re-commit
+    try { ms.addData((3L, "click", t)); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val back = spark.read.parquet(dir)
+    assert(back.select("event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L)), "exactly-once: no duplicates, no loss")
+    // partition columns become hive-style directories (pruned on read)
+    val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("event_type="))
+    assert(parts.toSet == Set("event_type=click", "event_type=view"))
+  }
+
   test("stream-stream join matches purchases to preceding clicks within the gap") {
     val clicks = MemoryStream[(Long, Long, Timestamp)](46, spark, None)
     val purchases = MemoryStream[(Long, Long, Timestamp)](47, spark, None)
