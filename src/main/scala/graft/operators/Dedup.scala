@@ -355,18 +355,95 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  // ----------------------------------------------- near-dup cluster collapse
+  /** Connected components over the near-dup pair graph — the step that
+    * turns pairwise matches into dedup decisions (keep one representative
+    * per CLUSTER; pairwise output alone over-keeps on transitive chains
+    * A~B~C where A~C is below threshold). Iterative min-label propagation:
+    * each node adopts the smallest label among itself and its neighbors
+    * until fixpoint — each round is one join + one aggregate on the edge
+    * list, and rounds are bounded by the cluster diameter (near-dup
+    * clusters are dense, so a handful; the classic large-star/small-star
+    * variant gets O(log n) on adversarial graphs). The driver loop holds
+    * only a changed-row COUNT, never data. Deterministic (min over ids) →
+    * oracle-checked against a DuckDB recursive-CTE reachability closure. */
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardNearDup(s, dir).select("a_id", "b_id")
+    // symmetric edge list; isolated docs are their own cluster and are
+    // excluded here (output covers clustered docs only)
+    val edges = pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges.join(labels.withColumnRenamed("id", "dst")
+                                  .withColumnRenamed("lbl", "nlbl"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("minNbr"))
+        .join(labels, "id")
+        .select(col("id"), least(col("lbl"), col("minNbr")).as("lbl"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+    labels.groupBy("lbl")
+      .agg(count(lit(1)).as("cluster_size"),
+           sort_array(collect_list(col("id"))).as("members"))
+      .select(col("lbl").as("cluster_rep"), col("cluster_size"),
+              concat_ws(",", col("members").cast("array<string>")).as("member_ids"))
+      .orderBy("cluster_rep")
+  }
+
+  val nearDupClustersSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |  sh AS (
+      |    SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |    WHERE len(tk) >= 3
+      |  ),
+      |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |  common AS (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2
+      |  )
+      |  SELECT a_id, b_id FROM common
+      |  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs
+      |),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |),
+      |lbl AS (
+      |  SELECT src AS id, least(src, min(dst)) AS cluster_rep
+      |  FROM reach GROUP BY src
+      |)
+      |SELECT cluster_rep, count(*) AS cluster_size,
+      |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_ids
+      |FROM lbl GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"           -> (exactDedup _),
     "neardup_jaccard"       -> (jaccardNearDup _),
     "neardup_jaccard_dfcap" -> (jaccardNearDupDfCap _),
     "neardup_minhash_lsh"   -> (minhashLsh _),
-    "neardup_simhash"       -> (simhashNearDup _)
+    "neardup_simhash"       -> (simhashNearDup _),
+    "neardup_clusters"      -> (nearDupClusters _)
   )
 
   def oracles: Map[String, String] = Map(
     "dedup_exact"           -> exactDedupSql,
     "neardup_jaccard"       -> jaccardNearDupSql,
-    "neardup_jaccard_dfcap" -> jaccardNearDupDfCapSql
+    "neardup_jaccard_dfcap" -> jaccardNearDupDfCapSql,
+    "neardup_clusters"      -> nearDupClustersSql
     // minhash/simhash: hash-internal-dependent → rows-only gate
   )
 }

@@ -118,17 +118,48 @@ object RelationalMore {
       |       CAST(p_size AS INTEGER) AS size_tag, 2 AS n_tags
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ------------------------------------------------- CDC latest-state view
+  /** Changelog compaction: collapse an event stream to the latest state
+    * per key — the batch form of a CDC upsert/MERGE (no table format
+    * needed: the "merge" is a rank-1 window over the change log). One
+    * shuffle on the key; at scale this is the nightly compaction of an
+    * append-only log into a snapshot. Order key floors ts to seconds with
+    * an event_id tie-break so both engines (nanosecond vs microsecond
+    * timestamp precision) rank identically. */
+  def cdcLatestState(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_timestamp(col("ts")).desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        unix_timestamp(col("ts")).as("last_ts_sec"),
+        col("event_type").as("last_type"))
+      .orderBy("user_id")
+  }
+
+  val cdcLatestStateSql: String =
+    """SELECT user_id, event_id AS last_event_id,
+      |       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_sec,
+      |       event_type AS last_type
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_distribution" -> (windowDistribution _),
     "unpivot_stack"       -> (unpivotMetrics _),
     "generator_outer"     -> (generatorOuter _),
-    "scalar_str_to_map"   -> (strToMap _)
+    "scalar_str_to_map"   -> (strToMap _),
+    "cdc_latest_state"    -> (cdcLatestState _)
   )
 
   def oracles: Map[String, String] = Map(
     "window_distribution" -> windowDistributionSql,
     "unpivot_stack"       -> unpivotMetricsSql,
     "generator_outer"     -> generatorOuterSql,
-    "scalar_str_to_map"   -> strToMapSql
+    "scalar_str_to_map"   -> strToMapSql,
+    "cdc_latest_state"    -> cdcLatestStateSql
   )
 }
