@@ -367,10 +367,13 @@ object Dedup {
     * variant gets O(log n) on adversarial graphs). The driver loop holds
     * only a changed-row COUNT, never data. Deterministic (min over ids) →
     * oracle-checked against a DuckDB recursive-CTE reachability closure. */
-  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardNearDup(s, dir).select("a_id", "b_id")
-    // symmetric edge list; isolated docs are their own cluster and are
-    // excluded here (output covers clustered docs only)
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(jaccardNearDup(s, dir).select("a_id", "b_id"))
+
+  /** Min-label propagation over an (a_id, b_id) pair list; see
+    * [[nearDupClusters]]. Isolated docs (no pairs) are their own cluster
+    * and are excluded — output covers clustered docs only. */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("id")).distinct()

@@ -36,6 +36,16 @@ class DedupSpec extends GraftSpec {
     assert(capped == exact, s"lost pairs: ${exact.diff(capped)}")
   }
 
+  test("connected components merge transitive chains and keep components separate") {
+    // chain 1~2~3 (1~3 NOT a pair: transitivity must come from propagation),
+    // separate pair 10~11, plus a star 20~{21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("a_id", "b_id")
+    val out = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(out == List((1L, 3L, "1,2,3"), (10L, 2L, "10,11"), (20L, 3L, "20,21,22")))
+  }
+
   test("MinHash-LSH candidates, exact-verified, recover >=80% of true Jaccard pairs") {
     val exact = Dedup.jaccardNearDup(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
