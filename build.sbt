@@ -15,7 +15,6 @@ run / fork := true
 // via sbt's logger: the logger prefixes every line with "[info] ", which
 // breaks line-oriented parsers of Bench's JSON output (driver BENCH_r01/r02
 // both show parsed:null with the JSON line "[info] "-prefixed in the tail).
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

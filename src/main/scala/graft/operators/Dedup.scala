@@ -373,7 +373,7 @@ object Dedup {
   /** Min-label propagation over an (a_id, b_id) pair list; see
     * [[nearDupClusters]]. Isolated docs (no pairs) are their own cluster
     * and are excluded — output covers clustered docs only. */
-  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("id")).distinct()
