@@ -121,30 +121,62 @@ object Dedup {
     * are excluded from candidate GENERATION, bounding the inverted index's
     * per-shingle join fan-out at cap² instead of (corpus df)² — on a skewed
     * corpus the difference between linear and quadratic candidates.
-    * Verification still scores the FULL shingle sets (`array_intersect` of
-    * the per-doc arrays), so emitted scores are exact Jaccard; the only
-    * semantic delta vs the uncapped query is that a pair whose every shared
-    * shingle is a stop-shingle is never considered — by construction such
-    * pairs sit in dense boilerplate clusters a df-capped dedup is designed
-    * to skip. Fully deterministic (no hash functions) → oracle-checked. */
+    * Emitted scores are exact FULL-set Jaccard; the only semantic delta vs
+    * the uncapped query is that a pair whose every shared shingle is a
+    * stop-shingle is never considered — by construction such pairs sit in
+    * dense boilerplate clusters a df-capped dedup is designed to skip.
+    * Execution is count-first: rare-common counts come from one cheap
+    * aggregation, and the bracket c_rare ≤ c_full ≤ c_rare + min(stop_a,
+    * stop_b) decides almost every pair without touching shingle arrays
+    * (measured: the naive candidates→array-intersect form spent 25 s at
+    * sf0.1 verifying 1.1 M candidates; the bounded form decides all but a
+    * residual band from counts). Fully deterministic (no hash functions)
+    * → oracle-checked. */
   def jaccardNearDupDfCap(s: SparkSession, dir: String): DataFrame = {
     val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
     val sh = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
     val rareShingles = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("s")
     val rare = sh.join(rareShingles, "s")
-    val cand = rare.select(col("doc_id").as("a_id"), col("s"))
+    // per-pair RARE-common counts via one partial-agg shuffle — the same
+    // cheap aggregation shape as the uncapped query, never a materialized
+    // candidate×array join for the bulk of pairs
+    val cRare = rare.select(col("doc_id").as("a_id"), col("s"))
       .join(rare.select(col("doc_id").as("b_id"), col("s")), "s")
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    cand
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("cr"))
+    // per-doc shingle count and STOP-shingle count (shingles over the cap):
+    // c_rare ≤ c_full ≤ c_rare + min(stop_a, stop_b) brackets the full
+    // intersection, so most pairs are decided exactly from counts alone —
+    // docs with zero stop-shingles have c_full = c_rare (exact score), and
+    // pairs whose UPPER bound misses the threshold are dropped; only the
+    // narrow undecided band (both docs contain stop-shingles and the bound
+    // straddles 0.5) pays the array-intersect verification
+    val rareN = rare.groupBy("doc_id").agg(count(lit(1)).as("rn"))
+    val stats = docsArr.select(col("doc_id"), size(col("sh")).as("n"))
+      .join(rareN, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"), (col("n") - coalesce(col("rn"), lit(0L))).as("stopn"))
+    val withBounds = cRare
+      .join(stats.select(col("doc_id").as("a_id"), col("n").as("na"), col("stopn").as("sa_n")), "a_id")
+      .join(stats.select(col("doc_id").as("b_id"), col("n").as("nb"), col("stopn").as("sb_n")), "b_id")
+      .withColumn("s_ab", least(col("sa_n"), col("sb_n")))
+      .withColumn("cub", col("cr") + col("s_ab"))
+      .withColumn("jlb", col("cr").cast("double") / (col("na") + col("nb") - col("cr")))
+      .withColumn("jub", col("cub").cast("double") / (col("na") + col("nb") - col("cub")))
+    val decided = withBounds
+      .filter(col("s_ab") === 0 && col("jlb") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jlb").as("jac"))
+    val band = withBounds
+      .filter(col("s_ab") > 0 && col("jub") >= 0.5)
+      .select("a_id", "b_id")
+    val verifiedBand = band
       .join(docsArr.select(col("doc_id").as("a_id"), col("sh").as("sa"), size(col("sh")).as("na")), "a_id")
       .join(docsArr.select(col("doc_id").as("b_id"), col("sh").as("sb"), size(col("sh")).as("nb")), "b_id")
       .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= 0.5)
       .select("a_id", "b_id", "jac")
-      .orderBy("a_id", "b_id")
+    decided.union(verifiedBand).orderBy("a_id", "b_id")
   }
 
   val jaccardNearDupDfCapSql: String =
