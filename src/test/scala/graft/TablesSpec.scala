@@ -18,4 +18,25 @@ class TablesSpec extends GraftSpec {
     assert(df.schema("ts").dataType == TimestampType)
     assert(df.filter(org.apache.spark.sql.functions.col("ts").isNull).count() == 0)
   }
+
+  test("fact scans fan out to full parallelism; dims keep natural partitioning") {
+    // the harness parquet is single-row-group (scan = 1 task); the guarded
+    // repartition must spread fact compute across cores without touching
+    // dimension tables (whose broadcast plans must stay exchange-free)
+    val target = spark.sparkContext.defaultParallelism
+    assert(Tables.documents(spark, sf0001).rdd.getNumPartitions == target)
+    assert(Tables.lineitem(spark, sf0001).rdd.getNumPartitions == target)
+    assert(Tables.nation(spark, sf0001).rdd.getNumPartitions < target)
+  }
+
+  test("fan-out keeps filter pushdown and column pruning at the scan") {
+    import org.apache.spark.sql.functions.col
+    val plan = Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en").select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"filter not pushed through the fan-out repartition:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"columns not pruned through the fan-out repartition:\n$plan")
+  }
 }
