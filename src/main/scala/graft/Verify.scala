@@ -30,6 +30,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-query caches and let ContextCleaner free shuffle and
+      // broadcast state (its weak-ref queue only drains on a GC, which a
+      // large heap may never trigger — see Bench.scala / BASELINE.md)
+      spark.catalog.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

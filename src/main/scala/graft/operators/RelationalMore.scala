@@ -118,6 +118,83 @@ object RelationalMore {
       |       CAST(p_size AS INTEGER) AS size_tag, 2 AS n_tags
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // ----------------------------------------------- grouping_id / grouping()
+  /** GROUPING SETS with `grouping()` / `grouping_id()` — the functions
+    * that disambiguate "NULL because rolled up" from "NULL in the data",
+    * which a consumer of multi-level aggregates needs (the coalesce trick
+    * in `grouping_sets` only works when the data itself is NULL-free).
+    * Spark returns grouping() as TINYINT and grouping_id() as BIGINT;
+    * both hash as integer-kind alongside DuckDB's INT64. */
+  def groupingIdSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rf NULLS FIRST, ls NULLS FIRST""".stripMargin)
+  }
+
+  val groupingIdSetsSql: String =
+    """SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, rf NULLS FIRST, ls NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------- map-key explode
+  /** Explode the keys of a JSON-object column into rows and profile key
+    * usage — the schema-discovery scan every semi-structured pipeline runs
+    * before promoting JSON fields to real columns. Map parse + explode are
+    * per-row (no shuffle before the final count). */
+  def jsonKeyProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(explode(map_keys(from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("k")
+
+  val jsonKeyProfileSql: String =
+    """SELECT k, count(*) AS n_events
+      |FROM events, LATERAL (SELECT unnest(json_keys(props)) AS k) u
+      |GROUP BY k ORDER BY k""".stripMargin
+
+  // ------------------------------------------------ frame-edge window funcs
+  /** first/last/nth_value with explicit full-partition frames: the
+    * "compare each order to the customer's first / latest / second order"
+    * enrichment. Default frames truncate at CURRENT ROW (last_value would
+    * be the row itself) — the explicit ROWS UNBOUNDED..UNBOUNDED frame is
+    * the correctness-critical detail this query pins. */
+  def windowEdges(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey)  OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  val windowEdgesSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_ok,
+      |  last_value(o_orderkey)  OVER w AS last_ok,
+      |  nth_value(o_orderkey, 2) OVER w AS second_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ------------------------------------------------- CDC latest-state view
   /** Changelog compaction: collapse an event stream to the latest state
     * per key — the batch form of a CDC upsert/MERGE (no table format
@@ -152,7 +229,10 @@ object RelationalMore {
     "unpivot_stack"       -> (unpivotMetrics _),
     "generator_outer"     -> (generatorOuter _),
     "scalar_str_to_map"   -> (strToMap _),
-    "cdc_latest_state"    -> (cdcLatestState _)
+    "cdc_latest_state"    -> (cdcLatestState _),
+    "grouping_id_sets"    -> (groupingIdSets _),
+    "json_key_profile"    -> (jsonKeyProfile _),
+    "window_edges"        -> (windowEdges _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -160,6 +240,9 @@ object RelationalMore {
     "unpivot_stack"       -> unpivotMetricsSql,
     "generator_outer"     -> generatorOuterSql,
     "scalar_str_to_map"   -> strToMapSql,
-    "cdc_latest_state"    -> cdcLatestStateSql
+    "cdc_latest_state"    -> cdcLatestStateSql,
+    "grouping_id_sets"    -> groupingIdSetsSql,
+    "json_key_profile"    -> jsonKeyProfileSql,
+    "window_edges"        -> windowEdgesSql
   )
 }
