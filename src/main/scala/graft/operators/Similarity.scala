@@ -297,6 +297,31 @@ object Similarity {
        |SELECT q_id, n_id, rnk, round(score, 6) AS score_r
        |FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
 
+  /** Per-label embedding centroids — the k-means UPDATE step paired with
+    * [[ivfTopK]]'s assignment step (alternate the two and you have Lloyd's
+    * algorithm; one iteration per query keeps each driver-gated run
+    * deterministic). posexplode → (label, dim) grouping: the shuffle
+    * carries scalars, never whole vectors, and dims of one label spread
+    * across reducers — no hot key at any vector count. Element sums use
+    * DECIMAL(28,12): float addition is order-sensitive and shuffle order
+    * differs between engines; decimal sums are exact, so the oracle
+    * hash-matches bit-for-bit. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .filter(col("dim") < 4) // first 4 dims keep output compact; shape is per-dim anyway
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("x").cast("decimal(28,12)")).cast("double"), 6).as("sum_x"))
+      .orderBy("label", "dim")
+
+  val labelCentroidsSql: String =
+    """SELECT label, i - 1 AS dim, count(*) AS n,
+      |       round(CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE), 6) AS sum_x
+      |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      |     LATERAL (SELECT unnest(generate_series(1, 4)) AS i) g
+      |GROUP BY label, i ORDER BY label, dim""".stripMargin
+
   /** Centroid-style coarse quantization stats (IVF building block): bucket
     * occupancy histogram — how balanced is the SRP partitioning. Oracle-free
     * diagnostics (hash-dependent), rows-only. */
@@ -313,6 +338,7 @@ object Similarity {
     "ann_lsh_topk"    -> (lshTopK _),
     "ann_bucket_stats" -> (bucketStats _),
     "ann_ivf_topk"    -> (ivfTopK _),
+    "emb_label_centroids" -> (labelCentroids _),
     "emb_neardup_cosine" -> (cosineNearDup _),
     "emb_neardup_cosine_lsh" -> (cosineNearDupLsh _)
   )
@@ -323,6 +349,7 @@ object Similarity {
     // construction — it shares the same oracle
     "ann_heap_topk"  -> bruteForceTopKSql,
     "ann_ivf_topk"   -> ivfTopKSql,
+    "emb_label_centroids" -> labelCentroidsSql,
     "emb_neardup_cosine" -> cosineNearDupSql
     // lsh variants: hash-dependent bucketing → rows-only gate
   )

@@ -194,6 +194,48 @@ object TextAnalysis {
       |FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) g
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ n-gram LM
+  /** Top-3 bigrams per language with document frequency — the n-gram
+    * statistics pass of language-model data prep (the unigram flavor is
+    * `ref_top_tokens`). One explode + one aggregation + a bounded per-group
+    * rank; the bigram space is what scales (O(vocab²) keys), and the
+    * per-lang rank window bounds what leaves the aggregation. */
+  def ngramStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bigrams = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("lang"), col("doc_id"),
+        explode(expr("transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', slice(tk, i + 1, 2)))"))
+          .as("bg"))
+    val counts = bigrams
+      .groupBy("lang", "bg")
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg"))
+    counts
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("lang", "rnk", "bg", "n", "df")
+      .orderBy("lang", "rnk")
+  }
+
+  val ngramStatsSql: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id, string_split(text, ' ') AS tk FROM documents
+      |), bg AS (
+      |  SELECT lang, doc_id, array_to_string(tk[i:i+1], ' ') AS bg
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
+      |  WHERE len(tk) >= 2
+      |), counts AS (
+      |  SELECT lang, bg, count(*) AS n, count(DISTINCT doc_id) AS df
+      |  FROM bg GROUP BY lang, bg
+      |), r AS (
+      |  SELECT lang, bg, n, df,
+      |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, bg) AS rnk
+      |  FROM counts
+      |)
+      |SELECT lang, rnk, bg, n, df FROM r WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin
+
   // ----------------------------------------------------- stratified sample
   /** Seeded stratified sampling (`sampleBy`): per-language keep fractions —
     * the corpus rebalancing step of a training-data pipeline (downsample
@@ -215,13 +257,15 @@ object TextAnalysis {
     "text_token_counts" -> (tokenCounts _),
     "text_quality"      -> (qualityScore _),
     "text_lang_id"      -> (langId _),
-    "text_fingerprint"  -> (fingerprint _)
+    "text_fingerprint"  -> (fingerprint _),
+    "text_ngram_stats"  -> (ngramStats _)
   )
 
   def oracles: Map[String, String] = Map(
     "text_token_counts" -> tokenCountsSql,
     "text_quality"      -> qualityScoreSql,
     "text_lang_id"      -> langIdSql,
-    "text_fingerprint"  -> fingerprintSql
+    "text_fingerprint"  -> fingerprintSql,
+    "text_ngram_stats"  -> ngramStatsSql
   )
 }
