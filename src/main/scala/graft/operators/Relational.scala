@@ -244,6 +244,30 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY rf, ls""".stripMargin
 
+  // ---------------------------------------------------------------- q6
+  /** TPC-H Q6-style forecast revenue: tight filter + single global sum.
+    * The whole query is scan-side — all three predicates push into the
+    * parquet reader (PlanSpec-style `PushedFilters`), the aggregate is one
+    * partial+final pass over survivors, and nothing shuffles but 1-row
+    * partials. The canonical "is pushdown actually working" probe. */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+                col("l_discount").cast("decimal(18,2)")).cast("decimal(24,4)"))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  val forecastRevenueSql: String =
+    """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                    CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(24,4))) AS DOUBLE)
+      |         AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   // -------------------------------------------------------- distinct aggs
   /** Multiple distinct aggregates in one pass (Catalyst expands to
     * Expand + two-phase agg; stays a single logical query). */
@@ -486,6 +510,7 @@ object Relational {
     "q1_pricing_summary" -> (pricingSummary _),
     "q3_shipping_priority" -> (shippingPriority _),
     "q5_regional_revenue" -> (regionalRevenue _),
+    "q6_forecast_revenue" -> (forecastRevenue _),
     "join_semi"           -> (semiJoin _),
     "join_anti"           -> (antiJoin _),
     "join_outer_stats"    -> (outerJoinStats _),
@@ -510,6 +535,7 @@ object Relational {
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_shipping_priority" -> shippingPrioritySql,
     "q5_regional_revenue" -> regionalRevenueSql,
+    "q6_forecast_revenue" -> forecastRevenueSql,
     "join_semi"           -> semiJoinSql,
     "join_anti"           -> antiJoinSql,
     "join_outer_stats"    -> outerJoinStatsSql,

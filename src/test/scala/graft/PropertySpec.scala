@@ -51,6 +51,28 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("connected components partition nodes with rep = min member, for random graphs") {
+    val edgeGen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(0L, 14L)))
+      .map(_.filter { case (a, b) => a != b }
+            .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct)
+      .suchThat(_.nonEmpty)
+    samples(edgeGen, 5).foreach { edges =>
+      val out = graft.operators.Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // reference union-find on the driver
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val expected = parent.keys.toSeq.groupBy(find).toSeq
+        .map { case (_, ms) => (ms.min, ms.size.toLong, ms.sorted.mkString(",")) }
+        .sortBy(_._1)
+      assert(out.toSeq == expected, s"edges: $edges")
+    }
+  }
+
   test("exact dedup is idempotent for any duplicate multiplicity") {
     val gen = Gen.listOfN(30, Gen.oneOf("a b c", "d e f", "g h i", "j k l"))
     samples(gen, 5).foreach { texts =>
