@@ -155,17 +155,43 @@ object Multimodal {
       |       CAST(floor((length(t) - 1) / 64) AS BIGINT) + 1)) AS i) g
       |ORDER BY doc_id, frame_no""".stripMargin
 
+  /** Payload-size distribution per mime: exact p50/p90/p99 of byte sizes —
+    * the storage-budget profile a corpus owner reads before choosing
+    * compression or chunking. Metadata-only (never decodes); DuckDB
+    * `quantile_cont` matches Spark `percentile` at round(6). */
+  def sizePercentiles(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(col("meta.mime").as("mime"), length(col("payload")).cast("long").as("nb"))
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n_files"),
+           round(expr("percentile(nb, 0.5)"), 6).as("p50_bytes"),
+           round(expr("percentile(nb, 0.9)"), 6).as("p90_bytes"),
+           round(expr("percentile(nb, 0.99)"), 6).as("p99_bytes"))
+      .orderBy("mime")
+
+  val sizePercentilesSql: String =
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |            ELSE 'video/mp4' END AS mime,
+      |       count(*) AS n_files,
+      |       round(quantile_cont(octet_length(encode(text)), 0.5), 6) AS p50_bytes,
+      |       round(quantile_cont(octet_length(encode(text)), 0.9), 6) AS p90_bytes,
+      |       round(quantile_cont(octet_length(encode(text)), 0.99), 6) AS p99_bytes
+      |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata"   -> (mediaMetadata _),
     "mm_by_mime"    -> (mediaByMime _),
     "mm_features"   -> (mediaFeatures _),
-    "mm_frame_sample" -> (frameSample _)
+    "mm_frame_sample" -> (frameSample _),
+    "mm_size_percentiles" -> (sizePercentiles _)
   )
 
   def oracles: Map[String, String] = Map(
     "mm_metadata"     -> mediaMetadataSql,
     "mm_by_mime"      -> mediaByMimeSql,
-    "mm_frame_sample" -> frameSampleSql
+    "mm_frame_sample" -> frameSampleSql,
+    "mm_size_percentiles" -> sizePercentilesSql
     // mm_features: decode stub is Scala-side → rows-only gate + spec
   )
 }

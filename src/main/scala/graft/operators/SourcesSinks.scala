@@ -77,13 +77,37 @@ object SourcesSinks {
       |       min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_sec
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Hive-partitioned parquet round-trip read with a PARTITION filter:
+    * the write lays out `lang=<v>/` directories, the read's `lang = 'en'`
+    * predicate prunes at the DIRECTORY level (PartitionFilters in the
+    * scan, asserted by PlanSpec) — at 100 TB the difference between
+    * listing one partition and scanning the corpus. Non-partition
+    * predicates on the same read still push down as data filters. */
+  def partitionedParquetRead(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("docs_parquet_part")
+    Tables.documents(s, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .filter(col("lang") === "en" && col("n_chars") > 100)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
+  val partitionedParquetReadSql: String =
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'en' AND n_chars > 100
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_csv_roundtrip"  -> (csvRoundtrip _),
-    "io_json_roundtrip" -> (jsonRoundtrip _)
+    "io_json_roundtrip" -> (jsonRoundtrip _),
+    "io_partition_pruned" -> (partitionedParquetRead _)
   )
 
   def oracles: Map[String, String] = Map(
     "io_csv_roundtrip"  -> csvRoundtripSql,
-    "io_json_roundtrip" -> jsonRoundtripSql
+    "io_json_roundtrip" -> jsonRoundtripSql,
+    "io_partition_pruned" -> partitionedParquetReadSql
   )
 }

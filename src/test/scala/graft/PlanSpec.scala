@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Reference, Relational, Similarity}
+import graft.operators.{Reference, Relational, Similarity, SourcesSinks}
 
 /** Plan-shape regression tests: the scale properties SURVEY.md §4 commits
   * to (filter pushdown, column pruning, broadcast dimension joins, fused
@@ -40,6 +40,16 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("top_k_by_score"), plan.take(800))
     // ObjectHashAggregate partial + final split around the exchange
     assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan.take(800))
+  }
+
+  test("hive-partitioned read prunes partitions at the directory level") {
+    val plan = planOf(
+      SourcesSinks.partitionedParquetRead(spark, sf0001))
+    // the lang predicate must land in PartitionFilters (directory pruning),
+    // the n_chars predicate in PushedFilters (row-group/data pruning)
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan.take(1200))
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"),
+      plan.take(1200))
   }
 
   test("whole-stage codegen covers the flagship pipeline") {
