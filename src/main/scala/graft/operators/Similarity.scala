@@ -297,6 +297,59 @@ object Similarity {
        |SELECT q_id, n_id, rnk, round(score, 6) AS score_r
        |FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
 
+  // -------------------------------------------------------------- k-means
+  private val KmeansIters = 3
+
+  /** Full Lloyd's k-means over the embeddings — [[ivfTopK]]'s assignment
+    * step and [[labelCentroids]]' update step iterated. Deterministic
+    * end-to-end: init is the same fixed corpus subset ivfTopK quantizes
+    * with, assignment tie-breaks on centroid id, and the update means are
+    * decimal-exact per dimension. The whole fit is ONE lazy plan — no
+    * driver-side action per iteration (iteration count is fixed; a
+    * convergence-test variant would check a movement threshold per round
+    * like [[graft.operators.Dedup.connectedComponents]] does). Per
+    * iteration: one broadcast-assignment pass + one scalar-shuffle update
+    * — at 100 TB the broadcast is the k×dim centroid table (KBs) and the
+    * update shuffles (centroid, dim) scalars, so no step holds a vector
+    * table in one place. Output is the final per-centroid occupancy and
+    * inertia. Rows-only gate (a 3-deep iterated plan has no tractable SQL
+    * twin); spec asserts determinism, total membership, and that inertia
+    * does not increase with more iterations. */
+  def kmeansFit(s: SparkSession, dir: String): DataFrame =
+    kmeansFitIters(s, dir, KmeansIters)
+
+  private[graft] def kmeansFitIters(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val e = embeddings(s, dir).select(col("vec_id"), col("v")).cache()
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+      e.join(broadcast(cent), lit(true))
+        .withColumn("d2",
+          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv")) +
+            dot(col("cv"), col("cv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("v"), col("c_id"), col("d2"))
+    }
+    var cent = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    for (_ <- 1 until iters) {
+      // update: decimal-exact per-dim means, re-assembled into vectors
+      cent = assign(cent)
+        .select(col("c_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("c_id", "dim")
+        .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy("c_id")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("cv"))
+    }
+    assign(cent)
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_members"),
+           round(sum(col("d2").cast("decimal(28,12)")).cast("double"), 6).as("inertia"))
+      .orderBy("c_id")
+  }
+
   /** Per-label embedding centroids — the k-means UPDATE step paired with
     * [[ivfTopK]]'s assignment step (alternate the two and you have Lloyd's
     * algorithm; one iteration per query keeps each driver-gated run
@@ -339,6 +392,7 @@ object Similarity {
     "ann_bucket_stats" -> (bucketStats _),
     "ann_ivf_topk"    -> (ivfTopK _),
     "emb_label_centroids" -> (labelCentroids _),
+    "emb_kmeans_fit"  -> (kmeansFit _),
     "emb_neardup_cosine" -> (cosineNearDup _),
     "emb_neardup_cosine_lsh" -> (cosineNearDupLsh _)
   )

@@ -57,6 +57,20 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.3, f"IVF recall $recall%.2f below floor")
   }
 
+  test("k-means fit: deterministic, covers the corpus, inertia non-increasing in iterations") {
+    val one = Similarity.kmeansFitIters(spark, sf0001, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val three = Similarity.kmeansFitIters(spark, sf0001, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val threeAgain = Similarity.kmeansFitIters(spark, sf0001, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(three.nonEmpty && three.sameElements(threeAgain), "fit must be deterministic")
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(three.map(_._2).sum == corpus, "every vector assigned exactly once")
+    assert(three.map(_._3).sum <= one.map(_._3).sum + 1e-6,
+      s"inertia increased: iters=3 ${three.map(_._3).sum} vs iters=1 ${one.map(_._3).sum}")
+  }
+
   test("LSH top-k recall vs brute force >= 30% (single-bit multi-probe, 8 planes)") {
     val brute = Similarity.bruteForceTopK(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
