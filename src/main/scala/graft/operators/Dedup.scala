@@ -411,7 +411,12 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).cache()
     var changed = 1L
-    while (changed > 0) {
+    var rounds = 0
+    // min-label propagation converges in ≤ diameter rounds; the hard cap is
+    // pure defense — an unbounded driver loop must never be able to wedge
+    // the correctness gate (2^50 ≫ any representable graph's diameter)
+    while (changed > 0 && rounds < 50) {
+      rounds += 1
       val next = edges.join(labels.withColumnRenamed("id", "dst")
                                   .withColumnRenamed("lbl", "nlbl"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("minNbr"))

@@ -268,6 +268,56 @@ object Relational {
       |WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
+  // ---------------------------------------------------------------- q4
+  /** TPC-H Q4-style order-priority check: EXISTS-correlated semi join from
+    * orders into lineitem (receipt-late items modeled as shipdate inside
+    * the quarter), then a tiny priority rollup. The semi join never
+    * materializes matches — one row per qualifying order regardless of
+    * lineitem fan-out. */
+  def orderPriorityCheck(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-07-01") && col("o_orderdate") < lit("1995-10-01"))
+    val li = Tables.lineitem(s, dir).select("l_orderkey")
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val orderPriorityCheckSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-07-01' AND o_orderdate < DATE '1995-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** TPC-H Q14-style promo-revenue ratio: conditional aggregation over a
+    * fact⋈dim join — the promo share of one month's revenue. Both the
+    * conditional and total sums ride the same partial-aggregated pass;
+    * decimal arithmetic keeps the ratio engine-exact at 6 dp. */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-09-01") && col("l_shipdate") < lit("1995-10-01"))
+    val p = Tables.part(s, dir).select("p_partkey", "p_type")
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0).cast("decimal(24,4)")))
+          .cast("double") / sum(rev).cast("double"), 6).as("promo_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val promoRevenueSql: String =
+    """SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))
+      |    ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE) /
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DOUBLE), 6) AS promo_pct,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'""".stripMargin
+
   // -------------------------------------------------------- distinct aggs
   /** Multiple distinct aggregates in one pass (Catalyst expands to
     * Expand + two-phase agg; stays a single logical query). */
@@ -511,6 +561,8 @@ object Relational {
     "q3_shipping_priority" -> (shippingPriority _),
     "q5_regional_revenue" -> (regionalRevenue _),
     "q6_forecast_revenue" -> (forecastRevenue _),
+    "q4_order_priority"   -> (orderPriorityCheck _),
+    "q14_promo_revenue"   -> (promoRevenue _),
     "join_semi"           -> (semiJoin _),
     "join_anti"           -> (antiJoin _),
     "join_outer_stats"    -> (outerJoinStats _),
@@ -536,6 +588,8 @@ object Relational {
     "q3_shipping_priority" -> shippingPrioritySql,
     "q5_regional_revenue" -> regionalRevenueSql,
     "q6_forecast_revenue" -> forecastRevenueSql,
+    "q4_order_priority"   -> orderPriorityCheckSql,
+    "q14_promo_revenue"   -> promoRevenueSql,
     "join_semi"           -> semiJoinSql,
     "join_anti"           -> antiJoinSql,
     "join_outer_stats"    -> outerJoinStatsSql,
