@@ -318,6 +318,69 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'""".stripMargin
 
+  // ---------------------------------------------------------------- q10
+  /** TPC-H Q10-style returned-item losses: customers ranked by revenue on
+    * returned lineitems for one quarter. Fact⋈fact shuffle join
+    * (orders⋈lineitem) with the dimension (customer) broadcast onto the
+    * aggregated — already tiny — result, then a fused top-20. */
+  def returnedItemLosses(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-10-01") && col("o_orderdate") < lit("1996-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+              col("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedItemLossesSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+      |GROUP BY c_custkey, c_name, c_mktsegment
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * clears a threshold, found with a pre-aggregated semi join (aggregate
+    * once, join keys only) — the shape that avoids re-aggregating inside a
+    * correlated subquery per probe. */
+  def largeVolumeOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+              unix_timestamp(col("o_orderdate").cast("timestamp")).as("order_sec"),
+              col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  val largeVolumeOrdersSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_sec, total_qty
+      |FROM (
+      |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+      |) JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin
+
   // -------------------------------------------------------- distinct aggs
   /** Multiple distinct aggregates in one pass (Catalyst expands to
     * Expand + two-phase agg; stays a single logical query). */
@@ -562,7 +625,9 @@ object Relational {
     "q5_regional_revenue" -> (regionalRevenue _),
     "q6_forecast_revenue" -> (forecastRevenue _),
     "q4_order_priority"   -> (orderPriorityCheck _),
+    "q10_returned_losses" -> (returnedItemLosses _),
     "q14_promo_revenue"   -> (promoRevenue _),
+    "q18_large_orders"    -> (largeVolumeOrders _),
     "join_semi"           -> (semiJoin _),
     "join_anti"           -> (antiJoin _),
     "join_outer_stats"    -> (outerJoinStats _),
@@ -589,7 +654,9 @@ object Relational {
     "q5_regional_revenue" -> regionalRevenueSql,
     "q6_forecast_revenue" -> forecastRevenueSql,
     "q4_order_priority"   -> orderPriorityCheckSql,
+    "q10_returned_losses" -> returnedItemLossesSql,
     "q14_promo_revenue"   -> promoRevenueSql,
+    "q18_large_orders"    -> largeVolumeOrdersSql,
     "join_semi"           -> semiJoinSql,
     "join_anti"           -> antiJoinSql,
     "join_outer_stats"    -> outerJoinStatsSql,
