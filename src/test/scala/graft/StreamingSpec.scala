@@ -155,6 +155,41 @@ class StreamingSpec extends GraftSpec {
     } finally q2.stop()
   }
 
+  test("foreachBatch top-k per window reproduces the reference's per-batch console shape") {
+    // the reference printed "top 10 + distinct count" per batch
+    // (main.scala:51-55); rank-per-window cannot run inside an append
+    // stream, so the idiomatic port computes it per micro-batch in
+    // foreachBatch over the windowed counts — asserted against the same
+    // rank computed in batch
+    import org.apache.spark.sql.DataFrame
+    val ms = MemoryStream[(Timestamp, String, String)](52, spark, None)
+    val agg = StreamingWindows.hashtagCounts(ms.toDF().toDF("ts", "lang", "text"),
+      winSec = 60, slideSec = 60, watermark = "10 minutes")
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Int)]()
+    val q = agg.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("win_start")).orderBy(col("cnt").desc, col("tag"))
+        sink.synchronized {
+          sink.clear()
+          sink ++= batch.withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 2)
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        }
+        ()
+      }.start()
+    try {
+      ms.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:01"), "en", "#a #b #a"),
+        (Timestamp.valueOf("2024-01-01 00:00:02"), "en", "#b #c #b #b"))
+      q.processAllAvailable()
+      val epoch = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+      val got = sink.synchronized(sink.toSet)
+      // counts: #b=4, #a=2, #c=1 → top-2 is (#b,4),( #a,2)
+      assert(got == Set((epoch, "#b", 4L, 1), (epoch, "#a", 2L, 2)), s"got $got")
+    } finally q.stop()
+  }
+
   test("partitioned streaming parquet sink: hive layout, exactly-once across restart") {
     // the production sink beyond memory/console: parquet + partitionBy with
     // the file-sink transaction log (_spark_metadata) giving exactly-once
