@@ -381,6 +381,87 @@ object Relational {
       |) JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q13
+  /** TPC-H Q13-style customer order-count distribution: LEFT OUTER join so
+    * zero-order customers stay in the histogram (the classic
+    * count-of-counts double aggregation). Two shuffles: per-customer
+    * count, then per-count count. */
+  def custOrderHistogram(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey")
+    val o = Tables.orders(s, dir).select("o_custkey", "o_orderkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_custs").desc, col("c_count").desc)
+  }
+
+  val custOrderHistogramSql: String =
+    """SELECT c_count, count(*) AS n_custs FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |) GROUP BY c_count ORDER BY n_custs DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** TPC-H Q19-style disjunctive predicate revenue: OR-of-ANDs across the
+    * join — the shape that stresses predicate pushdown and join-condition
+    * placement (common conjuncts push to the scan; the disjunction
+    * evaluates post-join). */
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 25) && col("p_size").between(1, 20)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 35) && col("p_size").between(1, 30)))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val disjunctiveRevenueSql: String =
+    """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size BETWEEN 1 AND 10)
+      |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 1 AND 30)""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** TPC-H Q22-style dormant-customer analysis: above-average-balance
+    * customers (uncorrelated scalar subquery) with NO orders (anti join),
+    * rolled up by market segment. The average is decimal-exact so the
+    * threshold predicate is engine-identical. */
+  def dormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    // 1-row aggregate broadcast-crossed onto the probe side — the scalar
+    // subquery stays in the plan (no driver-side collect feeding a filter)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")) / count(lit(1)))
+        .cast("double").as("a"))
+    val o = Tables.orders(s, dir).select("o_custkey")
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("a"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val dormantCustomersSql: String =
+    """SELECT c_mktsegment, count(*) AS n_custs,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // -------------------------------------------------------- distinct aggs
   /** Multiple distinct aggregates in one pass (Catalyst expands to
     * Expand + two-phase agg; stays a single logical query). */
@@ -626,8 +707,11 @@ object Relational {
     "q6_forecast_revenue" -> (forecastRevenue _),
     "q4_order_priority"   -> (orderPriorityCheck _),
     "q10_returned_losses" -> (returnedItemLosses _),
+    "q13_order_histogram" -> (custOrderHistogram _),
     "q14_promo_revenue"   -> (promoRevenue _),
     "q18_large_orders"    -> (largeVolumeOrders _),
+    "q19_disjunctive_rev" -> (disjunctiveRevenue _),
+    "q22_dormant_custs"   -> (dormantCustomers _),
     "join_semi"           -> (semiJoin _),
     "join_anti"           -> (antiJoin _),
     "join_outer_stats"    -> (outerJoinStats _),
@@ -655,8 +739,11 @@ object Relational {
     "q6_forecast_revenue" -> forecastRevenueSql,
     "q4_order_priority"   -> orderPriorityCheckSql,
     "q10_returned_losses" -> returnedItemLossesSql,
+    "q13_order_histogram" -> custOrderHistogramSql,
     "q14_promo_revenue"   -> promoRevenueSql,
     "q18_large_orders"    -> largeVolumeOrdersSql,
+    "q19_disjunctive_rev" -> disjunctiveRevenueSql,
+    "q22_dormant_custs"   -> dormantCustomersSql,
     "join_semi"           -> semiJoinSql,
     "join_anti"           -> antiJoinSql,
     "join_outer_stats"    -> outerJoinStatsSql,
