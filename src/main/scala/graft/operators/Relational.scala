@@ -462,6 +462,103 @@ object Relational {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q17
+  /** TPC-H Q17-style small-quantity revenue: lineitems below 20% of their
+    * part's average quantity. The correlated `avg` decorrelates into one
+    * per-part aggregate joined back to the fact — aggregate once, probe
+    * many, never re-average per row. Threshold arithmetic is decimal so
+    * the comparison is engine-identical. */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")) * lit(2) / (count(lit(1)) * lit(10)))
+        .cast("double").as("qty_threshold")) // 0.2 * avg, exact decimal ratio
+    li.join(avgQty, col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      // divide in DOUBLE after the exact decimal sum: decimal division
+      // result-scale rules differ between engines (Spark rounded at scale
+      // 6, DuckDB at 8 — hash mismatch); the double op is identical
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))
+             .as("avg_yearly"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """WITH a AS (
+      |  SELECT l_partkey AS ap_key,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 2 / (count(*) * 10) AS DOUBLE)
+      |           AS qty_threshold
+      |  FROM lineitem GROUP BY l_partkey
+      |)
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7 AS avg_yearly,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN a ON l_partkey = ap_key
+      |WHERE l_quantity < qty_threshold""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** TPC-H Q15-style top supplier: a revenue view reused twice — once
+    * aggregated to its max (1-row broadcast), once probed for the
+    * suppliers achieving it. Revenue sums are decimal-exact, so the
+    * equality join on the max is safe across engines. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).cast("decimal(24,4)")
+    val revenue = li.groupBy(col("l_suppkey"))
+      .agg(sum(rev).cast("double").as("total_rev"))
+    val maxRev = revenue.agg(max(col("total_rev")).as("m"))
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+    revenue.crossJoin(broadcast(maxRev))
+      .filter(col("total_rev") === col("m"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DOUBLE) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_rev
+      |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** TPC-H Q11-style important stock: per-supplier lineitem value kept
+    * only where it exceeds a fraction of the GLOBAL total — group rollup
+    * judged against a corpus-wide scalar, both decimal-exact and both
+    * computed from the same single-pass aggregate (the global is a 1-row
+    * re-aggregation of the per-group result, not a second scan). */
+  def importantStock(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("value_d"))
+    val total = perSupp.agg(sum(col("value_d")).as("t"))
+    perSupp.crossJoin(broadcast(total))
+      // both sides explicitly double: decimal×double promotion rules differ
+      // between engines, and the boundary compare must be the same compute
+      .filter(col("value_d").cast("double") > col("t").cast("double") * lit(0.011))
+      .select(col("l_suppkey"), col("value_d").cast("double").as("stock_value"))
+      .orderBy(col("stock_value").desc, col("l_suppkey"))
+  }
+
+  val importantStockSql: String =
+    """WITH per_supp AS (
+      |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_d
+      |  FROM lineitem GROUP BY l_suppkey
+      |)
+      |SELECT l_suppkey, CAST(value_d AS DOUBLE) AS stock_value
+      |FROM per_supp
+      |WHERE CAST(value_d AS DOUBLE) >
+      |      (SELECT CAST(sum(value_d) AS DOUBLE) FROM per_supp) * 0.011
+      |ORDER BY stock_value DESC, l_suppkey""".stripMargin
+
   // -------------------------------------------------------- distinct aggs
   /** Multiple distinct aggregates in one pass (Catalyst expands to
     * Expand + two-phase agg; stays a single logical query). */
@@ -707,8 +804,11 @@ object Relational {
     "q6_forecast_revenue" -> (forecastRevenue _),
     "q4_order_priority"   -> (orderPriorityCheck _),
     "q10_returned_losses" -> (returnedItemLosses _),
+    "q11_important_stock" -> (importantStock _),
     "q13_order_histogram" -> (custOrderHistogram _),
     "q14_promo_revenue"   -> (promoRevenue _),
+    "q15_top_supplier"    -> (topSupplier _),
+    "q17_small_qty_rev"   -> (smallQtyRevenue _),
     "q18_large_orders"    -> (largeVolumeOrders _),
     "q19_disjunctive_rev" -> (disjunctiveRevenue _),
     "q22_dormant_custs"   -> (dormantCustomers _),
@@ -739,8 +839,11 @@ object Relational {
     "q6_forecast_revenue" -> forecastRevenueSql,
     "q4_order_priority"   -> orderPriorityCheckSql,
     "q10_returned_losses" -> returnedItemLossesSql,
+    "q11_important_stock" -> importantStockSql,
     "q13_order_histogram" -> custOrderHistogramSql,
     "q14_promo_revenue"   -> promoRevenueSql,
+    "q15_top_supplier"    -> topSupplierSql,
+    "q17_small_qty_rev"   -> smallQtyRevenueSql,
     "q18_large_orders"    -> largeVolumeOrdersSql,
     "q19_disjunctive_rev" -> disjunctiveRevenueSql,
     "q22_dormant_custs"   -> dormantCustomersSql,
