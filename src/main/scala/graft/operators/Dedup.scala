@@ -256,7 +256,7 @@ object Dedup {
     * computes the same stats in one shuffle, but each *use* of the result
     * re-executes it — the self-join's two sides plus the star branch cost
     * three window shuffles; the groupBy form is computed once.) */
-  private def bucketCandidates(rows: DataFrame, k1: String, k2: String): DataFrame = {
+  private[graft] def bucketCandidates(rows: DataFrame, k1: String, k2: String): DataFrame = {
     val bstats = rows.groupBy(k1, k2)
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
       .filter(col("bsz") >= 2)

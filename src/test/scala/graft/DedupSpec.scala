@@ -46,6 +46,29 @@ class DedupSpec extends GraftSpec {
     assert(out == List((1L, 3L, "1,2,3"), (10L, 2L, "10,11"), (20L, 3L, "20,21,22")))
   }
 
+  test("oversized buckets emit star candidates that keep giant clusters fully connected") {
+    // a true near-dup cluster larger than MaxBucket(=64) lands in the same
+    // oversized bucket in EVERY band — dropping the bucket would lose the
+    // cluster deterministically. The star fallback must instead link every
+    // member to the bucket's min doc_id, linear in bucket size.
+    val big = (1L to 70L).map(id => (id, 0, 7L))        // one 70-member bucket
+    val small = Seq((100L, 1, 9L), (101L, 1, 9L), (102L, 1, 9L)) // 3-member bucket
+    val lone = Seq((200L, 2, 5L))                        // singleton: no pairs
+    val rows = (big ++ small ++ lone).toDF("doc_id", "k1", "k2")
+    val cand = Dedup.bucketCandidates(rows, "k1", "k2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = (2L to 70L).map((1L, _)).toSet
+    val allPairs = Set((100L, 101L), (100L, 102L), (101L, 102L))
+    assert(cand == star ++ allPairs,
+      s"expected 69 star + 3 all-pairs candidates, got ${cand.size}")
+    // the star output alone reconnects the whole cluster downstream
+    val cc = Dedup.connectedComponents(
+        cand.toSeq.filter(_._1 <= 70L).toDF("a_id", "b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.sameElements(Array((1L, 70L))),
+      "connected components over star pairs must recover the full cluster")
+  }
+
   test("MinHash-LSH candidates, exact-verified, recover >=80% of true Jaccard pairs") {
     val exact = Dedup.jaccardNearDup(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
