@@ -16,6 +16,10 @@ run / fork := true
 // breaks line-oriented parsers of Bench's JSON output (driver BENCH_r01/r02
 // both show parsed:null with the JSON line "[info] "-prefixed in the tail).
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress the "[success] Total time: ..." epilogue sbt prints AFTER
+// the forked JVM exits: round 3 showed it as the last stdout line, which a
+// take-the-last-line parser reads instead of Bench's JSON (parsed:null).
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -402,37 +402,73 @@ object Dedup {
   def nearDupClusters(s: SparkSession, dir: String): DataFrame =
     connectedComponents(jaccardNearDup(s, dir).select("a_id", "b_id"))
 
-  /** Min-label propagation over an (a_id, b_id) pair list; see
-    * [[nearDupClusters]]. Isolated docs (no pairs) are their own cluster
-    * and are excluded — output covers clustered docs only. */
+  /** Min-label propagation with pointer doubling over an (a_id, b_id) pair
+    * list; see [[nearDupClusters]]. Isolated docs (no pairs) are their own
+    * cluster and are excluded — output covers clustered docs only.
+    *
+    * Each round does (1) propagate: every node takes the min label among
+    * itself and its neighbors, then (2) compress: `lbl ← lbl(lbl)` — the
+    * pointer-doubling step that halves the remaining hop distance to each
+    * component's minimum, giving O(log diameter) rounds where one-hop
+    * propagation alone needs O(diameter) (a CDC-style chain of 10^4 docs
+    * would need 10^4 one-hop rounds but ~14 doubling rounds). Every round
+    * `localCheckpoint`s the label table: the label lineage would otherwise
+    * grow by one join-tree per round and the driver would re-analyze the
+    * whole accumulated plan each iteration — the classic iterative-DataFrame
+    * trap. (On a real cluster use `checkpoint` to reliable storage instead;
+    * localCheckpoint keeps blocks on executors, which is exactly right for
+    * local[n].) Superseded label tables are unpersisted as soon as the next
+    * round is materialized, so the loop holds at most two label snapshots —
+    * not one per round. The driver holds only counts, never rows. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
+      .toDF("src", "dst").localCheckpoint()
+    // round 0 for free: label = min(id, min neighbor)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("lbl"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    // min-label propagation converges in ≤ diameter rounds; the hard cap is
-    // pure defense — an unbounded driver loop must never be able to wedge
-    // the correctness gate (2^50 ≫ any representable graph's diameter)
+    // with doubling, 50 rounds covers diameters up to ~2^50 — but if the
+    // loop ever exits non-converged the result is silently wrong (split
+    // clusters), so that exit FAILS LOUDLY instead of returning
     while (changed > 0 && rounds < 50) {
       rounds += 1
-      val next = edges.join(labels.withColumnRenamed("id", "dst")
-                                  .withColumnRenamed("lbl", "nlbl"), "dst")
+      val prev = labels
+      // propagate: min over neighbor labels (and own)
+      val prop = edges.join(prev.withColumnRenamed("id", "dst")
+                                .withColumnRenamed("lbl", "nlbl"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("minNbr"))
-        .join(labels, "id")
-        .select(col("id"), least(col("lbl"), col("minNbr")).as("lbl"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+        .join(prev, "id")
+        .select(col("id"), least(col("lbl"), col("minNbr")).as("lbl"),
+                col("lbl").as("old"))
+      // compress: lbl ← lbl(lbl); a label that is itself a component min
+      // maps to itself (left join keeps it). Carrying `old` through lets
+      // the changed-count run on the materialized snapshot — one extra
+      // narrow column instead of a second join-against-previous job.
+      val next = prop.join(
+          prev.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"), col("old"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      GraftShims.unpersistCheckpoint(prev)
+      labels = next.drop("old")
     }
-    labels.groupBy("lbl")
+    GraftShims.unpersistCheckpoint(edges)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $rounds rounds ($changed labels still changing)")
+    // the final `labels` snapshot stays persisted — the returned (lazy)
+    // DataFrame reads it; its blocks are reclaimed by the ContextCleaner
+    // once the caller drops the result
+    val out = labels.groupBy("lbl")
       .agg(count(lit(1)).as("cluster_size"),
            sort_array(collect_list(col("id"))).as("members"))
       .select(col("lbl").as("cluster_rep"), col("cluster_size"),
               concat_ws(",", col("members").cast("array<string>")).as("member_ids"))
       .orderBy("cluster_rep")
+    out
   }
 
   val nearDupClustersSql: String =

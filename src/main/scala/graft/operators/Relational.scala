@@ -470,9 +470,14 @@ object Relational {
     * the comparison is engine-identical. */
   def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
+    // threshold = 0.2 * avg: cast the exact decimal sum to double BEFORE
+    // dividing — decimal division result-scale rules differ between engines
+    // (Spark scale 6 vs DuckDB scale 8), so a decimal ratio could flip a
+    // borderline l_quantity comparison; the double ratio is the same
+    // computation on both sides
     val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
-      .agg((sum(col("l_quantity").cast("decimal(18,2)")) * lit(2) / (count(lit(1)) * lit(10)))
-        .cast("double").as("qty_threshold")) // 0.2 * avg, exact decimal ratio
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") * lit(2) /
+             (count(lit(1)) * lit(10))).as("qty_threshold"))
     li.join(avgQty, col("l_partkey") === col("ap_key"))
       .filter(col("l_quantity") < col("qty_threshold"))
       // divide in DOUBLE after the exact decimal sum: decimal division
@@ -486,7 +491,7 @@ object Relational {
   val smallQtyRevenueSql: String =
     """WITH a AS (
       |  SELECT l_partkey AS ap_key,
-      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 2 / (count(*) * 10) AS DOUBLE)
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 2 / (count(*) * 10)
       |           AS qty_threshold
       |  FROM lineitem GROUP BY l_partkey
       |)

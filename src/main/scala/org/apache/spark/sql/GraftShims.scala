@@ -10,4 +10,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Unpersist the RDD backing a `localCheckpoint()`ed Dataset. Iterative
+    * algorithms (e.g. connected components) checkpoint each round to
+    * truncate lineage; `Dataset.unpersist` only consults the SQL cache
+    * manager and silently misses RDD-level checkpoint blocks, which would
+    * otherwise accumulate one snapshot per round until a GC lets the
+    * ContextCleaner reclaim them. Matching on the analyzed `LogicalRDD` is
+    * `private[sql]` access — hence this shim's package. */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -46,6 +46,18 @@ class DedupSpec extends GraftSpec {
     assert(out == List((1L, 3L, "1,2,3"), (10L, 2L, "10,11"), (20L, 3L, "20,21,22")))
   }
 
+  test("connected components converge on a 200-hop chain (pointer doubling, not one-hop)") {
+    // a pure path graph 1-2-3-...-200: one-hop min-label propagation needs
+    // 199 rounds, so the previous 50-round-capped loop exited silently
+    // before fixpoint and emitted split clusters (ADVICE round 3). Pointer
+    // doubling reaches fixpoint in O(log 200) ~ 8 rounds; the loop now
+    // throws instead of returning if the cap is ever hit non-converged.
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(out == List((1L, 200L, (1L to 200L).mkString(","))))
+  }
+
   test("oversized buckets emit star candidates that keep giant clusters fully connected") {
     // a true near-dup cluster larger than MaxBucket(=64) lands in the same
     // oversized bucket in EVERY band — dropping the bucket would lose the

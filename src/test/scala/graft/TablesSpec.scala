@@ -26,7 +26,10 @@ class TablesSpec extends GraftSpec {
     val target = spark.sparkContext.defaultParallelism
     assert(Tables.documents(spark, sf0001).rdd.getNumPartitions == target)
     assert(Tables.lineitem(spark, sf0001).rdd.getNumPartitions == target)
-    assert(Tables.nation(spark, sf0001).rdd.getNumPartitions < target)
+    // on a 1-core runner a 1-partition dim scan already equals target; the
+    // strict < only means something when there is parallelism to fan out to
+    if (target > 1)
+      assert(Tables.nation(spark, sf0001).rdd.getNumPartitions < target)
   }
 
   test("fan-out keeps filter pushdown and column pruning at the scan") {
