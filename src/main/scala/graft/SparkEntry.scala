@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Dedup, Multimodal, Reference, Relational, RelationalExt,
-  RelationalMore, Similarity, SourcesSinks, TextAnalysis, TimeWindows, TypedOps}
+  RelationalMore, Similarity, SourcesSinks, TextAnalysis, TimeWindows, TpchFull, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +24,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (RelationalExt.queries, RelationalExt.oracles),
       (RelationalMore.queries, RelationalMore.oracles),
+      (TpchFull.queries, TpchFull.oracles),
       (Dedup.queries, Dedup.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Similarity.queries, Similarity.oracles),

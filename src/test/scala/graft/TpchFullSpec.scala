@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.TpchFull
+import org.apache.spark.sql.functions.col
+
+/** Invariant + plan-shape checks for the TPC-H completion module (Q2, Q7,
+  * Q8, Q9, Q12, Q16, Q20, Q21). Value correctness is oracle-gated
+  * (hash-compared vs DuckDB at sf0.01/sf0.1); these specs pin the
+  * semantic invariants a refactor could silently break and the plan
+  * shapes the 100 TB run depends on. */
+class TpchFullSpec extends GraftSpec {
+
+  test("q2: every emitted supplier achieves its part's minimum supply cost") {
+    val rows = TpchFull.minCostSupplier(spark, sf0001)
+      .select("p_partkey", "supply_cost").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    val minByPart = rows.groupBy(_._1).view.mapValues(_.map(_._2).min)
+    assert(rows.forall { case (p, c) => c == minByPart(p) },
+      "a non-minimal supplier escaped the window filter")
+  }
+
+  test("q8: market share is a fraction in [0, 1]") {
+    val shares = TpchFull.marketShare(spark, sf0001)
+      .select("mkt_share").collect().map(_.getDouble(0))
+    assert(shares.nonEmpty)
+    assert(shares.forall(s => s >= 0.0 && s <= 1.0), shares.mkString(","))
+  }
+
+  test("q12: high + low line counts partition the late lines") {
+    val df = TpchFull.latePriority(spark, sf0001)
+    val total = df.select((col("high_line_count") + col("low_line_count")).as("t"))
+      .collect().map(_.getLong(0)).sum
+    assert(total > 0, "lateness predicate should select rows at sf0.001")
+  }
+
+  test("q21: waiting suppliers are distinct and numwait positive") {
+    val rows = TpchFull.waitingSuppliers(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("q7/q9 star joins broadcast every dimension side") {
+    for (q <- Seq(TpchFull.nationVolume(spark, sf0001),
+                  TpchFull.productProfit(spark, sf0001))) {
+      val plan = q.queryExecution.executedPlan.toString
+      val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    }
+  }
+
+  test("q16: part filters prune at the scan before the broadcast") {
+    val plan = TpchFull.supplierCnt(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("p_brand"),
+      plan.take(1000))
+  }
+}
