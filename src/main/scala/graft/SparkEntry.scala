@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Reference, Relational, RelationalExt,
+import graft.operators.{DataPrep, Dedup, Multimodal, Reference, Relational, RelationalExt,
   RelationalMore, Similarity, SourcesSinks, TextAnalysis, TimeWindows, TpchFull, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,6 +25,7 @@ object SparkEntry {
       (RelationalExt.queries, RelationalExt.oracles),
       (RelationalMore.queries, RelationalMore.oracles),
       (TpchFull.queries, TpchFull.oracles),
+      (DataPrep.queries, DataPrep.oracles),
       (Dedup.queries, Dedup.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Similarity.queries, Similarity.oracles),

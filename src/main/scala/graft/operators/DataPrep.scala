@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-dataset preparation operators over `documents` — the steps
+  * between a deduplicated corpus and a tokenized training set (SURVEY.md
+  * §2c extension scope; reference analogue: ABSENT). All three are fully
+  * deterministic and therefore hash-compared against the DuckDB oracle:
+  *
+  *  - vocabulary build + encode: frequency-ranked top-k token vocabulary,
+  *    documents re-encoded as id sequences with OOV marking — the
+  *    word-level stand-in for a tokenizer's vocab-fit + encode pass;
+  *  - sequence packing: greedy fixed-budget packing of documents into
+  *    training sequences by cumulative token count, per source shard;
+  *  - split assignment: content-stable train/valid/test buckets from an
+  *    md5 of the document key — reproducible across runs AND engines (no
+  *    seed, no RNG; adding documents never reassigns existing ones).
+  */
+object DataPrep {
+
+  private val VocabSize = 16  // harness vocab is ~31 words; 16 forces real OOV
+
+  /** Frequency top-[[VocabSize]] vocabulary (rank ⇒ id, ties broken by
+    * token) and per-document id-sequence encoding. The vocabulary is a
+    * token-frequency aggregate — tiny relative to the corpus at any scale
+    * (distinct tokens, not occurrences), so its global row_number window
+    * and its broadcast to the encode join are both safe at 100 TB; the
+    * encode itself is one explode + broadcast join + one partial-agg
+    * shuffle by doc_id. Output ids are a comma-joined string (stable to
+    * hash-compare; array column equality is engine-fragile), ordered by
+    * token position via sort_array over (pos, id) structs. */
+  def vocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
+      .filter(col("id") < VocabSize)
+      .select("token", "id")
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("pos"),
+              coalesce(col("id"), lit(-1)).as("id")))),
+            x => x.getField("id").cast("string"))).as("ids"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("id").isNull, 1)).as("n_oov"))
+      .orderBy("doc_id")
+  }
+
+  val vocabEncodeSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents
+       |),
+       |vocab AS (
+       |  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) - 1 AS id
+       |  FROM toks GROUP BY token
+       |  ORDER BY count(*) DESC, token LIMIT $VocabSize
+       |)
+       |SELECT doc_id,
+       |       string_agg(CAST(coalesce(id, -1) AS VARCHAR), ',' ORDER BY pos) AS ids,
+       |       count(*) AS n_tokens,
+       |       count(CASE WHEN id IS NULL THEN 1 END) AS n_oov
+       |FROM toks LEFT JOIN vocab USING (token)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val SeqBudget = 512  // tokens per packed training sequence
+
+  /** Greedy sequence packing: documents are laid out in doc_id order
+    * within each source shard and cut into [[SeqBudget]]-token sequences
+    * by cumulative token count (a document whose start crosses the
+    * boundary begins the next sequence). The running sum is a window
+    * partitioned BY SOURCE — each shard packs independently and in
+    * parallel, which is how packing must run at 100 TB (a single global
+    * ordering would serialize on one partition; cross-shard sequence ids
+    * are never needed because training shards are independent files).
+    * Output is one row per (source, seq_id) with its document span. */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val sized = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sized
+      .withColumn("before_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      // double divide + floor is the identical float op on both engines;
+      // magnitudes (token counts) are far below 2^53 so it is exact
+      .withColumn("seq_id",
+        floor(col("before_tok").cast("double") / SeqBudget).cast("long"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "seq_id")
+  }
+
+  val seqPackSql: String =
+    s"""WITH sized AS (
+       |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |),
+       |cum AS (
+       |  SELECT source, doc_id, n_tok,
+       |         CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before_tok
+       |  FROM sized
+       |)
+       |SELECT source, CAST(floor(CAST(before_tok AS DOUBLE) / $SeqBudget) AS BIGINT) AS seq_id,
+       |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Deterministic 90/5/5 train/valid/test assignment: bucket = the first
+    * 16 bits of md5(doc_id) mod 100. Content-keyed hashing (no RNG, no
+    * seed) is the split discipline a training pipeline needs — the split
+    * of a document never changes when the corpus grows, across reruns, or
+    * across engines; md5-hex arithmetic is bit-identical everywhere. The
+    * whole query is one narrow projection + one aggregate: no shuffle
+    * wider than the 3-row result. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100).as("bucket")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("split")
+  }
+
+  val splitAssignSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS bucket
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+      |       count(*) AS n_docs, CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_vocab_encode" -> (vocabEncode _),
+    "prep_seq_pack"     -> (seqPack _),
+    "prep_split_assign" -> (splitAssign _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "prep_vocab_encode" -> vocabEncodeSql,
+    "prep_seq_pack"     -> seqPackSql,
+    "prep_split_assign" -> splitAssignSql
+  )
+}

