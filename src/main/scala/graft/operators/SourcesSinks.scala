@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Source/sink coverage beyond the driver's parquet tables: CSV and JSON
-  * round-trips with explicit schemas, plus a partitioned-layout write —
+/** Source/sink coverage beyond the driver's parquet tables: CSV, JSON and
+  * ORC round-trips with explicit schemas, plus a partitioned-layout write —
   * the reference has no file I/O at all (SURVEY.md §2b "scans/sources/
   * sinks: ABSENT"), so this is rebuild-added surface.
   *
@@ -99,15 +99,46 @@ object SourcesSinks {
       |FROM documents WHERE lang = 'en' AND n_chars > 100
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** ORC round-trip: orders → orc → read with explicit schema, a pushed
+    * predicate, and a money aggregate. ORC is the second columnar format
+    * Spark ships natively (row-group statistics + predicate pushdown like
+    * parquet, different ecosystem); the filter lands in the ORC reader's
+    * PushedFilters exactly as with parquet, so the round trip demonstrates
+    * the format swap is one `.format` change, not a topology change. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("orders_orc")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").orc(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType), StructField("o_orderpriority", StringType)))
+    s.read.schema(schema).orc(out)
+      .filter(col("o_totalprice") > 1000.0)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_totalprice > 1000.0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_csv_roundtrip"  -> (csvRoundtrip _),
     "io_json_roundtrip" -> (jsonRoundtrip _),
+    "io_orc_roundtrip"  -> (orcRoundtrip _),
     "io_partition_pruned" -> (partitionedParquetRead _)
   )
 
   def oracles: Map[String, String] = Map(
     "io_csv_roundtrip"  -> csvRoundtripSql,
     "io_json_roundtrip" -> jsonRoundtripSql,
+    "io_orc_roundtrip"  -> orcRoundtripSql,
     "io_partition_pruned" -> partitionedParquetReadSql
   )
 }

@@ -42,6 +42,12 @@ class PlanSpec extends GraftSpec {
     assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan.take(800))
   }
 
+  test("orc read pushes the price predicate to the reader") {
+    val plan = planOf(SourcesSinks.orcRoundtrip(spark, sf0001))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,1000.0)]"),
+      plan.take(1200))
+  }
+
   test("hive-partitioned read prunes partitions at the directory level") {
     val plan = planOf(
       SourcesSinks.partitionedParquetRead(spark, sf0001))
