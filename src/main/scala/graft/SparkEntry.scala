@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DataPrep, Dedup, Multimodal, Reference, Relational, RelationalExt,
-  RelationalMore, Similarity, SourcesSinks, TextAnalysis, TimeWindows, TpchFull, TypedOps}
+import graft.operators.{DataPrep, Dedup, Multimodal, QualityFilters, Reference, Relational,
+  RelationalExt, RelationalMore, Similarity, SourcesSinks, TextAnalysis, TimeWindows,
+  TpchFull, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,6 +27,7 @@ object SparkEntry {
       (RelationalMore.queries, RelationalMore.oracles),
       (TpchFull.queries, TpchFull.oracles),
       (DataPrep.queries, DataPrep.oracles),
+      (QualityFilters.queries, QualityFilters.oracles),
       (Dedup.queries, Dedup.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Similarity.queries, Similarity.oracles),

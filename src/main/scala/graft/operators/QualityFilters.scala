@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus quality-filtering operators (SURVEY.md §2c extension scope;
+  * reference analogue: ABSENT) — the filter stages a training pipeline
+  * runs between raw text and tokenization:
+  *
+  *  - boilerplate scrub: pattern-based token removal (the URL/PII-scrub
+  *    mechanic, targeting the corpus's stop tokens so the op is
+  *    non-trivial on harness data) with before/after accounting;
+  *  - repetition filter: C4/Gopher-style flagging of documents dominated
+  *    by one repeated n-gram;
+  *  - decontamination: flag training documents whose shingle set is
+  *    largely contained in a benchmark set — the train/test-overlap
+  *    check every published model card reports.
+  *
+  * All three are deterministic (integer ratios in double, regex engines
+  * agree on these patterns) → hash-compared against the DuckDB oracle.
+  */
+object QualityFilters {
+
+  /** Stop-token scrub with before/after accounting. Token accounting uses
+    * `array_remove` (codegen'd, no lambda); the text rewrite itself is the
+    * regexp_replace chain a URL/email scrub uses — word-boundary pattern,
+    * then whitespace collapse — all per-row expressions, zero shuffles
+    * before the final ORDER BY. */
+  def scrubStopTokens(s: SparkSession, dir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (size(tk) - size(array_remove(array_remove(tk, "a"), "the"))).as("n_removed"),
+        length(trim(regexp_replace(
+          regexp_replace(col("text"), "\\b(a|the)\\b", ""), " +", " ")))
+          .as("n_chars_after"))
+      .orderBy("doc_id")
+  }
+
+  val scrubStopTokensSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), x -> x NOT IN ('a', 'the'))) AS n_removed,
+      |  length(trim(regexp_replace(regexp_replace(text, '\b(a|the)\b', '', 'g'), ' +', ' ', 'g'))) AS n_chars_after
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val RepMinCount = 2
+  private val RepRatio    = 0.05
+
+  /** Repetition filter: documents where the single most frequent bigram
+    * carries ≥ [[RepRatio]] of all bigram occurrences (and repeats at
+    * least [[RepMinCount]] times — a 10-token document's every bigram is
+    * 1/9th of mass without being repetitive). Two partial-agg shuffles:
+    * (doc, bigram) counts, then per-doc max/total — the same
+    * count-then-reaggregate shape at any corpus size; no arrays ever
+    * leave the row they were built in. */
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', slice(tk, i + 1, 2)))"))
+          .as("bigram"))
+    bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total"))
+      .withColumn("rep_ratio",
+        col("top_c").cast("double") / col("total").cast("double"))
+      .filter(col("top_c") >= RepMinCount && col("rep_ratio") >= RepRatio)
+      .select("doc_id", "top_c", "total", "rep_ratio")
+      .orderBy("doc_id")
+  }
+
+  val repetitionFilterSql: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
+       |  WHERE len(tk) >= 2
+       |),
+       |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS total FROM cnt GROUP BY 1)
+       |SELECT doc_id, top_c, total,
+       |       CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE) AS rep_ratio
+       |FROM agg
+       |WHERE top_c >= $RepMinCount
+       |  AND CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE) >= $RepRatio
+       |ORDER BY doc_id""".stripMargin
+
+  private val DeconThreshold = 0.5
+
+  /** Benchmark decontamination: training documents whose distinct
+    * 3-shingle set is ≥ [[DeconThreshold]] contained in the benchmark
+    * shingle set (here: every 10th document stands in for the benchmark).
+    * The containment check is a LEFT join of corpus shingles against the
+    * DISTINCT benchmark shingles — each corpus shingle matches at most
+    * one benchmark row, so the join never expands; at real scale the
+    * benchmark side (actual eval sets — MBs, not TBs) is a broadcast and
+    * the whole check is one scan over the corpus shingles. Catches the
+    * planted harness near-dups whose partner landed in the benchmark. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, dir))
+    val bench = sh.filter(col("doc_id") % 10 === 0).select("s").distinct()
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+      .withColumn("overlap", col("n_hit").cast("double") / col("n_sh").cast("double"))
+      .filter(col("overlap") >= DeconThreshold)
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+       |  WHERE len(tk) >= 3
+       |),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+       |scored AS (
+       |  SELECT sh.doc_id, count(*) AS n_sh, count(b.s) AS n_hit
+       |  FROM sh LEFT JOIN bench b USING (s)
+       |  WHERE sh.doc_id % 10 <> 0
+       |  GROUP BY 1
+       |)
+       |SELECT doc_id, n_sh, n_hit,
+       |       CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) AS overlap
+       |FROM scored
+       |WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= $DeconThreshold
+       |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_scrub_stoptokens" -> (scrubStopTokens _),
+    "text_repetition"       -> (repetitionFilter _),
+    "decontaminate"         -> (decontaminate _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_scrub_stoptokens" -> scrubStopTokensSql,
+    "text_repetition"       -> repetitionFilterSql,
+    "decontaminate"         -> decontaminateSql
+  )
+}

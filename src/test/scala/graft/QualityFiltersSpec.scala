@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{Dedup, QualityFilters}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the quality-filter operators (values are oracle-gated). */
+class QualityFiltersSpec extends GraftSpec {
+
+  test("scrub accounting matches a direct token count of 'a'/'the'") {
+    val direct = graft.Tables.documents(spark, sf0001)
+      .select(sum(size(filter(split(col("text"), " "),
+        t => t === "a" || t === "the")))).collect()(0).getLong(0)
+    val scrubbed = QualityFilters.scrubStopTokens(spark, sf0001)
+      .select(sum(col("n_removed"))).collect()(0).getLong(0)
+    assert(scrubbed == direct)
+  }
+
+  test("repetition filter output respects both thresholds") {
+    val rows = QualityFilters.repetitionFilter(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2, "top_c >= min count")
+      assert(r.getDouble(3) >= 0.05 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(3) == r.getLong(1).toDouble / r.getLong(2).toDouble)
+    }
+  }
+
+  test("decontamination flags near-dup partners of benchmark docs") {
+    // a planted near-dup pair (jac >= 0.8) with exactly one member in the
+    // benchmark (doc_id % 10 == 0) must flag the other member
+    val pairs = Dedup.jaccardNearDup(spark, sf0001)
+      .filter(col("jac") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.collect {
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => b
+      case (a, b) if b % 10 == 0 && a % 10 != 0 => a
+    }.toSet
+    val flagged = QualityFilters.decontaminate(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "fixture should plant cross-benchmark dups")
+    assert(expected.subsetOf(flagged),
+      s"missed contaminated docs: ${expected.diff(flagged)}")
+  }
+}
