@@ -28,12 +28,17 @@ object Explain {
     if (names.isEmpty) {
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
     } else names.foreach { name =>
+      // time CONSTRUCTION + count, not count alone: iterative operators
+      // (connected components, k-means) run eager driver loops while the
+      // DataFrame is being built — count-only timing hid 95% of
+      // neardup_clusters' cost in round 3
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
       println(s"===== $name =====")
       df.explain("formatted")
-      val t0 = System.nanoTime()
       val n = df.count()
-      println(f"rows=$n cold=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      println(f"rows=$n build=$tBuild%.2fs cold=${(System.nanoTime() - t0) / 1e9}%.2fs (incl build)")
       val t1 = System.nanoTime()
       df.count()
       println(f"warm=${(System.nanoTime() - t1) / 1e9}%.2fs")
