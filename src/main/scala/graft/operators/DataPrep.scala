@@ -123,14 +123,21 @@ object DataPrep {
     * across engines; md5-hex arithmetic is bit-identical everywhere. The
     * whole query is one narrow projection + one aggregate: no shuffle
     * wider than the 3-row result. */
-  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document assignment (doc_id, n_chars, bucket, split) — the
+    * content-stability invariant (same doc ⇒ same split on ANY corpus
+    * subset) is asserted per document in DataPrepSpec against this. */
+  private[graft] def splitOf(docs: DataFrame): DataFrame = {
     val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
       .cast("int") % 100).as("bucket")
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), bucket)
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "valid").otherwise("test"))
+  }
+
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    splitOf(Tables.documents(s, dir))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))

@@ -30,16 +30,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct 3-token shingles per document. Shingling is map-side only
-    * (explode + distinct groups by (doc_id, shingle) — one shuffle). */
-  private[operators] def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+  /** All n-token grams per document as (doc_id, s) rows, WITH multiplicity
+    * (map-side only: split + transform + explode, no shuffle). The single
+    * home of the 1-based-slice window expression — [[shingles]] and the
+    * repetition filter both build on it. */
+  private[operators] def ngrams(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', slice(tk, i + 1, $n)))"))
           .as("s"))
-      .distinct()
+
+  /** Distinct 3-token shingles per document ([[ngrams]] + distinct — the
+    * distinct groups by (doc_id, shingle): one shuffle). */
+  private[operators] def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    ngrams(docs, n).distinct()
 
   // ------------------------------------------------------------ exact dedup
   /** Exact dedup: keep the lowest doc_id of each identical text, with the

@@ -31,10 +31,12 @@ object QualityFilters {
     val tk = split(col("text"), " ")
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        (size(tk) - size(array_remove(array_remove(tk, "a"), "the"))).as("n_removed"),
+        // long, matching DuckDB's BIGINT len()/length() widths for the hash
+        (size(tk) - size(array_remove(array_remove(tk, "a"), "the")))
+          .cast("long").as("n_removed"),
         length(trim(regexp_replace(
           regexp_replace(col("text"), "\\b(a|the)\\b", ""), " +", " ")))
-          .as("n_chars_after"))
+          .cast("long").as("n_chars_after"))
       .orderBy("doc_id")
   }
 
@@ -55,12 +57,8 @@ object QualityFilters {
     * count-then-reaggregate shape at any corpus size; no arrays ever
     * leave the row they were built in. */
   def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
-    val bg = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', slice(tk, i + 1, 2)))"))
-          .as("bigram"))
+    val bg = Dedup.ngrams(Tables.documents(s, dir), 2)
+      .withColumnRenamed("s", "bigram")
     bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("total"))

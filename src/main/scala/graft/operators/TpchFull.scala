@@ -115,7 +115,7 @@ object TpchFull {
 
   val nationVolumeSql: String =
     """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-      |       year(l_shipdate) AS l_year,
+      |       CAST(year(l_shipdate) AS INT) AS l_year,
       |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
       |       count(*) AS n_items
       |FROM lineitem
@@ -162,7 +162,7 @@ object TpchFull {
 
   val marketShareSql: String =
     """WITH vol AS (
-      |  SELECT year(o_orderdate) AS o_year,
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4)) AS volume,
       |         sn.n_name AS supp_nation
       |  FROM lineitem
@@ -205,7 +205,7 @@ object TpchFull {
   }
 
   val productProfitSql: String =
-    """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
       |       CAST(sum(
       |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))
       |         - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(9,0)) AS DECIMAL(24,4)) * CAST(0.1 AS DECIMAL(2,1))

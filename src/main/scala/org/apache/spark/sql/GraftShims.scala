@@ -19,9 +19,12 @@ object GraftShims {
     * ContextCleaner reclaim them. Matching on the analyzed `LogicalRDD` is
     * `private[sql]` access — hence this shim's package. */
   def unpersistCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed match {
+    // collectFirst, not a top-level match: narrow transforms over the
+    // checkpoint (a .drop() adds a Project above the LogicalRDD) must
+    // still find the backing RDD, else the call silently no-ops and the
+    // snapshots accumulate after all
+    df.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    }.getOrElse(())
 }

@@ -36,11 +36,20 @@ class DataPrepSpec extends GraftSpec {
 
   test("split assign: buckets are content-stable (subset never reassigns)") {
     // the same doc_id must land in the same split regardless of corpus
-    // size — recompute on a half corpus and compare overlapping docs
-    val full = DataPrep.splitAssign(spark, sf0001)
+    // size — recompute on a half corpus and compare per document
+    val docs = graft.Tables.documents(spark, sf0001)
+    val full = DataPrep.splitOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val half = DataPrep.splitOf(docs.filter(col("doc_id") < 250))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(half.nonEmpty && half.size < full.size)
+    half.foreach { case (id, s) =>
+      assert(full(id) == s, s"doc $id reassigned: ${full(id)} -> $s")
+    }
+    val counts = DataPrep.splitAssign(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(full.keySet == Set("train", "valid", "test"))
-    assert(full("train") > full("valid") && full("train") > full("test"),
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts("train") > counts("valid") && counts("train") > counts("test"),
       "90/5/5 skew must favor train")
   }
 }
