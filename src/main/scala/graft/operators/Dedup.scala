@@ -44,7 +44,7 @@ object Dedup {
 
   /** Distinct 3-token shingles per document ([[ngrams]] + distinct — the
     * distinct groups by (doc_id, shingle): one shuffle). */
-  private[operators] def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+  private[graft] def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     ngrams(docs, n).distinct()
 
   // ------------------------------------------------------------ exact dedup
@@ -222,7 +222,7 @@ object Dedup {
     * codegen'd expression instead of a per-shingle re-join + re-aggregate.
     * Documents are bounded (KBs), so a shingle array is a small row payload
     * even at 100 TB corpus scale. */
-  private[operators] def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
+  private[graft] def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= n)

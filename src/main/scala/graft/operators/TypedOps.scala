@@ -63,11 +63,53 @@ object TypedOps {
       |       count(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  case class OrderKey(o_orderkey: Long, o_orderstatus: String)
+  case class LineQty(l_orderkey: Long, l_quantity: Double)
+
+  /** Typed `cogroup`: per-order reconciliation of the order header against
+    * its lineitems without a join — both sides shuffle once on the key and
+    * the lambda sees the two iterators together. This is the Dataset API's
+    * escape hatch for per-key merge logic no join expresses (here the
+    * logic IS join-expressible, which is what makes it oracle-checkable;
+    * the op exists to cover the API surface). Memory posture: the lambda
+    * streams both iterators exactly once and keeps two counters — it never
+    * buffers a group, so a skewed key (one order with 10^6 lines) costs
+    * memory O(1), unlike a mapGroups that materializes the group.
+    * Quantities are integral doubles summed as Long — exact. */
+  def typedCogroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus")).as[OrderKey]
+      .groupByKey(_.o_orderkey)
+    val lines = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity")).as[LineQty]
+      .groupByKey(_.l_orderkey)
+    orders.cogroup(lines) { (key, os, ls) =>
+      // single pass over each iterator, constant state
+      val order = if (os.hasNext) os.next() else null
+      if (order == null) Iterator.empty // FK orphans (none in TPC-H data)
+      else {
+        var n = 0L; var qty = 0L
+        ls.foreach { l => n += 1; qty += l.l_quantity.toLong }
+        Iterator((key, order.o_orderstatus, n, qty))
+      }
+    }.toDF("o_orderkey", "o_orderstatus", "n_lines", "qty_total")
+      .orderBy("o_orderkey")
+  }
+
+  val typedCogroupSql: String =
+    """SELECT o_orderkey, o_orderstatus, count(l_orderkey) AS n_lines,
+      |       CAST(coalesce(sum(CAST(l_quantity AS BIGINT)), 0) AS BIGINT) AS qty_total
+      |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "typed_lang_stats" -> (typedLangStats _)
+    "typed_lang_stats" -> (typedLangStats _),
+    "typed_cogroup"    -> (typedCogroup _)
   )
 
   def oracles: Map[String, String] = Map(
-    "typed_lang_stats" -> typedLangStatsSql
+    "typed_lang_stats" -> typedLangStatsSql,
+    "typed_cogroup"    -> typedCogroupSql
   )
 }

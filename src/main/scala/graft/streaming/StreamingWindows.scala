@@ -180,6 +180,26 @@ object StreamingWindows {
                 .as("gap_sec"))
   }
 
+  /** Stream-STATIC join: decontaminate documents at ingest against a
+    * static benchmark shingle set — the streaming twin of
+    * `graft.operators.QualityFilters.decontaminate`, and the join mode the
+    * other streaming ops don't cover (static side is read once per
+    * micro-batch plan, needs no watermark, and broadcasts like any
+    * dimension). Shingling is per-row (`array_distinct` over a transform —
+    * stateless, no distinct-shuffle on the stream side); the per-doc
+    * overlap aggregate is the only stateful op. A pipeline would run this
+    * in update mode and route flagged ids to a quarantine sink. */
+  def streamingDecontaminate(docs: DataFrame, benchShingles: DataFrame,
+                             threshold: Double = 0.5): DataFrame = {
+    val sh = graft.operators.Dedup.shingleArrays(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    sh.join(broadcast(benchShingles.withColumn("hit", lit(1))), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+      .withColumn("overlap", col("n_hit").cast("double") / col("n_sh").cast("double"))
+      .filter(col("overlap") >= threshold)
+  }
+
   /** Streaming exact dedup: drop events whose key was already seen within
     * the watermark horizon — the streaming twin of `Dedup.exactDedup`.
     * State is one entry per key, evicted when the watermark passes it, so

@@ -243,6 +243,32 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-static decontamination equals the batch operator on the same corpus") {
+    import graft.operators.{Dedup, QualityFilters}
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val bench = Dedup.shingles(docs.filter(col("doc_id") % 10 === 0))
+      .select("s").distinct()
+    val ms = MemoryStream[(Long, String)](48, spark, None)
+    val q = StreamingWindows.streamingDecontaminate(
+        ms.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("decon_mem")
+      .outputMode("complete").start()
+    try {
+      // feed the non-benchmark docs across two micro-batches
+      val rows = docs.filter(col("doc_id") % 10 =!= 0)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("decon_mem")
+        .collect().map(_.getLong(0)).toSet
+      val batch = QualityFilters.decontaminate(spark, sf0001)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch,
+        s"stream-static result diverged: only-stream=${streamed.diff(batch)} only-batch=${batch.diff(streamed)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered keys across micro-batches") {
     val ms = MemoryStream[(Long, Timestamp)](45, spark, None)
     val df = ms.toDF().toDF("event_id", "ts")
