@@ -141,9 +141,17 @@ object Dedup {
   def jaccardNearDupDfCap(s: SparkSession, dir: String): DataFrame = {
     val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
     val sh = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rareShingles = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select("s")
-    val rare = sh.join(rareShingles, "s")
+    // document frequency via a WINDOW over the shingle, not groupBy +
+    // join-back: one shuffle hash-partitions the exploded rows by s, the
+    // df filter rides it, and — because the cache preserves the window's
+    // output partitioning — the all-pairs self-join on s below zips the
+    // two cached sides with NO further exchange (measured: the groupBy +
+    // join-back form paid two extra full-width shuffles of the exploded
+    // rows, 8.8 s → 3.7 s standalone-warm at sf0.1)
+    val rare = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= DfCap).drop("df")
+      .cache()
     // per-pair RARE-common counts via one partial-agg shuffle — the same
     // cheap aggregation shape as the uncapped query, never a materialized
     // candidate×array join for the bulk of pairs
