@@ -82,8 +82,14 @@ object Dedup {
     * pair on their own); semantics here keep every shingle so the DuckDB
     * oracle is exact. */
   def jaccardNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, dir))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // per-row distinct shingle ARRAYS (no shuffle), exploded for the
+    // inverted index — same distinct-shingle semantics as an
+    // explode+distinct, minus its (doc_id, shingle) shuffle; per-doc set
+    // sizes are a row-local size() on the same cache instead of a
+    // count-aggregate shuffle
+    val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
+    val sh = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = docsArr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val a = sh.select(col("doc_id").as("a_id"), col("s"))
     val b = sh.select(col("doc_id").as("b_id"), col("s"))
     val common = a.join(b, "s")
