@@ -19,7 +19,9 @@ Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ...and suppress the "[success] Total time: ..." epilogue sbt prints AFTER
 // the forked JVM exits: round 3 showed it as the last stdout line, which a
 // take-the-last-line parser reads instead of Bench's JSON (parsed:null).
-ThisBuild / showSuccess := false
+// Round 3 scoped this ThisBuild, which sbt ignores for this key (the r03
+// tail still ends with "[success] Total time: 525 s") — it must be Global.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
