@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DataPrep, Dedup, Multimodal, QualityFilters, Reference, Relational,
-  RelationalExt, RelationalMore, Similarity, SourcesSinks, TextAnalysis, TimeWindows,
-  TpchFull, TypedOps}
+import graft.operators.{DataPrep, Dedup, Modern, Multimodal, QualityFilters, Reference,
+  Relational, RelationalExt, RelationalMore, Similarity, SourcesSinks, TextAnalysis,
+  TimeWindows, TpchFull, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +25,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (RelationalExt.queries, RelationalExt.oracles),
       (RelationalMore.queries, RelationalMore.oracles),
+      (Modern.queries, Modern.oracles),
       (TpchFull.queries, TpchFull.oracles),
       (DataPrep.queries, DataPrep.oracles),
       (QualityFilters.queries, QualityFilters.oracles),

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark 4.x-native surface: the semi-structured VARIANT type, SQL:2023
+  * `LISTAGG`, recursive CTEs, and the `approx_top_k` sketch family.
+  * Reference analogue: ABSENT (the reference is a 95-line Spark 2.4
+  * DStream app — SURVEY.md §2a); these close the gap between "what the
+  * reference computes" and "what a user of a modern engine expects", the
+  * same extension mandate as §2b/§2c.
+  *
+  * Scale notes are per-query; the common thread is that every one of
+  * these is a single partial+final aggregation or a per-row expression —
+  * no new shuffle shapes.
+  */
+object Modern {
+
+  // ----------------------------------------------------------- VARIANT
+  /** Semi-structured decode via the VARIANT type (Spark 4's successor to
+    * string-JSON probing): `parse_json` once per row into the binary
+    * variant encoding, then typed `variant_get` paths. Versus
+    * `get_json_object` the parse happens once regardless of how many
+    * paths are extracted, and the binary form is what a 100 TB
+    * event-lake would persist (shredded variant columns prune like
+    * parquet). Aggregation is the standard partial+final shape. */
+  def variantExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT event_type,
+        |       count(*) AS cnt,
+        |       CAST(sum(variant_get(v, '$.k', 'int')) AS BIGINT) AS sum_k,
+        |       min(variant_get(v, '$.k', 'int')) AS min_k,
+        |       max(variant_get(v, '$.k', 'int')) AS max_k,
+        |       count(CASE WHEN is_variant_null(try_variant_get(v, '$.missing'))
+        |                    OR try_variant_get(v, '$.missing') IS NULL
+        |             THEN NULL ELSE 1 END) AS n_missing_present
+        |FROM (SELECT event_type, parse_json(props) AS v FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val variantExtractSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+      |       CAST(min(CAST(props->>'$.k' AS INT)) AS INT) AS min_k,
+      |       CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_k,
+      |       count(CASE WHEN props->>'$.missing' IS NULL THEN NULL ELSE 1 END)
+      |         AS n_missing_present
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------- LISTAGG
+  /** SQL:2023 LISTAGG WITHIN GROUP — ordered string aggregation, the
+    * report-friendly sibling of collect_list+array_join the engine
+    * already covers (`array_funcs`). The WITHIN GROUP order makes the
+    * output deterministic and hash-comparable. One partial+final agg;
+    * the concatenated payload stays bounded by group cardinality (25
+    * nations), which is the discipline LISTAGG needs at scale — never
+    * aggregate unbounded strings per key. */
+  def listaggNations(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT r_name,
+        |       listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |       count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
+  val listaggNationsSql: String =
+    """SELECT r_name,
+      |       string_agg(n_name, '|' ORDER BY n_name) AS nations,
+      |       count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // ----------------------------------------------------- recursive CTE
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): walk each supplier key to
+    * the root by integer halving — a synthetic parent() hierarchy over
+    * the harness schema, exercising the iterative-fixpoint SQL surface
+    * the engine otherwise reaches via the DataFrame loop in
+    * [[Dedup.connectedComponents]]. Depth is O(log key), so the
+    * recursion terminates in ~⌈log2(max key)⌉ rounds; each round is one
+    * filter+project over the frontier — the linear-frontier pattern
+    * that survives scale (never re-joins the full closure). */
+  def recursiveChain(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH RECURSIVE walk(start_key, cur, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        |  UNION ALL
+        |  SELECT start_key, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
+        |)
+        |SELECT start_key, max(depth) AS hops_to_root, count(*) AS chain_len
+        |FROM walk GROUP BY start_key ORDER BY start_key""".stripMargin)
+  }
+
+  val recursiveChainSql: String =
+    """WITH RECURSIVE walk(start_key, cur, depth) AS (
+      |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      |  UNION ALL
+      |  SELECT start_key, cur // 2, depth + 1 FROM walk WHERE cur > 1
+      |)
+      |SELECT start_key, max(depth) AS hops_to_root, count(*) AS chain_len
+      |FROM walk GROUP BY start_key ORDER BY start_key""".stripMargin
+
+  // -------------------------------------------------- approx_top_k family
+  /** Heavy hitters via the approx_top_k sketch family, shown in its
+    * distributed-merge form: one sketch per language
+    * (`approx_top_k_accumulate`), sketches combined
+    * (`approx_top_k_combine`) and read out (`approx_top_k_estimate`) —
+    * the same pre-aggregate/re-aggregate contract as the HLL queries
+    * (`hll_sketch_merge`): per-shard sketches of fixed size are the only
+    * thing that moves, never token rows. Rows-only gate: estimates
+    * depend on sketch internals DuckDB cannot reproduce; the scalatest
+    * spec pins the estimates against the exact token counts, which at
+    * this vocabulary (< maxItemsTracked) must agree exactly. */
+  def approxTopKTokens(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH toks AS (
+        |  SELECT lang, explode(split(text, ' ')) AS tok FROM documents
+        |),
+        |shard AS (
+        |  SELECT lang, approx_top_k_accumulate(tok, 1000) AS sk
+        |  FROM toks GROUP BY lang
+        |),
+        |merged AS (
+        |  SELECT approx_top_k_estimate(approx_top_k_combine(sk, 1000), 10) AS top
+        |  FROM shard
+        |)
+        |SELECT t.item AS tok, t.count AS est_cnt
+        |FROM merged LATERAL VIEW explode(top) AS t
+        |ORDER BY est_cnt DESC, tok""".stripMargin)
+  }
+
+  // -------------------------------------------------- histogram_numeric
+  /** Streaming-mergeable equi-height histogram of lineitem prices — the
+    * NDV/distribution profile an optimizer or data-quality monitor keeps
+    * per column. Fixed sketch size (nb bins) per partition, merged at
+    * the final agg. Rows-only gate: bin centroids depend on input merge
+    * order (the classic streaming-histogram property), so even two Spark
+    * runs may place centroids differently; the spec checks the invariants
+    * that ARE stable — bin count, total mass, centroid ordering and
+    * range. */
+  def histogramPrices(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT b.x AS centroid, CAST(b.y AS BIGINT) AS mass
+        |FROM (SELECT histogram_numeric(CAST(l_extendedprice AS DOUBLE), 8) AS h
+        |      FROM lineitem)
+        |LATERAL VIEW explode(h) AS b
+        |ORDER BY centroid""".stripMargin)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "variant_extract"    -> (variantExtract _),
+    "listagg_nations"    -> (listaggNations _),
+    "sql_recursive_cte"  -> (recursiveChain _),
+    "approx_topk_tokens" -> (approxTopKTokens _),
+    "histogram_prices"   -> (histogramPrices _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "variant_extract"   -> variantExtractSql,
+    "listagg_nations"   -> listaggNationsSql,
+    "sql_recursive_cte" -> recursiveChainSql
+    // approx_topk_tokens / histogram_prices: sketch-internal-dependent →
+    // rows-only gate + spec invariants (see Scaladoc)
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Modern
+import org.apache.spark.sql.functions._
+
+/** Specs for the Spark 4.x-native surface (operators/Modern.scala). The
+  * oracle-checked members (variant, listagg, recursive CTE) are gated by
+  * the driver's DuckDB compare; these specs pin the two rows-only sketch
+  * queries to their exact twins plus the structural invariants that ARE
+  * run-stable. */
+class ModernSpec extends GraftSpec {
+
+  test("approx_top_k estimates equal exact token counts below sketch capacity") {
+    // vocabulary << maxItemsTracked=1000, so the sketch holds every item
+    // exactly and the estimate must be the true count — the same
+    // "sketch degrades to exact when it fits" contract the HLL spec uses
+    val approx = Modern.approxTopKTokens(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("tok")).limit(10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx == exact,
+      s"approx=$approx\nexact=$exact")
+  }
+
+  test("histogram_numeric conserves mass, stays in range, and sorts centroids") {
+    val rows = Modern.histogramPrices(spark, sf0001).collect()
+    assert(rows.length == 8, "one row per requested bin")
+    val centroids = rows.map(_.getDouble(0))
+    assert(centroids.sameElements(centroids.sorted), "centroids ordered")
+    val mass = rows.map(_.getLong(1)).sum
+    val li = Tables.lineitem(spark, sf0001)
+    val (n, lo, hi) = {
+      val r = li.agg(count(lit(1)), min(col("l_extendedprice").cast("double")),
+        max(col("l_extendedprice").cast("double"))).head
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    // mass conservation up to the bigint cast's per-bin truncation
+    assert(math.abs(mass - n) <= rows.length, s"mass $mass vs rows $n")
+    assert(centroids.head >= lo && centroids.last <= hi, "centroids within data range")
+  }
+
+  test("recursive CTE depth equals floor(log2(key)) per supplier") {
+    val rows = Modern.recursiveChain(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getLong(0)
+      val hops = r.getInt(1)
+      val expected = if (key <= 1) 0 else (63 - java.lang.Long.numberOfLeadingZeros(key)).toInt
+      assert(hops == expected, s"key=$key hops=$hops expected=$expected")
+      assert(r.getLong(2) == hops + 1L, "chain_len = hops + 1")
+    }
+  }
+
+  test("variant extraction agrees with string-JSON extraction on every group") {
+    val viaVariant = Modern.variantExtract(spark, sf0001)
+      .select("event_type", "cnt", "sum_k", "min_k", "max_k").collect()
+    val viaString = Tables.events(spark, sf0001)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).cast("bigint").as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type").collect()
+    assert(viaVariant.map(_.toSeq).toSeq == viaString.map(_.toSeq).toSeq)
+  }
+}
