@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming twins of the reference pipeline (SURVEY.md §2 W1,
   * §7 step 4; `tweet-streamer/src/main/scala/main.scala:41-55`).
@@ -256,6 +257,82 @@ object StreamingWindows {
             closed.reverseIterator
           }
       }
+      .toDF()
+  }
+
+  // ------------------------------------- transformWithState (Spark 4 API)
+  /** Gap-session processor for [[sessionizeTws]] — the Spark 4
+    * `transformWithState` successor of the `flatMapGroupsWithState`
+    * sessionizer above, with the state surface the old API lacked made
+    * explicit: named typed state (`ValueState` in the state store's own
+    * column family, RocksDB-backed), per-key EVENT-TIME timers (fire off
+    * the watermark, not wall clock — deterministic under replay, which a
+    * `ProcessingTimeTimeout` never is), and optional per-state TTL.
+    * State per user is O(1); a single re-armed timer per key closes idle
+    * sessions, so state tracks ACTIVE users only. */
+  class SessionProcessor(gapSec: Long)
+      extends StatefulProcessor[Long, SessEvent, SessionOut] {
+    @transient private var sess: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessState](
+        "sess", Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[SessEvent],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      val secs = rows.map(_.ts.getTime / 1000L).toSeq.sorted
+      var closed = List.empty[SessionOut]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      secs.foreach { t =>
+        cur match {
+          case Some(st) if t - st.end <= gapSec =>
+            cur = Some(st.copy(end = t, n = st.n + 1))
+          case Some(st) =>
+            closed ::= SessionOut(uid, st.start, st.end, st.n)
+            cur = Some(SessState(t, t, 1))
+          case None =>
+            cur = Some(SessState(t, t, 1))
+        }
+      }
+      cur.foreach { st =>
+        sess.update(st)
+        // one live timer per key: re-arm at the open session's idle bound
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((st.end + gapSec) * 1000L)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // watermark passed end+gap with no new events → the session is closed
+      val out =
+        if (sess.exists()) {
+          val st = sess.get()
+          sess.clear()
+          Iterator.single(SessionOut(uid, st.start, st.end, st.n))
+        } else Iterator.empty
+      out
+    }
+  }
+
+  /** Streaming sessionization on the Spark 4 `transformWithState` API —
+    * the engine's [[sessionize]] twin on the new arbitrary-state operator
+    * (requires the RocksDB state store provider: named column families).
+    * Event-time timers close idle sessions exactly when the WATERMARK
+    * passes `end + gap`, so emission is replay-deterministic; the batch
+    * twin remains `graft.operators.TimeWindows.sessionize` (oracle-
+    * checked), and the spec asserts this path's in-batch splits and
+    * timer-driven closes against it. */
+  def sessionizeTws(events: org.apache.spark.sql.Dataset[SessEvent],
+                    gapSec: Long = 1800L,
+                    watermark: String = "10 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
 }

@@ -309,4 +309,50 @@ class StreamingSpec extends GraftSpec {
       assert(closed == Set((1L, t0 / 1000, t0 / 1000 + 30, 2L)))
     } finally q.stop()
   }
+
+  test("transformWithState sessionizer: in-batch split + watermark-timer close") {
+    // the Spark 4 arbitrary-state API needs the RocksDB provider (named
+    // state column families); scoped to this query, restored after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StreamingWindows.SessEvent](53, spark, None)
+      val sessions = StreamingWindows.sessionizeTws(ms.toDS(), gapSec = 60,
+        watermark = "0 seconds")
+      val q = sessions.writeStream.format("memory").queryName("tws_mem")
+        .outputMode("append").start()
+      try {
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        // batch 1: two sessions for user 1 in one batch (170 s > gap) —
+        // the first must close in-batch, the second stays open with an
+        // event-time timer armed at end+gap = t0+240 s
+        ms.addData(
+          StreamingWindows.SessEvent(1L, new Timestamp(t0)),
+          StreamingWindows.SessEvent(1L, new Timestamp(t0 + 10_000)),
+          StreamingWindows.SessEvent(1L, new Timestamp(t0 + 180_000)))
+        q.processAllAvailable()
+        // batch 2 advances the watermark to t0+600 s (> timer); batch 3
+        // then fires the timer (watermark is applied with one batch lag)
+        ms.addData(StreamingWindows.SessEvent(2L, new Timestamp(t0 + 600_000)))
+        q.processAllAvailable()
+        ms.addData(StreamingWindows.SessEvent(2L, new Timestamp(t0 + 601_000)))
+        q.processAllAvailable()
+        val rows = spark.table("tws_mem")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val s0 = t0 / 1000
+        assert(rows == Set(
+          (1L, s0, s0 + 10, 2L),         // in-batch gap split
+          (1L, s0 + 180, s0 + 180, 1L)), // closed by the event-time timer
+          s"got $rows")
+        // user 2's session (600..601) is still open — correctly unemitted
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
