@@ -153,18 +153,76 @@ object Modern {
         |ORDER BY centroid""".stripMargin)
   }
 
+  // ---------------------------------------------------- SQL pipe syntax
+  /** Spark 4 SQL pipe syntax (`|>`): the reference pipeline's aggregate
+    * as a linear dataflow — each stage reads top-to-bottom exactly like
+    * the DataFrame chain it compiles to (and compiles to the SAME plan:
+    * pipe syntax is pure parser surface, Catalyst sees the usual
+    * Aggregate/Filter/Sort tree, so pushdown/pruning are unchanged). */
+  def pipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """FROM lineitem
+        ||> WHERE l_quantity >= 30
+        ||> AGGREGATE count(*) AS n_items,
+        |             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> SELECT l_returnflag AS rf, l_linestatus AS ls, n_items, sum_qty
+        ||> ORDER BY rf, ls""".stripMargin)
+  }
+
+  val pipeSyntaxSql: String =
+    """SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_quantity >= 30
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY rf, ls""".stripMargin
+
+  // ------------------------------------------------- LATERAL correlated join
+  /** LATERAL join — the correlated-subquery-as-join-operand form: for
+    * each nation, the top spender among its customers. Catalyst
+    * decorrelates this into a window/aggregate + join (no per-row
+    * re-execution — the naive LATERAL reading would be O(nations ×
+    * customers)); DuckDB runs the identical SQL shape. */
+  def lateralTopSpender(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT n_name, t.top_custkey, t.top_bal
+        |FROM nation JOIN LATERAL (
+        |  SELECT c_custkey AS top_custkey,
+        |         CAST(c_acctbal AS DOUBLE) AS top_bal
+        |  FROM customer WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 1
+        |) t
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  val lateralTopSpenderSql: String =
+    """SELECT n_name, t.top_custkey, t.top_bal
+      |FROM nation JOIN LATERAL (
+      |  SELECT c_custkey AS top_custkey,
+      |         CAST(c_acctbal AS DOUBLE) AS top_bal
+      |  FROM customer WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 1
+      |) t ON true
+      |ORDER BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "variant_extract"    -> (variantExtract _),
     "listagg_nations"    -> (listaggNations _),
     "sql_recursive_cte"  -> (recursiveChain _),
     "approx_topk_tokens" -> (approxTopKTokens _),
-    "histogram_prices"   -> (histogramPrices _)
+    "histogram_prices"   -> (histogramPrices _),
+    "sql_pipe_syntax"    -> (pipeSyntax _),
+    "lateral_top_spender" -> (lateralTopSpender _)
   )
 
   def oracles: Map[String, String] = Map(
     "variant_extract"   -> variantExtractSql,
     "listagg_nations"   -> listaggNationsSql,
-    "sql_recursive_cte" -> recursiveChainSql
+    "sql_recursive_cte" -> recursiveChainSql,
+    "sql_pipe_syntax"   -> pipeSyntaxSql,
+    "lateral_top_spender" -> lateralTopSpenderSql
     // approx_topk_tokens / histogram_prices: sketch-internal-dependent →
     // rows-only gate + spec invariants (see Scaladoc)
   )

@@ -58,6 +58,16 @@ class PlanSpec extends GraftSpec {
       plan.take(1200))
   }
 
+  test("LATERAL join decorrelates to a window + join, never a per-row loop") {
+    val plan = planOf(graft.operators.Modern.lateralTopSpender(spark, sf0001))
+    // Catalyst must rewrite the correlated LIMIT-1 subquery into a ranked
+    // window joined back — the O(n) plan; a nested/cartesian loop would be
+    // the O(nations × customers) reading that dies at scale
+    assert(plan.contains("Window"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1200))
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = Reference.topTokens(spark, sf0001)
     df.collect() // AQE finalizes (and codegens) only on execution
