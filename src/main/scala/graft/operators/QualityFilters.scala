@@ -128,6 +128,21 @@ object QualityFilters {
        |WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= $DeconThreshold
        |ORDER BY doc_id""".stripMargin
 
+  /** [[scrubStopTokens]] with an `Observation` attached — the Spark
+    * metrics API that piggybacks aggregates onto the job the caller was
+    * already running (accumulator-backed, exactly-once per action), so a
+    * pipeline reports rows-in/rows-scrubbed without a second scan. The
+    * driver-contract query surface stays a plain DataFrame; this wrapper
+    * is the observability-enabled form a production caller would use. */
+  def scrubObserved(s: SparkSession, dir: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("scrub_metrics")
+    val df = scrubStopTokens(s, dir).observe(obs,
+      count(lit(1)).as("n_docs"),
+      sum(col("n_removed")).as("total_removed"),
+      max(col("n_chars_after")).as("max_chars_after"))
+    (df, obs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub_stoptokens" -> (scrubStopTokens _),
     "text_repetition"       -> (repetitionFilter _),

@@ -68,6 +68,40 @@ class PlanSpec extends GraftSpec {
       plan.take(1200))
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the 100 TB join-pruning story: a selective dimension filter becomes a
+    // bloom filter evaluated on the fact scan BEFORE the shuffle, so
+    // non-matching fact rows never cross the network. Thresholds are sized
+    // for multi-GB inputs in prod; lower them so the rule fires on harness
+    // data, force a shuffle join (broadcast joins don't need the filter).
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.col
+      // raw scans, not Tables.*: the harness fan-out Repartition sits
+      // between scan and join and defeats the rule's scan-pattern match —
+      // multi-file prod scans need no fan-out, so the raw shape is the
+      // representative one
+      val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom runtime filter injected:\n${plan.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = Reference.topTokens(spark, sf0001)
     df.collect() // AQE finalizes (and codegens) only on execution

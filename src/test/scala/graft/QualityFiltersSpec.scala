@@ -41,4 +41,13 @@ class QualityFiltersSpec extends GraftSpec {
     assert(expected.subsetOf(flagged),
       s"missed contaminated docs: ${expected.diff(flagged)}")
   }
+
+  test("observed scrub reports metrics from the same job, matching recomputation") {
+    val (df, obs) = QualityFilters.scrubObserved(spark, sf0001)
+    val rows = df.collect() // the one action both returns rows and fills obs
+    val m = obs.get
+    assert(m("n_docs") == rows.length.toLong)
+    assert(m("total_removed") == rows.map(_.getLong(1)).sum)
+    assert(m("max_chars_after") == rows.map(_.getLong(2)).max)
+  }
 }
