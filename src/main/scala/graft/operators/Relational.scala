@@ -686,6 +686,35 @@ object Relational {
       |SELECT 'except', nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
       |ORDER BY op, nk""".stripMargin
 
+  /** Multiset (ALL) twins of [[setOps]]: `exceptAll`/`intersectAll`
+    * preserve multiplicity — the bag semantics reconciliation/auditing
+    * needs (how many customer rows per nation are NOT matched 1:1 by a
+    * supplier row), where the DISTINCT forms silently collapse counts.
+    * Output is compacted to (op, nk, n) so the result is small and
+    * totally ordered regardless of how the multiset rows distribute. */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+    val p = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+    val u = c.union(p).withColumn("op", lit("union_all"))
+    val e = c.exceptAll(p).withColumn("op", lit("except_all"))
+    val i = c.intersectAll(p).withColumn("op", lit("intersect_all"))
+    u.union(e).union(i)
+      .groupBy("op", "nk").agg(count(lit(1)).as("n"))
+      .orderBy("op", "nk")
+  }
+
+  val setOpsAllSql: String =
+    """WITH c AS (SELECT c_nationkey AS nk FROM customer),
+      |     s AS (SELECT s_nationkey AS nk FROM supplier),
+      |a AS (
+      |  SELECT 'union_all' AS op, nk FROM (SELECT nk FROM c UNION ALL SELECT nk FROM s)
+      |  UNION ALL
+      |  SELECT 'except_all', nk FROM (SELECT nk FROM c EXCEPT ALL SELECT nk FROM s)
+      |  UNION ALL
+      |  SELECT 'intersect_all', nk FROM (SELECT nk FROM c INTERSECT ALL SELECT nk FROM s)
+      |)
+      |SELECT op, nk, count(*) AS n FROM a GROUP BY op, nk ORDER BY op, nk""".stripMargin
+
   // ------------------------------------------------------- scalar functions
   /** String functions: lower/upper/substring/concat/length/replace. */
   def scalarString(s: SparkSession, dir: String): DataFrame =
@@ -829,6 +858,7 @@ object Relational {
     "window_lag"          -> (windowLag _),
     "window_moving_sum"   -> (windowMovingSum _),
     "set_ops"             -> (setOps _),
+    "set_ops_all"         -> (setOpsAll _),
     "scalar_string"       -> (scalarString _),
     "scalar_date"         -> (scalarDate _),
     "json_extract"        -> (jsonExtract _),
@@ -864,6 +894,7 @@ object Relational {
     "window_lag"          -> windowLagSql,
     "window_moving_sum"   -> windowMovingSumSql,
     "set_ops"             -> setOpsSql,
+    "set_ops_all"         -> setOpsAllSql,
     "scalar_string"       -> scalarStringSql,
     "scalar_date"         -> scalarDateSql,
     "json_extract"        -> jsonExtractSql,
