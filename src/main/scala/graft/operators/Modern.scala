@@ -207,6 +207,83 @@ object Modern {
       |) t ON true
       |ORDER BY n_name""".stripMargin
 
+  // ----------------------------------------------------- null semantics
+  /** Three-valued-logic surface: a nullable key (every '3-MEDIUM'
+    * nulled) re-joined to itself NULL-SAFELY (`<=>` / IS NOT DISTINCT
+    * FROM) — the equi-join would silently drop the NULL group, the
+    * null-safe join keeps it as a first-class row; count(*) vs count(k)
+    * pins the aggregate null-skipping rule alongside. Null-safe equality
+    * is an ordinary hash-join key (NULL hashes like any value under
+    * `<=>`), so the plan is the same shuffle join as `=`. */
+  def nullSemantics(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH o AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS k FROM orders),
+        |l AS (SELECT k, count(*) AS n_rows, count(k) AS n_nonnull FROM o GROUP BY k),
+        |r AS (SELECT k, count(*) AS n_r FROM o GROUP BY k)
+        |SELECT l.k AS k, l.n_rows, l.n_nonnull, r.n_r
+        |FROM l JOIN r ON l.k <=> r.k
+        |ORDER BY k NULLS FIRST""".stripMargin)
+  }
+
+  val nullSemanticsSql: String =
+    """WITH o AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS k FROM orders),
+      |l AS (SELECT k, count(*) AS n_rows, count(k) AS n_nonnull FROM o GROUP BY k),
+      |r AS (SELECT k, count(*) AS n_r FROM o GROUP BY k)
+      |SELECT l.k AS k, l.n_rows, l.n_nonnull, r.n_r
+      |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+      |ORDER BY k NULLS FIRST""".stripMargin
+
+  // ------------------------------------------- higher-order array funcs
+  /** Array higher-order functions — transform / filter / aggregate over
+    * a per-order quantity array. All four lambdas run inside codegen on
+    * the row's own array (zero extra shuffles beyond the collect_list
+    * agg); the sorted array makes every derived value deterministic. */
+  def hofArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_quantity").cast("double"))).as("q"))
+      .select(col("l_orderkey"),
+        size(col("q")).cast("long").as("n_items"),
+        expr("size(filter(q, x -> x > 25.0))").cast("long").as("n_big"),
+        expr("element_at(transform(q, x -> x * 2.0), 1)").as("min_doubled"),
+        expr("aggregate(q, 0.0D, (s, x) -> s + x)").as("total_qty"))
+      .orderBy("l_orderkey")
+
+  val hofArrayFuncsSql: String =
+    """SELECT l_orderkey,
+      |       CAST(len(q) AS BIGINT) AS n_items,
+      |       CAST(len(list_filter(q, x -> x > 25.0)) AS BIGINT) AS n_big,
+      |       list_transform(q, x -> x * 2.0)[1] AS min_doubled,
+      |       list_sum(q) AS total_qty
+      |FROM (SELECT l_orderkey, list_sort(list(CAST(l_quantity AS DOUBLE))) AS q
+      |      FROM lineitem GROUP BY l_orderkey)
+      |ORDER BY l_orderkey""".stripMargin
+
+  // --------------------------------------------------------- collations
+  /** Spark 4 collation support: tokens grouped CASE-INSENSITIVELY by
+    * collating the group key to UTF8_LCASE — the engine-level form of
+    * the lower() workaround (and unlike lower(), collation also drives
+    * joins, comparisons and sorts). The representative is min(original)
+    * under binary collation so output is engine-portable; DuckDB's
+    * NOCASE collation builds the identical groups on this ASCII corpus. */
+  def collationGroups(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT min(tok) AS rep, count(*) AS n
+        |FROM (SELECT explode(split(text, ' ')) AS tok FROM documents)
+        |GROUP BY collate(tok, 'UTF8_LCASE')
+        |HAVING count(*) >= 50
+        |ORDER BY rep""".stripMargin)
+  }
+
+  val collationGroupsSql: String =
+    """SELECT min(tok) AS rep, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok COLLATE NOCASE
+      |HAVING count(*) >= 50
+      |ORDER BY rep""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "variant_extract"    -> (variantExtract _),
     "listagg_nations"    -> (listaggNations _),
@@ -214,7 +291,10 @@ object Modern {
     "approx_topk_tokens" -> (approxTopKTokens _),
     "histogram_prices"   -> (histogramPrices _),
     "sql_pipe_syntax"    -> (pipeSyntax _),
-    "lateral_top_spender" -> (lateralTopSpender _)
+    "lateral_top_spender" -> (lateralTopSpender _),
+    "null_semantics"     -> (nullSemantics _),
+    "hof_array_funcs"    -> (hofArrayFuncs _),
+    "collation_groups"   -> (collationGroups _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -222,7 +302,10 @@ object Modern {
     "listagg_nations"   -> listaggNationsSql,
     "sql_recursive_cte" -> recursiveChainSql,
     "sql_pipe_syntax"   -> pipeSyntaxSql,
-    "lateral_top_spender" -> lateralTopSpenderSql
+    "lateral_top_spender" -> lateralTopSpenderSql,
+    "null_semantics"    -> nullSemanticsSql,
+    "hof_array_funcs"   -> hofArrayFuncsSql,
+    "collation_groups"  -> collationGroupsSql
     // approx_topk_tokens / histogram_prices: sketch-internal-dependent →
     // rows-only gate + spec invariants (see Scaladoc)
   )
