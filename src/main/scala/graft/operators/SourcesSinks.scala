@@ -128,10 +128,38 @@ object SourcesSinks {
       |FROM orders WHERE o_totalprice > 1000.0
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** XML round-trip over the Spark 4 BUILT-IN xml data source (the
+    * spark-xml package folded into core): write suppliers as
+    * <supplier> row elements, read back with an explicit schema (never
+    * inference — a schema scan is a full extra pass at scale), and
+    * aggregate. Like every io_* query the oracle recomputes from the
+    * source table, so the round-trip itself is what is being checked;
+    * money stays decimal until one terminal double cast. */
+  def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("supplier_xml")
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").option("rowTag", "supplier").xml(out)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_nationkey", LongType),
+      StructField("s_acctbal", DoubleType)))
+    s.read.schema(schema).option("rowTag", "supplier").xml(out)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  val xmlRoundtripSql: String =
+    """SELECT s_nationkey, count(*) AS n_supp,
+      |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_csv_roundtrip"  -> (csvRoundtrip _),
     "io_json_roundtrip" -> (jsonRoundtrip _),
     "io_orc_roundtrip"  -> (orcRoundtrip _),
+    "io_xml_roundtrip"  -> (xmlRoundtrip _),
     "io_partition_pruned" -> (partitionedParquetRead _)
   )
 
@@ -139,6 +167,7 @@ object SourcesSinks {
     "io_csv_roundtrip"  -> csvRoundtripSql,
     "io_json_roundtrip" -> jsonRoundtripSql,
     "io_orc_roundtrip"  -> orcRoundtripSql,
+    "io_xml_roundtrip"  -> xmlRoundtripSql,
     "io_partition_pruned" -> partitionedParquetReadSql
   )
 }
