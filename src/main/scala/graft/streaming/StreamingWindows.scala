@@ -166,16 +166,23 @@ object StreamingWindows {
     * the eviction policy from it automatically. */
   def streamStreamJoin(clicks: DataFrame, purchases: DataFrame,
                        maxGapSec: Long = 300L,
-                       watermark: String = "10 minutes"): DataFrame = {
+                       watermark: String = "10 minutes",
+                       joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
     val p = purchases.withWatermark("ts", watermark)
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
               col("ts").as("purchase_ts"))
+    // "left_outer" is the attribution variant: clicks with NO purchase in
+    // the window surface as (click, null) — but only once the WATERMARK
+    // proves no match can still arrive; until then the click stays in
+    // state. Same bounded state as inner (range bound drives eviction);
+    // the outer row is emitted at eviction instead of dropped.
     c.join(p,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxGapSec SECONDS"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxGapSec SECONDS"),
+      joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
               unix_timestamp(col("purchase_ts")).minus(unix_timestamp(col("click_ts")))
                 .as("gap_sec"))

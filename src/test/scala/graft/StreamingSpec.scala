@@ -243,6 +243,43 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks only after the watermark") {
+    val clicks = MemoryStream[(Long, Long, Timestamp)](54, spark, None)
+    val purchases = MemoryStream[(Long, Long, Timestamp)](55, spark, None)
+    val joined = StreamingWindows.streamStreamJoin(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      maxGapSec = 300L, watermark = "0 seconds", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer_mem")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      clicks.addData((100L, 1L, new Timestamp(t0)),       // will match
+                     (101L, 2L, new Timestamp(t0)))       // never matches
+      purchases.addData((200L, 1L, new Timestamp(t0 + 60_000)))
+      q.processAllAvailable()
+      // user 2's click must NOT have emitted a null row yet: a purchase at
+      // t0+300 s could still arrive — the outer result is provisional
+      // until the watermark passes click_ts + gap
+      val early = spark.table("ssj_outer_mem")
+        .collect().map(r => (r.getLong(0), r.isNullAt(1))).toSet
+      assert(early == Set((100L, false)), s"got $early")
+      // advance both watermarks far past t0+300 s (min of the two drives
+      // the global watermark), then one more batch to apply it
+      clicks.addData((110L, 9L, new Timestamp(t0 + 3_600_000)))
+      purchases.addData((210L, 9L, new Timestamp(t0 + 3_600_000)))
+      q.processAllAvailable()
+      clicks.addData((111L, 9L, new Timestamp(t0 + 3_700_000)))
+      purchases.addData((211L, 9L, new Timestamp(t0 + 3_700_000)))
+      q.processAllAvailable()
+      val ids = spark.table("ssj_outer_mem")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(ids(100L) == 200L)
+      assert(ids.get(101L).contains(-1L),
+        s"unmatched click must emit (click, null) after watermark: $ids")
+    } finally q.stop()
+  }
+
   test("stream-static decontamination equals the batch operator on the same corpus") {
     import graft.operators.{Dedup, QualityFilters}
     val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
