@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends GraftSpec {
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+
+  test("compaction collapses a many-small-files table, preserving content") {
+    val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val small = s"$base/small"; val out = s"$base/compact"
+    val src = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    src.repartition(40).write.parquet(small) // the pathology: 40 tiny files
+    assert(parquetFiles(small).length == 40)
+    val n = Layout.compact(spark, small, out, targetFileMB = 128)
+    assert(parquetFiles(out).length == n && n < 40,
+      s"expected $n compacted files, found ${parquetFiles(out).length}")
+    // content identical (multiset equality via sorted collect)
+    val a = spark.read.parquet(out).orderBy("o_orderkey", "o_totalprice").collect()
+    val b = src.orderBy("o_orderkey", "o_totalprice").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("range layout yields disjoint per-file key ranges (file-level skipping)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_range").toString + "/orders"
+    Layout.rangeLayout(
+      Tables.orders(spark, sf0001).select("o_orderkey", "o_orderstatus"),
+      out, "o_orderkey", numFiles = 8)
+    val files = parquetFiles(out)
+    assert(files.length == 8)
+    // each file's [min, max] of the layout key must not overlap any other's
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("o_orderkey"), max("o_orderkey")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // and a point-lookup plan keeps the predicate pushed to the scan, so
+    // the disjoint footer stats actually get to skip files
+    val plan = spark.read.parquet(out).filter(col("o_orderkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"),
+      plan.take(800))
+  }
+}

@@ -323,6 +323,38 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window streams: sessions close when the watermark passes the gap") {
+    // the third sessionization form (besides FMGWS and transformWithState):
+    // the declarative session_window aggregate — state merging and
+    // eviction are the engine's, emission is append-on-watermark
+    val ms = MemoryStream[(Long, Timestamp)](56, spark, None)
+    val agg = ms.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "60 seconds").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
+              unix_timestamp(col("w.end")).as("sess_end"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("sw_mem")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      ms.addData((1L, new Timestamp(t0)), (1L, new Timestamp(t0 + 30_000)))
+      q.processAllAvailable()
+      assert(spark.table("sw_mem").isEmpty,
+        "open session must not emit before the watermark passes its close")
+      // watermark jumps past t0+90 s (session end = last event + gap)
+      ms.addData((2L, new Timestamp(t0 + 600_000)))
+      q.processAllAvailable()
+      ms.addData((2L, new Timestamp(t0 + 601_000))) // one more batch applies it
+      q.processAllAvailable()
+      val rows = spark.table("sw_mem")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val s0 = t0 / 1000
+      // session [t0, t0+30+60): two events, closed by watermark passage
+      assert(rows == Set((1L, s0, s0 + 90, 2L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer splits on gap > threshold") {
     val ms = MemoryStream[StreamingWindows.SessEvent](44, spark, None)
     // NoTimeout: the assertion is about in-batch gap splitting; a
