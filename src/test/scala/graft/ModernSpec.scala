@@ -54,6 +54,21 @@ class ModernSpec extends GraftSpec {
     }
   }
 
+  test("parameterized SQL binds named and positional markers as literals") {
+    // the injection-safe query surface: markers bind as foldable literals,
+    // so Catalyst still constant-folds and pushes them down
+    Tables.registerAll(spark, sf0001)
+    val named = spark.sql(
+      "SELECT count(*) AS n FROM orders WHERE o_orderpriority = :p AND o_totalprice > :lo",
+      Map("p" -> "1-URGENT", "lo" -> 0)).head.getLong(0)
+    val positional = spark.sql(
+      "SELECT count(*) AS n FROM orders WHERE o_orderpriority = ? AND o_totalprice > ?",
+      Array("1-URGENT", 0)).head.getLong(0)
+    val direct = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 0).count()
+    assert(named == direct && positional == direct)
+  }
+
   test("variant extraction agrees with string-JSON extraction on every group") {
     val viaVariant = Modern.variantExtract(spark, sf0001)
       .select("event_type", "cnt", "sum_k", "min_k", "max_k").collect()
