@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{DataPrep, Dedup, Modern, Multimodal, QualityFilters, Reference,
-  Relational, RelationalExt, RelationalMore, Similarity, SourcesSinks, TextAnalysis,
-  TimeWindows, TpchFull, TypedOps}
+import graft.operators.{DataPrep, Dedup, Modern, Multimodal, Pipeline, QualityFilters,
+  Reference, Relational, RelationalExt, RelationalMore, Similarity, SourcesSinks,
+  TextAnalysis, TimeWindows, TpchFull, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,6 +29,7 @@ object SparkEntry {
       (TpchFull.queries, TpchFull.oracles),
       (DataPrep.queries, DataPrep.oracles),
       (QualityFilters.queries, QualityFilters.oracles),
+      (Pipeline.queries, Pipeline.oracles),
       (Dedup.queries, Dedup.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Similarity.queries, Similarity.oracles),

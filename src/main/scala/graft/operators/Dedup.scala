@@ -81,13 +81,18 @@ object Dedup {
     * docs — they generate quadratic candidates and never decide a ≥0.5
     * pair on their own); semantics here keep every shingle so the DuckDB
     * oracle is exact. */
-  def jaccardNearDup(s: SparkSession, dir: String): DataFrame = {
+  def jaccardNearDup(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsFrom(Tables.documents(s, dir))
+
+  /** [[jaccardNearDup]] parametrized by the document set — the reusable
+    * form the curation pipeline composes over exact-dedup survivors. */
+  private[graft] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
     // per-row distinct shingle ARRAYS (no shuffle), exploded for the
     // inverted index — same distinct-shingle semantics as an
     // explode+distinct, minus its (doc_id, shingle) shuffle; per-doc set
     // sizes are a row-local size() on the same cache instead of a
     // count-aggregate shuffle
-    val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
+    val docsArr = shingleArrays(docs).cache()
     val sh = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
     val sizes = docsArr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val a = sh.select(col("doc_id").as("a_id"), col("s"))
@@ -441,6 +446,19 @@ object Dedup {
     * round is materialized, so the loop holds at most two label snapshots —
     * not one per round. The driver holds only counts, never rows. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val out = ccLabels(pairs).groupBy("lbl")
+      .agg(count(lit(1)).as("cluster_size"),
+           sort_array(collect_list(col("id"))).as("members"))
+      .select(col("lbl").as("cluster_rep"), col("cluster_size"),
+              concat_ws(",", col("members").cast("array<string>")).as("member_ids"))
+      .orderBy("cluster_rep")
+    out
+  }
+
+  /** The label table behind [[connectedComponents]]: one (id, lbl) row
+    * per clustered doc, lbl = the component's minimum id. The curation
+    * pipeline consumes this directly (drop every id ≠ lbl). */
+  private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").localCheckpoint()
     // round 0 for free: label = min(id, min neighbor)
@@ -482,13 +500,7 @@ object Dedup {
     // the final `labels` snapshot stays persisted — the returned (lazy)
     // DataFrame reads it; its blocks are reclaimed by the ContextCleaner
     // once the caller drops the result
-    val out = labels.groupBy("lbl")
-      .agg(count(lit(1)).as("cluster_size"),
-           sort_array(collect_list(col("id"))).as("members"))
-      .select(col("lbl").as("cluster_rep"), col("cluster_size"),
-              concat_ws(",", col("members").cast("array<string>")).as("member_ids"))
-      .orderBy("cluster_rep")
-    out
+    labels
   }
 
   val nearDupClustersSql: String =

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed curation pipeline — the engine's operators chained into
+  * the actual end-to-end corpus-curation job a training-data platform
+  * runs (reference analogue: ABSENT; this is the §2c extension scope
+  * exercised as ONE dataflow rather than per-operator queries):
+  *
+  *   corpus (non-benchmark docs)
+  *     → exact dedup            (keep lowest doc_id per identical text)
+  *     → near-dup collapse      (Jaccard ≥ 0.5 pairs → connected
+  *                               components → keep cluster representatives)
+  *     → repetition filter      (drop dominant-bigram docs)
+  *     → decontamination        (drop docs ≥ 0.5 shingle-contained in the
+  *                               benchmark set)
+  *     → split assignment       (hash-keyed train/valid/test)
+  *
+  * Every stage is the SAME logic as its stand-alone oracle-checked query
+  * (shared code: [[Dedup.jaccardPairsFrom]], [[Dedup.ccLabels]],
+  * [[QualityFilters.repetitionFilter]], [[QualityFilters.decontaminate]],
+  * [[DataPrep.splitOf]]), so the composition itself is what this query
+  * verifies — drop-set semantics, stage ordering, and the final schema.
+  * The whole job is oracle-checked against a single DuckDB SQL built
+  * from the same CTE pieces.
+  *
+  * Scale: the stages add no new shuffle shapes — each is its standalone
+  * plan; drop sets join as broadcasts (they are tiny relative to the
+  * corpus: flagged docs, cluster non-representatives), and the final
+  * output is one ordered projection.
+  */
+object Pipeline {
+
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+
+    // 1. exact dedup WITHIN the corpus (a benchmark twin must not decide
+    // survivorship for a train doc)
+    val w = Window.partitionBy(md5(col("text")), length(col("text")))
+      .orderBy(col("doc_id"))
+    val exact = corpus.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+
+    // 2. near-dup collapse over the exact survivors: every clustered doc
+    // that is not its component's minimum id is dropped
+    val nonReps = Dedup.ccLabels(
+        Dedup.jaccardPairsFrom(exact).select("a_id", "b_id"))
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"))
+
+    // 3./4. per-doc quality flags are corpus-independent decisions, so the
+    // standalone operators' outputs ARE the drop sets
+    val repFlagged = QualityFilters.repetitionFilter(s, dir).select("doc_id")
+    val contaminated = QualityFilters.decontaminate(s, dir).select("doc_id")
+
+    val dropSet = nonReps.union(repFlagged).union(contaminated).distinct()
+
+    // 5. split-assign the survivors
+    val kept = exact.join(broadcast(dropSet), Seq("doc_id"), "left_anti")
+    DataPrep.splitOf(kept)
+      .join(kept.select("doc_id", "lang", "source"), "doc_id")
+      .select("doc_id", "lang", "source", "n_chars", "split")
+      .orderBy("doc_id")
+  }
+
+  val curateSql: String =
+    """WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+      |exact AS (
+      |  SELECT * FROM corpus
+      |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+      |),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM exact),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM common
+      |  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs
+      |),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |),
+      |nonreps AS (
+      |  SELECT src AS doc_id FROM reach GROUP BY src
+      |  HAVING src <> least(src, min(dst))
+      |),
+      |bg AS (
+      |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
+      |  WHERE len(tk) >= 2
+      |),
+      |bgcnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+      |repflag AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM bgcnt GROUP BY 1)
+      |  WHERE top_c >= 2 AND CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE) >= 0.05
+      |),
+      |allsh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |bench AS (SELECT DISTINCT s FROM allsh WHERE doc_id % 10 = 0),
+      |decon AS (
+      |  SELECT a.doc_id FROM allsh a LEFT JOIN bench b USING (s)
+      |  WHERE a.doc_id % 10 <> 0
+      |  GROUP BY a.doc_id
+      |  HAVING CAST(count(b.s) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.5
+      |),
+      |kept AS (
+      |  SELECT e.* FROM exact e
+      |  WHERE NOT EXISTS (SELECT 1 FROM nonreps d WHERE d.doc_id = e.doc_id)
+      |    AND NOT EXISTS (SELECT 1 FROM repflag r WHERE r.doc_id = e.doc_id)
+      |    AND NOT EXISTS (SELECT 1 FROM decon c WHERE c.doc_id = e.doc_id)
+      |)
+      |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+      |       CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90 THEN 'train'
+      |            WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 95 THEN 'valid'
+      |            ELSE 'test' END AS split
+      |FROM kept ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> (curate _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "pipeline_curate" -> curateSql
+  )
+}
