@@ -284,6 +284,33 @@ object Modern {
       |HAVING count(*) >= 50
       |ORDER BY rep""".stripMargin
 
+  // ------------------------------------------------ error-safe functions
+  /** The `try_` family under ANSI mode (the Spark 4 default, which this
+    * engine runs with): a failed cast or a division by zero THROWS in
+    * plain form — `try_cast`/`try_divide` are the per-row escape hatch
+    * that turns poison values into NULLs instead of killing a 100 TB
+    * job at row 10^12. The aggregate shape (count over try_*) is the
+    * standard ingest-health profile: how many rows parse. DuckDB twins:
+    * TRY_CAST and NULLIF-guarded division. */
+  def errorSafeFuncs(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT count(*) AS n_rows,
+        |       count(try_cast(p_brand AS INT)) AS n_brand_casts,
+        |       count(try_cast(CAST(p_size AS STRING) AS INT)) AS n_size_casts,
+        |       count(try_divide(p_retailprice, p_size - p_size)) AS n_div_ok,
+        |       CAST(sum(try_cast(substring(p_brand, 7) AS INT)) AS BIGINT) AS brand_num_sum
+        |FROM part""".stripMargin)
+  }
+
+  val errorSafeFuncsSql: String =
+    """SELECT count(*) AS n_rows,
+      |       count(TRY_CAST(p_brand AS INT)) AS n_brand_casts,
+      |       count(TRY_CAST(CAST(p_size AS VARCHAR) AS INT)) AS n_size_casts,
+      |       count(p_retailprice / NULLIF(p_size - p_size, 0)) AS n_div_ok,
+      |       CAST(sum(TRY_CAST(substring(p_brand, 7) AS INT)) AS BIGINT) AS brand_num_sum
+      |FROM part""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "variant_extract"    -> (variantExtract _),
     "listagg_nations"    -> (listaggNations _),
@@ -294,7 +321,8 @@ object Modern {
     "lateral_top_spender" -> (lateralTopSpender _),
     "null_semantics"     -> (nullSemantics _),
     "hof_array_funcs"    -> (hofArrayFuncs _),
-    "collation_groups"   -> (collationGroups _)
+    "collation_groups"   -> (collationGroups _),
+    "error_safe_funcs"   -> (errorSafeFuncs _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -305,7 +333,8 @@ object Modern {
     "lateral_top_spender" -> lateralTopSpenderSql,
     "null_semantics"    -> nullSemanticsSql,
     "hof_array_funcs"   -> hofArrayFuncsSql,
-    "collation_groups"  -> collationGroupsSql
+    "collation_groups"  -> collationGroupsSql,
+    "error_safe_funcs"  -> errorSafeFuncsSql
     // approx_topk_tokens / histogram_prices: sketch-internal-dependent →
     // rows-only gate + spec invariants (see Scaladoc)
   )

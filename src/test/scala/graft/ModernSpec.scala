@@ -54,6 +54,19 @@ class ModernSpec extends GraftSpec {
     }
   }
 
+  test("ANSI mode is on: bad casts throw, try_ variants null out") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "engine must run under Spark 4's ANSI default — error_safe_funcs depends on it")
+    intercept[Exception] {
+      spark.sql("SELECT CAST('Brand#13' AS INT)").collect()
+    }
+    assert(spark.sql("SELECT try_cast('Brand#13' AS INT)").head.isNullAt(0))
+    intercept[Exception] {
+      spark.sql("SELECT 1/0").collect()
+    }
+    assert(spark.sql("SELECT try_divide(1, 0)").head.isNullAt(0))
+  }
+
   test("parameterized SQL binds named and positional markers as literals") {
     // the injection-safe query surface: markers bind as foldable literals,
     // so Catalyst still constant-folds and pushes them down
