@@ -102,6 +102,33 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("SQL join hints are honored: BROADCAST and SHUFFLE_MERGE pick their operators") {
+    Tables.registerAll(spark, sf0001)
+    val b = spark.sql(
+      """SELECT /*+ BROADCAST(nation) */ count(*)
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin)
+    assert(planOf(b).contains("BroadcastHashJoin"), planOf(b).take(800))
+    val m = spark.sql(
+      """SELECT /*+ SHUFFLE_MERGE(nation) */ count(*)
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin)
+    assert(planOf(m).contains("SortMergeJoin"), planOf(m).take(800))
+  }
+
+  test("AQE coalesces over-provisioned shuffle partitions at runtime") {
+    // the runtime re-plan that replaces hand-tuned partition counts: 64
+    // shuffle partitions on tiny data must collapse to a handful after
+    // the map stage reports sizes
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val df = Tables.orders(spark, sf0001)
+        .groupBy("o_orderpriority").count()
+      df.collect() // AQE finalizes on execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead coalesced"), plan.take(1200))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = Reference.topTokens(spark, sf0001)
     df.collect() // AQE finalizes (and codegens) only on execution
