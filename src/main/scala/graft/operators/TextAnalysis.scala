@@ -252,7 +252,56 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
 
+  /** Character-level edit distance over the near-dup candidate pairs —
+    * the second-opinion verifier a dedup pipeline runs where token-set
+    * Jaccard is blind (reorderings, small in-token edits). Levenshtein
+    * is O(len²) per pair, so it is only ever computed on the CANDIDATE
+    * pairs the set-based stage already bounded (never all-pairs), and on
+    * a capped prefix — the standard production guard for adversarially
+    * long documents. Also emits a normalized similarity in exact integer
+    * arithmetic over doubles. */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("prefix"))
+    Dedup.jaccardNearDup(s, dir)
+      .join(docs.select(col("doc_id").as("a_id"), col("prefix").as("pa")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("prefix").as("pb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("pa"), col("pb")).as("edit_dist"),
+        (lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double") /
+          greatest(length(col("pa")), length(col("pb"))).cast("double"))
+          .as("edit_sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val editDistancePairsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM common
+      |  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |),
+      |p AS (SELECT doc_id, substring(text, 1, 200) AS prefix FROM documents)
+      |SELECT a_id, b_id,
+      |       levenshtein(pa.prefix, pb.prefix) AS edit_dist,
+      |       1.0 - CAST(levenshtein(pa.prefix, pb.prefix) AS DOUBLE) /
+      |             CAST(greatest(length(pa.prefix), length(pb.prefix)) AS DOUBLE) AS edit_sim
+      |FROM pairs JOIN p pa ON a_id = pa.doc_id JOIN p pb ON b_id = pb.doc_id
+      |ORDER BY a_id, b_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_edit_distance" -> (editDistancePairs _),
     "text_stratified_sample" -> (stratifiedSample _),
     "text_token_counts" -> (tokenCounts _),
     "text_quality"      -> (qualityScore _),
@@ -262,6 +311,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_edit_distance" -> editDistancePairsSql,
     "text_token_counts" -> tokenCountsSql,
     "text_quality"      -> qualityScoreSql,
     "text_lang_id"      -> langIdSql,
