@@ -23,6 +23,30 @@ class LayoutSpec extends GraftSpec {
     assert(a.sameElements(b))
   }
 
+  test("dynamic partition overwrite rewrites only the partitions present in the batch") {
+    // the incremental-backfill contract: re-running one day/split must not
+    // truncate the rest of the table (static overwrite mode would)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString + "/t"
+    try {
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("id", "part")
+        .write.partitionBy("part").mode("overwrite").parquet(dir)
+      // backfill touches ONLY part=b with a corrected row
+      Seq((20L, "b")).toDF("id", "part")
+        .write.partitionBy("part").mode("overwrite").parquet(dir)
+      val rows = spark.read.parquet(dir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "a"), (20L, "b")),
+        s"partition a must survive the b-only overwrite: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("range layout yields disjoint per-file key ranges (file-level skipping)") {
     val out = java.nio.file.Files.createTempDirectory("graft_range").toString + "/orders"
     Layout.rangeLayout(
