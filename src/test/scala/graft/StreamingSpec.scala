@@ -323,6 +323,36 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("StreamingQueryListener surfaces per-batch progress metrics") {
+    // the monitoring hook a production pipeline wires to its metrics
+    // system: input rows and state rows per micro-batch, no polling
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        seen.add(e.progress.numInputRows)
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val ms = MemoryStream[(Long, String)](57, spark, None)
+    val q = ms.toDF().toDF("event_id", "event_type")
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName("listener_mem")
+      .outputMode("complete").start()
+    try {
+      ms.addData((1L, "click"), (2L, "view"), (3L, "click"))
+      q.processAllAvailable()
+      // progress events are posted asynchronously after the batch commits
+      val deadline = System.currentTimeMillis() + 30000
+      while (!seen.contains(3L) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(seen.contains(3L), s"expected a 3-input-row batch in $seen")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("built-in session_window streams: sessions close when the watermark passes the gap") {
     // the third sessionization form (besides FMGWS and transformWithState):
     // the declarative session_window aggregate — state merging and
