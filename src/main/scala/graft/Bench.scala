@@ -61,14 +61,17 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
-    }
+    }.recover { case e => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     val budget = 1600 // chars for the queries map; whole line stays < ~1750
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2
     var i = 0
-    while (i < bySlowest.length && used + bySlowest(i)._1.length + 12 <= budget) {
-      kept += bySlowest(i); used += bySlowest(i)._1.length + 12; i += 1
-    }
+    // measure the ACTUAL serialized entry ("key":12.34,) — a fixed width
+    // estimate breaks the char budget the moment a time needs more digits
+    while (i < bySlowest.length && {
+      val w = bySlowest(i)._1.length + 4 + r2(bySlowest(i)._2).length
+      used + w <= budget && { used += w; true }
+    }) { kept += bySlowest(i); i += 1 }
     val omitted = bySlowest.drop(i)
     val qs = (kept.map { case (k, v) => "\"" + k + "\":" + r2(v) } ++
       (if (omitted.nonEmpty)

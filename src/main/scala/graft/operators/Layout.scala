@@ -24,7 +24,11 @@ object Layout {
               targetFileMB: Int = 128): Int = {
     val df = s.read.parquet(inDir)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val n = (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt.max(1)
+    // clamp the BigInt before converting: a missing-stats estimate
+    // (sizeInBytes = Long.MaxValue) must hit the Int ceiling, not wrap
+    // through the low 32 bits to 0 and compact everything into one file
+    val n = (bytes / (targetFileMB.toLong * 1024 * 1024))
+      .min(BigInt(Int.MaxValue)).toInt.max(1)
     df.repartition(n).write.mode("overwrite").parquet(outDir)
     n
   }

@@ -250,7 +250,11 @@ object StreamingWindows {
             secs.foreach { t =>
               cur match {
                 case Some(st) if t - st.end <= gapSec =>
-                  cur = Some(st.copy(end = t, n = st.n + 1))
+                  // min/max merge: a late-but-in-watermark event that sorts
+                  // before the open session's bounds must widen them, never
+                  // shrink end backwards
+                  cur = Some(SessState(math.min(st.start, t),
+                    math.max(st.end, t), st.n + 1))
                 case Some(st) =>
                   closed ::= SessionOut(uid, st.start, st.end, st.n)
                   cur = Some(SessState(t, t, 1))
@@ -293,7 +297,8 @@ object StreamingWindows {
       secs.foreach { t =>
         cur match {
           case Some(st) if t - st.end <= gapSec =>
-            cur = Some(st.copy(end = t, n = st.n + 1))
+            cur = Some(SessState(math.min(st.start, t),
+              math.max(st.end, t), st.n + 1))
           case Some(st) =>
             closed ::= SessionOut(uid, st.start, st.end, st.n)
             cur = Some(SessState(t, t, 1))
