@@ -1,0 +1,295 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus/behavior analytics a training-data platform runs beside the
+  * curation pipeline (SURVEY.md §2c extension scope; reference analogue:
+  * ABSENT — the reference computes one hashtag count,
+  * `tweet-streamer/src/main/scala/main.scala:47`). All six queries are
+  * deterministic and hash-compared against the DuckDB oracle:
+  *
+  *  - event funnel: ordered-stage conversion (click → view → purchase);
+  *  - SCD2 history: slowly-changing-dimension rows from an event log;
+  *  - TF-IDF top terms: the classic corpus-relevance score, per doc;
+  *  - domain mixing weights: per-source sampling weights to a uniform
+  *    token mixture — the knob LLM data recipes tune;
+  *  - per-lang KL divergence vs the global token distribution — drift /
+  *    contamination detection between corpus slices;
+  *  - MAD robust outliers: median/MAD z-scores, the quality-filter for
+  *    numeric columns that survives the heavy tails stddev dies on.
+  */
+object Analytics {
+
+  // ------------------------------------------------------------- funnel
+  /** Ordered-stage funnel over the event log: users whose first `click`
+    * precedes a later `view` precedes a later `purchase`. Each stage is a
+    * per-user min-timestamp aggregate shuffled by `user_id`, then an
+    * equi-join to the previous stage with a strict time predicate — no
+    * window over the full log, no per-user sort; state per user is one
+    * timestamp per stage, so the plan is three partial+final aggregates
+    * and two shuffle joins regardless of log depth (at 100 TB the event
+    * scan dominates, as it must). */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "view").join(t1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    t1.agg(count(lit(1)).as("n_users")).select(lit("1_click").as("stage"), col("n_users"))
+      .unionByName(t2.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_view_after_click").as("stage"), col("n_users")))
+      .unionByName(t3.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase_after_view").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  val funnelStagesSql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'click' GROUP BY 1
+      |), t2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY 1
+      |), t3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+      |)
+      |SELECT '1_click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
+      |UNION ALL SELECT '2_view_after_click', CAST(count(*) AS BIGINT) FROM t2
+      |UNION ALL SELECT '3_purchase_after_view', CAST(count(*) AS BIGINT) FROM t3
+      |ORDER BY stage""".stripMargin
+
+  // ------------------------------------------------------------- SCD2
+  /** Slowly-changing-dimension type-2 history from the event log: one row
+    * per (user, event_type) RUN, valid from its first second until the
+    * next change (NULL = still current). Ordering is (epoch-second,
+    * event_id) on BOTH engines — second granularity sidesteps the
+    * micro-vs-nano timestamp precision split between Spark and DuckDB,
+    * and `event_id` breaks same-second ties identically. Two windows over
+    * one `user_id` partitioning → a single shuffle + per-user sort; the
+    * change filter drops run-continuation rows BETWEEN the windows, so
+    * the expensive full-log sort happens exactly once. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val runs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    runs
+      .withColumn("valid_to", lead(col("sec"), 1).over(byUser))
+      .select(col("user_id"), col("event_type"), col("sec").as("valid_from"),
+        col("valid_to"))
+      .orderBy("user_id", "valid_from", "event_type")
+  }
+
+  val scd2HistorySql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, event_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+      |  FROM events
+      |), runs AS (
+      |  SELECT user_id, event_type, event_id, sec FROM ordered
+      |  WHERE prev IS NULL OR prev <> event_type
+      |)
+      |SELECT user_id, event_type, sec AS valid_from,
+      |       lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to
+      |FROM runs ORDER BY user_id, valid_from, event_type""".stripMargin
+
+  // ------------------------------------------------------------- TF-IDF
+  /** Per-document top-3 TF-IDF terms. tf = in-doc occurrences, idf =
+    * ln(N/df) with df = docs containing the term; score rounded to 6
+    * decimals (ln magnitudes here are ≤ ln(N), so engine ulp differences
+    * sit ~9 orders below the rounding grid). The doc-frequency table is
+    * distinct-tokens-sized (vocabulary, not corpus) → broadcast to the
+    * per-doc tf aggregate; N is one scalar. The only full-corpus shuffle
+    * is the tf groupBy — the same cost profile as the flagship token
+    * count. Top-3 via a per-doc window with a total (score, tok) order. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(countDistinct(col("doc_id")).as("n"))
+    val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |         round(tf.tf * ln((SELECT count(DISTINCT doc_id) FROM documents) * 1.0 / dfreq.df), 6) AS score
+      |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+      |), ranked AS (
+      |  SELECT doc_id, tok, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+      |  FROM scored
+      |)
+      |SELECT doc_id, CAST(rk AS INT) AS rk, tok, score FROM ranked
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // ------------------------------------------------- domain mixing weights
+  /** Per-source sampling weights to reach a UNIFORM token mixture — the
+    * data-recipe computation behind "upweight small domains": weight =
+    * target share / actual share, where actual = source tokens / corpus
+    * tokens. A source at exactly target share gets 1.0; a 2×-overweight
+    * source gets 0.5. One corpus scan → per-source token-count aggregate;
+    * the totals are a two-row broadcast. */
+  def mixDomainWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).cast("long").as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round((col("total_tokens").cast("double") /
+          (col("n_sources") * col("n_tokens"))), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  val mixDomainWeightsSql: String =
+    """WITH per_source AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1
+      |), totals AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_sources
+      |  FROM per_source
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |       round(total_tokens * 1.0 / (n_sources * n_tokens), 6) AS weight
+      |FROM per_source, totals ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------- per-lang KL drift
+  /** KL(lang ‖ corpus) over token distributions — how far each language
+    * slice drifts from the global unigram mix (the same statistic used to
+    * detect contamination between corpus shards). Every lang token exists
+    * globally (subset), so q > 0 and the sum is well-defined. Both
+    * distributions come from ONE tokenize + one (lang, tok) aggregate;
+    * the global marginal is re-aggregated from the per-lang counts (no
+    * second corpus scan) and broadcast — vocabulary-sized, not
+    * corpus-sized. */
+  def klLangDrift(s: SparkSession, dir: String): DataFrame = {
+    val langTok = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val langTotals = langTok.groupBy("lang").agg(sum(col("cnt")).as("lang_total"))
+    val global = langTok.groupBy("tok").agg(sum(col("cnt")).as("gcnt"))
+    val grand = global.agg(sum(col("gcnt")).as("grand"))
+    langTok.join(langTotals, "lang").join(broadcast(global), "tok")
+      .crossJoin(broadcast(grand))
+      .withColumn("term",
+        (col("cnt") / col("lang_total")) *
+          log((col("cnt").cast("double") * col("grand")) /
+              (col("lang_total") * col("gcnt"))))
+      .groupBy("lang")
+      .agg(round(sum(col("term")), 6).as("kl"),
+           max(col("lang_total")).as("lang_tokens"))
+      .orderBy("lang")
+  }
+
+  val klLangDriftSql: String =
+    """WITH lt AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), langtok AS (
+      |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt FROM lt GROUP BY 1, 2
+      |), lang_totals AS (
+      |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS lang_total FROM langtok GROUP BY 1
+      |), global AS (
+      |  SELECT tok, CAST(sum(cnt) AS BIGINT) AS gcnt FROM langtok GROUP BY 1
+      |), grand AS (
+      |  SELECT CAST(sum(gcnt) AS BIGINT) AS grand FROM global
+      |)
+      |SELECT langtok.lang,
+      |       round(sum((cnt * 1.0 / lang_total) *
+      |                 ln((cnt * 1.0 * grand) / (lang_total * 1.0 * gcnt))), 6) AS kl,
+      |       CAST(max(lang_total) AS BIGINT) AS lang_tokens
+      |FROM langtok
+      |JOIN lang_totals ON langtok.lang = lang_totals.lang
+      |JOIN global ON langtok.tok = global.tok, grand
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------- MAD outliers
+  /** Robust outlier counts per order status: median + MAD (median
+    * absolute deviation), then |x − med| > 3.5·MAD — the modified-z rule.
+    * Unlike mean/stddev this survives the heavy tail it is trying to
+    * detect (one 10⁹ value shifts a mean arbitrarily, a median not at
+    * all). Two exact-median passes (med, then MAD over |x − med|) — each
+    * an interpolated `percentile` needing a per-group sort, the price of
+    * exactness the percentile query already documents; groups are 3-ary
+    * so the joins broadcast. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderstatus"), col("o_totalprice"))
+    val med = o.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    val mad = o.join(broadcast(med), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"))
+    o.join(broadcast(med), "o_orderstatus").join(broadcast(mad), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(abs(col("o_totalprice") - col("med")) > col("mad") * 3.5, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("o_orderstatus")
+  }
+
+  val madOutliersSql: String =
+    """WITH med AS (
+      |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+      |  FROM orders GROUP BY 1
+      |), mad AS (
+      |  SELECT o.o_orderstatus, quantile_cont(abs(o.o_totalprice - med.med), 0.5) AS mad
+      |  FROM orders o JOIN med ON o.o_orderstatus = med.o_orderstatus GROUP BY 1
+      |)
+      |SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |       round(max(med.med), 6) AS med, round(max(mad.mad), 6) AS mad,
+      |       CAST(sum(CASE WHEN abs(o.o_totalprice - med.med) > mad.mad * 3.5
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM orders o
+      |JOIN med ON o.o_orderstatus = med.o_orderstatus
+      |JOIN mad ON o.o_orderstatus = mad.o_orderstatus
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_stages"      -> (funnelStages _),
+    "scd2_history"       -> (scd2History _),
+    "tfidf_top_terms"    -> (tfidfTopTerms _),
+    "mix_domain_weights" -> (mixDomainWeights _),
+    "kl_lang_drift"      -> (klLangDrift _),
+    "mad_outliers"       -> (madOutliers _))
+
+  val oracles: Map[String, String] = Map(
+    "funnel_stages"      -> funnelStagesSql,
+    "scd2_history"       -> scd2HistorySql,
+    "tfidf_top_terms"    -> tfidfTopTermsSql,
+    "mix_domain_weights" -> mixDomainWeightsSql,
+    "kl_lang_drift"      -> klLangDriftSql,
+    "mad_outliers"       -> madOutliersSql)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the corpus/behavior analytics module
+  * (operators/Analytics.scala). All six queries are oracle-checked by the
+  * driver; these pin the structural properties a hash compare cannot
+  * express (monotonicity, interval chaining, weight normalization). */
+class AnalyticsSpec extends GraftSpec {
+
+  test("funnel stage counts are monotonically non-increasing") {
+    val rows = Analytics.funnelStages(spark, sf0001)
+      .orderBy("stage").collect().map(_.getLong(1))
+    assert(rows.length == 3)
+    assert(rows(0) >= rows(1) && rows(1) >= rows(2),
+      s"funnel must narrow: ${rows.mkString(",")}")
+    assert(rows(0) > 0, "harness data has clicks")
+  }
+
+  test("scd2 intervals chain: valid_to = next valid_from, one open row per user") {
+    val df = Analytics.scd2History(spark, sf0001).cache()
+    try {
+      // exactly one current (NULL valid_to) row per user
+      val open = df.filter(col("valid_to").isNull)
+        .groupBy("user_id").count().filter(col("count") =!= 1).count()
+      assert(open == 0, "each user has exactly one open interval")
+      // intervals chain with no gaps or overlaps
+      val broken = df.withColumn("next_from",
+          lead(col("valid_from"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy("valid_from")))
+        .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+        .count()
+      assert(broken == 0, "valid_to must equal the successor's valid_from")
+      // consecutive rows never repeat the same state (it's a CHANGE history)
+      val repeats = df.withColumn("prev_type",
+          lag(col("event_type"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy("valid_from")))
+        .filter(col("prev_type") === col("event_type")).count()
+      assert(repeats == 0, "adjacent rows must differ in event_type")
+    } finally df.unpersist()
+  }
+
+  test("tfidf emits ranks 1..3 per doc with non-increasing scores") {
+    val df = Analytics.tfidfTopTerms(spark, sf0001).cache()
+    try {
+      val badRank = df.groupBy("doc_id")
+        .agg(collect_list(col("rk")).as("rks"))
+        .filter(array_sort(col("rks")) =!= array(lit(1), lit(2), lit(3)))
+        .count()
+      assert(badRank == 0, "every doc gets exactly ranks 1,2,3")
+      val inversions = df.withColumn("prev_score",
+          lag(col("score"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy("rk")))
+        .filter(col("prev_score") < col("score")).count()
+      assert(inversions == 0, "scores non-increasing in rank")
+    } finally df.unpersist()
+  }
+
+  test("mixing weights renormalize every source to the uniform token share") {
+    val rows = Analytics.mixDomainWeights(spark, sf0001).collect()
+    val totalTokens = rows.map(_.getLong(2)).sum
+    val target = totalTokens.toDouble / rows.length
+    rows.foreach { r =>
+      val resampled = r.getDouble(3) * r.getLong(2)
+      assert(math.abs(resampled - target) < target * 1e-4,
+        s"source ${r.getString(0)}: weight*n_tokens=$resampled vs target=$target")
+    }
+  }
+
+  test("KL divergence is non-negative and zero only for an exact-global slice") {
+    val rows = Analytics.klLangDrift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0.0, s"KL(${r.getString(0)}) must be >= 0")
+    }
+  }
+
+  test("MAD outlier rule flags a planted extreme value and robustness holds") {
+    import spark.implicits._
+    // med/mad of 1..100 are unchanged by one 10^6 outlier; stddev is not
+    val base = (1 to 100).map(i => ("g", i.toDouble)) :+ (("g", 1e6))
+    val df = base.toDF("k", "x")
+    df.createOrReplaceTempView("mad_probe")
+    val med = spark.sql(
+      "SELECT percentile(x, 0.5) AS med FROM mad_probe").head.getDouble(0)
+    assert(med == 51.0, "median shrugs off the outlier")
+    val rows = Analytics.madOutliers(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), "outliers <= population")
+      assert(r.getDouble(3) >= 0.0, "MAD non-negative")
+    }
+  }
+}
