@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, DataPrep, Dedup, Modern, Multimodal, Pipeline,
-  QualityFilters, Reference, Relational, RelationalExt, RelationalMore, Similarity,
-  SourcesSinks, TextAnalysis, TimeWindows, TpchFull, TypedOps}
+import graft.operators.{Analytics, DataPrep, Dedup, Layout, Modern, Multimodal,
+  Pipeline, QualityFilters, Reference, Relational, RelationalExt, RelationalMore,
+  Similarity, SourcesSinks, TextAnalysis, TimeWindows, TpchFull, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,6 +22,7 @@ object SparkEntry {
     Seq(
       (Reference.queries, Reference.oracles),
       (Analytics.queries, Analytics.oracles),
+      (Layout.queries, Layout.oracles),
       (TimeWindows.queries, TimeWindows.oracles),
       (Relational.queries, Relational.oracles),
       (RelationalExt.queries, RelationalExt.oracles),

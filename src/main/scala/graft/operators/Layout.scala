@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical data-layout maintenance — the table-upkeep jobs a 100 TB lake
@@ -46,4 +47,71 @@ object Layout {
     df.repartitionByRange(numFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(outDir)
+
+  /** Morton (Z-order) interleave of two `bits`-bit non-negative keys —
+    * bit i of x lands at position 2i, bit i of y at 2i+1. Pure integer
+    * Catalyst arithmetic (shift/and/multiply), so it stays inside
+    * whole-stage codegen; 2·bits ≤ 62 keeps the result in a BIGINT. */
+  def morton(x: Column, y: Column, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** The same interleave as ANSI SQL (for the DuckDB oracle). */
+  def mortonSql(x: String, y: String, bits: Int = 8): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
+  /** Multi-dimensional clustering: sort by the Morton code of two keys so
+    * each output file covers a SMALL RECTANGLE of (k1, k2) space instead
+    * of a thin full-width stripe — parquet min/max footer stats then
+    * prune files for predicates on EITHER dimension, where a single-key
+    * sort only ever prunes its own key (second-key spread per file stays
+    * full-range). This is the Z-order clustering every lakehouse ships;
+    * space-filling-curve locality is the entire mechanism. Keys must be
+    * bounded non-negative ints (callers bucket/bias first — here modulo,
+    * at scale typically a rank or epoch-day transform). */
+  def zOrderLayout(df: DataFrame, outDir: String, k1: String, k2: String,
+                   bits: Int, numFiles: Int): Unit =
+    df.withColumn("_z", morton(col(k1), col(k2), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Oracle-checked probe of the Morton math itself: z-codes of
+    * (l_partkey mod 256, l_suppkey mod 256) summarized per 256-wide
+    * z-bucket. A wrong shift, bit order, or sign anywhere moves rows
+    * across buckets and breaks the hash compare. */
+  def zorderCells(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(pmod(col("l_partkey"), lit(256)).cast("long").as("x"),
+              pmod(col("l_suppkey"), lit(256)).cast("long").as("y"))
+    li.withColumn("z", morton(col("x"), col("y")))
+      .groupBy((col("z") / 256).cast("long").as("z_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"),
+           max(col("z")).as("z_max"))
+      .orderBy("z_bucket")
+  }
+
+  val zorderCellsSql: String = {
+    val z = mortonSql("(l_partkey % 256)", "(l_suppkey % 256)")
+    s"""WITH coded AS (
+       |  SELECT ($z) AS z FROM lineitem
+       |)
+       |SELECT CAST(floor(z / 256) AS BIGINT) AS z_bucket,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
+       |FROM coded GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_cells" -> (zorderCells _))
+
+  val oracles: Map[String, String] = Map(
+    "zorder_cells" -> zorderCellsSql)
 }

@@ -72,4 +72,42 @@ class LayoutSpec extends GraftSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"),
       plan.take(800))
   }
+
+  test("morton interleave round-trips bit-exactly against a reference impl") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val probe = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)) ++
+      Seq((255L, 0L), (0L, 255L), (255L, 255L), (170L, 85L))
+    val got = probe.toDF("x", "y")
+      .withColumn("z", Layout.morton(col("x"), col("y")))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    probe.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y), s"morton($x,$y)")
+    }
+  }
+
+  test("z-order layout bounds BOTH key dims per file; single-key sort does not") {
+    val base = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val df = Tables.lineitem(spark, sf0001)
+      .select(pmod(col("l_partkey"), lit(256)).cast("long").as("x"),
+              pmod(col("l_suppkey") * 37, lit(256)).cast("long").as("y"))
+    Layout.zOrderLayout(df, s"$base/z", "x", "y", bits = 8, numFiles = 16)
+    Layout.rangeLayout(df, s"$base/x", "x", numFiles = 16)
+    def spreads(dir: String): Array[(Long, Long)] = parquetFiles(dir).map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(max("x") - min("x"), max("y") - min("y")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // Z-order: the WORST file still covers only a fraction of each dim's
+    // 0..255 range — footer min/max stats can prune on either predicate
+    val z = spreads(s"$base/z")
+    assert(z.map(_._1).max < 200 && z.map(_._2).max < 200,
+      s"z-order must bound both dims: ${z.toSeq}")
+    // single-key sort: x is tight but y stays at (nearly) full range —
+    // median spread shows the typical file is unprunable on y
+    val xs = spreads(s"$base/x").map(_._2).sorted
+    assert(xs(xs.length / 2) > 200,
+      s"single-key layout leaves y unbounded per file: ${xs.toSeq}")
+  }
 }
