@@ -385,8 +385,99 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy(col("n_vecs").desc, col("bucket"))
 
+  // ------------------------------------------------ product quantization
+  private val PqM = 8     // subspaces (64 dims / 8)
+  private val PqDsub = 8  // dims per subspace
+  private val PqK = 16    // codewords per subspace
+
+  /** PQ-compressed ANN (ADC — asymmetric distance computation). The
+    * 100 TB mechanism: each 64-float vector (256 B) compresses to [[PqM]]
+    * 4-bit codes (4 B, 64×) — the candidate scan reads CODES, never
+    * vectors, so scan bandwidth and cache footprint shrink by the same
+    * factor, which is the entire reason FAISS-style engines quantize.
+    *
+    *  - codebook: per subspace, the [[PqK]] sub-vectors of the first 16
+    *    corpus vectors — deterministic, recomputable on any executor (no
+    *    stored model), same trick as the IVF coarse quantizer above;
+    *  - encode: one explode(subspace) + broadcast codebook join +
+    *    per-(vec, subspace) argmin window — L2² from three codegen'd
+    *    dots, identical strict folds in DuckDB → identical argmins;
+    *  - query: the per-query (subspace × codeword) distance table is
+    *    Nq·[[PqM]]·[[PqK]] rows — broadcast; the corpus-side join then
+    *    carries (code → table lookup), no vector math at all;
+    *  - determinism: table entries are FIXED-POINT (×10⁹, HALF_UP,
+    *    BIGINT), so the 8-term ADC sum is integer arithmetic — immune to
+    *    float summation-order drift between engines, which lets this be
+    *    hash-checked end-to-end where LSH variants cannot. */
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    def sub(v: Column, m: Column): Column = slice(v, m * PqDsub + 1, lit(PqDsub))
+    def d2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val e = embeddings(s, dir)
+    val cb = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("cd").asc, col("c_id"))
+    val enc = e.join(broadcast(cb), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"), col("cv"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .withColumn("cd", d2(sub(col("v"), col("m")), sub(col("cv"), col("m"))))
+      .withColumn("r", row_number().over(wEnc)).filter(col("r") === 1)
+      .select(col("vec_id"), col("m"), col("c_id").as("code"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dtab = q.join(broadcast(cb), lit(true))
+      .select(col("q_id"), col("qv"), col("c_id").as("code"), col("cv"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        round(d2(sub(col("qv"), col("m")), sub(col("cv"), col("m"))) * lit(1e9))
+          .cast("long").as("d"))
+    val scored = enc.join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum(col("d")).as("dist"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"), col("dist"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val pqTopKSql: String = {
+    def sub(v: String) = s"$v[(m*$PqDsub+1):(m*$PqDsub+$PqDsub)]"
+    def d2(a: String, b: String) =
+      s"(list_dot_product($a,$a) - 2*list_dot_product($a,$b) + list_dot_product($b,$b))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $PqK),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |enc AS (
+       |  SELECT vec_id, m, c_id AS code FROM (
+       |    SELECT e.vec_id, ms.m, cb.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id, ms.m ORDER BY
+       |        ${d2(sub("e.v"), sub("cb.cv"))} ASC, cb.c_id) AS r
+       |    FROM e CROSS JOIN ms CROSS JOIN cb
+       |  ) WHERE r = 1
+       |),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |dtab AS (
+       |  SELECT q_id, m, c_id AS code,
+       |    CAST(round(${d2(sub("q.qv"), sub("cb.cv"))} * 1000000000) AS BIGINT) AS d
+       |  FROM q CROSS JOIN ms CROSS JOIN cb
+       |),
+       |scored AS (
+       |  SELECT dtab.q_id, enc.vec_id AS n_id, CAST(sum(dtab.d) AS BIGINT) AS dist
+       |  FROM enc JOIN dtab ON enc.m = dtab.m AND enc.code = dtab.code
+       |  WHERE enc.vec_id <> dtab.q_id
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT q_id, n_id, dist,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT q_id, n_id, rnk, dist FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk"  -> (bruteForceTopK _),
+    "ann_pq_topk"     -> (pqTopK _),
     "ann_heap_topk"   -> (heapTopK _),
     "ann_lsh_topk"    -> (lshTopK _),
     "ann_bucket_stats" -> (bucketStats _),
@@ -399,6 +490,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "ann_brute_topk" -> bruteForceTopKSql,
+    "ann_pq_topk"    -> pqTopKSql,
     // the heap aggregate is result-identical to the window variant by
     // construction — it shares the same oracle
     "ann_heap_topk"  -> bruteForceTopKSql,

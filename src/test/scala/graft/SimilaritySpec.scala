@@ -18,6 +18,40 @@ class SimilaritySpec extends GraftSpec {
     assert(math.abs(df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head()) < 1e-12)
   }
 
+  test("PQ top-k matches an independent pure-Scala ADC reference end-to-end") {
+    // reference PQ: same codebook rule (vec_id < 16), same subspace split,
+    // same strict-left-fold L2², same x1e9 fixed-point table — rebuilt
+    // from scratch in local Scala so a bug in the Spark pipeline can't
+    // hide behind an identical bug in itself
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def sub(v: Array[Double], m: Int): Array[Double] = v.slice(m * 8, m * 8 + 8)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    val cb = (0L until 16L).map(i => i -> vecs(i)).toMap
+    def encode(v: Array[Double], m: Int): Long =
+      cb.toSeq.map { case (c, cv) => (d2(sub(v, m), sub(cv, m)), c) }.minBy(identity)._2
+    val queries = vecs.keys.filter(_ % 100 == 0).toSeq.sorted
+    val expected = queries.flatMap { qid =>
+      val qv = vecs(qid)
+      val dt = (for (m <- 0 until 8; c <- 0L until 16L)
+        yield (m, c) -> math.round(d2(sub(qv, m), sub(cb(c), m)) * 1e9)).toMap
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (vid, v) => (vid, (0 until 8).map(m => dt((m, encode(v, m)))).sum) }
+        .sortBy { case (vid, d) => (d, vid) }.take(5).zipWithIndex
+        .map { case ((vid, d), i) => (qid, vid, i + 1, d) }
+    }.toSet
+    val got = graft.operators.Similarity.pqTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"diff got-exp=${got -- expected}\nexp-got=${expected -- got}")
+  }
+
   test("brute-force top-k: scores are within [-1,1], ranks contiguous per query") {
     val rows = Similarity.bruteForceTopK(spark, sf0001).collect()
     assert(rows.nonEmpty)
