@@ -277,13 +277,153 @@ object Analytics {
       |JOIN mad ON o.o_orderstatus = mad.o_orderstatus
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------ cohort retention
+  /** Weekly cohort-retention matrix: users bucketed by first-seen week,
+    * then the share of each cohort active in every later week. Two
+    * aggregates over one event scan — per-user first week (shuffle by
+    * user), then distinct (cohort, user, week) → cell counts; the cohort
+    * sizes re-aggregate from the first pass and broadcast back. Weeks are
+    * epoch-aligned integer division — identical bucketing in both
+    * engines, no calendar/locale dependence. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(s, dir)
+      .select(col("user_id"), (unix_timestamp(col("ts")) / 604800L).cast("long").as("week"))
+    val firstWeek = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val cohortSize = firstWeek.groupBy("cohort_week")
+      .agg(countDistinct(col("user_id")).as("cohort_n"))
+    weeks.join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(cohortSize), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        round(col("n_active") / col("cohort_n"), 6).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH weeks AS (
+      |  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week FROM events
+      |), first_week AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1
+      |), cohort_size AS (
+      |  SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_n
+      |  FROM first_week GROUP BY 1
+      |)
+      |SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+      |       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active,
+      |       round(count(DISTINCT w.user_id) * 1.0 / max(c.cohort_n), 6) AS retention
+      |FROM weeks w
+      |JOIN first_week f ON w.user_id = f.user_id
+      |JOIN cohort_size c ON f.cohort_week = c.cohort_week
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------- skew profile
+  /** Key-skew diagnosis for the fact table's join key: per-key row counts
+    * bucketed into power-of-two bands via explicit CASE ranges (NOT
+    * floating log2, whose exact-power values differ by 1 ulp between
+    * engines and would flip bucket edges). This is the profile you run
+    * BEFORE choosing salted-join factors — the heavy tail it reveals is
+    * what join_salted then handles. */
+  def skewProfile(s: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+    perKey
+      .withColumn("band",
+        when(col("c") === 1, "1: 1")
+          .when(col("c") <= 3, "2: 2-3")
+          .when(col("c") <= 7, "3: 4-7")
+          .when(col("c") <= 15, "4: 8-15")
+          .otherwise("5: 16+"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+           max(col("c")).as("max_per_key"))
+      .orderBy("band")
+  }
+
+  val skewProfileSql: String =
+    """WITH per_key AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1
+      |)
+      |SELECT CASE WHEN c = 1 THEN '1: 1' WHEN c <= 3 THEN '2: 2-3'
+      |            WHEN c <= 7 THEN '3: 4-7' WHEN c <= 15 THEN '4: 8-15'
+      |            ELSE '5: 16+' END AS band,
+      |       CAST(count(*) AS BIGINT) AS n_keys,
+      |       CAST(sum(c) AS BIGINT) AS n_rows,
+      |       CAST(max(c) AS BIGINT) AS max_per_key
+      |FROM per_key GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------- PageRank
+  private val PrIters = 3
+  private val PrDamp = 0.85
+
+  /** PageRank (3 fixed iterations, d=0.85) over the supplier co-supply
+    * graph: suppliers adjacent when they ship the same part. The edge
+    * list derives from DISTINCT (part, supplier) — bounded by parts ×
+    * suppliers-per-part, never by lineitem row count — and is symmetric,
+    * so no dangling-mass correction is needed. Each iteration is one
+    * shuffle join (rank/degree along edges) + one aggregate; the loop is
+    * STATIC (fixed depth, no driver-side convergence count), so the
+    * whole thing stays one lazy Catalyst plan. Scores round(6) — float
+    * summation-order drift across engines sits ~9 orders below that. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val edges = ps.as("a").join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.sk") =!= col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("node"), col("deg"))
+    val n = nodes.count().toDouble  // graph node count: one tiny job, driver holds a scalar
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges.join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("deg")).as("inflow"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - PrDamp) / n) + lit(PrDamp) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("node").as("s_suppkey"), round(col("pr"), 6).as("pagerank"))
+      .orderBy("s_suppkey")
+  }
+
+  val graphPagerankSql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.node, (1 - $PrDamp) / (SELECT n FROM nn) + $PrDamp * coalesce(sum(p.pr / d.deg), 0) AS pr
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN $prev p ON p.node = e.src
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+       |  FROM ps a JOIN ps b ON a.p = b.p AND a.sk <> b.sk
+       |),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM deg),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+       |${iter("pr0", "pr1")},
+       |${iter("pr1", "pr2")},
+       |${iter("pr2", "pr3")}
+       |SELECT node AS s_suppkey, round(pr, 6) AS pagerank
+       |FROM pr3 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_stages"      -> (funnelStages _),
     "scd2_history"       -> (scd2History _),
     "tfidf_top_terms"    -> (tfidfTopTerms _),
     "mix_domain_weights" -> (mixDomainWeights _),
     "kl_lang_drift"      -> (klLangDrift _),
-    "mad_outliers"       -> (madOutliers _))
+    "mad_outliers"       -> (madOutliers _),
+    "cohort_retention"   -> (cohortRetention _),
+    "skew_profile"       -> (skewProfile _),
+    "graph_pagerank"     -> (graphPagerank _))
 
   val oracles: Map[String, String] = Map(
     "funnel_stages"      -> funnelStagesSql,
@@ -291,5 +431,8 @@ object Analytics {
     "tfidf_top_terms"    -> tfidfTopTermsSql,
     "mix_domain_weights" -> mixDomainWeightsSql,
     "kl_lang_drift"      -> klLangDriftSql,
-    "mad_outliers"       -> madOutliersSql)
+    "mad_outliers"       -> madOutliersSql,
+    "cohort_retention"   -> cohortRetentionSql,
+    "skew_profile"       -> skewProfileSql,
+    "graph_pagerank"     -> graphPagerankSql)
 }

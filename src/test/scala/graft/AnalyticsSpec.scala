@@ -79,6 +79,33 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("cohort retention starts at 1.0 and never exceeds it") {
+    val rows = Analytics.cohortRetention(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getDouble(3) == 1.0, "week-0 retention is the cohort itself")
+    }
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("skew bands partition the key space and conserve row mass") {
+    val rows = Analytics.skewProfile(spark, sf0001).collect()
+    val totalRows = rows.map(_.getLong(2)).sum
+    val liCount = Tables.lineitem(spark, sf0001).count()
+    assert(totalRows == liCount, s"band row mass $totalRows != lineitem $liCount")
+    val totalKeys = rows.map(_.getLong(1)).sum
+    val keyCount = Tables.lineitem(spark, sf0001).select("l_orderkey").distinct().count()
+    assert(totalKeys == keyCount)
+  }
+
+  test("pagerank mass sums to 1 and every score is positive") {
+    val rows = Analytics.graphPagerank(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"pagerank mass $mass (symmetric graph, no dangling loss)")
+    rows.foreach(r => assert(r.getDouble(1) > 0.0))
+  }
+
   test("MAD outlier rule flags a planted extreme value and robustness holds") {
     import spark.implicits._
     // med/mad of 1..100 are unchanged by one 10^6 outlier; stddev is not
