@@ -459,12 +459,21 @@ object Dedup {
     * per clustered doc, lbl = the component's minimum id. The curation
     * pipeline consumes this directly (drop every id ≠ lbl). */
   private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
+    def t0 = System.nanoTime()
+    var tMark = t0
+    def lap(tag: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[cc] $tag ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
     val edges = pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").localCheckpoint()
+    lap("edges")
     // round 0 for free: label = min(id, min neighbor)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), col("src")).as("lbl"))
       .localCheckpoint()
+    lap("init labels")
     var changed = 1L
     var rounds = 0
     // with doubling, 50 rounds covers diameters up to ~2^50 — but if the
@@ -492,6 +501,7 @@ object Dedup {
       changed = next.filter(col("lbl") =!= col("old")).count()
       GraftShims.unpersistCheckpoint(prev)
       labels = next.drop("old")
+      lap(s"round $rounds (changed=$changed)")
     }
     GraftShims.unpersistCheckpoint(edges)
     if (changed > 0)

@@ -143,15 +143,75 @@ object QualityFilters {
     (df, obs)
   }
 
+  // ------------------------------------------------- perplexity filter
+  /** CCNet-style perplexity scoring: a bigram language model with add-1
+    * smoothing fit ON the corpus itself, then every document scored by
+    * its average negative log-likelihood (and ppl = e^nll). High-ppl
+    * documents are the LM-unlikely outliers a web-scale recipe drops;
+    * low-ppl ones are boilerplate. One shuffle by doc builds in-doc
+    * bigrams via `lag` (no positional self-join); the model — bigram and
+    * context counts — is vocabulary²-bounded, broadcast back onto the
+    * corpus-sized bigram stream. Smoothing keeps every probability
+    * strictly inside (0,1), so ln/exp stay finite; engine ulp drift
+    * sits far below the round(6) output grid. */
+  def perplexityScore(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val bi = toks
+      .withColumn("w1", lag(col("tok"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("w1"), col("tok").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val v = toks.agg(countDistinct(col("tok")).cast("double").as("v"))
+    bi.join(broadcast(cb), Seq("w1", "w2")).join(broadcast(cu), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll", -log((col("cb") + lit(1.0)) / (col("cu") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(col("nll")), 6).as("avg_nll"),
+           round(exp(avg(col("nll"))), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  val perplexityScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), seq AS (
+      |  SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, tok AS w2
+      |  FROM toks
+      |), bi AS (
+      |  SELECT doc_id, w1, w2 FROM seq WHERE w1 IS NOT NULL
+      |), cb AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bi GROUP BY 1, 2
+      |), cu AS (
+      |  SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM bi GROUP BY 1
+      |), v AS (
+      |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM toks
+      |)
+      |SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       round(avg(-ln((cb.cb + 1.0) / (cu.cu + v.v))), 6) AS avg_nll,
+      |       round(exp(avg(-ln((cb.cb + 1.0) / (cu.cu + v.v)))), 6) AS ppl
+      |FROM bi
+      |JOIN cb ON bi.w1 = cb.w1 AND bi.w2 = cb.w2
+      |JOIN cu ON bi.w1 = cu.w1, v
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub_stoptokens" -> (scrubStopTokens _),
     "text_repetition"       -> (repetitionFilter _),
+    "text_perplexity"       -> (perplexityScore _),
     "decontaminate"         -> (decontaminate _)
   )
 
   def oracles: Map[String, String] = Map(
     "text_scrub_stoptokens" -> scrubStopTokensSql,
     "text_repetition"       -> repetitionFilterSql,
+    "text_perplexity"       -> perplexityScoreSql,
     "decontaminate"         -> decontaminateSql
   )
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming twins of the reference pipeline (SURVEY.md §2 W1,
   * §7 step 4; `tweet-streamer/src/main/scala/main.scala:41-55`).
@@ -345,6 +345,51 @@ object StreamingWindows {
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapSec),
         TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  // -------------------------------------- transformWithState + MapState
+  case class TypedEvent(user_id: Long, event_type: String)
+  case class TypeCount(user_id: Long, event_type: String, cnt: Long)
+
+  /** Running per-(user, event-type) counts in a `MapState` — the state
+    * primitive [[SessionProcessor]]'s single `ValueState` cannot express:
+    * a per-key DICTIONARY (sub-keyed state) the store indexes directly,
+    * so one event type's update never deserializes the others (a
+    * ValueState[Map] would rewrite the whole map per event — the
+    * difference between O(1) and O(types) state IO per update at scale).
+    * Emits the new running total for exactly the (user, type) pairs
+    * touched in the batch → OutputMode.Update semantics. */
+  class RunningTypeCounts extends StatefulProcessor[Long, TypedEvent, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[TypedEvent],
+                                 tv: TimerValues): Iterator[TypeCount] = {
+      val batch = rows.foldLeft(Map.empty[String, Long]) { (m, e) =>
+        m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+      }
+      batch.toSeq.sortBy(_._1).map { case (et, n) =>
+        val next = (if (counts.containsKey(et)) counts.getValue(et) else 0L) + n
+        counts.updateValue(et, next)
+        TypeCount(uid, et, next)
+      }.iterator
+    }
+  }
+
+  /** Streaming running counts per (user, event type) via [[RunningTypeCounts]].
+    * No timers, no watermark: pure accumulating state, the streaming twin
+    * of `groupBy(user_id, event_type).count()` — which is exactly what the
+    * spec equates it to after replaying the same rows. */
+  def runningTypeCounts(events: org.apache.spark.sql.Dataset[TypedEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTypeCounts,
+        TimeMode.None(), OutputMode.Update())
       .toDF()
   }
 }

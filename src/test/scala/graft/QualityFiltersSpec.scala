@@ -42,6 +42,24 @@ class QualityFiltersSpec extends GraftSpec {
       s"missed contaminated docs: ${expected.diff(flagged)}")
   }
 
+  test("perplexity: bigram coverage is exact, scores positive, ppl = e^nll") {
+    val rows = QualityFilters.perplexityScore(spark, sf0001).cache()
+    try {
+      // every doc appears, with n_bigrams = n_tokens - 1
+      val expected = Tables.documents(spark, sf0001)
+        .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("nb"))
+      val mismatch = rows.join(expected, "doc_id")
+        .filter(col("n_bigrams") =!= col("nb")).count()
+      assert(mismatch == 0, "bigram count = token count - 1 per doc")
+      assert(rows.count() == expected.count())
+      rows.collect().foreach { r =>
+        val (nll, ppl) = (r.getDouble(2), r.getDouble(3))
+        assert(nll > 0.0, "smoothed probabilities are < 1, so -ln > 0")
+        assert(math.abs(ppl - math.exp(nll)) < ppl * 1e-4, s"ppl $ppl vs e^$nll")
+      }
+    } finally rows.unpersist()
+  }
+
   test("observed scrub reports metrics from the same job, matching recomputation") {
     val (df, obs) = QualityFilters.scrubObserved(spark, sf0001)
     val rows = df.collect() // the one action both returns rows and fills obs

@@ -409,6 +409,48 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("MapState running counts: per-type totals accumulate across batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StreamingWindows.TypedEvent](59, spark, None)
+      val counts = StreamingWindows.runningTypeCounts(ms.toDS())
+      val q = counts.writeStream.format("memory").queryName("map_mem")
+        .outputMode("update").start()
+      try {
+        ms.addData(
+          StreamingWindows.TypedEvent(1L, "click"),
+          StreamingWindows.TypedEvent(1L, "click"),
+          StreamingWindows.TypedEvent(1L, "view"),
+          StreamingWindows.TypedEvent(2L, "click"))
+        q.processAllAvailable()
+        val b1 = spark.table("map_mem")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        assert(b1 == Set((1L, "click", 2L), (1L, "view", 1L), (2L, "click", 1L)), s"b1=$b1")
+        // batch 2: only touched (user, type) pairs re-emit, with running totals
+        ms.addData(
+          StreamingWindows.TypedEvent(1L, "click"),
+          StreamingWindows.TypedEvent(2L, "purchase"))
+        q.processAllAvailable()
+        val all = spark.table("map_mem")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        assert(all == b1 ++ Set((1L, "click", 3L), (2L, "purchase", 1L)), s"all=$all")
+        // the latest emission per (user, type) equals the batch groupBy of
+        // everything replayed — MapState is the streaming twin of count()
+        val latest = spark.table("map_mem")
+          .groupBy("user_id", "event_type").agg(max("cnt").as("cnt"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        assert(latest == Set((1L, "click", 3L), (1L, "view", 1L),
+          (2L, "click", 1L), (2L, "purchase", 1L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState sessionizer: in-batch split + watermark-timer close") {
     // the Spark 4 arbitrary-state API needs the RocksDB provider (named
     // state column families); scoped to this query, restored after
