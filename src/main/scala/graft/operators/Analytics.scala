@@ -155,7 +155,10 @@ object Analytics {
     * tokens. A source at exactly target share gets 1.0; a 2×-overweight
     * source gets 0.5. One corpus scan → per-source token-count aggregate;
     * the totals are a two-row broadcast. */
-  def mixDomainWeights(s: SparkSession, dir: String): DataFrame = {
+  /** Per-source (source, n_docs, n_tokens, weight) with the weight
+    * UNROUNDED — the shared model side for [[mixDomainWeights]] (reports
+    * it) and [[mixResample]] (applies it). */
+  private def sourceWeights(s: SparkSession, dir: String): DataFrame = {
     val perSource = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
@@ -166,10 +169,15 @@ object Analytics {
       count(lit(1)).cast("long").as("n_sources"))
     perSource.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round((col("total_tokens").cast("double") /
-          (col("n_sources") * col("n_tokens"))), 6).as("weight"))
-      .orderBy("source")
+        (col("total_tokens").cast("double") /
+          (col("n_sources") * col("n_tokens"))).as("weight"))
   }
+
+  def mixDomainWeights(s: SparkSession, dir: String): DataFrame =
+    sourceWeights(s, dir)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy("source")
 
   val mixDomainWeightsSql: String =
     """WITH per_source AS (
@@ -184,6 +192,63 @@ object Analytics {
       |SELECT source, n_docs, n_tokens,
       |       round(total_tokens * 1.0 / (n_sources * n_tokens), 6) AS weight
       |FROM per_source, totals ORDER BY source""".stripMargin
+
+  // ------------------------------------------------- weighted resampling
+  /** Applies [[sourceWeights]] as an actual downsampling pass — the
+    * recipe step that FOLLOWS the weight computation: each document keeps
+    * iff md5(doc_id)'s first 24 bits (mod 10⁶) fall under
+    * min(1, weight)·10⁶. Content-keyed acceptance (same discipline as the
+    * md5 train/valid/test split): no RNG, no seed, stable across reruns,
+    * engines, and corpus growth — and exactly reproducible by the oracle.
+    * Overweight (small) sources saturate at keep-all; at a real 100 TB
+    * mixing step those would instead repeat-sample with weight > 1, a
+    * writer-side concern this accounting view deliberately excludes. The
+    * acceptance threshold is floored to an INTEGER before the compare, so
+    * no float comparison sits on the keep/drop boundary. */
+  def mixResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    docs.join(broadcast(sourceWeights(s, dir)), "source")
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 1000000L)
+      .withColumn("thresh", floor(least(lit(1.0), col("weight")) * 1000000).cast("long"))
+      .withColumn("keep", col("u") < col("thresh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L)).as("kept_tokens"),
+        round(max(col("weight")), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  val mixResampleSql: String =
+    """WITH per_source AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1
+      |), totals AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_sources
+      |  FROM per_source
+      |), weights AS (
+      |  -- CAST, not *1.0: the DECIMAL route could differ in the last ulp,
+      |  -- and this weight feeds an integer floor threshold
+      |  SELECT source, CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens) AS weight
+      |  FROM per_source, totals
+      |), scored AS (
+      |  SELECT d.source, len(string_split(d.text, ' ')) AS n_toks,
+      |         CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000000 AS u,
+      |         CAST(floor(least(1.0, w.weight) * 1000000) AS BIGINT) AS thresh,
+      |         w.weight
+      |  FROM documents d JOIN weights w ON d.source = w.source
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN u < thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN u < thresh THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |       round(max(weight), 6) AS weight
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------- per-lang KL drift
   /** KL(lang ‖ corpus) over token distributions — how far each language
@@ -423,7 +488,8 @@ object Analytics {
     "mad_outliers"       -> (madOutliers _),
     "cohort_retention"   -> (cohortRetention _),
     "skew_profile"       -> (skewProfile _),
-    "graph_pagerank"     -> (graphPagerank _))
+    "graph_pagerank"     -> (graphPagerank _),
+    "mix_resample"       -> (mixResample _))
 
   val oracles: Map[String, String] = Map(
     "funnel_stages"      -> funnelStagesSql,
@@ -434,5 +500,6 @@ object Analytics {
     "mad_outliers"       -> madOutliersSql,
     "cohort_retention"   -> cohortRetentionSql,
     "skew_profile"       -> skewProfileSql,
-    "graph_pagerank"     -> graphPagerankSql)
+    "graph_pagerank"     -> graphPagerankSql,
+    "mix_resample"       -> mixResampleSql)
 }

@@ -79,6 +79,21 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("resampling keeps ~min(1,weight) of each source; overweight keeps all") {
+    val rows = Analytics.mixResample(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept, w) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      if (w >= 1.0) assert(kept == n, s"${r.getString(0)}: weight>=1 must keep all")
+      else {
+        // md5 acceptance is uniform: kept/n within 4 binomial sigmas of w
+        val sigma = math.sqrt(w * (1 - w) / n)
+        assert(math.abs(kept.toDouble / n - w) < 4 * sigma + 1.0 / n,
+          s"${r.getString(0)}: kept=$kept/$n vs w=$w")
+      }
+    }
+  }
+
   test("cohort retention starts at 1.0 and never exceeds it") {
     val rows = Analytics.cohortRetention(spark, sf0001).collect()
     assert(rows.nonEmpty)
