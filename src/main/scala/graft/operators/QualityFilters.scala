@@ -201,10 +201,53 @@ object QualityFilters {
       |JOIN cu ON bi.w1 = cu.w1, v
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------- compression-ratio signal
+  /** Gopher-style compressibility signal: DEFLATE(level 6) output bytes
+    * over raw UTF-8 bytes, per document. Repetitive/boilerplate text
+    * compresses far below natural text, so a low ratio is a drop signal
+    * complementary to [[repetitionFilter]] (which only sees one dominant
+    * bigram) and [[perplexityScore]] (which needs a fitted model). Codec
+    * work is `mapPartitions` — the same justification as the multimodal
+    * decode path: byte-stream compression is not expressible as a
+    * Catalyst expression tree, and the partition iterator lets ONE
+    * `Deflater` instance (native zlib state) serve every row instead of
+    * an allocation per row. DEFLATE output is fully determined by input
+    * + level (RFC 1951 via zlib's fixed heuristics — same bytes on every
+    * JVM), but no oracle engine exposes it ⇒ rows-only gate; the spec
+    * pins determinism and the planted repetitive-vs-random ordering. */
+  def compressRatio(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val in = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("raw_len", LongType, nullable = false),
+      StructField("comp_len", LongType, nullable = false),
+      StructField("ratio", DoubleType, nullable = false)))
+    val out = in.sparkSession.createDataFrame(
+      in.rdd.mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          val ratio = n.toDouble / math.max(1, bytes.length)
+          Row(r.getLong(0), bytes.length.toLong, n,
+            math.rint(ratio * 1e6) / 1e6)
+        }
+      }, schema)
+    out.orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub_stoptokens" -> (scrubStopTokens _),
     "text_repetition"       -> (repetitionFilter _),
     "text_perplexity"       -> (perplexityScore _),
+    "text_compress_ratio"   -> (compressRatio _),
     "decontaminate"         -> (decontaminate _)
   )
 

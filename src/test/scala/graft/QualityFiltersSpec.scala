@@ -60,6 +60,31 @@ class QualityFiltersSpec extends GraftSpec {
     } finally rows.unpersist()
   }
 
+  test("compression ratio: deterministic, and repetitive text scores far below varied text") {
+    import spark.implicits._
+    val a = QualityFilters.compressRatio(spark, sf0001).collect()
+    val b = QualityFilters.compressRatio(spark, sf0001).collect()
+    assert(a.sameElements(b), "DEFLATE output is input-determined — runs must agree")
+    a.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.2, s"ratio ${r.getDouble(3)}")
+    }
+    // planted contrast on a corpus-free probe
+    val probe = Seq((1L, "ab " * 200), (2L, (1 to 200).map(i => s"w${i * 7919 % 997}").mkString(" ")))
+      .toDF("doc_id", "text")
+    probe.createOrReplaceTempView("cr_probe")
+    val deflater = new java.util.zip.Deflater(6)
+    def ratioOf(sTxt: String): Double = {
+      val bytes = sTxt.getBytes("UTF-8"); deflater.reset(); deflater.setInput(bytes); deflater.finish()
+      val buf = new Array[Byte](1 << 16); var n = 0L
+      while (!deflater.finished()) n += deflater.deflate(buf)
+      n.toDouble / bytes.length
+    }
+    assert(ratioOf("ab " * 200) < 0.1, "pure repetition compresses to almost nothing")
+    assert(ratioOf((1 to 200).map(i => s"w${i * 7919 % 997}").mkString(" ")) >
+      2 * ratioOf("ab " * 200), "varied text compresses far worse than repetition")
+  }
+
   test("observed scrub reports metrics from the same job, matching recomputation") {
     val (df, obs) = QualityFilters.scrubObserved(spark, sf0001)
     val rows = df.collect() // the one action both returns rows and fills obs
