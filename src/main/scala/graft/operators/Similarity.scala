@@ -475,9 +475,161 @@ object Similarity {
        |SELECT q_id, n_id, rnk, dist FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+  private val PqRerank = 20  // PQ-approximate candidates re-ranked exactly
+
+  /** The production ANN index shape: IVF coarse lists × PQ-compressed
+    * in-list scoring × exact re-rank — composed from [[ivfTopK]]'s
+    * deterministic coarse quantizer and [[pqTopK]]'s fixed-point ADC.
+    * Per query: probe the [[NProbe]] nearest coarse lists, score ONLY
+    * those lists' members from 4-byte PQ codes (integer ADC — no vector
+    * reads), keep the [[PqRerank]] best, then re-score just those with
+    * exact cosine. At 100 TB this is the FAISS IVFPQ cost model: coarse
+    * probing cuts candidates by nlists/nprobe, PQ cuts bytes-per-
+    * candidate 64×, and the exact re-rank touches a constant ~20 vectors
+    * per query. (Codes quantize raw vectors, not IVF residuals — the
+    * residual refinement changes codebook training, not the dataflow.)
+    * Every stage is deterministic (integer ADC, total tie-breaks) ⇒ the
+    * full three-stage composition is hash-checked against DuckDB. */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    def sub(v: Column, m: Column): Column = slice(v, m * PqDsub + 1, lit(PqDsub))
+    def d2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val e = embeddings(s, dir)
+    // IVF side: coarse lists (same rule as ivfTopK)
+    val cent = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_score").desc, col("c_id"))
+    val assigned = e.join(broadcast(cent), lit(true))
+      .withColumn("c_score", cosine(col("v"), col("cv")))
+      .withColumn("c_rnk", row_number().over(wAssign))
+      .filter(col("c_rnk") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+    // PQ side: codebook + per-vector codes (same rule as pqTopK)
+    val cb = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("pq_id"), col("v").as("pqv"))
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("cd").asc, col("pq_id"))
+    val enc = e.join(broadcast(cb), lit(true))
+      .select(col("vec_id"), col("v"), col("pq_id"), col("pqv"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .withColumn("cd", d2(sub(col("v"), col("m")), sub(col("pqv"), col("m"))))
+      .withColumn("r", row_number().over(wEnc)).filter(col("r") === 1)
+      .select(col("vec_id"), col("m"), col("pq_id").as("code"))
+    // queries probe NProbe coarse lists; ADC table in fixed point
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("p_score").desc, col("c_id"))
+    val probes = q.join(broadcast(cent), lit(true))
+      .withColumn("p_score", cosine(col("qv"), col("cv")))
+      .withColumn("p_rnk", row_number().over(wProbe))
+      .filter(col("p_rnk") <= NProbe)
+      .select(col("q_id"), col("c_id"))
+    val dtab = q.join(broadcast(cb), lit(true))
+      .select(col("q_id"), col("pqv"), col("pq_id").as("code"), col("qv"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        round(d2(sub(col("qv"), col("m")), sub(col("pqv"), col("m"))) * lit(1e9))
+          .cast("long").as("d"))
+    // PQ-score ONLY the probed lists' members, keep PqRerank per query
+    val candidates = probes.join(assigned, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val pqScored = candidates.join(enc, "vec_id")
+      .join(broadcast(dtab), Seq("q_id", "m", "code"))
+      .groupBy("q_id", "vec_id").agg(sum(col("d")).as("dist"))
+    val wPq = Window.partitionBy("q_id").orderBy(col("dist").asc, col("vec_id"))
+    val shortlist = pqScored.withColumn("rnk_pq", row_number().over(wPq))
+      .filter(col("rnk_pq") <= PqRerank)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank of the shortlist
+    val rescored = shortlist
+      .join(q, "q_id")
+      .join(e.select(col("vec_id"), col("v")), "vec_id")
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    rescored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
+        round(col("score"), 6).as("score_r"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val ivfPqTopKSql: String = {
+    def sub(v: String) = s"$v[(m*$PqDsub+1):(m*$PqDsub+$PqDsub)]"
+    def d2(a: String, b: String) =
+      s"(list_dot_product($a,$a) - 2*list_dot_product($a,$b) + list_dot_product($b,$b))"
+    def cos(a: String, b: String) =
+      s"list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 200 = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, c_id FROM (
+       |    SELECT e.vec_id, e.v, cent.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             ${cos("e.v", "cent.cv")} DESC, cent.c_id) AS c_rnk
+       |    FROM e CROSS JOIN cent
+       |  ) WHERE c_rnk = 1
+       |),
+       |cb AS (SELECT vec_id AS pq_id, v AS pqv FROM e WHERE vec_id < $PqK),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |enc AS (
+       |  SELECT vec_id, m, pq_id AS code FROM (
+       |    SELECT e.vec_id, ms.m, cb.pq_id,
+       |      row_number() OVER (PARTITION BY e.vec_id, ms.m ORDER BY
+       |        ${d2(sub("e.v"), sub("cb.pqv"))} ASC, cb.pq_id) AS r
+       |    FROM e CROSS JOIN ms CROSS JOIN cb
+       |  ) WHERE r = 1
+       |),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             ${cos("q.qv", "cent.cv")} DESC, cent.c_id) AS p_rnk
+       |    FROM q CROSS JOIN cent
+       |  ) WHERE p_rnk <= $NProbe
+       |),
+       |dtab AS (
+       |  SELECT q_id, m, pq_id AS code,
+       |    CAST(round(${d2(sub("q.qv"), sub("cb.pqv"))} * 1000000000) AS BIGINT) AS d
+       |  FROM q CROSS JOIN ms CROSS JOIN cb
+       |),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a USING (c_id)
+       |  WHERE a.vec_id <> p.q_id
+       |),
+       |pq_scored AS (
+       |  SELECT c.q_id, c.vec_id, CAST(sum(dtab.d) AS BIGINT) AS dist
+       |  FROM cand c
+       |  JOIN enc ON enc.vec_id = c.vec_id
+       |  JOIN dtab ON dtab.q_id = c.q_id AND dtab.m = enc.m AND dtab.code = enc.code
+       |  GROUP BY 1, 2
+       |),
+       |shortlist AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, vec_id) AS rnk_pq
+       |    FROM pq_scored
+       |  ) WHERE rnk_pq <= $PqRerank
+       |),
+       |rescored AS (
+       |  SELECT s.q_id, s.vec_id AS n_id, ${cos("q.qv", "e.v")} AS score
+       |  FROM shortlist s JOIN q ON s.q_id = q.q_id JOIN e ON s.vec_id = e.vec_id
+       |), r AS (
+       |  SELECT q_id, n_id, score,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rnk
+       |  FROM rescored
+       |)
+       |SELECT q_id, n_id, rnk, round(score, 6) AS score_r
+       |FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk"  -> (bruteForceTopK _),
     "ann_pq_topk"     -> (pqTopK _),
+    "ann_ivfpq_topk"  -> (ivfPqTopK _),
     "ann_heap_topk"   -> (heapTopK _),
     "ann_lsh_topk"    -> (lshTopK _),
     "ann_bucket_stats" -> (bucketStats _),
@@ -491,6 +643,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "ann_brute_topk" -> bruteForceTopKSql,
     "ann_pq_topk"    -> pqTopKSql,
+    "ann_ivfpq_topk" -> ivfPqTopKSql,
     // the heap aggregate is result-identical to the window variant by
     // construction — it shares the same oracle
     "ann_heap_topk"  -> bruteForceTopKSql,

@@ -81,6 +81,38 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.3, f"bucketed near-dup recall $recall%.2f below floor")
   }
 
+  test("IVF-PQ top-k: recall within reach of plain IVF, results subset of probed lists") {
+    val ivf = Similarity.ivfTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.nonEmpty)
+    // same coarse probing: IVF-PQ can only lose vs IVF through the PQ
+    // shortlist. The harness corpus is the adversarial case for PQ —
+    // near-orthogonal random vectors give nearly-equal distances, so a
+    // 16-codeword codebook discriminates weakly (measured ~0.32 here;
+    // clustered real embeddings sit far higher, cf. the SRP-LSH recall
+    // note). A RANDOM 20-of-~250 shortlist would score ~0.08, so the
+    // floor is set at 2x chance: below that the ADC table or code
+    // assignment is broken, not merely weak.
+    val agree = ivf.intersect(ivfpq).size.toDouble / ivf.size
+    assert(agree >= 0.16, f"IVF-PQ agreement with IVF $agree%.2f below 2x-chance floor")
+    // exact re-rank: every reported score must equal the true cosine
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var num = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { num += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      num / (math.sqrt(na) * math.sqrt(nb))
+    }
+    Similarity.ivfPqTopK(spark, sf0001).collect().foreach { r =>
+      val expect = cos(e(r.getLong(0)), e(r.getLong(1)))
+      assert(math.abs(r.getDouble(3) - expect) < 1e-5,
+        s"re-ranked score must be the exact cosine: ${r.getDouble(3)} vs $expect")
+    }
+  }
+
   test("IVF top-k recall vs brute force >= 30% (nprobe=2 deterministic coarse lists)") {
     val brute = Similarity.bruteForceTopK(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
