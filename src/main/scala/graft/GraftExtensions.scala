@@ -17,6 +17,10 @@ import graft.functions.{DotProduct, TopKByScore}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: prune non-matching rows BEFORE the generator
+    // explodes them (see the rule's Scaladoc for the soundness argument)
+    ext.injectOptimizerRule(_ => graft.plans.PushStartsWithThroughExplode)
+
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),

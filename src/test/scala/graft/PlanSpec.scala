@@ -129,6 +129,34 @@ class PlanSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("startswith-after-explode injects a contains prefilter that reaches the scan") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").startsWith("th"))
+    // the injected necessary condition lands in the parquet scan
+    val physical = planOf(df)
+    assert(physical.contains("StringContains(text,th)"),
+      s"implied contains must be pushed to the scan: ${physical.take(900)}")
+    // and the rewrite changes no results: same rows with the rule excluded
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    val withRule = df.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    try {
+      spark.conf.set(key, "graft.plans.PushStartsWithThroughExplode")
+      val without = Tables.documents(spark, sf0001)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").startsWith("th"))
+      assert(!planOf(without).contains("StringContains(text,th)"),
+        "excludedRules must actually disable the injected rule")
+      val baseline = without.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(withRule.sameElements(baseline), "rewrite must be result-invariant")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = Reference.topTokens(spark, sf0001)
     df.collect() // AQE finalizes (and codegens) only on execution
