@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /** Structured Streaming twins of the reference pipeline (SURVEY.md §2 W1,
   * §7 step 4; `tweet-streamer/src/main/scala/main.scala:41-55`).
@@ -390,6 +391,56 @@ object StreamingWindows {
       .groupByKey(_.user_id)
       .transformWithState(new RunningTypeCounts,
         TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  // ------------------------------------- transformWithState + ListState
+  case class SeqEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  case class SeqHit(user_id: Long, end_sec: Long)
+
+  /** Consecutive-sequence detector on a `ListState` sliding buffer — the
+    * third state primitive (ValueState: sessionizer, MapState: running
+    * counts, ListState: here). Per user the store holds ONLY the last
+    * `pattern.length - 1` event types — the minimal suffix that can
+    * complete the pattern with future events — appended/truncated per
+    * batch, so state is O(pattern) per key forever, independent of
+    * stream length. Emits one row per completed consecutive match; the
+    * streaming twin of the batch funnel's strictest form (exact
+    * adjacency rather than eventual order). */
+  class SequenceDetector(pattern: Seq[String])
+      extends StatefulProcessor[Long, SeqEvent, SeqHit] {
+    @transient private var buf: ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[String]("buf", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[SeqEvent],
+                                 tv: TimerValues): Iterator[SeqHit] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var window = buf.get().toList
+      val hits = scala.collection.mutable.ArrayBuffer.empty[SeqHit]
+      sorted.foreach { e =>
+        window = (window :+ e.event_type).takeRight(pattern.length)
+        if (window == pattern.toList)
+          hits += SeqHit(uid, e.ts.getTime / 1000L)
+      }
+      buf.clear()
+      val keep = window.takeRight(pattern.length - 1)
+      if (keep.nonEmpty) buf.put(keep.toArray)
+      hits.iterator
+    }
+  }
+
+  /** Streaming consecutive click→view→purchase detection via
+    * [[SequenceDetector]]; matches continue across micro-batch
+    * boundaries through the persisted suffix buffer. */
+  def detectSequences(events: org.apache.spark.sql.Dataset[SeqEvent],
+                      pattern: Seq[String] = Seq("click", "view", "purchase")): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SequenceDetector(pattern),
+        TimeMode.None(), OutputMode.Append())
       .toDF()
   }
 }

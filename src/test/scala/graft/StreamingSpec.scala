@@ -451,6 +451,43 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("ListState sequence detector: matches complete across micro-batch boundaries") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StreamingWindows.SeqEvent](61, spark, None)
+      val hits = StreamingWindows.detectSequences(ms.toDS())
+      val q = hits.writeStream.format("memory").queryName("seq_mem")
+        .outputMode("append").start()
+      try {
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        def ev(u: Long, t: String, off: Long) =
+          StreamingWindows.SeqEvent(u, t, new Timestamp(t0 + off * 1000))
+        // batch 1: user 1 has click,view (incomplete); user 2 breaks
+        // adjacency with an error between view and purchase
+        ms.addData(ev(1, "click", 0), ev(1, "view", 1),
+          ev(2, "click", 0), ev(2, "view", 1), ev(2, "error", 2), ev(2, "purchase", 3))
+        q.processAllAvailable()
+        assert(spark.table("seq_mem").count() == 0, "no complete adjacent run yet")
+        // batch 2: user 1's purchase completes the pattern ACROSS batches
+        // (the suffix [click,view] survived in ListState); a second full
+        // run in-batch also fires
+        ms.addData(ev(1, "purchase", 2),
+          ev(1, "click", 10), ev(1, "view", 11), ev(1, "purchase", 12))
+        q.processAllAvailable()
+        val rows = spark.table("seq_mem")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val s0 = t0 / 1000
+        assert(rows == Set((1L, s0 + 2), (1L, s0 + 12)), s"got $rows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState sessionizer: in-batch split + watermark-timer close") {
     // the Spark 4 arbitrary-state API needs the RocksDB provider (named
     // state column families); scoped to this query, restored after
