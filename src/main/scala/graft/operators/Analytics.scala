@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -494,6 +494,80 @@ object Analytics {
        |FROM pr3 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------- data-quality audit
+  /** Expectation-suite audit (the dbt-tests / DLT-expectations operator):
+    * each rule is a predicate counted over its table in ONE pass per
+    * table — violations are `sum(when(...))` conditional aggregates, so
+    * adding a rule adds a column, never a scan. The two non-row-local
+    * rules cost what they must: referential integrity is a broadcast-dim
+    * anti-join count, key uniqueness one groupBy on the key. Emitting
+    * (rule, checked, violations) rather than failing fast is the
+    * 100 TB-friendly contract: one job surfaces the full damage report
+    * instead of dying at the first bad row. */
+  def dqExpectations(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val orderRules = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("price_pos"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("status_enum"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("cust_notnull"))
+    val liRules = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("discount_range"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("shipdate_notnull"))
+    val orphans = li.join(broadcast(o.select(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val dupKeys = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("v"))
+    val liN = li.agg(count(lit(1)).as("n"))
+    val oN = o.agg(count(lit(1)).as("n"))
+    def rule(id: String, checked: Column, violations: Column,
+             from: DataFrame): DataFrame =
+      from.select(lit(id).as("rule"), checked.cast("long").as("n_checked"),
+        violations.cast("long").as("n_violations"))
+    rule("orders.custkey_not_null", col("n"), col("cust_notnull"), orderRules)
+      .unionByName(rule("orders.orderkey_unique", col("n"), col("v"),
+        dupKeys.crossJoin(oN)))
+      .unionByName(rule("orders.status_in_enum", col("n"), col("status_enum"), orderRules))
+      .unionByName(rule("orders.totalprice_positive", col("n"), col("price_pos"), orderRules))
+      .unionByName(rule("lineitem.discount_in_0_1", col("n"), col("discount_range"), liRules))
+      .unionByName(rule("lineitem.orderkey_referential", col("n"), col("v"),
+        orphans.crossJoin(liN)))
+      .unionByName(rule("lineitem.shipdate_not_null", col("n"), col("shipdate_notnull"), liRules))
+      .orderBy("rule")
+  }
+
+  val dqExpectationsSql: String =
+    """WITH o_agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_pos,
+      |         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS status_enum,
+      |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cust_notnull
+      |  FROM orders
+      |), li_agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+      |         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_notnull
+      |  FROM lineitem
+      |), orphans AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |), dup_keys AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS v FROM (
+      |    SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1
+      |  )
+      |)
+      |SELECT 'orders.custkey_not_null' AS rule, n AS n_checked, cust_notnull AS n_violations FROM o_agg
+      |UNION ALL SELECT 'orders.orderkey_unique', (SELECT n FROM o_agg), v FROM dup_keys
+      |UNION ALL SELECT 'orders.status_in_enum', n, status_enum FROM o_agg
+      |UNION ALL SELECT 'orders.totalprice_positive', n, price_pos FROM o_agg
+      |UNION ALL SELECT 'lineitem.discount_in_0_1', n, discount_range FROM li_agg
+      |UNION ALL SELECT 'lineitem.orderkey_referential', (SELECT n FROM li_agg), v FROM orphans
+      |UNION ALL SELECT 'lineitem.shipdate_not_null', n, shipdate_notnull FROM li_agg
+      |ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_stages"      -> (funnelStages _),
     "scd2_history"       -> (scd2History _),
@@ -504,7 +578,8 @@ object Analytics {
     "cohort_retention"   -> (cohortRetention _),
     "skew_profile"       -> (skewProfile _),
     "graph_pagerank"     -> (graphPagerank _),
-    "mix_resample"       -> (mixResample _))
+    "mix_resample"       -> (mixResample _),
+    "dq_expectations"    -> (dqExpectations _))
 
   val oracles: Map[String, String] = Map(
     "funnel_stages"      -> funnelStagesSql,
@@ -516,5 +591,6 @@ object Analytics {
     "cohort_retention"   -> cohortRetentionSql,
     "skew_profile"       -> skewProfileSql,
     "graph_pagerank"     -> graphPagerankSql,
-    "mix_resample"       -> mixResampleSql)
+    "mix_resample"       -> mixResampleSql,
+    "dq_expectations"    -> dqExpectationsSql)
 }

@@ -121,6 +121,16 @@ class AnalyticsSpec extends GraftSpec {
     rows.foreach(r => assert(r.getDouble(1) > 0.0))
   }
 
+  test("expectation audit: 7 rules, clean harness data, nonzero coverage") {
+    val rows = Analytics.dqExpectations(spark, sf0001).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)}: n_checked must be > 0")
+      assert(r.getLong(2) == 0L,
+        s"${r.getString(0)}: harness data is clean, got ${r.getLong(2)} violations")
+    }
+  }
+
   test("MAD outlier rule flags a planted extreme value and robustness holds") {
     import spark.implicits._
     // med/mad of 1..100 are unchanged by one 10^6 outlier; stddev is not
