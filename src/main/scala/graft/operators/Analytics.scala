@@ -494,6 +494,78 @@ object Analytics {
        |FROM pr3 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------ session funnel
+  /** The funnel scoped to gap-sessions: conversion only counts when the
+    * whole click → view → purchase progression happens INSIDE one
+    * 1800 s-gap session — `sessionize`'s session-id construction (same
+    * window, same gap rule, oracle-checked there) composed with
+    * [[funnelStages]]'s min-timestamp cascade, now keyed by
+    * (user, session). One full-log window pass assigns session ids; the
+    * three stage aggregates and joins all share that (user, session)
+    * shuffle key. Output is the four funnel counters in one row. */
+  def sessionFunnel(s: SparkSession, dir: String): DataFrame = {
+    // every window orders by (epoch-second, event_id) — engine-agnostic
+    // (the micro-vs-nano precision split cannot reorder rows) and
+    // tie-free (event_id is unique), so the cumulative session ids are
+    // identical on both sides
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(byUser))
+      .select(col("user_id"), col("session_id"), col("event_type"), col("sec"))
+    val key = Seq("user_id", "session_id")
+    val t1 = sess.filter(col("event_type") === "click")
+      .groupBy(key.head, key.tail: _*).agg(min(col("sec")).as("t1"))
+    val t2 = sess.filter(col("event_type") === "view").join(t1, key)
+      .filter(col("sec") > col("t1"))
+      .groupBy(key.head, key.tail: _*).agg(min(col("sec")).as("t2"))
+    val t3 = sess.filter(col("event_type") === "purchase").join(t2, key)
+      .filter(col("sec") > col("t2"))
+      .groupBy(key.head, key.tail: _*).agg(min(col("sec")).as("t3"))
+    sess.select(col("user_id"), col("session_id")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(t1.agg(count(lit(1)).as("n_click")))
+      .crossJoin(t2.agg(count(lit(1)).as("n_click_view")))
+      .crossJoin(t3.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  val sessionFunnelSql: String =
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events
+      |), marked AS (
+      |  SELECT user_id, event_id, event_type, sec,
+      |         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+      |), sess AS (
+      |  SELECT user_id, event_type, sec,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS session_id
+      |  FROM marked
+      |), t1 AS (
+      |  SELECT user_id, session_id, min(sec) AS t1 FROM sess
+      |  WHERE event_type = 'click' GROUP BY 1, 2
+      |), t2 AS (
+      |  SELECT s.user_id, s.session_id, min(s.sec) AS t2
+      |  FROM sess s JOIN t1 ON s.user_id = t1.user_id AND s.session_id = t1.session_id
+      |  WHERE s.event_type = 'view' AND s.sec > t1.t1 GROUP BY 1, 2
+      |), t3 AS (
+      |  SELECT s.user_id, s.session_id, min(s.sec) AS t3
+      |  FROM sess s JOIN t2 ON s.user_id = t2.user_id AND s.session_id = t2.session_id
+      |  WHERE s.event_type = 'purchase' AND s.sec > t2.t2 GROUP BY 1, 2
+      |)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT user_id, session_id FROM sess)) AS n_sessions,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_click,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_click_view,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_full_funnel""".stripMargin
+
   // ------------------------------------------------- data-quality audit
   /** Expectation-suite audit (the dbt-tests / DLT-expectations operator):
     * each rule is a predicate counted over its table in ONE pass per
@@ -579,7 +651,8 @@ object Analytics {
     "skew_profile"       -> (skewProfile _),
     "graph_pagerank"     -> (graphPagerank _),
     "mix_resample"       -> (mixResample _),
-    "dq_expectations"    -> (dqExpectations _))
+    "dq_expectations"    -> (dqExpectations _),
+    "session_funnel"     -> (sessionFunnel _))
 
   val oracles: Map[String, String] = Map(
     "funnel_stages"      -> funnelStagesSql,
@@ -592,5 +665,6 @@ object Analytics {
     "skew_profile"       -> skewProfileSql,
     "graph_pagerank"     -> graphPagerankSql,
     "mix_resample"       -> mixResampleSql,
-    "dq_expectations"    -> dqExpectationsSql)
+    "dq_expectations"    -> dqExpectationsSql,
+    "session_funnel"     -> sessionFunnelSql)
 }

@@ -121,6 +121,14 @@ class AnalyticsSpec extends GraftSpec {
     rows.foreach(r => assert(r.getDouble(1) > 0.0))
   }
 
+  test("session funnel narrows monotonically and never exceeds the session count") {
+    val r = Analytics.sessionFunnel(spark, sf0001).head
+    val (n, c, cv, full) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0)
+    assert(n >= c && c >= cv && cv >= full,
+      s"funnel must narrow: sessions=$n click=$c click_view=$cv full=$full")
+  }
+
   test("expectation audit: 7 rules, clean harness data, nonzero coverage") {
     val rows = Analytics.dqExpectations(spark, sf0001).collect()
     assert(rows.length == 7)
