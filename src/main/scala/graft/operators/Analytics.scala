@@ -115,7 +115,9 @@ object Analytics {
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // cached: both the scoring join and the doc-frequency aggregate read
+    // tf — without the cache the corpus-wide tokenize+aggregate runs twice
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).cache()
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, dir).agg(countDistinct(col("doc_id")).as("n"))
     val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(nDocs))
