@@ -28,6 +28,7 @@ object Verify {
     // the driver never sets it, so its runs always cover every query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    var qIdx = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -38,9 +39,11 @@ object Verify {
       }
       // release per-query caches and let ContextCleaner free shuffle and
       // broadcast state (its weak-ref queue only drains on a GC, which a
-      // large heap may never trigger — see Bench.scala / BASELINE.md)
+      // large heap may never trigger — see Bench.scala / BASELINE.md);
+      // every 4th query suffices, as validated for Bench
       spark.catalog.clearCache()
-      System.gc()
+      qIdx += 1
+      if (qIdx % 4 == 0) System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

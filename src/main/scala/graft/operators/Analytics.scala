@@ -496,6 +496,44 @@ object Analytics {
        |FROM pr3 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------ winsorized aggregates
+  /** Winsorized mean/stddev per order priority: values clipped to the
+    * group's [p05, p95] before aggregating — the robust-moments
+    * complement to [[madOutliers]] (which counts outliers; this bounds
+    * their influence on the statistics a recipe actually consumes). Two
+    * passes: exact percentile bounds per group (tiny, broadcast back),
+    * then one clipped aggregate over the fact scan. round(6) keeps both
+    * engines' float summation drift below the output grid. */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority"), col("o_totalprice"))
+    val bounds = o.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.05)").as("lo"),
+           expr("percentile(o_totalprice, 0.95)").as("hi"))
+    o.join(broadcast(bounds), "o_orderpriority")
+      .withColumn("w", least(greatest(col("o_totalprice"), col("lo")), col("hi")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("w")), 6).as("wmean"),
+           round(stddev_samp(col("w")), 6).as("wstd"),
+           round(max(col("lo")), 6).as("lo"),
+           round(max(col("hi")), 6).as("hi"))
+      .orderBy("o_orderpriority")
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH bounds AS (
+      |  SELECT o_orderpriority,
+      |         quantile_cont(o_totalprice, 0.05) AS lo,
+      |         quantile_cont(o_totalprice, 0.95) AS hi
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(least(greatest(o.o_totalprice, b.lo), b.hi)), 6) AS wmean,
+      |       round(stddev_samp(least(greatest(o.o_totalprice, b.lo), b.hi)), 6) AS wstd,
+      |       round(max(b.lo), 6) AS lo, round(max(b.hi), 6) AS hi
+      |FROM orders o JOIN bounds b ON o.o_orderpriority = b.o_orderpriority
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ session funnel
   /** The funnel scoped to gap-sessions: conversion only counts when the
     * whole click → view → purchase progression happens INSIDE one
@@ -654,7 +692,8 @@ object Analytics {
     "graph_pagerank"     -> (graphPagerank _),
     "mix_resample"       -> (mixResample _),
     "dq_expectations"    -> (dqExpectations _),
-    "session_funnel"     -> (sessionFunnel _))
+    "session_funnel"     -> (sessionFunnel _),
+    "winsorized_stats"   -> (winsorizedStats _))
 
   val oracles: Map[String, String] = Map(
     "funnel_stages"      -> funnelStagesSql,
@@ -668,5 +707,6 @@ object Analytics {
     "graph_pagerank"     -> graphPagerankSql,
     "mix_resample"       -> mixResampleSql,
     "dq_expectations"    -> dqExpectationsSql,
-    "session_funnel"     -> sessionFunnelSql)
+    "session_funnel"     -> sessionFunnelSql,
+    "winsorized_stats"   -> winsorizedStatsSql)
 }

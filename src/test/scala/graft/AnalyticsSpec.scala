@@ -139,6 +139,22 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("winsorized stats: clipped moments sit inside the raw bounds") {
+    val raw = Tables.orders(spark, sf0001)
+      .groupBy("o_orderpriority")
+      .agg(avg(col("o_totalprice")).as("mean"),
+        stddev_samp(col("o_totalprice")).as("std"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Analytics.winsorizedStats(spark, sf0001).collect().foreach { r =>
+      val (lo, hi) = (r.getDouble(4), r.getDouble(5))
+      assert(lo <= hi)
+      assert(r.getDouble(2) >= lo && r.getDouble(2) <= hi, "winsorized mean within clip bounds")
+      val (_, rawStd) = raw(r.getString(0))
+      assert(r.getDouble(3) <= rawStd + 1e-9,
+        s"clipping can only shrink dispersion: wstd=${r.getDouble(3)} raw=$rawStd")
+    }
+  }
+
   test("MAD outlier rule flags a planted extreme value and robustness holds") {
     import spark.implicits._
     // med/mad of 1..100 are unchanged by one 10^6 outlier; stddev is not
