@@ -129,6 +129,41 @@ class AnalyticsSpec extends GraftSpec {
       s"funnel must narrow: sessions=$n click=$c click_view=$cv full=$full")
   }
 
+  test("session funnel matches an independent pure-Scala reference end-to-end") {
+    // same contract, rebuilt locally: gap-split on (sec, event_id) order,
+    // then an eventual click->view->purchase state machine per session
+    val events = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    var nSessions = 0L; var nClick = 0L; var nClickView = 0L; var nFull = 0L
+    events.groupBy(_._1).foreach { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._2))
+      val sessions = sorted.foldLeft(List.empty[List[(String, Long)]]) {
+        case (acc, e) =>
+          val cur = (e._3, e._4)
+          acc match {
+            case (h @ ((_, lastSec) :: _)) :: t if e._4 - h.head._2 <= 1800 =>
+              (cur :: h) :: t  // h is reversed; h.head is the LATEST event
+            case _ => List(cur) :: acc
+          }
+      }.map(_.reverse)
+      sessions.foreach { sess =>
+        nSessions += 1
+        val t1 = sess.collectFirst { case ("click", t) => t }
+        val t2 = t1.flatMap(a => sess.collectFirst { case ("view", t) if t > a => t })
+        val t3 = t2.flatMap(b => sess.collectFirst { case ("purchase", t) if t > b => t })
+        if (t1.isDefined) nClick += 1
+        if (t2.isDefined) nClickView += 1
+        if (t3.isDefined) nFull += 1
+      }
+    }
+    val r = Analytics.sessionFunnel(spark, sf0001).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((nSessions, nClick, nClickView, nFull)),
+      s"got ${r.mkString(",")} expected ($nSessions,$nClick,$nClickView,$nFull)")
+  }
+
   test("expectation audit: 7 rules, clean harness data, nonzero coverage") {
     val rows = Analytics.dqExpectations(spark, sf0001).collect()
     assert(rows.length == 7)
