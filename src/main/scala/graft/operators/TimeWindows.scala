@@ -266,7 +266,58 @@ object TimeWindows {
       |FROM w WHERE event_type = 'purchase' AND click_id IS NOT NULL
       |ORDER BY purchase_id""".stripMargin
 
+  // ------------------------------------------------ interval-overlap join
+  /** Interval-overlap self-join — the third time-join algorithm beside
+    * [[rangeJoin]] (point proximity) and [[asofJoin]] (latest-preceding):
+    * per-(user, day) activity SPANS, paired within a (day, cohort) key
+    * when they overlap, reporting per-cohort concurrency. The generic
+    * interval join risks O(n²); the bound here is a compound equi-key
+    * (day × cohort) so the theta condition only runs inside small
+    * buckets — the same time-bucketing a Flink/KDB interval join uses,
+    * tightened by the cohort dimension. Spans are DERIVED per day
+    * (groupBy user, day), so no interval ever crosses a bucket and no
+    * clip/dedup pass is needed; overlap length is pure integer
+    * arithmetic: min(ends) − max(starts) ≥ 0. */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("day", (col("sec") / 86400L).cast("long"))
+      .groupBy("user_id", "day")
+      .agg(min(col("sec")).as("s"), max(col("sec")).as("e"))
+      .withColumn("team", pmod(col("user_id"), lit(50)).cast("long"))
+    val a = spans.select(col("team"), col("day"), col("user_id").as("a_id"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val b = spans.select(col("team"), col("day"), col("user_id").as("b_id"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    a.join(b, Seq("team", "day"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .withColumn("ovl", least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+      .groupBy("team")
+      .agg(count(lit(1)).as("n_overlaps"),
+           sum(col("ovl")).as("total_overlap_sec"),
+           max(col("ovl")).as("max_overlap_sec"))
+      .orderBy("team")
+  }
+
+  val intervalOverlapSql: String =
+    """WITH spans AS (
+      |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |         CAST(min(floor(epoch(ts))) AS BIGINT) AS s,
+      |         CAST(max(floor(epoch(ts))) AS BIGINT) AS e,
+      |         user_id % 50 AS team
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT a.team, CAST(count(*) AS BIGINT) AS n_overlaps,
+      |       CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS total_overlap_sec,
+      |       CAST(max(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS max_overlap_sec
+      |FROM spans a JOIN spans b
+      |  ON a.team = b.team AND a.day = b.day AND a.user_id < b.user_id
+      | AND a.s <= b.e AND b.s <= a.e
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interval_overlap"   -> (intervalOverlap _),
     "w1_sliding_counts"  -> (slidingCounts _),
     "w1_tumbling_counts" -> (tumblingCounts _),
     "w1_top_per_window"  -> (topPerWindow _),
@@ -277,6 +328,7 @@ object TimeWindows {
   )
 
   def oracles: Map[String, String] = Map(
+    "interval_overlap"   -> intervalOverlapSql,
     "w1_sliding_counts"  -> slidingCountsSql,
     "w1_tumbling_counts" -> tumblingCountsSql,
     "w1_top_per_window"  -> topPerWindowSql,

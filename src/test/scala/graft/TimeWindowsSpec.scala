@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 
 class TimeWindowsSpec extends GraftSpec {
 
+  test("interval overlap matches a brute-force pure-Scala reference") {
+    val spans = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy { case (u, sec) => (u, sec / 86400) }
+      .map { case ((u, day), evs) =>
+        (u % 50, day, u, evs.map(_._2).min, evs.map(_._2).max) }
+      .toSeq
+    var expected = Map.empty[Long, (Long, Long, Long)] // team -> (n, total, max)
+    for {
+      Seq(x, y) <- spans.combinations(2)
+      (ta, da, ua, sa, ea) = x; (tb, db, ub, sb, eb) = y
+      if ta == tb && da == db && ua != ub && sa <= eb && sb <= ea
+    } {
+      val ovl = math.min(ea, eb) - math.max(sa, sb)
+      val (n, tot, mx) = expected.getOrElse(ta, (0L, 0L, Long.MinValue))
+      expected = expected.updated(ta, (n + 1, tot + ovl, math.max(mx, ovl)))
+    }
+    val got = TimeWindows.intervalOverlap(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, s"diff: got=${got.toSeq.sorted.take(5)}... exp=${expected.toSeq.sorted.take(5)}...")
+  }
+
   test("sliding windows: every event lands in exactly window/slide = 2 windows") {
     val total = Tables.events(spark, sf0001).count()
     val winSum = TimeWindows.slidingCounts(spark, sf0001)
