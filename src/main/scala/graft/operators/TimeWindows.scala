@@ -266,6 +266,54 @@ object TimeWindows {
       |FROM w WHERE event_type = 'purchase' AND click_id IS NOT NULL
       |ORDER BY purchase_id""".stripMargin
 
+  // ---------------------------------------------------- forward as-of join
+  /** Forward as-of: each click matched to its NEXT purchase — the mirror
+    * of [[asofJoin]] (latest-preceding), same single-window mechanism
+    * with the frame flipped to (1 FOLLOWING, UNBOUNDED FOLLOWING) and
+    * `first(ignoreNulls)` instead of `last`. Tie policy mirrors too: at
+    * the same second the click sorts BEFORE the purchase, so same-second
+    * conversions match (gap 0). Still one shuffle by user, no join. */
+  def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("sec"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("is_p", when(col("event_type") === "purchase", 1).otherwise(0))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("is_p"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    tagged
+      .withColumn("next_p_id",
+        first(when(col("is_p") === 1, col("event_id")), ignoreNulls = true).over(byUser))
+      .withColumn("next_p_sec",
+        first(when(col("is_p") === 1, col("sec")), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "click" && col("next_p_id").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("next_p_id").as("purchase_id"),
+              (col("next_p_sec") - col("sec")).as("gap_sec"))
+      .orderBy("click_id")
+  }
+
+  val asofJoinForwardSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), w AS (
+      |  SELECT event_id, user_id, event_type, sec,
+      |         first_value(CASE WHEN is_p = 1 THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY sec, is_p, event_id
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS p_id,
+      |         first_value(CASE WHEN is_p = 1 THEN sec END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY sec, is_p, event_id
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS p_sec
+      |  FROM ev
+      |)
+      |SELECT event_id AS click_id, user_id, p_id AS purchase_id, p_sec - sec AS gap_sec
+      |FROM w WHERE event_type = 'click' AND p_id IS NOT NULL
+      |ORDER BY click_id""".stripMargin
+
   // ------------------------------------------------ interval-overlap join
   /** Interval-overlap self-join — the third time-join algorithm beside
     * [[rangeJoin]] (point proximity) and [[asofJoin]] (latest-preceding):
@@ -324,7 +372,8 @@ object TimeWindows {
     "sessionize"         -> (sessionize _),
     "session_window"     -> (sessionWindow _),
     "range_join"         -> (rangeJoin _),
-    "asof_join"          -> (asofJoin _)
+    "asof_join"          -> (asofJoin _),
+    "asof_join_forward"  -> (asofJoinForward _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -335,6 +384,7 @@ object TimeWindows {
     "sessionize"         -> sessionizeSql,
     "session_window"     -> sessionWindowSql,
     "range_join"         -> rangeJoinSql,
-    "asof_join"          -> asofJoinSql
+    "asof_join"          -> asofJoinSql,
+    "asof_join_forward"  -> asofJoinForwardSql
   )
 }

@@ -56,6 +56,21 @@ class TimeWindowsSpec extends GraftSpec {
     assert(sess == perUser)
   }
 
+  test("forward as-of: gaps non-negative and purchases never precede their click") {
+    val rows = TimeWindows.asofJoinForward(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) >= 0, s"gap ${r.getLong(3)} for click ${r.getLong(0)}"))
+    // duality with the backward join: if purchase P matched click C
+    // backward with gap g, then C's forward match is some purchase at
+    // distance <= g (P itself qualifies)
+    val fwd = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    TimeWindows.asofJoin(spark, sf0001).collect().foreach { b =>
+      val (clickId, gap) = (b.getLong(2), b.getLong(3))
+      fwd.get(clickId).foreach(fg => assert(fg <= gap,
+        s"forward gap $fg must be <= backward gap $gap for click $clickId"))
+    }
+  }
+
   test("as-of join gaps are strictly positive (click strictly precedes purchase)") {
     val bad = TimeWindows.asofJoin(spark, sf0001).filter("gap_sec < 0").count()
     assert(bad == 0)
