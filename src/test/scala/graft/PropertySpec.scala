@@ -28,6 +28,50 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("explode-pushthrough rule is result-invariant on random corpora and prefixes") {
+    // random texts over a tiny alphabet (so prefixes hit often), random
+    // 1-2 char prefix, sometimes with an extra conjunct — rule-on vs
+    // rule-off row multisets must agree exactly
+    val word = Gen.stringOfN(3, Gen.oneOf('a', 'b', '#'))
+    val text = Gen.listOfN(6, word).map(_.mkString(" "))
+    val corpus = Gen.listOfN(30, text)
+    val prefix = Gen.oneOf("#", "a", "ab", "b#")
+    val cases = samples(Gen.zip(corpus, prefix, Gen.oneOf(true, false)), 10)
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    try cases.foreach { case (texts, p, extraConjunct) =>
+      def q() = {
+        val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text")
+          .select(col("id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok").startsWith(p))
+        if (extraConjunct) base.filter(length(col("tok")) >= 2) else base
+      }
+      spark.conf.unset(key)
+      val withRule = q().collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      spark.conf.set(key, "graft.plans.PushStartsWithThroughExplode")
+      val without = q().collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(withRule == without, s"prefix=$p extra=$extraConjunct texts=${texts.take(3)}...")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("explode-pushthrough rule guards: outer generators are left untouched") {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // posexplode_outer emits a null row per empty generator; the rule
+    // must not inject a prefilter below an outer Generate
+    val df = Seq((1L, "x y"), (2L, "#a b")).toDF("id", "text")
+      .select(col("id"), explode_outer(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").startsWith("#"))
+    val optimized = df.queryExecution.optimizedPlan
+    val injected = optimized.collect {
+      case f: Filter if f.condition.sql.toLowerCase.contains("contains") => f
+    }
+    assert(injected.isEmpty, s"rule must skip outer generators:\n$optimized")
+  }
+
   test("cosine(v, v) == 1 for random non-zero vectors") {
     val vec = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
       .suchThat(v => v.exists(math.abs(_) > 1e-3))
