@@ -475,6 +475,75 @@ object Similarity {
        |SELECT q_id, n_id, rnk, dist FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ------------------------------------------- time-series similarity
+  /** Top-3 most-similar users by DAILY ACTIVITY SERIES — the time-series
+    * similarity search of the EDBT'19 streaming-similarity line (see
+    * PAPERS.md), built exactly like the vector ANN family: densify each
+    * user's per-day event counts over the corpus's day range via a
+    * (user × day) grid left-join (explicit zero-fill — collect-then-sort
+    * gives engine-stable element order), then cosine against a broadcast
+    * query-user side with the codegen'd dot product. The series is just
+    * another ArrayType(Double) column, so every ANN optimization
+    * (broadcast queries, rank windows, bounded heap) applies verbatim;
+    * at 100 TB the densify step is the only addition — one grid join
+    * bounded by users × days, tiny beside the event scan. */
+  def tsSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val counts = graft.Tables.events(s, dir)
+      .select(col("user_id"), (unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+    val bounds = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val users = counts.select("user_id").distinct()
+    val grid = users.crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = grid.join(counts, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("cnt"), lit(0L)).as("v"))
+      .groupBy("user_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("day"), col("v")))),
+        x => x.getField("v").cast("double")).as("series"))
+    val q = dense.filter(col("user_id") % 100 === 0)
+      .select(col("user_id").as("q_id"), col("series").as("qs"))
+    val scored = dense.join(broadcast(q), col("user_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qs"), col("series")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("user_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("user_id").as("n_id"), col("rnk"),
+        round(col("score"), 6).as("score_r"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val tsSimilaritySql: String =
+    """WITH counts AS (
+      |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT min(day) AS d0, max(day) AS d1 FROM counts
+      |), grid AS (
+      |  SELECT u.user_id, d.day
+      |  FROM (SELECT DISTINCT user_id FROM counts) u
+      |  CROSS JOIN (SELECT unnest(generate_series((SELECT d0 FROM bounds), (SELECT d1 FROM bounds))) AS day) d
+      |), dense AS (
+      |  SELECT g.user_id,
+      |         array_agg(CAST(coalesce(c.cnt, 0) AS DOUBLE) ORDER BY g.day) AS series
+      |  FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.day = c.day
+      |  GROUP BY 1
+      |), q AS (
+      |  SELECT user_id AS q_id, series AS qs FROM dense WHERE user_id % 100 = 0
+      |), scored AS (
+      |  SELECT q.q_id, d.user_id AS n_id,
+      |         list_dot_product(q.qs, d.series) /
+      |           (sqrt(list_dot_product(q.qs, q.qs)) * sqrt(list_dot_product(d.series, d.series)))
+      |           AS score
+      |  FROM q JOIN dense d ON d.user_id <> q.q_id
+      |), r AS (
+      |  SELECT q_id, n_id, score,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rnk
+      |  FROM scored
+      |)
+      |SELECT q_id, n_id, rnk, round(score, 6) AS score_r
+      |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   // ------------------------------------------------------------- IVF-PQ
   private val PqRerank = 20  // PQ-approximate candidates re-ranked exactly
 
@@ -630,6 +699,7 @@ object Similarity {
     "ann_brute_topk"  -> (bruteForceTopK _),
     "ann_pq_topk"     -> (pqTopK _),
     "ann_ivfpq_topk"  -> (ivfPqTopK _),
+    "ts_similarity"   -> (tsSimilarity _),
     "ann_heap_topk"   -> (heapTopK _),
     "ann_lsh_topk"    -> (lshTopK _),
     "ann_bucket_stats" -> (bucketStats _),
@@ -644,6 +714,7 @@ object Similarity {
     "ann_brute_topk" -> bruteForceTopKSql,
     "ann_pq_topk"    -> pqTopKSql,
     "ann_ivfpq_topk" -> ivfPqTopKSql,
+    "ts_similarity"  -> tsSimilaritySql,
     // the heap aggregate is result-identical to the window variant by
     // construction — it shares the same oracle
     "ann_heap_topk"  -> bruteForceTopKSql,

@@ -81,6 +81,21 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.3, f"bucketed near-dup recall $recall%.2f below floor")
   }
 
+  test("time-series similarity: contiguous ranks, bounded non-increasing scores") {
+    val rows = graft.operators.Similarity.tsSimilarity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).sameElements(1 to rs.length), s"q=$q ranks")
+      sorted.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.000001))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(3) >= b.getDouble(3), s"q=$q order")
+        case _ =>
+      }
+      assert(!rs.exists(_.getLong(1) == q), "self excluded")
+    }
+  }
+
   test("IVF-PQ top-k: recall within reach of plain IVF, results subset of probed lists") {
     val ivf = Similarity.ivfTopK(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
