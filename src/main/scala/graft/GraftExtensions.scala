@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, TopKByScore}
+import graft.functions.{DotProduct, DtwDistance, TopKByScore}
 
 /** SparkSessionExtensions hook: registers the engine's custom expressions
   * as SQL functions, so `spark.sql("SELECT vector_dot(a, b) ...")` works in
@@ -27,6 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vector_dot(arrayExpr, arrayExpr)")
         DotProduct(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("dtw_distance"),
+      new ExpressionInfo(classOf[DtwDistance].getName, "dtw_distance"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "dtw_distance(seriesExpr, seriesExpr, band) — band must be a literal int")
+        val band = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => other.eval(null).asInstanceOf[Int]
+        }
+        DtwDistance(children.head, children(1), band)
       }))
 
     ext.injectFunction((

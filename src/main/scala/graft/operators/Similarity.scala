@@ -487,7 +487,8 @@ object Similarity {
     * (broadcast queries, rank windows, bounded heap) applies verbatim;
     * at 100 TB the densify step is the only addition — one grid join
     * bounded by users × days, tiny beside the event scan. */
-  def tsSimilarity(s: SparkSession, dir: String): DataFrame = {
+  /** Dense per-user daily-count series (see [[tsSimilarity]] Scaladoc). */
+  private[graft] def dailySeries(s: SparkSession, dir: String): DataFrame = {
     val counts = graft.Tables.events(s, dir)
       .select(col("user_id"), (unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
       .groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
@@ -495,12 +496,16 @@ object Similarity {
     val users = counts.select("user_id").distinct()
     val grid = users.crossJoin(broadcast(bounds))
       .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
-    val dense = grid.join(counts, Seq("user_id", "day"), "left")
+    grid.join(counts, Seq("user_id", "day"), "left")
       .select(col("user_id"), col("day"), coalesce(col("cnt"), lit(0L)).as("v"))
       .groupBy("user_id")
       .agg(transform(
         sort_array(collect_list(struct(col("day"), col("v")))),
         x => x.getField("v").cast("double")).as("series"))
+  }
+
+  def tsSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val dense = dailySeries(s, dir)
     val q = dense.filter(col("user_id") % 100 === 0)
       .select(col("user_id").as("q_id"), col("series").as("qs"))
     val scored = dense.join(broadcast(q), col("user_id") =!= col("q_id"))
@@ -543,6 +548,30 @@ object Similarity {
       |)
       |SELECT q_id, n_id, rnk, round(score, 6) AS score_r
       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  // --------------------------------------------------- DTW similarity
+  /** Top-3 nearest users by BANDED DTW over the same daily series —
+    * the elastic counterpart of [[tsSimilarity]]'s lockstep cosine: DTW
+    * matches series that are locally time-shifted (a user whose weekly
+    * rhythm runs a day late still matches), which cosine structurally
+    * cannot. Scoring streams pairs through the codegen'd
+    * `graft.functions.DtwDistance` 2-row DP (no materialized cell
+    * matrix); same broadcast-query / rank-window plan as every ANN
+    * query. No oracle engine computes DTW ⇒ rows-only gate; the spec
+    * replays the full query against an independent pure-Scala DP. */
+  def tsDtwTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DtwDistance.dtw
+    val dense = dailySeries(s, dir)
+    val q = dense.filter(col("user_id") % 100 === 0)
+      .select(col("user_id").as("q_id"), col("series").as("qs"))
+    val scored = dense.join(broadcast(q), col("user_id") =!= col("q_id"))
+      .withColumn("dist", dtw(col("qs"), col("series"), band = 3))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("user_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("user_id").as("n_id"), col("rnk"),
+        round(col("dist"), 6).as("dist_r"))
+      .orderBy("q_id", "rnk")
+  }
 
   // ------------------------------------------------------------- IVF-PQ
   private val PqRerank = 20  // PQ-approximate candidates re-ranked exactly
@@ -700,6 +729,7 @@ object Similarity {
     "ann_pq_topk"     -> (pqTopK _),
     "ann_ivfpq_topk"  -> (ivfPqTopK _),
     "ts_similarity"   -> (tsSimilarity _),
+    "ts_dtw_topk"     -> (tsDtwTopK _),
     "ann_heap_topk"   -> (heapTopK _),
     "ann_lsh_topk"    -> (lshTopK _),
     "ann_bucket_stats" -> (bucketStats _),

@@ -81,6 +81,56 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.3, f"bucketed near-dup recall $recall%.2f below floor")
   }
 
+  test("DTW expression: identity, band-0 = L2 on equal lengths, shift elasticity") {
+    import graft.functions.DtwDistance.dtw
+    val df = Seq((
+      Array(1.0, 2.0, 3.0, 4.0),
+      Array(1.0, 2.0, 3.0, 4.0),
+      Array(0.0, 1.0, 2.0, 3.0))).toDF("a", "b", "shifted")
+    val r = df.select(
+      dtw(col("a"), col("b"), 3).as("self"),
+      dtw(col("a"), col("b"), 0).as("l2band0"),
+      dtw(col("a"), col("shifted"), 3).as("elastic"),
+      dtw(col("a"), col("shifted"), 0).as("lockstep")).head
+    assert(r.getDouble(0) == 0.0, "dtw(v, v) = 0")
+    assert(r.getDouble(1) == 0.0, "band 0 on identical series = L2 = 0")
+    // a one-step shift: lockstep (band 0) pays |1|^2 per step = sqrt(4);
+    // elastic warping aligns the interior but BOTH endpoints stay
+    // anchored at (1,1) and (n,m), each paying 1 -> sqrt(2)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-12, s"lockstep ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(2) - math.sqrt(2.0)) < 1e-12, s"elastic ${r.getDouble(2)}")
+  }
+
+  test("DTW top-k matches an independent pure-Scala DP reference end-to-end") {
+    def dtwRef(x: Array[Double], y: Array[Double], band: Int): Double = {
+      val (n, m) = (x.length, y.length)
+      val w = math.max(band, math.abs(n - m))
+      val inf = Double.PositiveInfinity
+      var prev = Array.fill(m + 1)(inf); var cur = Array.fill(m + 1)(inf)
+      prev(0) = 0.0
+      for (i <- 1 to n) {
+        java.util.Arrays.fill(cur, inf)
+        for (j <- math.max(1, i - w) to math.min(m, i + w)) {
+          val d = x(i - 1) - y(j - 1)
+          cur(j) = d * d + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        }
+        val t = prev; prev = cur; cur = t
+      }
+      math.sqrt(prev(m))
+    }
+    val series = Similarity.dailySeries(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val expected = series.keys.filter(_ % 100 == 0).toSeq.sorted.flatMap { q =>
+      series.toSeq.filter(_._1 != q)
+        .map { case (u, v) => (u, dtwRef(series(q), v, 3)) }
+        .sortBy { case (u, d) => (d, u) }.take(3).zipWithIndex
+        .map { case ((u, d), i) => (q, u, i + 1, math.rint(d * 1e6) / 1e6) }
+    }.toSet
+    val got = Similarity.tsDtwTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == expected, s"got-exp=${got -- expected}\nexp-got=${expected -- got}")
+  }
+
   test("time-series similarity: contiguous ranks, bounded non-increasing scores") {
     val rows = graft.operators.Similarity.tsSimilarity(spark, sf0001).collect()
     assert(rows.nonEmpty)
