@@ -6,6 +6,14 @@ package graft
 class ExtensionsSpec extends GraftSpec {
   import spark.implicits._
 
+  test("dtw_distance is callable from SQL with a literal band") {
+    val d = spark.sql(
+      """SELECT dtw_distance(array(1.0D, 2.0D, 3.0D, 4.0D),
+        |                    array(0.0D, 1.0D, 2.0D, 3.0D), 3) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(d - math.sqrt(2.0)) < 1e-12, s"got $d")
+  }
+
   test("vector_dot is callable from SQL") {
     val v = spark.sql(
       "SELECT vector_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
