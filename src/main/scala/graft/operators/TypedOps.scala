@@ -103,13 +103,54 @@ object TypedOps {
       |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
       |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin
 
+  case class UserEvent(user_id: Long, event_id: Long, sec: Long)
+
+  /** Typed secondary sort — `flatMapSortedGroups` (Spark 3.4+): the
+    * engine sorts each group DURING the shuffle (sort-based aggregation
+    * machinery), so the lambda receives events already in (sec,
+    * event_id) order and streams them with O(1) state. The alternative
+    * shapes both cost more: a window function materializes a lag column
+    * corpus-wide; a `mapGroups` + in-lambda `sortBy` buffers the whole
+    * group in memory — the thing that OOMs on a skewed key. Here: the
+    * max inter-event gap per user, a pure single-pass fold. */
+  def typedSortedGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"sec", $"event_id") { (uid, evs) =>
+        var n = 0L; var prev = Long.MinValue; var maxGap = 0L
+        evs.foreach { e =>
+          if (prev != Long.MinValue && e.sec - prev > maxGap) maxGap = e.sec - prev
+          prev = e.sec; n += 1
+        }
+        Iterator((uid, n, maxGap))
+      }.toDF("user_id", "n_events", "max_gap_sec")
+      .orderBy("user_id")
+  }
+
+  val typedSortedGroupsSql: String =
+    """WITH gaps AS (
+      |  SELECT user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) -
+      |           lag(CAST(floor(epoch(ts)) AS BIGINT))
+      |             OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS gap
+      |  FROM events
+      |)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_sec
+      |FROM gaps GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "typed_lang_stats" -> (typedLangStats _),
-    "typed_cogroup"    -> (typedCogroup _)
+    "typed_lang_stats"    -> (typedLangStats _),
+    "typed_cogroup"       -> (typedCogroup _),
+    "typed_sorted_groups" -> (typedSortedGroups _)
   )
 
   def oracles: Map[String, String] = Map(
-    "typed_lang_stats" -> typedLangStatsSql,
-    "typed_cogroup"    -> typedCogroupSql
+    "typed_lang_stats"    -> typedLangStatsSql,
+    "typed_cogroup"       -> typedCogroupSql,
+    "typed_sorted_groups" -> typedSortedGroupsSql
   )
 }
