@@ -496,6 +496,57 @@ object Analytics {
        |FROM pr3 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------------- correlation matrix
+  /** Pearson correlation matrix between event types over their daily
+    * count series — `corr`/`covar_samp` as first-class aggregates, with
+    * the statistical care that makes the numbers meaningful: the series
+    * are ZERO-FILLED over the full (day × type) grid before correlating
+    * (an inner join on observed days silently conditions on joint
+    * activity and inflates correlations). The grid is days × types —
+    * trivially small at any corpus scale; the one real scan is the daily
+    * count aggregate. Output includes the diagonal (corr = 1) as a
+    * built-in self-check. */
+  def typeCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select((unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+    val days = daily.select("day").distinct()
+    val types = daily.select("event_type").distinct()
+    val grid = days.crossJoin(broadcast(types))
+    val dense = grid.join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).cast("double").as("c"))
+    val a = dense.select(col("day"), col("event_type").as("ta"), col("c").as("ca"))
+    val b = dense.select(col("day"), col("event_type").as("tb"), col("c").as("cb"))
+    a.join(b, "day")
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_days"),
+        round(corr(col("ca"), col("cb")), 6).as("pearson"),
+        round(covar_samp(col("ca"), col("cb")), 6).as("covar"))
+      .orderBy("ta", "tb")
+  }
+
+  val typeCorrMatrixSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT d.day, t.event_type
+      |  FROM (SELECT DISTINCT day FROM daily) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+      |), dense AS (
+      |  SELECT g.day, g.event_type, CAST(coalesce(dd.cnt, 0) AS DOUBLE) AS c
+      |  FROM grid g LEFT JOIN daily dd ON g.day = dd.day AND g.event_type = dd.event_type
+      |)
+      |SELECT a.event_type AS ta, b.event_type AS tb,
+      |       CAST(count(*) AS BIGINT) AS n_days,
+      |       round(corr(a.c, b.c), 6) AS pearson,
+      |       round(covar_samp(a.c, b.c), 6) AS covar
+      |FROM dense a JOIN dense b ON a.day = b.day
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------ winsorized aggregates
   /** Winsorized mean/stddev per order priority: values clipped to the
     * group's [p05, p95] before aggregating — the robust-moments
@@ -693,7 +744,8 @@ object Analytics {
     "mix_resample"       -> (mixResample _),
     "dq_expectations"    -> (dqExpectations _),
     "session_funnel"     -> (sessionFunnel _),
-    "winsorized_stats"   -> (winsorizedStats _))
+    "winsorized_stats"   -> (winsorizedStats _),
+    "type_corr_matrix"   -> (typeCorrMatrix _))
 
   val oracles: Map[String, String] = Map(
     "funnel_stages"      -> funnelStagesSql,
@@ -708,5 +760,6 @@ object Analytics {
     "mix_resample"       -> mixResampleSql,
     "dq_expectations"    -> dqExpectationsSql,
     "session_funnel"     -> sessionFunnelSql,
-    "winsorized_stats"   -> winsorizedStatsSql)
+    "winsorized_stats"   -> winsorizedStatsSql,
+    "type_corr_matrix"   -> typeCorrMatrixSql)
 }

@@ -174,6 +174,17 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("correlation matrix: unit diagonal, symmetric, |r| <= 1") {
+    val rows = Analytics.typeCorrMatrix(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((ta, tb), (p, cov)) =>
+      assert(math.abs(p) <= 1.000001, s"corr($ta,$tb)=$p")
+      if (ta == tb) assert(p == 1.0, s"diagonal corr($ta,$ta)=$p")
+      assert(rows((tb, ta)) == ((p, cov)), s"symmetry at ($ta,$tb)")
+    }
+  }
+
   test("winsorized stats: clipped moments sit inside the raw bounds") {
     val raw = Tables.orders(spark, sf0001)
       .groupBy("o_orderpriority")
