@@ -547,6 +547,55 @@ object Analytics {
       |FROM dense a JOIN dense b ON a.day = b.day
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- regression aggregates
+  /** Per-type activity TREND via the SQL:2016 regression aggregates
+    * (`regr_slope`/`regr_intercept`/`regr_r2` — closed-form OLS as a
+    * one-pass aggregate, no iterative fitting): daily counts regressed
+    * on day index, zero-filled over the day grid like the correlation
+    * matrix (missing days are real zeros, not missing observations).
+    * This is the drift detector for ingest monitoring — a source whose
+    * slope turns negative is drying up. One scan → one tiny aggregate. */
+  def typeTrendRegr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select((unix_timestamp(col("ts")) / 86400L).cast("long").as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val days = daily.select("day").distinct()
+    val types = daily.select("event_type").distinct()
+    days.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .crossJoin(broadcast(d0))
+      .select(col("event_type"), (col("day") - col("d0")).cast("double").as("x"),
+        coalesce(col("cnt"), lit(0L)).cast("double").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("regr_slope(y, x)"), 6).as("slope"),
+        round(expr("regr_intercept(y, x)"), 6).as("intercept"),
+        round(expr("regr_r2(y, x)"), 6).as("r2"))
+      .orderBy("event_type")
+  }
+
+  val typeTrendRegrSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), dense AS (
+      |  SELECT g.event_type,
+      |         CAST(g.day - (SELECT min(day) FROM daily) AS DOUBLE) AS x,
+      |         CAST(coalesce(dd.cnt, 0) AS DOUBLE) AS y
+      |  FROM (SELECT d.day, t.event_type
+      |        FROM (SELECT DISTINCT day FROM daily) d
+      |        CROSS JOIN (SELECT DISTINCT event_type FROM daily) t) g
+      |  LEFT JOIN daily dd ON g.day = dd.day AND g.event_type = dd.event_type
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |       round(regr_slope(y, x), 6) AS slope,
+      |       round(regr_intercept(y, x), 6) AS intercept,
+      |       round(regr_r2(y, x), 6) AS r2
+      |FROM dense GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ winsorized aggregates
   /** Winsorized mean/stddev per order priority: values clipped to the
     * group's [p05, p95] before aggregating — the robust-moments
@@ -745,7 +794,8 @@ object Analytics {
     "dq_expectations"    -> (dqExpectations _),
     "session_funnel"     -> (sessionFunnel _),
     "winsorized_stats"   -> (winsorizedStats _),
-    "type_corr_matrix"   -> (typeCorrMatrix _))
+    "type_corr_matrix"   -> (typeCorrMatrix _),
+    "type_trend_regr"    -> (typeTrendRegr _))
 
   val oracles: Map[String, String] = Map(
     "funnel_stages"      -> funnelStagesSql,
@@ -761,5 +811,6 @@ object Analytics {
     "dq_expectations"    -> dqExpectationsSql,
     "session_funnel"     -> sessionFunnelSql,
     "winsorized_stats"   -> winsorizedStatsSql,
-    "type_corr_matrix"   -> typeCorrMatrixSql)
+    "type_corr_matrix"   -> typeCorrMatrixSql,
+    "type_trend_regr"    -> typeTrendRegrSql)
 }

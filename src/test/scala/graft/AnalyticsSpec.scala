@@ -174,6 +174,22 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("trend regression: r2 in [0,1] and slope/intercept reproduce OLS on a planted line") {
+    val rows = Analytics.typeTrendRegr(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"r2 ${r.getDouble(4)}")
+    }
+    // planted exact line y = 3x + 7: slope/intercept recover it, r2 = 1
+    import spark.implicits._
+    val line = (0 until 20).map(i => (i.toDouble, 3.0 * i + 7.0)).toDF("x", "y")
+    val fit = line.agg(expr("regr_slope(y, x)"), expr("regr_intercept(y, x)"),
+      expr("regr_r2(y, x)")).head
+    assert(math.abs(fit.getDouble(0) - 3.0) < 1e-9)
+    assert(math.abs(fit.getDouble(1) - 7.0) < 1e-9)
+    assert(math.abs(fit.getDouble(2) - 1.0) < 1e-9)
+  }
+
   test("correlation matrix: unit diagonal, symmetric, |r| <= 1") {
     val rows = Analytics.typeCorrMatrix(spark, sf0001).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getDouble(3), r.getDouble(4)))).toMap
