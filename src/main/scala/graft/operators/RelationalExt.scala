@@ -280,6 +280,40 @@ object RelationalExt {
       .orderBy("n_regionkey")
   }
 
+  /** HLL set ALGEBRA — sketch-based overlap estimation: distinct users
+    * who both clicked AND purchased, from two sketches and their union
+    * via inclusion–exclusion (|A∩B| ≈ |A| + |B| − |A∪B|). This is how
+    * cross-source audience/corpus overlap is estimated at 100 TB: each
+    * source keeps one fixed-size sketch; any pairwise overlap is sketch
+    * merges, never a re-scan or a distinct-join. The exact intersection
+    * rides along in the same output for the spec's relative-error bound.
+    * Sketch internals are implementation-defined → rows-only gate. */
+  def hllIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"))
+    val sk = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+           countDistinct(col("user_id")).as("exact_n"))
+    val both = sk.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_union"),
+      sum(when(col("event_type") === "click", col("exact_n"))).as("exact_click"),
+      sum(when(col("event_type") === "purchase", col("exact_n"))).as("exact_purchase"))
+    val approxSides = sk.select(col("event_type"),
+      expr("hll_sketch_estimate(sk)").as("approx_n"))
+    val a = approxSides.filter(col("event_type") === "click")
+      .select(col("approx_n").as("approx_click"))
+    val b = approxSides.filter(col("event_type") === "purchase")
+      .select(col("approx_n").as("approx_purchase"))
+    val exactBoth = ev.filter(col("event_type") === "click").select("user_id").distinct()
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id").distinct())
+      .agg(count(lit(1)).as("exact_both"))
+    both.crossJoin(a).crossJoin(b).crossJoin(exactBoth)
+      .select(
+        (col("approx_click") + col("approx_purchase") - col("approx_union"))
+          .cast("long").as("approx_both"),
+        col("exact_both"), col("exact_click"), col("exact_purchase"))
+  }
+
   // ------------------------------------------------------- union by name
   /** `unionByName` with reordered projections (schema aligned by column
     * name, not position), tagged per branch. */
@@ -371,6 +405,7 @@ object RelationalExt {
     "union_by_name"    -> (unionByNameTagged _),
     "join_salted"      -> (saltedJoin _),
     "hll_sketch_merge" -> (hllSketchMerge _),
+    "hll_intersect"    -> (hllIntersect _),
     "sql_lateral_view" -> (sqlLateralView _)
   )
 

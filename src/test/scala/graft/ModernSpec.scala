@@ -34,6 +34,14 @@ class ModernSpec extends GraftSpec {
       s"approx=$approx\nexactAboveCut=$strictly")
   }
 
+  test("HLL inclusion-exclusion intersection stays within 5% of exact") {
+    val r = graft.operators.RelationalExt.hllIntersect(spark, sf0001).head
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(exact > 0, "harness users both click and purchase")
+    assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
+      s"approx=$approx exact=$exact")
+  }
+
   test("histogram_numeric conserves mass, stays in range, and sorts centroids") {
     val rows = Modern.histogramPrices(spark, sf0001).collect()
     assert(rows.length == 8, "one row per requested bin")
