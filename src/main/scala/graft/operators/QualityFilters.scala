@@ -243,10 +243,90 @@ object QualityFilters {
     out.orderBy("doc_id")
   }
 
+  // ------------------------------------------- signal rank agreement
+  /** Do the engine's two independent quality signals agree? Spearman's
+    * rho between the heuristic quality score (TTR/stopword/length mix)
+    * and bigram perplexity, computed as Pearson over rank columns —
+    * plus top-decile overlap, the operational question ("would the two
+    * filters keep the same documents?"). Running this calibration is
+    * how a data recipe decides whether a second signal adds information
+    * or redundancy; both inputs are already oracle-checked queries, so
+    * the composition is too. Ranks come from total (value, doc_id)
+    * orders — deterministic on both engines. */
+  def qualitySignalAgreement(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(s, dir).select(col("doc_id"), col("quality"))
+    val p = perplexityScore(s, dir).select(col("doc_id"), col("avg_nll"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_nll").asc, col("doc_id"))
+    val ranked = q.join(p, "doc_id")
+      .withColumn("rq", row_number().over(wq).cast("double"))
+      .withColumn("rp", row_number().over(wp).cast("double"))
+    val n = ranked.count()
+    val decile = math.max(1L, n / 10)
+    val topQ = ranked.filter(col("rq") <= decile).select("doc_id")
+    val topP = ranked.filter(col("rp") <= decile).select("doc_id")
+    val overlap = topQ.intersect(topP).agg(count(lit(1)).as("top_decile_overlap"))
+    ranked.agg(count(lit(1)).as("n_docs"),
+        round(corr(col("rq"), col("rp")), 6).as("spearman_rho"))
+      .crossJoin(overlap)
+  }
+
+  val qualitySignalAgreementSql: String =
+    """WITH qt AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id,
+      |         round((len(list_distinct(tk)) * 1.0 / len(tk)) * 0.5 +
+      |               (len(list_filter(tk, x -> x IN ('the','a','of','to','and','in','or','is'))) * 1.0
+      |                  / len(tk)) * 0.3 +
+      |               least(len(tk) / 100.0, 1.0) * 0.2, 6) AS quality
+      |  FROM qt
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), seq AS (
+      |  SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, tok AS w2
+      |  FROM toks
+      |), bi AS (
+      |  SELECT doc_id, w1, w2 FROM seq WHERE w1 IS NOT NULL
+      |), cb AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bi GROUP BY 1, 2
+      |), cu AS (
+      |  SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM bi GROUP BY 1
+      |), v AS (
+      |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM toks
+      |), p AS (
+      |  SELECT bi.doc_id, round(avg(-ln((cb.cb + 1.0) / (cu.cu + v.v))), 6) AS avg_nll
+      |  FROM bi
+      |  JOIN cb ON bi.w1 = cb.w1 AND bi.w2 = cb.w2
+      |  JOIN cu ON bi.w1 = cu.w1, v
+      |  GROUP BY 1
+      |), ranked AS (
+      |  SELECT q.doc_id,
+      |         CAST(row_number() OVER (ORDER BY q.quality DESC, q.doc_id) AS DOUBLE) AS rq,
+      |         CAST(row_number() OVER (ORDER BY p.avg_nll ASC, p.doc_id) AS DOUBLE) AS rp
+      |  FROM q JOIN p ON q.doc_id = p.doc_id
+      |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+      |ov AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS top_decile_overlap FROM (
+      |    SELECT doc_id FROM ranked WHERE rq <= greatest(1, (SELECT n FROM nn) // 10)
+      |    INTERSECT
+      |    SELECT doc_id FROM ranked WHERE rp <= greatest(1, (SELECT n FROM nn) // 10)
+      |  )
+      |)
+      |SELECT (SELECT n FROM nn) AS n_docs,
+      |       (SELECT round(corr(rq, rp), 6) FROM ranked) AS spearman_rho,
+      |       (SELECT top_decile_overlap FROM ov) AS top_decile_overlap""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub_stoptokens" -> (scrubStopTokens _),
     "text_repetition"       -> (repetitionFilter _),
     "text_perplexity"       -> (perplexityScore _),
+    "quality_signal_agreement" -> (qualitySignalAgreement _),
     "text_compress_ratio"   -> (compressRatio _),
     "decontaminate"         -> (decontaminate _)
   )
@@ -255,6 +335,7 @@ object QualityFilters {
     "text_scrub_stoptokens" -> scrubStopTokensSql,
     "text_repetition"       -> repetitionFilterSql,
     "text_perplexity"       -> perplexityScoreSql,
+    "quality_signal_agreement" -> qualitySignalAgreementSql,
     "decontaminate"         -> decontaminateSql
   )
 }

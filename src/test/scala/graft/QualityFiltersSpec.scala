@@ -85,6 +85,14 @@ class QualityFiltersSpec extends GraftSpec {
       2 * ratioOf("ab " * 200), "varied text compresses far worse than repetition")
   }
 
+  test("signal agreement: rho bounded, overlap within decile, full doc coverage") {
+    val r = QualityFilters.qualitySignalAgreement(spark, sf0001).head
+    val (n, rho, ovl) = (r.getLong(0), r.getDouble(1), r.getLong(2))
+    assert(n == Tables.documents(spark, sf0001).count(), "every doc ranked by both signals")
+    assert(math.abs(rho) <= 1.000001, s"spearman $rho")
+    assert(ovl >= 0 && ovl <= math.max(1L, n / 10), s"overlap $ovl vs decile ${n / 10}")
+  }
+
   test("observed scrub reports metrics from the same job, matching recomputation") {
     val (df, obs) = QualityFilters.scrubObserved(spark, sf0001)
     val rows = df.collect() // the one action both returns rows and fills obs
