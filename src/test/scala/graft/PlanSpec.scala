@@ -157,6 +157,37 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("ANALYZE TABLE feeds CBO: exact rowCount reaches the optimized plan") {
+    val cbo = "spark.sql.cbo.enabled"
+    val prevCbo = spark.conf.getOption(cbo)
+    spark.conf.set(cbo, "true")
+    try {
+      spark.sql("DROP TABLE IF EXISTS nation_stats")
+      Tables.nation(spark, sf0001).write.saveAsTable("nation_stats")
+      // before ANALYZE: size-based estimate only, no exact row count
+      val before = spark.table("nation_stats")
+        .queryExecution.optimizedPlan.stats.rowCount
+      spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS")
+      val after = spark.table("nation_stats")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(after.contains(BigInt(25)),
+        s"CBO must see the analyzed row count (before=$before, after=$after)")
+      // column-level stats drive selectivity estimates
+      spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS FOR COLUMNS n_regionkey")
+      val filtered = spark.table("nation_stats")
+        .filter(org.apache.spark.sql.functions.col("n_regionkey") === 0)
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(filtered.exists(rc => rc >= 1 && rc < 25),
+        s"column stats must shrink the filtered estimate below the table size: $filtered")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nation_stats")
+      prevCbo match {
+        case Some(v) => spark.conf.set(cbo, v)
+        case None    => spark.conf.unset(cbo)
+      }
+    }
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = Reference.topTokens(spark, sf0001)
     df.collect() // AQE finalizes (and codegens) only on execution
