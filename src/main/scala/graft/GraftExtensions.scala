@@ -6,10 +6,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DotProduct, DtwDistance, TopKByScore}
 
 /** SparkSessionExtensions hook: registers the engine's custom expressions
-  * as SQL functions, so `spark.sql("SELECT vector_dot(a, b) ...")` works in
-  * any session built with
+  * (`vector_dot`, `dtw_distance`, `top_k_by_score`) as SQL functions and
+  * injects the generator predicate-pushthrough optimizer rule
+  * (`graft.plans.PushStartsWithThroughExplode`), so any session built with
   * `.withExtensions(new GraftExtensions)` or
-  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` gets the
+  * full engine surface.
   *
   * This is the standard Spark extension surface (same mechanism Delta/
   * Iceberg use) — no Spark internals patched, works on a plain Spark 4
