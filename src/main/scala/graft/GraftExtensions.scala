@@ -18,6 +18,22 @@ import graft.functions.{DotProduct, DtwDistance, TopKByScore}
   * distribution. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // SQL literals arrive as Literal of whatever integral type the parser
+  // chose (2 is INT but 2L is BIGINT) — and a non-foldable expression
+  // cannot be eval(null)'d at all. Fail both with the documented message
+  // instead of a ClassCastException/NPE.
+  private def literalInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal int, got non-foldable ${e.sql}")
+    e.eval(null) match {
+      case i: Int                  => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short                => s.toInt
+      case b: Byte                 => b.toInt
+      case other =>
+        throw new IllegalArgumentException(s"$what must be a literal int, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // optimizer rule: prune non-matching rows BEFORE the generator
     // explodes them (see the rule's Scaladoc for the soundness argument)
@@ -37,11 +53,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3,
           "dtw_distance(seriesExpr, seriesExpr, band) — band must be a literal int")
-        val band = children(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => other.eval(null).asInstanceOf[Int]
-        }
-        DtwDistance(children.head, children(1), band)
+        DtwDistance(children.head, children(1), literalInt(children(2), "band"))
       }))
 
     ext.injectFunction((
@@ -50,11 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3,
           "top_k_by_score(scoreExpr, idExpr, k) — k must be a literal int")
-        val k = children(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => other.eval(null).asInstanceOf[Int]
-        }
-        TopKByScore(children.head, children(1), k).toAggregateExpression()
+        TopKByScore(children.head, children(1), literalInt(children(2), "k"))
+          .toAggregateExpression()
       }))
   }
 }

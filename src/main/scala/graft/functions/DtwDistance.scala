@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Banded DTW (dynamic time warping) distance between two array<double>
   * series, as a native codegen'd Catalyst expression.
@@ -27,9 +28,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * time-series-similarity literature uses it over lockstep metrics.
   */
 case class DtwDistance(left: Expression, right: Expression, band: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   require(band >= 0, s"band must be >= 0, got $band")
+
+  // array<int>/array<float> are widened to array<double> at analysis time
+  // (ArrayData.getDouble would silently misread their packed layout);
+  // non-array inputs fail analysis instead of cast-crashing in codegen.
+  // (no Seq[AbstractDataType] annotation — that type is private[sql])
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
   override def foldable: Boolean = children.forall(_.foldable)

@@ -227,6 +227,11 @@ object QualityFilters {
     val out = in.sparkSession.createDataFrame(
       in.rdd.mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(6)
+        // Deflater holds native zlib buffers that GC finalization frees
+        // only eventually — across a many-partition corpus scan that is a
+        // native-memory leak. Release deterministically at task end.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         rows.map { r =>
           val bytes = r.getString(1).getBytes("UTF-8")

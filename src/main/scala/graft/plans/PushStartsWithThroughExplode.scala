@@ -45,11 +45,20 @@ object PushStartsWithThroughExplode extends Rule[LogicalPlan] {
       }
       if (prefixes.isEmpty) f
       else {
-        val implied = prefixes.map(p => Contains(text, p): Expression).reduce(And)
+        val impliedSeq = prefixes.map(p => Contains(text, p): Expression)
+        // Fixpoint guard per implied conjunct: with >=2 prefixes the
+        // combined And never semanticEquals any single existing conjunct,
+        // so the guard must check (and inject) each conjunct individually
+        // or the batch re-injects forever and never converges.
         child match {
-          // already rewritten (optimizer batches run to fixpoint)
-          case Filter(c2, _) if conjuncts(c2).exists(_.semanticEquals(implied)) => f
-          case _ => f.copy(child = g.copy(child = Filter(implied, child)))
+          case cf @ Filter(c2, grandchild) =>
+            val present = conjuncts(c2)
+            val missing = impliedSeq.filterNot(ic => present.exists(_.semanticEquals(ic)))
+            if (missing.isEmpty) f
+            else f.copy(child = g.copy(child =
+              cf.copy(condition = (present ++ missing).reduce(And), child = grandchild)))
+          case _ =>
+            f.copy(child = g.copy(child = Filter(impliedSeq.reduce(And), child)))
         }
       }
   }

@@ -5,6 +5,7 @@ package graft
   * `spark.sql.extensions`) must be reachable from plain SQL. */
 class ExtensionsSpec extends GraftSpec {
   import spark.implicits._
+  import org.apache.spark.sql.functions.col
 
   test("dtw_distance is callable from SQL with a literal band") {
     val d = spark.sql(
@@ -12,6 +13,37 @@ class ExtensionsSpec extends GraftSpec {
         |                    array(0.0D, 1.0D, 2.0D, 3.0D), 3) AS d""".stripMargin)
       .head().getDouble(0)
     assert(math.abs(d - math.sqrt(2.0)) < 1e-12, s"got $d")
+  }
+
+  test("dtw_distance accepts a BIGINT band literal and rejects non-literals clearly") {
+    // parser types CAST(3 AS BIGINT) as a boxed Long — must not ClassCastException
+    val d = spark.sql(
+      """SELECT dtw_distance(array(1.0D, 2.0D, 3.0D, 4.0D),
+        |                    array(0.0D, 1.0D, 2.0D, 3.0D), CAST(3 AS BIGINT)) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(d - math.sqrt(2.0)) < 1e-12, s"got $d")
+
+    // a non-foldable band must fail with the documented message, not an NPE
+    val ex = intercept[Throwable] {
+      spark.sql(
+        "SELECT dtw_distance(array(1.0D), array(1.0D), id) FROM range(3)").collect()
+    }
+    val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("band must be a literal int"), s"got: $messages")
+  }
+
+  test("dtw_distance widens float arrays and rejects non-array inputs at analysis") {
+    // array<float> is implicitly cast to array<double> — same result as doubles
+    val d = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(graft.functions.DtwDistance.dtw(col("a"), col("b"), 2).as("d"))
+      .head().getDouble(0)
+    assert(d == 0.0, s"got $d")
+
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dtw_distance(1.0D, 2.0D, 1)").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("dtw_distance"), ex.getMessage)
   }
 
   test("vector_dot is callable from SQL") {

@@ -72,6 +72,28 @@ class PropertySpec extends GraftSpec {
     assert(injected.isEmpty, s"rule must skip outer generators:\n$optimized")
   }
 
+  test("explode-pushthrough converges with multiple StartsWith prefixes") {
+    import org.apache.spark.sql.catalyst.expressions.Contains
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // two prefixes imply And(contains, contains); the fixpoint guard must
+    // recognize each implied conjunct individually or the batch re-injects
+    // a duplicate every optimizer iteration until optimizerMaxIterations
+    // RDD-backed source: over a LocalRelation, ConvertToLocalRelation
+    // folds the injected filter away before the plan can be inspected
+    val df = spark.sparkContext
+      .parallelize(Seq((1L, "#ab x"), (2L, "b #a"), (3L, "c d"), (4L, "#a #ab")))
+      .toDF("id", "text")
+      .select(col("id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").startsWith("#") && col("tok").startsWith("#a"))
+    val optimized = df.queryExecution.optimizedPlan
+    val injected = optimized.collect { case f: Filter => f }
+      .flatMap(_.condition.collect { case c: Contains => c })
+    assert(injected.size == 2,
+      s"expected exactly one Contains per prefix, got ${injected.size}:\n$optimized")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq((1L, "#ab"), (2L, "#a"), (4L, "#a"), (4L, "#ab")))
+  }
+
   test("cosine(v, v) == 1 for random non-zero vectors") {
     val vec = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
       .suchThat(v => v.exists(math.abs(_) > 1e-3))
