@@ -1,0 +1,102 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 64-bit SimHash aggregate over a column of 64-bit feature hashes: one
+  * group (document) in, one simhash fingerprint out. Bit k of the result
+  * is set iff more than half of the group's hashes have bit k set — the
+  * standard sign test over Σ(±1) per bit, kept as an unsigned count so
+  * the buffer is a flat `long[65]` (64 per-bit counts + the row count).
+  *
+  * Why a TypedImperativeAggregate instead of expression columns: the
+  * previous formulation packed the 64 per-bit counts into 22 three-lane
+  * sum columns plus a 64-term `bitwiseOR` reduce. Semantically identical,
+  * but the analyzer/codegen unit it produced was enormous — measured
+  * ~6.8 s of pure plan construction per run (one-off per job, but 20% of
+  * the local bench suite). Here the whole reduction is ONE aggregate
+  * column with a tiny plan; the per-row work is a 64-iteration shift
+  * loop, and partial aggregation still runs map-side (ObjectHashAggregate
+  * supports partial merge), so the shuffle carries one 520-byte buffer
+  * per document per partition — less than the 23 longs-with-overhead the
+  * packed version shipped. Overflow-safe to 2^63 rows per group (vs the
+  * packed version's 2^20 lane bound).
+  */
+case class SimHashAgg(
+    hashExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val Bits = 64
+
+  override def children: Seq[Expression] = Seq(hashExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  // counts(0..63) = per-bit set counts; counts(64) = total rows
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Bits + 1)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val h = hashExpr.eval(input)
+    if (h != null) {
+      val v = h.asInstanceOf[Long]
+      var k = 0
+      while (k < Bits) { buf(k) += (v >>> k) & 1L; k += 1 }
+      buf(Bits) += 1L
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var k = 0
+    while (k <= Bits) { a(k) += b(k); k += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val n = buf(Bits)
+    var sim = 0L
+    var k = 0
+    while (k < Bits) {
+      if (buf(k) * 2 > n) sim |= 1L << k
+      k += 1
+    }
+    sim
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate((Bits + 1) * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](Bits + 1)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimHashAgg =
+    copy(hashExpr = newChildren(0))
+  override def prettyName: String = "simhash_agg"
+}
+
+object SimHashAggregate {
+  /** `simhash_agg(hash)` as a Column aggregate: 64-bit SimHash of a group
+    * of 64-bit feature hashes (majority vote per bit). */
+  def simhashAgg(hash: Column): Column =
+    GraftShims.column(
+      SimHashAgg(GraftShims.expression(hash)).toAggregateExpression())
+}

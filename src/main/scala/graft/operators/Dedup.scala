@@ -350,14 +350,16 @@ object Dedup {
     * SimHash separates cleanly (planted near-dups ≤ 10 bits apart, random
     * pairs p1 = 22, median 32).
     *
-    * The 64 per-bit popcounts are packed into 22 sums of three 21-bit
-    * lanes (bit k lives in lane k/22 of packed column k%22): one explode,
-    * 23 codegen'd aggregate columns instead of 64, shuffle carries 23
-    * longs per doc. Lane arithmetic is overflow-safe to 2^20 (~1M)
-    * distinct shingles per document — far beyond any real document; the
-    * sign test `2·count_k > n` is exactly the old ±1 sum's `> 0`. */
-  private val PackCols = 22
-  private val LaneBits = 21
+    * The 64 per-bit majority votes run inside ONE
+    * [[graft.functions.SimHashAgg]] aggregate column (a
+    * `TypedImperativeAggregate` over a flat `long[65]` buffer). An earlier
+    * formulation packed the counts into 22 three-lane sum columns plus a
+    * 64-term `bitwiseOR` reduce — semantically identical, but its
+    * analyzer/codegen unit cost ~6.8 s of plan construction per run (20%
+    * of the bench suite). The aggregate keeps the same single
+    * explode → partial-agg-shuffle shape with a tiny plan, and partial
+    * (map-side) aggregation still applies — the shuffle carries one
+    * 520-byte buffer per doc per partition. */
   private[operators] def simhash(docs: DataFrame): DataFrame = {
     // per-row distinct shingle arrays (no shuffle) → explode → one
     // partial-agg shuffle; the old explode+distinct pre-pass cost a second
@@ -365,23 +367,8 @@ object Dedup {
     val toks = shingleArrays(docs)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("h", xxhash64(col("s")))
-    val packed: Seq[Column] = (0 until PackCols).map { j =>
-      val lanes = (0 until SimBits / PackCols + 1)
-        .filter(l => j + PackCols * l < SimBits)
-        .map { l =>
-          shiftleft(shiftrightunsigned(col("h"), j + PackCols * l).bitwiseAND(lit(1L)),
-                    LaneBits * l)
-        }
-      sum(lanes.reduce(_.bitwiseOR(_))).as(s"p$j")
-    }
-    val aggCols = count(lit(1)).as("n") +: packed
-    val agg = toks.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-    val sim = (0 until SimBits).map { k =>
-      val cnt = shiftrightunsigned(col(s"p${k % PackCols}"), LaneBits * (k / PackCols))
-        .bitwiseAND(lit((1L << LaneBits) - 1))
-      when(cnt * 2 > col("n"), lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col("doc_id"), sim.as("simhash"))
+    toks.groupBy("doc_id")
+      .agg(graft.functions.SimHashAggregate.simhashAgg(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming(simhash_a, simhash_b) ≤ 12, found by
@@ -459,11 +446,13 @@ object Dedup {
     * per clustered doc, lbl = the component's minimum id. The curation
     * pipeline consumes this directly (drop every id ≠ lbl). */
   private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
-    def t0 = System.nanoTime()
-    var tMark = t0
+    // per-round lap timing is opt-in (SPARK_GRAFT_CC_TIMING=1) — the
+    // library proper stays silent; only the bench harness logs
+    val ccTiming = sys.env.contains("SPARK_GRAFT_CC_TIMING")
+    var tMark = System.nanoTime()
     def lap(tag: String): Unit = {
       val now = System.nanoTime()
-      System.err.println(f"[cc] $tag ${(now - tMark) / 1e9}%.2fs")
+      if (ccTiming) System.err.println(f"[cc] $tag ${(now - tMark) / 1e9}%.2fs")
       tMark = now
     }
     val edges = pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
