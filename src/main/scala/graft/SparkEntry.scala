@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, DataPrep, Dedup, Layout, Modern, Multimodal,
-  Pipeline, QualityFilters, Reference, Relational, RelationalExt, RelationalMore,
-  Similarity, SourcesSinks, TextAnalysis, TimeWindows, TpchFull, TypedOps}
+import graft.operators.{Analytics, CboStats, DataPrep, Dedup, Layout, Modern,
+  Multimodal, Pipeline, QualityFilters, Reference, Relational, RelationalExt,
+  RelationalMore, Similarity, SourcesSinks, TextAnalysis, TimeWindows, TpchFull,
+  TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,7 +38,8 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (TypedOps.queries, TypedOps.oracles),
-      (SourcesSinks.queries, SourcesSinks.oracles)
+      (SourcesSinks.queries, SourcesSinks.oracles),
+      (CboStats.queries, CboStats.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Cost-based-optimizer statistics wiring (SURVEY.md §4 follow-through to
+  * the ANALYZE-to-estimates spec): materialize the TPC-H tables into the
+  * session catalog and `ANALYZE TABLE .. FOR ALL COLUMNS` them, so
+  * Catalyst's CBO has real row counts, NDVs and min/max to plan with —
+  * filter-selectivity estimation, cost-based join reorder, and
+  * stats-driven broadcast decisions all switch from file-size guesses to
+  * cardinality math.
+  *
+  * At 100 TB this is the nightly `ANALYZE TABLE` maintenance job writing
+  * to the metastore; here it scales down to the harness catalog. The
+  * payoff is largest exactly where the harness can demonstrate it: a
+  * multi-way fact⋈fact⋈dim join written in a naive order is re-ordered to
+  * join the selective side first (intermediate cardinality drops from
+  * |lineitem⋈orders| to |lineitem⋈σ(part)|), and a filtered join side
+  * whose on-disk size exceeds the broadcast threshold is still broadcast
+  * once column stats prove the filter's output is small. */
+object CboStats {
+
+  val TpchTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** Session confs that enable the cost-based planner; stats come from
+    * [[registerAnalyzed]]. Join reorder only fires when EVERY join input
+    * has a row-count estimate — one unanalyzed table silently disables
+    * it, which is why the register step analyzes all of them. */
+  val CboConfs: Seq[(String, String)] = Seq(
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true")
+
+  /** Materialize `tables` as catalog tables named `<t>_cbo` (from the
+    * parquet at `dir`) and compute table + all-column statistics.
+    * Idempotent per session/warehouse. */
+  def registerAnalyzed(s: SparkSession, dir: String,
+                       tables: Seq[String] = TpchTables): Unit =
+    tables.foreach { t =>
+      val name = s"${t}_cbo"
+      if (!s.catalog.tableExists(name)) {
+        // the default catalog is in-memory but the warehouse is on disk: a
+        // previous session's managed-table directory would fail CREATE with
+        // LOCATION_ALREADY_EXISTS — clear any stale location first
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        Tables.table(s, dir, t).write.mode("overwrite").saveAsTable(name)
+        s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+    }
+
+  /** The q9-style profit join written in the WORST naive order — the two
+    * fact tables joined first, the selective `part` filter joined last.
+    * Without stats Catalyst preserves this order; with
+    * [[registerAnalyzed]] + [[CboConfs]] the cost-based reorder joins
+    * σ(part) against lineitem first. Same result either way — the spec
+    * pins both the reorder and result equality with the oracle-checked
+    * `q9_product_profit`. */
+  val productProfitNaiveSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |       CAST(sum(
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))
+      |         - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(9,0)) AS DECIMAL(24,4)) * CAST(0.1 AS DECIMAL(2,1))
+      |       ) AS DOUBLE) AS profit
+      |FROM lineitem_cbo
+      |JOIN orders_cbo ON l_orderkey = o_orderkey
+      |JOIN supplier_cbo ON l_suppkey = s_suppkey
+      |JOIN nation_cbo ON s_nationkey = n_nationkey
+      |JOIN part_cbo ON l_partkey = p_partkey
+      |WHERE p_name LIKE '%gear%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def productProfitNaive(s: SparkSession): DataFrame = s.sql(productProfitNaiveSql)
+
+  /** Oracle-gated CBO query: q9 planned from the naive join order under
+    * ANALYZE'd statistics + cost-based join reorder, in an isolated
+    * `newSession` (same SparkContext and shared catalog, private SQLConf)
+    * so the CBO confs cannot leak into any other query's planning. Must
+    * hash-match the SAME DuckDB oracle as `q9_product_profit` — a reorder
+    * is only legal if it is invisible in the results.
+    *
+    * Note: the `_cbo` catalog tables are materialized once per JVM from
+    * whichever `dir` is seen first — Verify/Bench use a single scale per
+    * run, so this never mixes scales. */
+  def productProfitAnalyzed(s: SparkSession, dir: String): DataFrame = {
+    registerAnalyzed(s, dir)
+    val cbo = s.newSession()
+    CboConfs.foreach { case (k, v) => cbo.conf.set(k, v) }
+    productProfitNaive(cbo)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("cbo_q9_reorder" -> (productProfitAnalyzed _))
+
+  val oracles: Map[String, String] =
+    Map("cbo_q9_reorder" -> TpchFull.productProfitSql)
+}
