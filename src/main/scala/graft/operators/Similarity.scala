@@ -42,6 +42,25 @@ object Similarity {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
 
+  /** The exact all-pairs/all-queries baselines ([[bruteForceTopK]],
+    * [[cosineNearDup]]) are quadratic BY DESIGN — they are the
+    * correctness/recall oracles the ANN paths are measured against. This
+    * guard refuses to run them past a corpus-size tripwire so a config
+    * mistake cannot quietly schedule an n² join over a 100 TB corpus:
+    * fail loudly, name the ANN counterpart, and leave a deliberate
+    * override (`spark.graft.exactBaseline.maxRows`). The row count reads
+    * parquet footer metadata (count-star pushdown, no fan-out shuffle) —
+    * one cheap job, not a data scan. */
+  private val MaxExactRowsKey = "spark.graft.exactBaseline.maxRows"
+  private def guardExactBaseline(s: SparkSession, dir: String,
+                                 what: String, annAlt: String): Unit = {
+    val max = s.conf.getOption(MaxExactRowsKey).map(_.toLong).getOrElse(100000L)
+    val n = Tables.table(s, dir, "embeddings").count()
+    require(n <= max,
+      s"$what is an exact baseline (quadratic pair space) guarded at $max rows; " +
+      s"the corpus has $n. Use $annAlt at scale, or raise $MaxExactRowsKey deliberately.")
+  }
+
   // ---------------------------------------------------- brute-force top-k
   /** Exact top-5 cosine neighbors for query vectors (vec_id % 100 == 0, so
     * the query set scales with the corpus). Query side is broadcast; the
@@ -50,6 +69,7 @@ object Similarity {
     * a TypedImperativeAggregate bounded heap would replace the window (same
     * result, no sort) — see graft.functions if bench demands it. */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    guardExactBaseline(s, dir, "ann_brute_topk", "ann_ivf_topk/ann_ivfpq_topk")
     val e = embeddings(s, dir)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -162,6 +182,7 @@ object Similarity {
     * candidates of `lshTopK` with this same verify-filter (recall < 1, so
     * the exact form is the one under oracle). */
   def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    guardExactBaseline(s, dir, "emb_neardup_cosine", "emb_neardup_cosine_lsh")
     val e = embeddings(s, dir)
     val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))

@@ -52,6 +52,25 @@ class SimilaritySpec extends GraftSpec {
       s"diff got-exp=${got -- expected}\nexp-got=${expected -- got}")
   }
 
+  test("exact baselines refuse to run past the corpus-size tripwire") {
+    // the O(n²) baselines exist as recall oracles for the ANN paths; a
+    // config mistake must not quietly schedule them over a huge corpus
+    val key = "spark.graft.exactBaseline.maxRows"
+    spark.conf.set(key, "10")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.bruteForceTopK(spark, sf0001).collect()
+      }
+      assert(ex.getMessage.contains("ann_ivf_topk"), ex.getMessage)
+      val ex2 = intercept[IllegalArgumentException] {
+        Similarity.cosineNearDup(spark, sf0001).collect()
+      }
+      assert(ex2.getMessage.contains("emb_neardup_cosine_lsh"), ex2.getMessage)
+    } finally spark.conf.unset(key)
+    // and under the default bound the harness corpus runs fine
+    assert(Similarity.bruteForceTopK(spark, sf0001).limit(1).count() == 1)
+  }
+
   test("brute-force top-k: scores are within [-1,1], ranks contiguous per query") {
     val rows = Similarity.bruteForceTopK(spark, sf0001).collect()
     assert(rows.nonEmpty)
