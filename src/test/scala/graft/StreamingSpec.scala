@@ -551,6 +551,50 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("sessionizer merges an out-of-order in-watermark event across micro-batches") {
+    // regression pin for the round-4 min/max merge fix: a LATE event that
+    // arrives in a later micro-batch but inside the watermark, EARLIER
+    // than the open session's start, must extend the session backwards
+    // (start = min) and count — not reset it or open a phantom session
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StreamingWindows.SessEvent](64, spark, None)
+      val sessions = StreamingWindows.sessionizeTws(ms.toDS(), gapSec = 60,
+        watermark = "10 minutes")
+      val q = sessions.writeStream.format("memory").queryName("tws_ooo_mem")
+        .outputMode("append").start()
+      try {
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        // batch 1: open session [100 s, 130 s], n=2
+        ms.addData(
+          StreamingWindows.SessEvent(1L, new Timestamp(t0 + 100_000)),
+          StreamingWindows.SessEvent(1L, new Timestamp(t0 + 130_000)))
+        q.processAllAvailable()
+        // batch 2: out-of-order event at 90 s — before the session start,
+        // within the 10 min watermark, within gap of the session
+        ms.addData(StreamingWindows.SessEvent(1L, new Timestamp(t0 + 90_000)))
+        q.processAllAvailable()
+        // advance the watermark past end+gap (190 s): needs max_ts−600 s
+        // > 190 s, then one more batch (watermark applies with a lag)
+        ms.addData(StreamingWindows.SessEvent(2L, new Timestamp(t0 + 900_000)))
+        q.processAllAvailable()
+        ms.addData(StreamingWindows.SessEvent(2L, new Timestamp(t0 + 901_000)))
+        q.processAllAvailable()
+        val rows = spark.table("tws_ooo_mem")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val s0 = t0 / 1000
+        assert(rows == Set((1L, s0 + 90, s0 + 130, 3L)),
+          s"late in-watermark event must merge backwards (start=min, n+1): $rows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState sessionizer: in-batch split + watermark-timer close") {
     // the Spark 4 arbitrary-state API needs the RocksDB provider (named
     // state column families); scoped to this query, restored after
