@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, DtwDistance, TopKByScore}
+import graft.functions.{DotProduct, DtwDistance, SimHashAgg, TopKByScore}
 
 /** SparkSessionExtensions hook: registers the engine's custom expressions
   * (`vector_dot`, `dtw_distance`, `top_k_by_score`) as SQL functions and
@@ -54,6 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3,
           "dtw_distance(seriesExpr, seriesExpr, band) — band must be a literal int")
         DtwDistance(children.head, children(1), literalInt(children(2), "band"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash_agg(hashExpr)")
+        SimHashAgg(children.head).toAggregateExpression()
       }))
 
     ext.injectFunction((

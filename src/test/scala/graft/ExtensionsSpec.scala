@@ -66,6 +66,14 @@ class ExtensionsSpec extends GraftSpec {
     assert(optimized.contains("11.0"), s"expected folded literal 11.0 in:\n$optimized")
   }
 
+  test("simhash_agg is callable from SQL and takes the per-bit majority") {
+    // 3 hashes: bits where >=2 of {1,3,2} agree → (1&3)|(1&2)|(3&2) = 3
+    val v = spark.sql(
+      "SELECT simhash_agg(h) AS s FROM VALUES (1L), (3L), (2L) AS t(h)")
+      .head().getLong(0)
+    assert(v == 3L, s"majority of {01,11,10} per bit is 11, got $v")
+  }
+
   test("top_k_by_score is callable from SQL as a grouped aggregate") {
     Seq((1L, 1.0), (2L, 3.0), (3L, 2.0), (4L, 5.0))
       .toDF("id", "score").createOrReplaceTempView("tk_fixture")

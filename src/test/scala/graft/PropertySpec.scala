@@ -139,6 +139,26 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("SimHashAgg is partition-invariant and equals a driver-side majority vote") {
+    // merge correctness: the same multiset of hashes must produce the
+    // same fingerprint at any parallelism (partial buffers merged in any
+    // grouping), and match an independent per-bit majority computed here
+    val gen = Gen.listOfN(25, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    samples(gen, 6).foreach { hs =>
+      def viaAgg(parts: Int): Long =
+        spark.sparkContext.parallelize(hs, parts).toDF("h")
+          .agg(graft.functions.SimHashAggregate.simhashAgg(col("h")).as("s"))
+          .head().getLong(0)
+      val expected = (0 until 64).map { k =>
+        val ones = hs.count(h => ((h >>> k) & 1L) == 1L)
+        if (ones * 2 > hs.length) 1L << k else 0L
+      }.reduce(_ | _)
+      val p1 = viaAgg(1); val p7 = viaAgg(7)
+      assert(p1 == expected && p7 == expected,
+        s"p1=$p1 p7=$p7 expected=$expected hashes=${hs.take(5)}...")
+    }
+  }
+
   test("exact dedup is idempotent for any duplicate multiplicity") {
     val gen = Gen.listOfN(30, Gen.oneOf("a b c", "d e f", "g h i", "j k l"))
     samples(gen, 5).foreach { texts =>
