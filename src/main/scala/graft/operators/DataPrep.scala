@@ -35,9 +35,13 @@ object DataPrep {
   def vocabEncode(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .withColumn("id",
-        row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
+    // frequency rank via distributed sort + zipWithIndex (Ranks scaladoc)
+    // — a real tokenizer vocab is millions of distinct tokens, too big
+    // for a no-partition row_number window's single task
+    val vocab = Ranks.globalRowNumber(
+        toks.groupBy("token").agg(count(lit(1)).as("cnt")),
+        "rn", col("cnt").desc, col("token"))
+      .withColumn("id", col("rn") - 1)
       .filter(col("id") < VocabSize)
       .select("token", "id")
     toks.join(broadcast(vocab), Seq("token"), "left")

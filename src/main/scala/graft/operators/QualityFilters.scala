@@ -261,13 +261,16 @@ object QualityFilters {
   def qualitySignalAgreement(s: SparkSession, dir: String): DataFrame = {
     val q = TextAnalysis.qualityScore(s, dir).select(col("doc_id"), col("quality"))
     val p = perplexityScore(s, dir).select(col("doc_id"), col("avg_nll"))
-    val wq = org.apache.spark.sql.expressions.Window
-      .orderBy(col("quality").desc, col("doc_id"))
-    val wp = org.apache.spark.sql.expressions.Window
-      .orderBy(col("avg_nll").asc, col("doc_id"))
-    val ranked = q.join(p, "doc_id")
-      .withColumn("rq", row_number().over(wq).cast("double"))
-      .withColumn("rp", row_number().over(wp).cast("double"))
+    // global ranks via distributed sort + zipWithIndex (Ranks scaladoc):
+    // a no-partition row_number window would funnel the whole corpus
+    // through ONE task
+    val joined = q.join(p, "doc_id")
+    val ranked = Ranks.globalRowNumber(
+        Ranks.globalRowNumber(joined, "rq_l", col("quality").desc, col("doc_id")),
+        "rp_l", col("avg_nll").asc, col("doc_id"))
+      .withColumn("rq", col("rq_l").cast("double"))
+      .withColumn("rp", col("rp_l").cast("double"))
+      .drop("rq_l", "rp_l")
     val n = ranked.count()
     val decile = math.max(1L, n / 10)
     val topQ = ranked.filter(col("rq") <= decile).select("doc_id")
