@@ -188,6 +188,32 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("shuffle budget: headline plans stay within their measured exchange counts") {
+    // every groupBy/join/orderBy shuffle is network traffic at 100 TB; a
+    // refactor that silently adds one should fail here, not in prod. The
+    // budgets are the measured initial-plan shuffle-exchange counts at
+    // round 6 (pre-AQE, sf0.001, local[4] test session — deterministic
+    // for fixed confs); broadcasts are deliberately NOT counted (a
+    // broadcast replacing a shuffle is an improvement this spec permits).
+    val budgets = Map(
+      "dedup_exact"         -> 4,  // fan-out + window hash + dedup agg + final sort
+      "ref_top_tokens"      -> 2,  // partial/final agg exchange + fan-out
+      "text_token_counts"   -> 2,
+      "q1_pricing_summary"  -> 3,
+      "q5_regional_revenue" -> 4,  // star join: dims broadcast, facts shuffle
+      "ann_ivf_topk"        -> 10,
+      "neardup_minhash_lsh" -> 19, // banding pipeline; AQE broadcasts most at runtime
+      "neardup_simhash"     -> 21)
+    val shufRe = "(?m)^\\s*(?:[+:|\\- ]*)Exchange ".r
+    budgets.foreach { case (name, budget) =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      val shuf = shufRe.findAllIn(plan).length
+      assert(shuf <= budget,
+        s"$name grew to $shuf shuffle exchanges (budget $budget):\n${plan.take(1200)}")
+    }
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     val df = Reference.topTokens(spark, sf0001)
     df.collect() // AQE finalizes (and codegens) only on execution
