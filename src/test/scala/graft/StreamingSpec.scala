@@ -551,6 +551,47 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("sessionizer state is bounded to ACTIVE users: closed sessions free their rows") {
+    // the 100 TB state story: per-key state must be reclaimed when the
+    // event-time timer closes a session, or state grows with every user
+    // ever seen instead of concurrent actives. Pinned via the state
+    // operator's numRowsTotal metric: 3 open sessions → 3 rows; after the
+    // watermark closes them, only the one still-open session remains.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StreamingWindows.SessEvent](65, spark, None)
+      val q = StreamingWindows.sessionizeTws(ms.toDS(), gapSec = 60,
+        watermark = "0 seconds").writeStream
+        .format("memory").queryName("state_bound_mem").outputMode("append").start()
+      try {
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        ms.addData(
+          StreamingWindows.SessEvent(1L, new Timestamp(t0)),
+          StreamingWindows.SessEvent(2L, new Timestamp(t0 + 1000)),
+          StreamingWindows.SessEvent(3L, new Timestamp(t0 + 2000)))
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.head.numRowsTotal == 3L,
+          "one state row per open session")
+        // watermark jumps past end+gap for users 1-3 (one-batch lag),
+        // their timers fire and clear state; user 4 stays open
+        ms.addData(StreamingWindows.SessEvent(4L, new Timestamp(t0 + 600_000)))
+        q.processAllAvailable()
+        ms.addData(StreamingWindows.SessEvent(4L, new Timestamp(t0 + 601_000)))
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.head.numRowsTotal == 1L,
+          "closed sessions must release their state rows")
+        val closed = spark.table("state_bound_mem").count()
+        assert(closed == 3L, s"users 1-3 emitted on close, got $closed")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("sessionizer merges an out-of-order in-watermark event across micro-batches") {
     // regression pin for the round-4 min/max merge fix: a LATE event that
     // arrives in a later micro-batch but inside the watermark, EARLIER
