@@ -63,6 +63,42 @@ class CboSpec extends GraftSpec {
     }
   }
 
+  test("equi-height histograms fix range estimates on skewed columns") {
+    // events.value is long-tailed (~2.7% of rows above the range midpoint);
+    // NDV+min/max selectivity assumes UNIFORM spread and predicts ~50%.
+    // Histogram statistics (built at ANALYZE time when
+    // spark.sql.statistics.histogram.enabled is on) carry the shape, so
+    // the same predicate estimates near the truth — the difference between
+    // picking a broadcast and shuffling a "small" side that isn't.
+    def filteredEstimate(): (BigInt, BigInt) = {
+      val rel = spark.table("events_cbo")
+      val total = rel.queryExecution.optimizedPlan.stats.rowCount.get
+      val mid = 327.5 / 2
+      val est = rel.filter(col("value") > mid)
+        .queryExecution.optimizedPlan.stats.rowCount.get
+      (est, total)
+    }
+    val histKey = "spark.sql.statistics.histogram.enabled"
+    withConfs(Seq("spark.sql.cbo.enabled" -> "true")) {
+      spark.sql("DROP TABLE IF EXISTS events_cbo")
+      CboStats.registerAnalyzed(spark, sf0001, Seq("events"),
+        Map("events" -> Seq("value")))
+      val (uniformEst, n) = filteredEstimate()
+      assert(uniformEst * 10 > n * 3,
+        s"without histograms the uniform assumption should claim >30% ($uniformEst of $n)")
+
+      spark.sql("DROP TABLE IF EXISTS events_cbo")
+      withConfs(Seq(histKey -> "true")) {
+        CboStats.registerAnalyzed(spark, sf0001, Seq("events"),
+          Map("events" -> Seq("value")))
+      }
+      val (histEst, n2) = filteredEstimate()
+      assert(histEst * 10 < n2,
+        s"histogram estimate should land near the true ~3% ($histEst of $n2)")
+      spark.sql("DROP TABLE IF EXISTS events_cbo")
+    }
+  }
+
   test("column stats flip the broadcast decision on a filtered join side") {
     CboStats.registerAnalyzed(spark, sf0001)
     // orders_cbo is ~35 KB on disk; size-only planning scales that by the
