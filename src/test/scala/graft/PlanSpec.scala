@@ -205,6 +205,12 @@ class PlanSpec extends GraftSpec {
       "neardup_minhash_lsh" -> 19, // banding pipeline; AQE broadcasts most at runtime
       "neardup_simhash"     -> 21)
     val shufRe = "(?m)^\\s*(?:[+:|\\- ]*)Exchange ".r
+    // Budgets were measured against a cold cache. A MATERIALIZED cache
+    // entry (e.g. DedupSpec ran minhashLsh's cached shingle arrays
+    // earlier in the suite) carries real byte-size stats that flip
+    // broadcast decisions and break exchange reuse, inflating the count
+    // for the same code — clear it so the measurement is deterministic.
+    spark.catalog.clearCache()
     budgets.foreach { case (name, budget) =>
       val plan = SparkEntry.queries(name)(spark, sf0001)
         .queryExecution.executedPlan.toString
