@@ -129,6 +129,66 @@ object Dedup {
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** PPJoin-style prefix-filtered Jaccard join — same result set as
+    * [[jaccardNearDup]] (the oracle hash-gate verifies equality at both
+    * scales), but the inverted index holds only each document's PREFIX
+    * under a global shingle order instead of every shingle.
+    *
+    * Theory (public literature: Chaudhuri et al., "A Primitive Operator
+    * for Similarity Joins", ICDE 2006; Xiao et al., "Efficient Similarity
+    * Joins for Near Duplicate Detection", WWW 2008): sort every document's
+    * shingle set by one global total order; if J(x,y) ≥ t then the first
+    * |x| − ⌈t·|x|⌉ + 1 shingles of x and the first |y| − ⌈t·|y|⌉ + 1 of y
+    * must share an element — so indexing only prefixes loses no pair. With
+    * t = 0.5 the index halves, and because the global order is ASCENDING
+    * DOCUMENT FREQUENCY, what remains are each document's rarest shingles:
+    * the per-shingle join fan-out (the Σ df² term that dominates an
+    * all-pairs similarity join at 100 TB) collapses, since high-df
+    * boilerplate shingles sort to the suffix and never enter the index.
+    * A symmetric length filter (t·|x| ≤ |y| ≤ |x|/t, implied by J ≥ t)
+    * prunes candidates before the exact verify.
+    *
+    * Vs [[jaccardNearDupDfCap]]: the df-cap drops hot shingles lossily
+    * (a pair sharing only capped shingles is missed); the prefix filter
+    * is LOSSLESS for the fixed threshold — the scale trade is two extra
+    * shuffles (global df aggregation + per-doc re-sort) bought back in
+    * candidate-join fan-out. Exact verification joins candidates back to
+    * the full shingle arrays, so emitted scores are full-set Jaccard,
+    * bit-identical to the baseline's. */
+  def jaccardPrefixNearDup(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
+    val sh = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
+    // global order key: (document frequency asc, shingle asc) — a total
+    // order (s is distinct per doc), identical for every document
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ordered = sh.join(dfreq, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
+    val pref = ordered.select(
+      col("doc_id"), size(col("os")).cast("long").as("n"),
+      expr(s"slice(os, 1, cast(size(os) - ceil($t * size(os)) + 1 as int))")
+        .as("pf"))
+    val idx = pref.select(col("doc_id"), col("n"), explode(col("pf")).as("e"))
+      .select(col("doc_id"), col("n"), col("e.s").as("s"))
+    val candidates = idx.as("x").join(idx.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.n") * t <= col("x.n") && col("x.n") * t <= col("y.n"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    candidates
+      .join(docsArr.select(col("doc_id").as("a_id"), col("sh").as("sa"),
+        size(col("sh")).cast("long").as("na")), "a_id")
+      .join(docsArr.select(col("doc_id").as("b_id"), col("sh").as("sb"),
+        size(col("sh")).cast("long").as("nb")), "b_id")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jac",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= t)
+      .select("a_id", "b_id", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Default document-frequency cap for [[jaccardNearDupDfCap]]. */
   private val DfCap = 128
 
@@ -541,6 +601,7 @@ object Dedup {
     "dedup_exact"           -> (exactDedup _),
     "neardup_jaccard"       -> (jaccardNearDup _),
     "neardup_jaccard_dfcap" -> (jaccardNearDupDfCap _),
+    "neardup_jaccard_prefix" -> (jaccardPrefixNearDup _),
     "neardup_minhash_lsh"   -> (minhashLsh _),
     "neardup_simhash"       -> (simhashNearDup _),
     "neardup_clusters"      -> (nearDupClusters _)
@@ -550,6 +611,9 @@ object Dedup {
     "dedup_exact"           -> exactDedupSql,
     "neardup_jaccard"       -> jaccardNearDupSql,
     "neardup_jaccard_dfcap" -> jaccardNearDupDfCapSql,
+    // lossless by construction: the prefix filter must reproduce the
+    // all-shingle baseline's result EXACTLY — same oracle, hash-compared
+    "neardup_jaccard_prefix" -> jaccardNearDupSql,
     "neardup_clusters"      -> nearDupClustersSql
     // minhash/simhash: hash-internal-dependent → rows-only gate
   )

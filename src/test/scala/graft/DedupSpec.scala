@@ -36,6 +36,18 @@ class DedupSpec extends GraftSpec {
     assert(capped == exact, s"lost pairs: ${exact.diff(capped)}")
   }
 
+  test("prefix-filtered Jaccard is lossless: bit-identical to the all-shingle baseline") {
+    // the PPJoin prefix filter's completeness guarantee, checked end to
+    // end: every pair and every score must match the uncapped query
+    val exact = Dedup.jaccardNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.jaccardPrefixNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == exact,
+      s"prefix-filter lost ${(exact -- pref).take(5)} / invented ${(pref -- exact).take(5)}")
+    assert(exact.nonEmpty, "fixture corpus must contain near-dup pairs")
+  }
+
   test("connected components merge transitive chains and keep components separate") {
     // chain 1~2~3 (1~3 NOT a pair: transitivity must come from propagation),
     // separate pair 10~11, plus a star 20~{21,22}
