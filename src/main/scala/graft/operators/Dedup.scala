@@ -597,6 +597,103 @@ object Dedup {
       |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_ids
       |FROM lbl GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin
 
+  /** Incremental dedup probe — the shape continuous ingestion actually
+    * runs: a small NEW BATCH (here doc_id % 7 == 0, ~14% of the corpus,
+    * standing in for a day's crawl) is probed against the EXISTING corpus
+    * instead of re-deduplicating everything. Two stages, mirroring the
+    * batch operators they reuse:
+    *
+    *  1. exact probe — join on (md5(text), length): the shuffle carries a
+    *     16-byte digest per row, never the documents. A matched batch doc
+    *     reports its lowest-id corpus twin.
+    *  2. near probe — only batch docs that survived stage 1 explode their
+    *     shingles against the corpus inverted index; best corpus match
+    *     (highest full-set Jaccard ≥ 0.5, ties to lowest corpus_id) wins.
+    *
+    * At 100 TB the asymmetry is the whole point: the corpus side is scanned
+    * once and shuffled on the shingle key while the batch side is a sliver
+    * of it (AQE broadcasts the batch index when it fits); a production
+    * deployment materializes the corpus shingle index once (bucketed by
+    * shingle) and probes it daily without reshuffling the corpus — and
+    * composes the [[jaccardPrefixNearDup]] prefix filter to keep the index
+    * at half size. Output: one row per duplicated batch doc
+    * (batch_id, corpus_id, kind ∈ exact|near, jac), fully oracle-checked. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val batch  = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    def keyed(d: DataFrame, as: String): DataFrame = d.select(
+      col("doc_id").as(as), md5(col("text")).as("h"),
+      length(col("text")).as("len"))
+    val exact = keyed(batch, "batch_id").join(keyed(corpus, "corpus_id"), Seq("h", "len"))
+      .groupBy("batch_id").agg(min("corpus_id").as("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        lit("exact").as("kind"), lit(1.0).as("jac"))
+    val rest = batch.join(
+      exact.select(col("batch_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val bArr = shingleArrays(rest).select(
+      col("doc_id").as("batch_id"), col("sh"), size(col("sh")).cast("long").as("nb"))
+    val cArr = shingleArrays(corpus).select(
+      col("doc_id").as("corpus_id"), col("sh"), size(col("sh")).cast("long").as("nc"))
+    val common = bArr.select(col("batch_id"), explode(col("sh")).as("s"))
+      .join(cArr.select(col("corpus_id"), explode(col("sh")).as("s")), "s")
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("c"))
+    val best = common
+      .join(bArr.select("batch_id", "nb"), "batch_id")
+      .join(cArr.select("corpus_id", "nc"), "corpus_id")
+      .withColumn("jac",
+        col("c").cast("double") / (col("nb") + col("nc") - col("c")))
+      .filter(col("jac") >= 0.5)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("batch_id").orderBy(col("jac").desc, col("corpus_id"))))
+      .filter(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id"), lit("near").as("kind"), col("jac"))
+    exact.unionByName(best).orderBy("batch_id")
+  }
+
+  val incrementalDedupSql: String =
+    """WITH batch AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+      |corpus AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+      |ex AS (
+      |  SELECT b.doc_id AS batch_id, min(c.doc_id) AS corpus_id
+      |  FROM batch b JOIN corpus c
+      |    ON md5(b.text) = md5(c.text) AND length(b.text) = length(c.text)
+      |  GROUP BY 1
+      |),
+      |bsh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM batch
+      |        WHERE doc_id NOT IN (SELECT batch_id FROM ex)),
+      |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |csh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+      |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
+      |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+      |common AS (
+      |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS c
+      |  FROM bsh b JOIN csh c ON b.s = c.s GROUP BY 1, 2
+      |),
+      |near AS (
+      |  SELECT batch_id, corpus_id, 'near' AS kind,
+      |         c * 1.0 / (bn.n + cn.n - c) AS jac
+      |  FROM common JOIN bsz bn ON batch_id = bn.doc_id
+      |              JOIN csz cn ON corpus_id = cn.doc_id
+      |  WHERE c * 1.0 / (bn.n + cn.n - c) >= 0.5
+      |  QUALIFY row_number() OVER (PARTITION BY batch_id
+      |                             ORDER BY c * 1.0 / (bn.n + cn.n - c) DESC,
+      |                                      corpus_id) = 1
+      |)
+      |SELECT batch_id, corpus_id, 'exact' AS kind, CAST(1.0 AS DOUBLE) AS jac
+      |FROM ex
+      |UNION ALL SELECT batch_id, corpus_id, kind, jac FROM near
+      |ORDER BY batch_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"           -> (exactDedup _),
     "neardup_jaccard"       -> (jaccardNearDup _),
@@ -604,7 +701,8 @@ object Dedup {
     "neardup_jaccard_prefix" -> (jaccardPrefixNearDup _),
     "neardup_minhash_lsh"   -> (minhashLsh _),
     "neardup_simhash"       -> (simhashNearDup _),
-    "neardup_clusters"      -> (nearDupClusters _)
+    "neardup_clusters"      -> (nearDupClusters _),
+    "dedup_incremental"     -> (incrementalDedup _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -614,7 +712,8 @@ object Dedup {
     // lossless by construction: the prefix filter must reproduce the
     // all-shingle baseline's result EXACTLY — same oracle, hash-compared
     "neardup_jaccard_prefix" -> jaccardNearDupSql,
-    "neardup_clusters"      -> nearDupClustersSql
+    "neardup_clusters"      -> nearDupClustersSql,
+    "dedup_incremental"     -> incrementalDedupSql
     // minhash/simhash: hash-internal-dependent → rows-only gate
   )
 }

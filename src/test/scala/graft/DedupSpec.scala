@@ -48,6 +48,22 @@ class DedupSpec extends GraftSpec {
     assert(exact.nonEmpty, "fixture corpus must contain near-dup pairs")
   }
 
+  test("incremental dedup probe: exact rows are true twins, near rows score >= 0.5, one verdict per batch doc") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Dedup.incrementalDedup(spark, sf0001).collect()
+    assert(out.nonEmpty, "fixture corpus must contain planted duplicates")
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "one verdict per batch doc")
+    out.foreach { r =>
+      val (bid, cid, kind, jac) = (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))
+      assert(bid % 7 == 0 && cid % 7 != 0, s"split sides crossed: $bid/$cid")
+      if (kind == "exact") assert(docs(bid) == docs(cid), s"exact pair $bid/$cid texts differ")
+      else assert(jac >= 0.5 && jac <= 1.0 && docs(bid) != docs(cid),
+        s"near pair $bid/$cid jac=$jac")
+    }
+  }
+
   test("connected components merge transitive chains and keep components separate") {
     // chain 1~2~3 (1~3 NOT a pair: transitivity must come from propagation),
     // separate pair 10~11, plus a star 20~{21,22}
