@@ -203,7 +203,9 @@ class PlanSpec extends GraftSpec {
       "q5_regional_revenue" -> 4,  // star join: dims broadcast, facts shuffle
       "ann_ivf_topk"        -> 10,
       "neardup_minhash_lsh" -> 19, // banding pipeline; AQE broadcasts most at runtime
-      "neardup_simhash"     -> 21)
+      "neardup_simhash"     -> 21,
+      "neardup_jaccard_prefix" -> 11, // df agg + re-sort + banded verify diamond
+      "dedup_incremental"   -> 18) // two-stage probe: digest join + shingle index + best-match window
     val shufRe = "(?m)^\\s*(?:[+:|\\- ]*)Exchange ".r
     // Budgets were measured against a cold cache. A MATERIALIZED cache
     // entry (e.g. DedupSpec ran minhashLsh's cached shingle arrays
