@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // explodes them (see the rule's Scaladoc for the soundness argument)
     ext.injectOptimizerRule(_ => graft.plans.PushStartsWithThroughExplode)
 
+    // planner strategy: the custom sort-merge as-of join operator
+    // (logical graft.plans.AsOfJoin → physical AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),

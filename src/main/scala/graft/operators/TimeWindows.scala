@@ -314,6 +314,41 @@ object TimeWindows {
       |FROM w WHERE event_type = 'click' AND p_id IS NOT NULL
       |ORDER BY click_id""".stripMargin
 
+  // ------------------------------------------- custom physical as-of join
+  /** The same latest-preceding-click-per-purchase join as [[asofJoin]], but
+    * through the engine's custom Catalyst operator
+    * (`graft.plans.AsOfJoin` → `AsOfJoinExec`, SURVEY §4 ladder step c)
+    * instead of the union-tag + window trick. Both forms answer the same
+    * oracle SQL, so the hash gate proves the custom operator end-to-end
+    * equivalent to the window formulation at every scale.
+    *
+    * Shape difference: the window form carries each right-hand column as
+    * its own `last(when(...)) OVER` aggregate (cost grows with payload
+    * width) and unions both sides into one padded schema; the custom
+    * operator streams the two sorted sides once per partition with O(1)
+    * state and any payload width. Tie policy matches the window twin:
+    * same-second clicks DO match (non-strict `<=`), and among equal
+    * timestamps the largest `event_id` wins (tiebreak ordering).
+    */
+  def asofJoinPhysical(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+              col("sec").as("click_sec"))
+    graft.plans.AsOf.joinBackward(
+        purchases, clicks,
+        leftKeys = Seq("user_id"), rightKeys = Seq("click_user"),
+        leftTime = "sec", rightTime = "click_sec",
+        rightTiebreak = Seq("click_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("click_id"), (col("sec") - col("click_sec")).as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
   // ------------------------------------------------ interval-overlap join
   /** Interval-overlap self-join — the third time-join algorithm beside
     * [[rangeJoin]] (point proximity) and [[asofJoin]] (latest-preceding):
@@ -373,7 +408,8 @@ object TimeWindows {
     "session_window"     -> (sessionWindow _),
     "range_join"         -> (rangeJoin _),
     "asof_join"          -> (asofJoin _),
-    "asof_join_forward"  -> (asofJoinForward _)
+    "asof_join_forward"  -> (asofJoinForward _),
+    "asof_join_physical" -> (asofJoinPhysical _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -385,6 +421,9 @@ object TimeWindows {
     "session_window"     -> sessionWindowSql,
     "range_join"         -> rangeJoinSql,
     "asof_join"          -> asofJoinSql,
-    "asof_join_forward"  -> asofJoinForwardSql
+    "asof_join_forward"  -> asofJoinForwardSql,
+    // the custom-operator twin answers the identical oracle — the hash gate
+    // is the end-to-end equivalence proof for AsOfJoinExec
+    "asof_join_physical" -> asofJoinSql
   )
 }

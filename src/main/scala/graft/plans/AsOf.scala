@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** DataFrame-level entry point for the custom [[AsOfJoin]] operator.
+  *
+  * Column references are resolved by name against each side's analyzed
+  * output (exprId-exact, so the node is born resolved and flows straight
+  * through the analyzer). Callers should rename right-side columns that
+  * collide with left-side names BEFORE joining — the operator concatenates
+  * both schemas and duplicate names make downstream by-name selection
+  * ambiguous, exactly as with `DataFrame.join`.
+  */
+object AsOf {
+
+  /** Latest right row per left row with `rightTime <= leftTime`, equi-keyed;
+    * inner semantics (left rows with no match drop). `rightTiebreak` makes
+    * same-timestamp winners deterministic: the LAST row in ascending
+    * tiebreak order wins.
+    */
+  def joinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    val node = AsOfJoin(
+      lPlan, rPlan,
+      leftKeys.map(attr(lPlan, _, "left")),
+      rightKeys.map(attr(rPlan, _, "right")),
+      attr(lPlan, leftTime, "left"),
+      attr(rPlan, rightTime, "right"),
+      rightTiebreak.map(attr(rPlan, _, "right")))
+    GraftShims.ofRows(left.sparkSession, node)
+  }
+
+  private def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+    plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"as-of $side side has no column '$name'; available: " +
+        plan.output.map(_.name).mkString(", ")))
+}

@@ -1,0 +1,213 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.LongType
+
+/** Backward as-of join as a first-class Catalyst operator: for every left
+  * row, the single most recent right row of the same key with
+  * `rightTime <= leftTime` (inner — unmatched left rows drop out).
+  *
+  * Why a custom operator instead of composition (SURVEY §4 ladder, step c):
+  * Spark's relational surface can express as-of only indirectly — a
+  * union-tag + window trick (`TimeWindows.asofJoin`) or an exploded range
+  * join. The window form pays ONE window aggregate per carried right-hand
+  * column (`last(when(...)) OVER ...` each), so its cost grows with payload
+  * width, and the union forces both sides into one padded schema. A
+  * sort-merge as-of is a single forward pass per partition — one buffered
+  * right row, any payload width, no padding — the shape every native engine
+  * uses (reference semantics: latest-preceding event per key,
+  * `tweet-streamer/src/main/scala/main.scala:49-55` pairs each window's
+  * counts with the latest state by key). Measured at sf0.1 against the
+  * window twin on the identical oracle-checked query (2 carried columns —
+  * the width where the window form is at its BEST): warm 0.56 s vs
+  * 0.76 s; the gap widens one `last(when(...)) OVER` aggregate per
+  * additional payload column while this operator stays one merge pass
+  * (see SCALE.md).
+  *
+  * Scale shape: both children hash-cluster on the join key (one shuffle
+  * each, inserted by `EnsureRequirements` only when the child isn't already
+  * co-partitioned) and sort within partitions; the merge itself is
+  * streaming O(|L| + |R|) per partition with O(1) state — no window buffer,
+  * no per-key materialization, skew-safe up to a single hot key (same
+  * exposure as any clustered join; pre-salt upstream if one key dominates).
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTiebreak: Seq[Expression]) extends BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    "as-of join needs at least one equi-key on each side, same count")
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: the logical [[AsOfJoin]] has exactly one physical
+  * realization ([[AsOfJoinExec]]); registered via
+  * `SparkSessionExtensions.injectPlannerStrategy` in `GraftExtensions`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical sort-merge as-of join.
+  *
+  * Planner contract: children cluster by their join keys and sort by
+  * (keys, time[, tiebreak]) ascending — `EnsureRequirements` inserts the
+  * exchanges/sorts only where the child's existing partitioning/ordering
+  * doesn't already satisfy them (so an upstream bucketed or pre-sorted
+  * source joins with zero extra shuffles). The merge keeps one candidate
+  * row: the latest right row `<=` the current left time. Ties on time
+  * resolve to the LAST right row in tiebreak order (deterministic output —
+  * required for the hash-compared oracle). Null keys and null times never
+  * match, mirroring SQL equi-join semantics.
+  *
+  * Not whole-stage-codegen'd: the operator sits between two sorted streams
+  * and does O(1) work per row; codegen would buy nothing measurable (the
+  * sorts dominate) at the cost of a hand-rolled `CodegenSupport` produce/
+  * consume pair. Declares `outputOrdering` = left child ordering so a
+  * downstream `orderBy(key, time)` plans zero extra sorts.
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTiebreak: Seq[Expression],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+    s"as-of time columns must be BIGINT (epoch-like), got " +
+      s"${leftTime.dataType.sql} / ${rightTime.dataType.sql}")
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys ++ (rightTime +: rightTiebreak)).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    // capture only serializable pieces; codegen'd orderings/projections are
+    // built per-partition inside the closure
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val keyTypes = leftKeys.map(_.dataType)
+    val lOut = left.output
+    val rOut = right.output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
+      val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // single lookahead right row (iterator-owned buffer, no copy needed
+        // until it becomes the candidate)
+        private var rightRow: InternalRow =
+          if (rIter.hasNext) rIter.next() else null
+        // latest right row with time <= current left time, for candidateKey;
+        // both are defensive copies because projections reuse their buffers
+        private var candidate: UnsafeRow = null
+        private var candidateKey: UnsafeRow = null
+        private var staged: InternalRow = null
+
+        /** Advance the right side to the last row `<= (lKey, lTime)`,
+          * buffering the most recent same-key row as the candidate. */
+        private def advance(lKey: UnsafeRow, lTime: Long): Unit = {
+          if (candidateKey != null && keyOrd.compare(candidateKey, lKey) != 0) {
+            candidate = null
+            candidateKey = null
+          }
+          var continue = rightRow != null
+          while (continue) {
+            val rKey = rKeyProj(rightRow)
+            if (rKey.anyNull) { // null keys never join; skip the row
+              rightRow = if (rIter.hasNext) rIter.next() else null
+              continue = rightRow != null
+            } else {
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp < 0) { // earlier key: discard, no left row wants it now
+                rightRow = if (rIter.hasNext) rIter.next() else null
+                continue = rightRow != null
+              } else if (cmp == 0) {
+                val t = rTimeProj(rightRow)
+                if (t.isNullAt(0)) { // null time never matches
+                  rightRow = if (rIter.hasNext) rIter.next() else null
+                  continue = rightRow != null
+                } else if (t.getLong(0) <= lTime) {
+                  candidate = rightRow.asInstanceOf[UnsafeRow].copy()
+                  candidateKey = rKey.copy()
+                  rightRow = if (rIter.hasNext) rIter.next() else null
+                  continue = rightRow != null
+                } else continue = false // future row: keep for later left rows
+              } else continue = false   // later key: keep for later left rows
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          while (staged == null && lIter.hasNext) {
+            val lRow = lIter.next()
+            val lKey = lKeyProj(lRow)
+            if (!lKey.anyNull) {
+              val t = lTimeProj(lRow)
+              if (!t.isNullAt(0)) {
+                advance(lKey, t.getLong(0))
+                if (candidate != null) {
+                  staged = resultProj(joined(lRow, candidate))
+                  numOutputRows += 1
+                }
+              }
+            }
+          }
+          staged != null
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty as-of iterator")
+          val out = staged
+          staged = null
+          out
+        }
+      }
+    }
+  }
+}

@@ -11,6 +11,13 @@ object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a custom logical plan (e.g. `graft.plans.AsOfJoin`) as a
+    * DataFrame — the same `Dataset.ofRows` every DataFrame method uses,
+    * reachable only from the spark.sql package. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Unpersist the RDD backing a `localCheckpoint()`ed Dataset. Iterative
     * algorithms (e.g. connected components) checkpoint each round to
     * truncate lineage; `Dataset.unpersist` only consults the SQL cache

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.TimeWindows
+import graft.plans.AsOf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom sort-merge as-of operator (`graft.plans.AsOfJoin` →
+  * `AsOfJoinExec`) — end-to-end equivalence against the window-trick twin,
+  * the tie/null edge semantics, and the plan-shape properties that justify
+  * its existence (SURVEY §4 ladder step c). */
+class AsOfPlanSpec extends GraftSpec {
+
+  import AsOfPlanSpec._
+
+  private def leftDf: DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.parallelize(Seq(
+      L("a", Some(10L), 1), L("a", Some(7L), 2), L("a", Some(4L), 3),
+      L("b", Some(100L), 4), L(null, Some(50L), 5), L("c", None, 6),
+      L("d", Some(20L), 7)), 3).toDF()
+  }
+
+  private def rightDf: DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.parallelize(Seq(
+      R("a", Some(5L), 1, "p1"), R("a", Some(10L), 2, "p2"),
+      R("a", Some(10L), 3, "p3"), R("b", None, 9, "p9"),
+      R("b", Some(90L), 5, "p5"), R(null, Some(80L), 8, "p8"),
+      R("e", Some(1L), 6, "p6")), 3).toDF()
+  }
+
+  private def joinToy: DataFrame =
+    AsOf.joinBackward(leftDf, rightDf,
+      leftKeys = Seq("k"), rightKeys = Seq("rk"),
+      leftTime = "lsec", rightTime = "rsec", rightTiebreak = Seq("rid"))
+
+  test("as-of edge semantics: non-strict ties, tiebreak, null keys/times, unmatched drop") {
+    val got = joinToy.select("lid", "rid", "payload").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    // lid 1 @10: two same-second candidates (rid 2, 3) -> largest tiebreak
+    // lid 2 @7: latest <= 7 is rid 1 @5
+    // lid 3 @4: nothing at or before 4 -> dropped (inner)
+    // lid 4 @100: null-time rid 9 never matches; rid 5 @90 wins
+    // lid 5 (null key), lid 6 (null time), lid 7 (no right key) -> dropped
+    assert(got === Set((1, 3, "p3"), (2, 1, "p1"), (4, 5, "p5")))
+  }
+
+  test("custom as-of matches the window-trick twin row for row at sf0.001") {
+    val win = TimeWindows.asofJoin(spark, sf0001).collect()
+    val custom = TimeWindows.asofJoinPhysical(spark, sf0001).collect()
+    assert(custom.length === win.length)
+    assert(custom.sameElements(win),
+      s"first divergence: ${custom.zip(win).find { case (c, w) => c != w }}")
+  }
+
+  test("as-of plan: AsOfJoin exec, one exchange per side, no Window, no extra Sort") {
+    spark.catalog.clearCache()
+    val plan = joinToy.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(800))
+    assert(!plan.contains("Window"), "custom operator must not fall back to a window plan")
+    val shuffles = "(?m)^\\s*(?:[+:|\\- ]*)Exchange ".r.findAllIn(plan).length
+    assert(shuffles === 2, s"expected exactly one shuffle per side:\n$plan")
+    val sorts = "(?m)^\\s*(?:[+:|\\- ]*)\\*?\\(?\\d*\\)? ?Sort ".r.findAllIn(plan).length
+    assert(sorts === 2, s"expected exactly one sort per side:\n$plan")
+  }
+
+  test("declared output ordering/partitioning: a downstream same-key window adds no shuffle or sort") {
+    spark.catalog.clearCache()
+    val w = Window.partitionBy(col("k")).orderBy(col("lsec"))
+    val downstream = joinToy.withColumn("rn", row_number().over(w))
+    val plan = downstream.queryExecution.executedPlan.toString
+    val shuffles = "(?m)^\\s*(?:[+:|\\- ]*)Exchange ".r.findAllIn(plan).length
+    val sorts = "(?m)^\\s*(?:[+:|\\- ]*)\\*?\\(?\\d*\\)? ?Sort ".r.findAllIn(plan).length
+    // the join already clusters by k and orders by (k, lsec) within
+    // partitions, so the window reuses both: still 2 exchanges, 2 sorts
+    assert(shuffles === 2, s"window must reuse the join's partitioning:\n$plan")
+    assert(sorts === 2, s"window must reuse the join's ordering:\n$plan")
+    // and it computes the right thing on top of the preserved order
+    val rn = downstream.select("lid", "rn").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(rn(2) < rn(1), "lsec=7 row must rank before lsec=10 within key a")
+  }
+
+  test("payload width carries through the operator without per-column aggregates") {
+    import spark.implicits._
+    // 6-column payload: the window trick would need 6 last(when(...)) OVER
+    // aggregates; the operator's output is the raw right row regardless
+    val wide = rightDf
+      .withColumn("p2", col("rid") * 2).withColumn("p3", col("rid") * 3)
+      .withColumn("p4", concat(col("payload"), lit("x")))
+      .withColumn("p5", col("rsec") + 1).withColumn("p6", lit(true))
+    val out = AsOf.joinBackward(leftDf, wide,
+      leftKeys = Seq("k"), rightKeys = Seq("rk"),
+      leftTime = "lsec", rightTime = "rsec", rightTiebreak = Seq("rid"))
+    val row = out.filter(col("lid") === 1)
+      .select("rid", "p2", "p3", "p4", "p5", "p6").collect().head
+    assert((row.getInt(0), row.getInt(1), row.getInt(2), row.getString(3),
+      row.getLong(4), row.getBoolean(5)) === ((3, 6, 9, "p3x", 11L, true)))
+  }
+
+  test("as-of rejects a non-bigint time column with a clear analysis error") {
+    val badLeft = leftDf.withColumn("lsec_d", col("lsec").cast("double"))
+    val err = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(badLeft, rightDf,
+        leftKeys = Seq("k"), rightKeys = Seq("rk"),
+        leftTime = "lsec_d", rightTime = "rsec").collect()
+    }
+    assert(err.getMessage.contains("BIGINT"), err.getMessage)
+  }
+
+  test("as-of resolves missing columns with a clear error naming the side") {
+    val err = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(leftDf, rightDf,
+        leftKeys = Seq("nope"), rightKeys = Seq("rk"),
+        leftTime = "lsec", rightTime = "rsec")
+    }
+    assert(err.getMessage.contains("left side has no column 'nope'"), err.getMessage)
+  }
+}
+
+object AsOfPlanSpec {
+  case class L(k: String, lsec: Option[Long], lid: Int)
+  case class R(rk: String, rsec: Option[Long], rid: Int, payload: String)
+}
