@@ -43,4 +43,62 @@ class BucketingSpec extends GraftSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
     }
   }
+
+  test("as-of join over co-bucketed pre-sorted tables plans zero exchanges and zero sorts") {
+    val dir = sf0001
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+              col("sec").as("click_sec"))
+
+    // one file per bucket (repartition by the bucket column with numBuckets
+    // tasks — repartition and bucketBy share the Murmur3 hash, so each task
+    // holds exactly one bucket) or the scan cannot declare sorted output
+    purchases.repartition(4, col("user_id")).write.mode("overwrite")
+      .bucketBy(4, "user_id").sortBy("user_id", "sec")
+      .saveAsTable("purchases_bkt")
+    clicks.repartition(4, col("click_user")).write.mode("overwrite")
+      .bucketBy(4, "click_user").sortBy("click_user", "click_sec", "click_id")
+      .saveAsTable("clicks_bkt")
+
+    // since 3.0 Spark only propagates bucket sort order under this conf
+    // (SPARK-28595: with >1 file per bucket the old behavior silently
+    // produced wrong plans, so it now defaults off; we wrote exactly one
+    // file per bucket, where it is sound)
+    val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prevOrdering = spark.conf.get(orderingConf)
+    try {
+      spark.conf.set(orderingConf, "true")
+      val joined = graft.plans.AsOf.joinBackward(
+        spark.table("purchases_bkt"), spark.table("clicks_bkt"),
+        leftKeys = Seq("user_id"), rightKeys = Seq("click_user"),
+        leftTime = "sec", rightTime = "click_sec",
+        rightTiebreak = Seq("click_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), plan.take(600))
+      // the entire point of the custom operator's declared distribution/
+      // ordering requirements: a layout that already satisfies them joins
+      // with NO exchange and NO sort — the 100 TB co-location path
+      assert(!plan.contains("Exchange"),
+        s"bucketed as-of must not shuffle either side:\n${plan.take(1000)}")
+      assert(!"(?m)^\\s*(?:[+:|\\- ]*)\\*?\\(?\\d*\\)? ?Sort ".r.findFirstIn(plan).isDefined,
+        s"pre-sorted buckets must not re-sort:\n${plan.take(1000)}")
+      // and it computes the same rows as the shuffle-planned form
+      val direct = graft.plans.AsOf.joinBackward(
+        purchases, clicks,
+        leftKeys = Seq("user_id"), rightKeys = Seq("click_user"),
+        leftTime = "sec", rightTime = "click_sec",
+        rightTiebreak = Seq("click_id"))
+      assert(joined.count() === direct.count())
+      assert(joined.exceptAll(direct).isEmpty && direct.exceptAll(joined).isEmpty)
+    } finally {
+      spark.conf.set(orderingConf, prevOrdering)
+      spark.sql("DROP TABLE IF EXISTS purchases_bkt")
+      spark.sql("DROP TABLE IF EXISTS clicks_bkt")
+    }
+  }
 }
