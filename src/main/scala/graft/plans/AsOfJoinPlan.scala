@@ -47,6 +47,11 @@ case class AsOfJoin(
     rightTiebreak: Seq[Expression]) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs at least one equi-key on each side, same count")
+  // fail at construction, not mid-task: the merge compares keys with a
+  // natural row ordering, which maps/UDTs don't define
+  require(RowOrdering.isOrderable(leftKeys) && RowOrdering.isOrderable(rightKeys),
+    s"as-of join keys must be orderable types, got " +
+      s"${(leftKeys ++ rightKeys).map(_.dataType.sql).distinct.mkString(", ")}")
 
   override def output: Seq[Attribute] = left.output ++ right.output
 

@@ -110,6 +110,17 @@ class AsOfPlanSpec extends GraftSpec {
     assert(err.getMessage.contains("BIGINT"), err.getMessage)
   }
 
+  test("as-of rejects non-orderable key types at construction") {
+    val mapLeft = leftDf.withColumn("mk", map(col("k"), col("lid")))
+    val mapRight = rightDf.withColumn("mk", map(col("rk"), col("rid")))
+    val err = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(mapLeft, mapRight,
+        leftKeys = Seq("mk"), rightKeys = Seq("mk"),
+        leftTime = "lsec", rightTime = "rsec")
+    }
+    assert(err.getMessage.contains("orderable"), err.getMessage)
+  }
+
   test("as-of resolves missing columns with a clear error naming the side") {
     val err = intercept[IllegalArgumentException] {
       AsOf.joinBackward(leftDf, rightDf,
