@@ -443,4 +443,105 @@ object StreamingWindows {
         TimeMode.None(), OutputMode.Append())
       .toDF()
   }
+
+  // ----------------------------------- transformWithState streaming as-of
+  case class AsOfEv(user_id: Long, ts: java.sql.Timestamp,
+                    event_type: String, event_id: Long)
+  case class AsOfBuf(sec: Long, is_click: Boolean, event_id: Long)
+  case class AsOfClick(sec: Long, event_id: Long)
+  case class AsOfHit(user_id: Long, purchase_id: Long, click_id: Long,
+                     gap_sec: Long)
+
+  /** Streaming twin of the as-of join (batch forms:
+    * `TimeWindows.asofJoin` window trick and the custom
+    * `graft.plans.AsOfJoinExec` operator): each purchase matches the
+    * latest click with `click.sec <= purchase.sec` for the same user.
+    *
+    * As-of is order-sensitive, so the processor cannot match on arrival:
+    * an out-of-order click still inside the watermark could be the true
+    * latest-preceding click of an already-seen purchase. Instead it
+    * BUFFERS events in a `ListState` and finalizes them only when the
+    * WATERMARK passes their event time (an event-time timer re-armed at
+    * the newest buffered time) — at that point no earlier event can
+    * arrive, so matching in event-time order is exact and
+    * replay-deterministic. Tie policy matches the batch twins:
+    * same-second clicks match (non-strict `<=`), largest `event_id` wins
+    * among equal timestamps.
+    *
+    * State per user: the buffer holds only events above the watermark
+    * horizon (bounded by out-of-orderness, evicted on every flush) plus
+    * one O(1) `AsOfClick` — the latest finalized click, which carries
+    * as-of continuity ACROSS flushes (a purchase arriving an hour later
+    * still sees it). The `ValueState` deliberately has no TTL: dropping
+    * it would silently un-match late purchases; cap it per deployment
+    * with `TTLConfig` if user churn demands. */
+  class AsOfProcessor extends StatefulProcessor[Long, AsOfEv, AsOfHit] {
+    @transient private var buf: ListState[AsOfBuf] = _
+    @transient private var lastClick: ValueState[AsOfClick] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[AsOfBuf](
+        "buf", Encoders.product[AsOfBuf], TTLConfig.NONE)
+      lastClick = getHandle.getValueState[AsOfClick](
+        "lastClick", Encoders.product[AsOfClick], TTLConfig.NONE)
+    }
+
+    /** One live timer per key, at the newest buffered event time (never at
+      * or below the current watermark — such a timer could never fire). */
+    private def armTimer(atMs: Long, tv: TimerValues): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(atMs, tv.getCurrentWatermarkInMs() + 1))
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[AsOfEv],
+                                 tv: TimerValues): Iterator[AsOfHit] = {
+      var maxMs = Long.MinValue
+      rows.foreach { e =>
+        val isClick = e.event_type == "click"
+        if (isClick || e.event_type == "purchase") {
+          buf.appendValue(AsOfBuf(e.ts.getTime / 1000L, isClick, e.event_id))
+          maxMs = math.max(maxMs, e.ts.getTime)
+        }
+      }
+      if (maxMs != Long.MinValue) armTimer(maxMs, tv)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[AsOfHit] = {
+      val horizon = tv.getCurrentWatermarkInMs() / 1000L
+      val (ready, pending) = buf.get().toList.partition(_.sec <= horizon)
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsOfHit]
+      var lc = if (lastClick.exists()) Some(lastClick.get()) else None
+      // event-time order with the batch tie policy: clicks sort before
+      // purchases at the same second, event_id breaks remaining ties
+      ready.sortBy(e => (e.sec, !e.is_click, e.event_id)).foreach { e =>
+        if (e.is_click) lc = Some(AsOfClick(e.sec, e.event_id))
+        else lc.foreach(c =>
+          out += AsOfHit(uid, e.event_id, c.event_id, e.sec - c.sec))
+      }
+      lc.foreach(lastClick.update)
+      buf.clear()
+      if (pending.nonEmpty) {
+        buf.put(pending.toArray)
+        armTimer(pending.map(_.sec).max * 1000L, tv)
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming as-of via [[AsOfProcessor]] — buffer-until-watermark, then
+    * exact event-time-ordered matching; late events beyond the watermark
+    * are dropped by the operator (the batch twins would have seen them —
+    * that is the streaming trade, made explicit by the watermark). */
+  def asofTws(events: org.apache.spark.sql.Dataset[AsOfEv],
+              watermark: String = "10 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
 }

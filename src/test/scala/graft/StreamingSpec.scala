@@ -681,4 +681,66 @@ class StreamingSpec extends GraftSpec {
       }
     }
   }
+
+  test("streaming as-of: out-of-order buffering, same-second tie, cross-flush click state") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import StreamingWindows.AsOfEv
+      val ms = MemoryStream[AsOfEv](61, spark, None)
+      // 30 s delay so batch 1's flush timer (armed at +100 s) provably
+      // cannot fire from batch 1 alone (watermark stays <= +70 s) — the
+      // no-premature-emission assert is then independent of Spark's
+      // no-data-batch scheduling
+      val hits = StreamingWindows.asofTws(ms.toDS(), watermark = "30 seconds")
+      val q = hits.writeStream.format("memory").queryName("asof_tws_mem")
+        .outputMode("append").start()
+      try {
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        def ev(uid: Long, offSec: Long, typ: String, id: Long) =
+          AsOfEv(uid, new Timestamp(t0 + offSec * 1000), typ, id)
+        // batch 1, deliberately OUT of event-time order: the purchase at
+        // +70 arrives before its matching click at +50 — an on-arrival
+        // matcher would mis-match; the buffer-until-watermark design must
+        // not. Same-second pair at +100: click id2 vs purchase id10 →
+        // non-strict match, gap 0. A view event must be ignored.
+        ms.addData(
+          ev(1, 100, "purchase", 10), ev(1, 70, "purchase", 11),
+          ev(1, 50, "click", 1), ev(1, 100, "click", 2),
+          ev(1, 60, "view", 99))
+        q.processAllAvailable()
+        assert(spark.table("asof_tws_mem").count() === 0,
+          "nothing may emit before the watermark passes the buffered events")
+        // two watermark-advancing batches (watermark applies one batch
+        // late; >= +570 s after both): user-1's timer fires, flushing all
+        // four buffered events in event-time order
+        ms.addData(ev(2, 600, "click", 20))
+        q.processAllAvailable()
+        ms.addData(ev(2, 601, "click", 21))
+        q.processAllAvailable()
+        val flush1 = spark.table("asof_tws_mem").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(flush1 === Set((1L, 11L, 1L, 20L), (1L, 10L, 2L, 0L)),
+          s"got $flush1")
+        // a purchase long after the flush must still see the persisted
+        // latest click (id2 @ +100) — as-of continuity across flushes
+        ms.addData(ev(1, 650, "purchase", 12))
+        q.processAllAvailable()
+        ms.addData(ev(2, 1200, "click", 22))
+        q.processAllAvailable()
+        ms.addData(ev(2, 1201, "click", 23))
+        q.processAllAvailable()
+        val all = spark.table("asof_tws_mem").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(all === flush1 + ((1L, 12L, 2L, 550L)), s"got $all")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
