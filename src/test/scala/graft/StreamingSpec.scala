@@ -682,6 +682,53 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming as-of state is bounded: the buffer drains to O(1) per user at flush") {
+    // audited through the state DATA SOURCE (offline state inspection —
+    // the ops tool for "why is my state store huge"): per-element list
+    // rows before the flush, zero after, one latest-click value surviving
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_state").toString
+    def stateRows(varName: String): Long =
+      spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", varName)
+        .load().count()
+    try {
+      import StreamingWindows.AsOfEv
+      val ms = MemoryStream[AsOfEv](62, spark, None)
+      val q = StreamingWindows.asofTws(ms.toDS(), watermark = "30 seconds")
+        .writeStream.format("memory").queryName("asof_bound_mem")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        def ev(uid: Long, offSec: Long, typ: String, id: Long) =
+          AsOfEv(uid, new Timestamp(t0 + offSec * 1000), typ, id)
+        ms.addData((1 to 20).map(i =>
+          ev(1, 50 + i, if (i % 2 == 0) "click" else "purchase", i.toLong)): _*)
+        q.processAllAvailable()
+        assert(stateRows("buf") === 20L,
+          "every in-flight event holds exactly one buffered list element")
+        // watermark sails past every buffered event (one-batch lag; the
+        // advancing events are views, which the processor never buffers)
+        ms.addData(ev(2, 600, "view", 90))
+        q.processAllAvailable()
+        ms.addData(ev(2, 601, "view", 91))
+        q.processAllAvailable()
+        assert(stateRows("buf") === 0L,
+          "the flush must evict the entire buffer")
+        assert(stateRows("lastClick") === 1L,
+          "only the O(1) latest-click value survives per user")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming as-of: out-of-order buffering, same-second tie, cross-flush click state") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
