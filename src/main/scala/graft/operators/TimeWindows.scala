@@ -349,6 +349,32 @@ object TimeWindows {
       .orderBy("purchase_id")
   }
 
+  /** Forward twin of [[asofJoinPhysical]]: each click to its NEXT purchase
+    * through the custom operator's `forward = true` merge (cursor match,
+    * no candidate buffer). Shares [[asofJoinForwardSql]]'s oracle — the
+    * same end-to-end equivalence gate as the backward pair. Tie policy
+    * matches the window twin: same-second purchases match (non-strict
+    * `>=`), smallest `event_id` wins among equal timestamps. */
+  def asofJoinForwardPhysical(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("sec").as("p_sec"))
+    graft.plans.AsOf.joinForward(
+        clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user"),
+        leftTime = "sec", rightTime = "p_sec",
+        rightTiebreak = Seq("p_id"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("p_id").as("purchase_id"),
+              (col("p_sec") - col("sec")).as("gap_sec"))
+      .orderBy("click_id")
+  }
+
   // ------------------------------------------------ interval-overlap join
   /** Interval-overlap self-join — the third time-join algorithm beside
     * [[rangeJoin]] (point proximity) and [[asofJoin]] (latest-preceding):
@@ -409,7 +435,8 @@ object TimeWindows {
     "range_join"         -> (rangeJoin _),
     "asof_join"          -> (asofJoin _),
     "asof_join_forward"  -> (asofJoinForward _),
-    "asof_join_physical" -> (asofJoinPhysical _)
+    "asof_join_physical" -> (asofJoinPhysical _),
+    "asof_join_forward_physical" -> (asofJoinForwardPhysical _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -422,8 +449,10 @@ object TimeWindows {
     "range_join"         -> rangeJoinSql,
     "asof_join"          -> asofJoinSql,
     "asof_join_forward"  -> asofJoinForwardSql,
-    // the custom-operator twin answers the identical oracle — the hash gate
-    // is the end-to-end equivalence proof for AsOfJoinExec
-    "asof_join_physical" -> asofJoinSql
+    // the custom-operator twins answer the identical oracles — the hash
+    // gate is the end-to-end equivalence proof for AsOfJoinExec in each
+    // direction
+    "asof_join_physical" -> asofJoinSql,
+    "asof_join_forward_physical" -> asofJoinForwardSql
   )
 }

@@ -27,7 +27,33 @@ object AsOf {
       rightKeys: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
+      rightTiebreak: Seq[String] = Nil): DataFrame =
+    join(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      rightTiebreak, forward = false)
+
+  /** Earliest right row per left row with `rightTime >= leftTime` — the
+    * mirror direction; the FIRST row in ascending tiebreak order wins
+    * same-timestamp ties. */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame =
+    join(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      rightTiebreak, forward = true)
+
+  private def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: Seq[String],
+      forward: Boolean): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     val node = AsOfJoin(
@@ -36,7 +62,8 @@ object AsOf {
       rightKeys.map(attr(rPlan, _, "right")),
       attr(lPlan, leftTime, "left"),
       attr(rPlan, rightTime, "right"),
-      rightTiebreak.map(attr(rPlan, _, "right")))
+      rightTiebreak.map(attr(rPlan, _, "right")),
+      forward)
     GraftShims.ofRows(left.sparkSession, node)
   }
 

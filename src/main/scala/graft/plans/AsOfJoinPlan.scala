@@ -9,9 +9,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.LongType
 
-/** Backward as-of join as a first-class Catalyst operator: for every left
-  * row, the single most recent right row of the same key with
-  * `rightTime <= leftTime` (inner — unmatched left rows drop out).
+/** As-of join as a first-class Catalyst operator: for every left row, the
+  * single closest right row of the same key — backward (most recent with
+  * `rightTime <= leftTime`, the default) or forward (`forward = true`:
+  * earliest with `rightTime >= leftTime`). Inner semantics — unmatched
+  * left rows drop out.
   *
   * Why a custom operator instead of composition (SURVEY §4 ladder, step c):
   * Spark's relational surface can express as-of only indirectly — a
@@ -44,7 +46,8 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTiebreak: Seq[Expression]) extends BinaryNode {
+    rightTiebreak: Seq[Expression],
+    forward: Boolean = false) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs at least one equi-key on each side, same count")
   // fail at construction, not mid-task: the merge compares keys with a
@@ -65,8 +68,8 @@ case class AsOfJoin(
   * `SparkSessionExtensions.injectPlannerStrategy` in `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -77,11 +80,16 @@ object AsOfJoinStrategy extends SparkStrategy {
   * (keys, time[, tiebreak]) ascending — `EnsureRequirements` inserts the
   * exchanges/sorts only where the child's existing partitioning/ordering
   * doesn't already satisfy them (so an upstream bucketed or pre-sorted
-  * source joins with zero extra shuffles). The merge keeps one candidate
-  * row: the latest right row `<=` the current left time. Ties on time
-  * resolve to the LAST right row in tiebreak order (deterministic output —
-  * required for the hash-compared oracle). Null keys and null times never
-  * match, mirroring SQL equi-join semantics.
+  * source joins with zero extra shuffles). Backward merge keeps one
+  * candidate row — the latest right row `<=` the current left time; ties
+  * on time resolve to the LAST right row in tiebreak order. Forward merge
+  * needs no buffer at all: the match is the right cursor itself, the
+  * first same-key row `>=` the left time (not consumed — several left
+  * rows may share one next right row); ties resolve to the FIRST right
+  * row in tiebreak order. Both tie policies are what the ascending sort
+  * yields naturally, and both are deterministic — required for the
+  * hash-compared oracle. Null keys and null times never match, mirroring
+  * SQL equi-join semantics.
   *
   * Not whole-stage-codegen'd: the operator sits between two sorted streams
   * and does O(1) work per row; codegen would buy nothing measurable (the
@@ -95,6 +103,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreak: Seq[Expression],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -133,6 +142,7 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val lOut = left.output
     val rOut = right.output
+    val isForward = forward
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
@@ -143,7 +153,67 @@ case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
       val joined = new JoinedRow
 
-      new Iterator[InternalRow] {
+      if (isForward) new Iterator[InternalRow] {
+        // forward needs no candidate buffer: the right cursor itself is
+        // the match (first same-key row at-or-after the left time) and is
+        // NOT consumed on match — later left rows may share it. Holding
+        // the cursor without calling rIter.next() is safe (iterator
+        // buffers are only overwritten by the next next() call).
+        private var rightRow: InternalRow =
+          if (rIter.hasNext) rIter.next() else null
+        private var staged: InternalRow = null
+
+        /** Advance the right side to the first row NOT before
+          * `(lKey, lTime)`; rows with null keys or times never match and
+          * are skipped outright. */
+        private def advance(lKey: UnsafeRow, lTime: Long): Unit = {
+          var continue = rightRow != null
+          while (continue) {
+            val rKey = rKeyProj(rightRow)
+            val skip =
+              if (rKey.anyNull) true
+              else {
+                val cmp = keyOrd.compare(rKey, lKey)
+                if (cmp < 0) true
+                else if (cmp == 0) {
+                  val t = rTimeProj(rightRow)
+                  t.isNullAt(0) || t.getLong(0) < lTime
+                } else { continue = false; false } // later key: stop
+              }
+            if (skip) {
+              rightRow = if (rIter.hasNext) rIter.next() else null
+              continue = rightRow != null
+            } else if (continue) continue = false // landed on the match zone
+          }
+        }
+
+        override def hasNext: Boolean = {
+          while (staged == null && lIter.hasNext) {
+            val lRow = lIter.next()
+            val lKey = lKeyProj(lRow)
+            if (!lKey.anyNull) {
+              val t = lTimeProj(lRow)
+              if (!t.isNullAt(0)) {
+                advance(lKey, t.getLong(0))
+                if (rightRow != null && !rKeyProj(rightRow).anyNull &&
+                    keyOrd.compare(rKeyProj(rightRow), lKey) == 0) {
+                  staged = resultProj(joined(lRow, rightRow))
+                  numOutputRows += 1
+                }
+              }
+            }
+          }
+          staged != null
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty as-of iterator")
+          val out = staged
+          staged = null
+          out
+        }
+      }
+      else new Iterator[InternalRow] {
         // single lookahead right row (iterator-owned buffer, no copy needed
         // until it becomes the candidate)
         private var rightRow: InternalRow =

@@ -110,6 +110,43 @@ class AsOfPlanSpec extends GraftSpec {
     assert(err.getMessage.contains("BIGINT"), err.getMessage)
   }
 
+  test("forward as-of: cursor match, same-second tie to smallest id, shared next row") {
+    val got = AsOf.joinForward(leftDf, rightDf,
+        leftKeys = Seq("k"), rightKeys = Seq("rk"),
+        leftTime = "lsec", rightTime = "rsec", rightTiebreak = Seq("rid"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    // lid 3 @4 and lid 2 @7: both share the next right @5?? no — @4's next
+    // is rid 1 @5; @7's next is the earliest >= 7 → the @10 pair, smallest
+    // rid wins (rid 2, not 3). lid 1 @10: same-second non-strict → rid 2.
+    // lid 4 @100 (key b): no purchase at/after 100 (only @90) → dropped.
+    // null key / null time / absent key: dropped as in backward.
+    assert(got === Set((3, 1), (2, 2), (1, 2)))
+  }
+
+  test("forward custom as-of matches the forward window twin row for row at sf0.001") {
+    val win = TimeWindows.asofJoinForward(spark, sf0001).collect()
+    val custom = TimeWindows.asofJoinForwardPhysical(spark, sf0001).collect()
+    assert(custom.length === win.length)
+    assert(custom.sameElements(win),
+      s"first divergence: ${custom.zip(win).find { case (c, w) => c != w }}")
+  }
+
+  test("multi-column keys resolve and match componentwise") {
+    import spark.implicits._
+    val l = spark.sparkContext.parallelize(Seq(
+      ("a", 1L, 10L, 1), ("a", 2L, 10L, 2))).toDF("k", "k2", "lsec", "lid")
+    val r = spark.sparkContext.parallelize(Seq(
+      ("a", 1L, 5L, 11), ("a", 2L, 7L, 12))).toDF("rk", "rk2", "rsec", "rid")
+    val got = AsOf.joinBackward(l, r,
+        leftKeys = Seq("k", "k2"), rightKeys = Seq("rk", "rk2"),
+        leftTime = "lsec", rightTime = "rsec")
+      .select("lid", "rid").collect()
+      .map(x => (x.getInt(0), x.getInt(1))).toSet
+    // (a,1) must NOT see (a,2)'s rows and vice versa
+    assert(got === Set((1, 11), (2, 12)))
+  }
+
   test("as-of rejects non-orderable key types at construction") {
     val mapLeft = leftDf.withColumn("mk", map(col("k"), col("lid")))
     val mapRight = rightDf.withColumn("mk", map(col("rk"), col("rid")))

@@ -206,7 +206,8 @@ class PlanSpec extends GraftSpec {
       "neardup_simhash"     -> 21,
       "neardup_jaccard_prefix" -> 11, // df agg + re-sort + banded verify diamond
       "dedup_incremental"   -> 18, // two-stage probe: digest join + shingle index + best-match window
-      "asof_join_physical"  -> 5)  // custom exec: fan-out x2 + cluster x2 + final order
+      "asof_join_physical"  -> 5,  // custom exec: fan-out x2 + cluster x2 + final order
+      "asof_join_forward_physical" -> 5) // same shape, forward merge
     val shufRe = "(?m)^\\s*(?:[+:|\\- ]*)Exchange ".r
     // Budgets were measured against a cold cache. A MATERIALIZED cache
     // entry (e.g. DedupSpec ran minhashLsh's cached shingle arrays
