@@ -682,6 +682,46 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming exact dedup: cross-batch duplicates drop within the watermark, state evicts after") {
+    // the streaming half of the dedup family (batch: dedup_exact,
+    // dedup_incremental): dropDuplicatesWithinWatermark guarantees
+    // at-most-once per key among events within the watermark delay of
+    // each other, with state EVICTED once the watermark passes — bounded
+    // state, explicitly weaker than global dedup (a re-arrival after
+    // eviction re-emits; the batch pass catches those)
+    val ms = MemoryStream[(Timestamp, Long)](63, spark, None)
+    val dedup = ms.toDF().toDF("ts", "doc_id")
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("doc_id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_mem")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def ev(offSec: Long, id: Long) = (new Timestamp(t0 + offSec * 1000), id)
+      // in-batch dup (doc 1 twice) + distinct doc 2
+      ms.addData(ev(0, 1L), ev(5, 1L), ev(10, 2L))
+      q.processAllAvailable()
+      // cross-batch dup within the watermark: state still holds doc 1
+      ms.addData(ev(20, 1L))
+      q.processAllAvailable()
+      val early = spark.table("dedup_mem").collect()
+        .map(r => r.getLong(1)).groupBy(identity).view.mapValues(_.length).toMap
+      assert(early === Map(1L -> 1, 2L -> 1), s"got $early")
+      val stateBefore = q.lastProgress.stateOperators.head.numRowsTotal
+      // watermark sails past doc 1's expiry (20 s + 60 s delay): its state
+      // row is evicted, so a much-later re-arrival legitimately re-emits
+      ms.addData(ev(600, 3L))
+      q.processAllAvailable()
+      ms.addData(ev(620, 1L))
+      q.processAllAvailable()
+      val late = spark.table("dedup_mem").collect()
+        .map(r => r.getLong(1)).groupBy(identity).view.mapValues(_.length).toMap
+      assert(late === Map(1L -> 2, 2L -> 1, 3L -> 1), s"got $late")
+      assert(q.lastProgress.stateOperators.head.numRowsTotal < stateBefore + 2,
+        "expired dedup state must not accumulate")
+    } finally q.stop()
+  }
+
   test("streaming as-of state is bounded: the buffer drains to O(1) per user at flush") {
     // audited through the state DATA SOURCE (offline state inspection —
     // the ops tool for "why is my state store huge"): per-element list
