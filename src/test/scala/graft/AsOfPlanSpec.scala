@@ -147,6 +147,26 @@ class AsOfPlanSpec extends GraftSpec {
     assert(got === Set((1, 11), (2, 12)))
   }
 
+  test("AQE partition coalescing keeps both sides co-partitioned through the custom exec") {
+    // AQE coalesces the two child shuffles as one group (the same contract
+    // sort-merge join relies on); if it ever coalesced them independently
+    // the zipPartitions merge would crash on mismatched partition counts.
+    // Force aggressive coalescing and prove plan + result stay correct.
+    val adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.get(adv)
+    try {
+      spark.conf.set(adv, "256m") // tiny inputs → everything coalesces
+      val joined = TimeWindows.asofJoinPhysical(spark, sf0001)
+      val rows = joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("AQEShuffleRead") || finalPlan.contains("coalesced"),
+        s"coalescing did not engage:\n${finalPlan.take(1000)}")
+      spark.conf.set(adv, prev)
+      val baseline = TimeWindows.asofJoinPhysical(spark, sf0001).collect()
+      assert(rows.sameElements(baseline))
+    } finally spark.conf.set(adv, prev)
+  }
+
   test("as-of rejects non-orderable key types at construction") {
     val mapLeft = leftDf.withColumn("mk", map(col("k"), col("lid")))
     val mapRight = rightDf.withColumn("mk", map(col("rk"), col("rid")))
