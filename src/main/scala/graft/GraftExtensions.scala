@@ -34,6 +34,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
+  private def literalString(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a string literal, got non-foldable ${e.sql}")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other =>
+        throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+    }
+  }
+
+  private def tableArg(e: Expression, what: String):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = e match {
+    case t: org.apache.spark.sql.catalyst.expressions.FunctionTableSubqueryArgumentExpression =>
+      require(t.partitionByExpressions.isEmpty && t.orderByExpressions.isEmpty,
+        s"$what: PARTITION BY/ORDER BY table-argument clauses are not supported — " +
+          "the as-of operator declares its own distribution and ordering")
+      t.plan
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what must be a TABLE(...) argument, got ${other.sql}")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // optimizer rule: prune non-matching rows BEFORE the generator
     // explodes them (see the rule's Scaladoc for the soundness argument)
@@ -42,6 +63,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planner strategy: the custom sort-merge as-of join operator
     // (logical graft.plans.AsOfJoin → physical AsOfJoinExec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+
+    // table function: SQL surface for the custom as-of operator —
+    //   SELECT * FROM asof_join(TABLE(l), TABLE(r),
+    //                           'lkey', 'rkey', 'ltime', 'rtime'
+    //                           [, 'rtiebreak' [, 'forward'|'backward']])
+    // TABLE(...) arguments arrive as FunctionTableSubqueryArgumentExpression
+    // carrying the parsed relation; the node is built with unresolved
+    // attribute names and the analyzer resolves them against the two sides
+    // (names must be side-correct and unambiguous, as with the DataFrame API)
+    ext.injectTableFunction((
+      new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(classOf[graft.plans.AsOfJoin].getName, "asof_join"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 6 && children.length <= 8,
+          "asof_join(TABLE(l), TABLE(r), 'lkey', 'rkey', 'ltime', 'rtime'" +
+            "[, 'rtiebreak'[, 'forward'|'backward']])")
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        val l = tableArg(children(0), "asof_join left")
+        val r = tableArg(children(1), "asof_join right")
+        val names = children.drop(2).zipWithIndex.map { case (c, i) =>
+          literalString(c, s"asof_join argument ${i + 3}")
+        }
+        val forward = names.length == 6 && (names(5).toLowerCase match {
+          case "forward"  => true
+          case "backward" => false
+          case other => throw new IllegalArgumentException(
+            s"asof_join direction must be 'forward' or 'backward', got '$other'")
+        })
+        val tiebreak =
+          if (names.length >= 5 && names(4).nonEmpty)
+            Seq(UnresolvedAttribute.quoted(names(4)))
+          else Nil
+        graft.plans.AsOfJoin(l, r,
+          Seq(UnresolvedAttribute.quoted(names(0))),
+          Seq(UnresolvedAttribute.quoted(names(1))),
+          UnresolvedAttribute.quoted(names(2)),
+          UnresolvedAttribute.quoted(names(3)),
+          tiebreak, forward)
+      }))
 
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),

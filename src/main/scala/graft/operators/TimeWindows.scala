@@ -375,6 +375,30 @@ object TimeWindows {
       .orderBy("click_id")
   }
 
+  /** The SQL-surface twin of [[asofJoinPhysical]]: the identical join
+    * through the `asof_join(TABLE(...), TABLE(...), ...)` table function
+    * registered in `GraftExtensions` — proving a pure-SQL user reaches the
+    * custom operator with no Scala. Shares [[asofJoinSql]]'s oracle. */
+  def asofJoinTvf(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("sec"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("sec"))
+      .createOrReplaceTempView("asof_purchases_v")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+              col("sec").as("click_sec"))
+      .createOrReplaceTempView("asof_clicks_v")
+    s.sql(
+      """SELECT event_id AS purchase_id, user_id, click_id,
+        |       sec - click_sec AS gap_sec
+        |FROM asof_join(TABLE(asof_purchases_v), TABLE(asof_clicks_v),
+        |               'user_id', 'click_user', 'sec', 'click_sec',
+        |               'click_id')
+        |ORDER BY purchase_id""".stripMargin)
+  }
+
   // ------------------------------------------------ interval-overlap join
   /** Interval-overlap self-join — the third time-join algorithm beside
     * [[rangeJoin]] (point proximity) and [[asofJoin]] (latest-preceding):
@@ -436,7 +460,8 @@ object TimeWindows {
     "asof_join"          -> (asofJoin _),
     "asof_join_forward"  -> (asofJoinForward _),
     "asof_join_physical" -> (asofJoinPhysical _),
-    "asof_join_forward_physical" -> (asofJoinForwardPhysical _)
+    "asof_join_forward_physical" -> (asofJoinForwardPhysical _),
+    "asof_join_tvf"      -> (asofJoinTvf _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -453,6 +478,7 @@ object TimeWindows {
     // gate is the end-to-end equivalence proof for AsOfJoinExec in each
     // direction
     "asof_join_physical" -> asofJoinSql,
-    "asof_join_forward_physical" -> asofJoinForwardSql
+    "asof_join_forward_physical" -> asofJoinForwardSql,
+    "asof_join_tvf"      -> asofJoinSql
   )
 }

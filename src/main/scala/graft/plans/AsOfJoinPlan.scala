@@ -51,10 +51,14 @@ case class AsOfJoin(
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs at least one equi-key on each side, same count")
   // fail at construction, not mid-task: the merge compares keys with a
-  // natural row ordering, which maps/UDTs don't define
-  require(RowOrdering.isOrderable(leftKeys) && RowOrdering.isOrderable(rightKeys),
+  // natural row ordering, which maps/UDTs don't define. Guarded on
+  // resolvedness because the SQL TVF path builds this node with
+  // UnresolvedAttribute keys (dataType would throw); the analyzer re-copies
+  // the node after resolution, re-running this require with real types.
+  require(!(leftKeys ++ rightKeys).forall(_.resolved) ||
+      (RowOrdering.isOrderable(leftKeys) && RowOrdering.isOrderable(rightKeys)),
     s"as-of join keys must be orderable types, got " +
-      s"${(leftKeys ++ rightKeys).map(_.dataType.sql).distinct.mkString(", ")}")
+      s"${(leftKeys ++ rightKeys).filter(_.resolved).map(_.dataType.sql).distinct.mkString(", ")}")
 
   override def output: Seq[Attribute] = left.output ++ right.output
 

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.TimeWindows
+import org.apache.spark.sql.functions._
+
+/** SQL table-function surface of the custom as-of operator:
+  * `SELECT * FROM asof_join(TABLE(l), TABLE(r), 'lkey', 'rkey', 'ltime',
+  * 'rtime'[, 'rtiebreak'[, direction]])` — registered through
+  * `injectTableFunction` in `GraftExtensions`. */
+class AsOfTvfSpec extends GraftSpec {
+
+  private def makeViews(): Unit = {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("sec"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("sec"))
+      .createOrReplaceTempView("purch_v")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+              col("sec").as("click_sec"))
+      .createOrReplaceTempView("click_v")
+  }
+
+  test("SQL asof_join TVF over TABLE arguments equals the DataFrame form") {
+    makeViews()
+    val viaSql = spark.sql(
+      """SELECT event_id AS purchase_id, user_id, click_id,
+        |       sec - click_sec AS gap_sec
+        |FROM asof_join(TABLE(purch_v), TABLE(click_v),
+        |               'user_id', 'click_user', 'sec', 'click_sec',
+        |               'click_id')
+        |ORDER BY purchase_id""".stripMargin).collect()
+    val viaApi = TimeWindows.asofJoinPhysical(spark, sf0001).collect()
+    assert(viaSql.length === viaApi.length && viaSql.sameElements(viaApi))
+  }
+
+  test("SQL asof_join TVF forward direction equals the forward DataFrame form") {
+    makeViews()
+    val viaSql = spark.sql(
+      """SELECT click_id, click_user AS user_id, event_id AS purchase_id,
+        |       sec - click_sec AS gap_sec
+        |FROM asof_join(TABLE(click_v), TABLE(purch_v),
+        |               'click_user', 'user_id', 'click_sec', 'sec',
+        |               'event_id', 'forward')
+        |ORDER BY click_id""".stripMargin).collect()
+    val viaApi = TimeWindows.asofJoinForwardPhysical(spark, sf0001).collect()
+    assert(viaSql.length === viaApi.length && viaSql.sameElements(viaApi))
+  }
+
+  test("TVF argument errors are caught with clear messages") {
+    makeViews()
+    val noTable = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('purch_v', TABLE(click_v), " +
+        "'user_id', 'click_user', 'sec', 'click_sec')").collect()
+    }
+    assert(noTable.getMessage.contains("TABLE("), noTable.getMessage)
+    val badDir = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join(TABLE(purch_v), TABLE(click_v), " +
+        "'user_id', 'click_user', 'sec', 'click_sec', 'click_id', 'sideways')")
+        .collect()
+    }
+    assert(badDir.getMessage.contains("'forward' or 'backward'"), badDir.getMessage)
+    val badCol = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join(TABLE(purch_v), TABLE(click_v), " +
+        "'no_such_col', 'click_user', 'sec', 'click_sec')").collect()
+    }
+    assert(badCol.getMessage.toLowerCase.contains("no_such_col"), badCol.getMessage)
+  }
+}
