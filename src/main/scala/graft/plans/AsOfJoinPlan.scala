@@ -59,6 +59,11 @@ case class AsOfJoin(
       (RowOrdering.isOrderable(leftKeys) && RowOrdering.isOrderable(rightKeys)),
     s"as-of join keys must be orderable types, got " +
       s"${(leftKeys ++ rightKeys).filter(_.resolved).map(_.dataType.sql).distinct.mkString(", ")}")
+  // the batch merge sorts complete partitions — impossible over an unbounded
+  // side; fail at analysis with the streaming alternative named
+  require(!childrenResolved || (!left.isStreaming && !right.isStreaming),
+    "as-of join does not support streaming inputs; use the streaming twin " +
+      "graft.streaming.StreamingWindows.asofTws (buffer-until-watermark)")
 
   override def output: Seq[Attribute] = left.output ++ right.output
 

@@ -178,6 +178,19 @@ class AsOfPlanSpec extends GraftSpec {
     assert(err.getMessage.contains("orderable"), err.getMessage)
   }
 
+  test("as-of rejects streaming inputs, naming the streaming twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ms = MemoryStream[(String, Long, Int)](71, spark, None)
+    val streamingLeft = ms.toDF().toDF("k", "lsec", "lid")
+    val err = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(streamingLeft, rightDf,
+        leftKeys = Seq("k"), rightKeys = Seq("rk"),
+        leftTime = "lsec", rightTime = "rsec")
+    }
+    assert(err.getMessage.contains("asofTws"), err.getMessage)
+  }
+
   test("as-of resolves missing columns with a clear error naming the side") {
     val err = intercept[IllegalArgumentException] {
       AsOf.joinBackward(leftDf, rightDf,
