@@ -174,4 +174,41 @@ class PropertySpec extends GraftSpec {
       assert(once.length == texts.distinct.length)
     }
   }
+
+  test("AsOfJoinExec == independent reference on random row sets, both directions") {
+    // few keys + a narrow time range force heavy key/time collisions —
+    // exactly where tie policy and cursor/candidate logic can go wrong.
+    // The oracle is a direct per-key scan, deliberately NOT a Spark plan.
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 15L))
+    val setGen = Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(25, rowGen))
+    samples(setGen, 8).zipWithIndex.foreach { case ((lRaw, rRaw), caseNo) =>
+      val l = lRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i) }
+      val r = rRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i + 1000) }
+      val lDf = spark.sparkContext.parallelize(l, 3).toDF("k", "lsec", "lid")
+      val rDf = spark.sparkContext.parallelize(r, 3).toDF("rk", "rsec", "rid")
+
+      def reference(forward: Boolean): Set[(Int, Int)] =
+        l.flatMap { case (k, t, lid) =>
+          val cands = r.filter { case (rk, rt, _) => rk == k &&
+            (if (forward) rt >= t else rt <= t) }
+          val best =
+            if (cands.isEmpty) None
+            // backward: latest time, largest id on ties;
+            // forward: earliest time, smallest id on ties
+            else if (forward) Some(cands.minBy { case (_, rt, rid) => (rt, rid) })
+            else Some(cands.maxBy { case (_, rt, rid) => (rt, rid) })
+          best.map { case (_, _, rid) => (lid, rid) }
+        }.toSet
+
+      Seq(false, true).foreach { fwd =>
+        val join = if (fwd) graft.plans.AsOf.joinForward _
+                   else graft.plans.AsOf.joinBackward _
+        val got = join(lDf, rDf, Seq("k"), Seq("rk"), "lsec", "rsec", Seq("rid"))
+          .select("lid", "rid").collect()
+          .map(x => (x.getInt(0), x.getInt(1))).toSet
+        assert(got === reference(fwd),
+          s"case $caseNo forward=$fwd left=$l right=$r")
+      }
+    }
+  }
 }
