@@ -85,15 +85,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val names = children.drop(2).zipWithIndex.map { case (c, i) =>
           literalString(c, s"asof_join argument ${i + 3}")
         }
-        val forward = names.length == 6 && (names(5).toLowerCase match {
+        // the two optional slots accept [tiebreak], [direction], or
+        // [tiebreak, direction]: a lone 7th argument saying 'forward' is a
+        // direction, NOT a tiebreak column name (the natural way to ask for
+        // a forward join without a tiebreak must not silently resolve
+        // against a column that happens to be called "forward")
+        def parseDirection(s: String): Boolean = s.toLowerCase match {
           case "forward"  => true
           case "backward" => false
           case other => throw new IllegalArgumentException(
             s"asof_join direction must be 'forward' or 'backward', got '$other'")
-        })
+        }
+        val extras = names.drop(4)
+        val (tiebreakName, forward) = extras match {
+          case Seq()         => ("", false)
+          case Seq(one) if one.equalsIgnoreCase("forward") ||
+                           one.equalsIgnoreCase("backward") =>
+            ("", parseDirection(one))
+          case Seq(one)      => (one, false)
+          case Seq(tb, dir)  => (tb, parseDirection(dir))
+        }
         val tiebreak =
-          if (names.length >= 5 && names(4).nonEmpty)
-            Seq(UnresolvedAttribute.quoted(names(4)))
+          if (tiebreakName.nonEmpty) Seq(UnresolvedAttribute.quoted(tiebreakName))
           else Nil
         graft.plans.AsOfJoin(l, r,
           Seq(UnresolvedAttribute.quoted(names(0))),

@@ -330,15 +330,22 @@ object TimeWindows {
     * same-second clicks DO match (non-strict `<=`), and among equal
     * timestamps the largest `event_id` wins (tiebreak ordering).
     */
-  def asofJoinPhysical(s: SparkSession, dir: String): DataFrame = {
+  /** Shared projections for the as-of family (also used by the bucketing
+    * and TVF specs): purchases keep plain names, clicks are pre-renamed so
+    * the joined schema has no collisions. */
+  private[graft] def purchasesAndClicks(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
               unix_timestamp(col("ts")).as("sec"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("sec"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
-              col("sec").as("click_sec"))
+    (ev.filter(col("event_type") === "purchase")
+       .select(col("event_id"), col("user_id"), col("sec")),
+     ev.filter(col("event_type") === "click")
+       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+               col("sec").as("click_sec")))
+  }
+
+  def asofJoinPhysical(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
     graft.plans.AsOf.joinBackward(
         purchases, clicks,
         leftKeys = Seq("user_id"), rightKeys = Seq("click_user"),
@@ -356,22 +363,15 @@ object TimeWindows {
     * matches the window twin: same-second purchases match (non-strict
     * `>=`), smallest `event_id` wins among equal timestamps. */
   def asofJoinForwardPhysical(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-              unix_timestamp(col("ts")).as("sec"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("sec"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-              col("sec").as("p_sec"))
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
     graft.plans.AsOf.joinForward(
         clicks, purchases,
-        leftKeys = Seq("user_id"), rightKeys = Seq("p_user"),
-        leftTime = "sec", rightTime = "p_sec",
-        rightTiebreak = Seq("p_id"))
-      .select(col("event_id").as("click_id"), col("user_id"),
-              col("p_id").as("purchase_id"),
-              (col("p_sec") - col("sec")).as("gap_sec"))
+        leftKeys = Seq("click_user"), rightKeys = Seq("user_id"),
+        leftTime = "click_sec", rightTime = "sec",
+        rightTiebreak = Seq("event_id"))
+      .select(col("click_id"), col("click_user").as("user_id"),
+              col("event_id").as("purchase_id"),
+              (col("sec") - col("click_sec")).as("gap_sec"))
       .orderBy("click_id")
   }
 
@@ -380,23 +380,23 @@ object TimeWindows {
     * registered in `GraftExtensions` — proving a pure-SQL user reaches the
     * custom operator with no Scala. Shares [[asofJoinSql]]'s oracle. */
   def asofJoinTvf(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-              unix_timestamp(col("ts")).as("sec"))
-    ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("sec"))
-      .createOrReplaceTempView("asof_purchases_v")
-    ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
-              col("sec").as("click_sec"))
-      .createOrReplaceTempView("asof_clicks_v")
-    s.sql(
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
+    purchases.createOrReplaceTempView("asof_purchases_v")
+    clicks.createOrReplaceTempView("asof_clicks_v")
+    // sql() analyzes eagerly, so the returned frame's plan holds the
+    // resolved relations — drop the views to leave no catalog residue
+    // (they exist only to give TABLE(...) something to name)
+    try s.sql(
       """SELECT event_id AS purchase_id, user_id, click_id,
         |       sec - click_sec AS gap_sec
         |FROM asof_join(TABLE(asof_purchases_v), TABLE(asof_clicks_v),
         |               'user_id', 'click_user', 'sec', 'click_sec',
         |               'click_id')
         |ORDER BY purchase_id""".stripMargin)
+    finally {
+      s.catalog.dropTempView("asof_purchases_v")
+      s.catalog.dropTempView("asof_clicks_v")
+    }
   }
 
   // ------------------------------------------------ interval-overlap join

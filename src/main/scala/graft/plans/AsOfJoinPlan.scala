@@ -59,6 +59,16 @@ case class AsOfJoin(
       (RowOrdering.isOrderable(leftKeys) && RowOrdering.isOrderable(rightKeys)),
     s"as-of join keys must be orderable types, got " +
       s"${(leftKeys ++ rightKeys).filter(_.resolved).map(_.dataType.sql).distinct.mkString(", ")}")
+  // no implicit coercion happens on a custom node (a normal equi-join gets
+  // casts from EqualTo's analysis rules) — a type-mismatched key pair would
+  // hash-partition and compare each side under its own type and silently
+  // return wrong matches, so demand exact pairwise equality instead
+  require(!(leftKeys ++ rightKeys).forall(_.resolved) ||
+      leftKeys.map(_.dataType).zip(rightKeys.map(_.dataType)).forall(p => p._1 == p._2),
+    s"as-of join key types must match pairwise (no implicit casts on this " +
+      s"operator — cast explicitly), got " +
+      s"${leftKeys.filter(_.resolved).map(_.dataType.sql).mkString("(", ",", ")")} vs " +
+      s"${rightKeys.filter(_.resolved).map(_.dataType.sql).mkString("(", ",", ")")}")
   // the batch merge sorts complete partitions — impossible over an unbounded
   // side; fail at analysis with the streaming alternative named
   require(!childrenResolved || (!left.isStreaming && !right.isStreaming),
@@ -174,8 +184,11 @@ case class AsOfJoinExec(
 
         /** Advance the right side to the first row NOT before
           * `(lKey, lTime)`; rows with null keys or times never match and
-          * are skipped outright. */
-        private def advance(lKey: UnsafeRow, lTime: Long): Unit = {
+          * are skipped outright. Returns true iff the cursor landed on a
+          * same-key row at-or-after `lTime` — i.e. this left row's match
+          * (saves re-projecting/re-comparing the key in the hot loop). */
+        private def advance(lKey: UnsafeRow, lTime: Long): Boolean = {
+          var matched = false
           var continue = rightRow != null
           while (continue) {
             val rKey = rKeyProj(rightRow)
@@ -186,14 +199,16 @@ case class AsOfJoinExec(
                 if (cmp < 0) true
                 else if (cmp == 0) {
                   val t = rTimeProj(rightRow)
-                  t.isNullAt(0) || t.getLong(0) < lTime
+                  if (t.isNullAt(0) || t.getLong(0) < lTime) true
+                  else { matched = true; continue = false; false }
                 } else { continue = false; false } // later key: stop
               }
             if (skip) {
               rightRow = if (rIter.hasNext) rIter.next() else null
               continue = rightRow != null
-            } else if (continue) continue = false // landed on the match zone
+            }
           }
+          matched
         }
 
         override def hasNext: Boolean = {
@@ -202,13 +217,9 @@ case class AsOfJoinExec(
             val lKey = lKeyProj(lRow)
             if (!lKey.anyNull) {
               val t = lTimeProj(lRow)
-              if (!t.isNullAt(0)) {
-                advance(lKey, t.getLong(0))
-                if (rightRow != null && !rKeyProj(rightRow).anyNull &&
-                    keyOrd.compare(rKeyProj(rightRow), lKey) == 0) {
-                  staged = resultProj(joined(lRow, rightRow))
-                  numOutputRows += 1
-                }
+              if (!t.isNullAt(0) && advance(lKey, t.getLong(0))) {
+                staged = resultProj(joined(lRow, rightRow))
+                numOutputRows += 1
               }
             }
           }

@@ -509,8 +509,13 @@ object StreamingWindows {
 
     override def handleExpiredTimer(uid: Long, tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[AsOfHit] = {
+      // a second s is CLOSED only when the whole of [s, s+1) is below the
+      // watermark, i.e. s < floor(wm/1000). With `<=`, a mid-second
+      // watermark (wm = 70_500 → horizon 70) would finalize sec-70 events
+      // while a same-second click at 70_900 ms is still admissible — it
+      // would arrive after its purchase was flushed and mis-match.
       val horizon = tv.getCurrentWatermarkInMs() / 1000L
-      val (ready, pending) = buf.get().toList.partition(_.sec <= horizon)
+      val (ready, pending) = buf.get().toList.partition(_.sec < horizon)
       val out = scala.collection.mutable.ArrayBuffer.empty[AsOfHit]
       var lc = if (lastClick.exists()) Some(lastClick.get()) else None
       // event-time order with the batch tie policy: clicks sort before

@@ -167,6 +167,19 @@ class AsOfPlanSpec extends GraftSpec {
     } finally spark.conf.set(adv, prev)
   }
 
+  test("as-of rejects pairwise-mismatched key types instead of silently mis-joining") {
+    // no coercion happens on a custom node; INT-vs-BIGINT keys would hash
+    // to different partitions and compare under the wrong width
+    val intLeft = leftDf.withColumn("ki", col("lid"))         // int key
+    val longRight = rightDf.withColumn("kl", col("rid").cast("long"))
+    val err = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(intLeft, longRight,
+        leftKeys = Seq("ki"), rightKeys = Seq("kl"),
+        leftTime = "lsec", rightTime = "rsec")
+    }
+    assert(err.getMessage.contains("match pairwise"), err.getMessage)
+  }
+
   test("as-of rejects non-orderable key types at construction") {
     val mapLeft = leftDf.withColumn("mk", map(col("k"), col("lid")))
     val mapRight = rightDf.withColumn("mk", map(col("rk"), col("rid")))

@@ -10,16 +10,9 @@ import org.apache.spark.sql.functions._
 class AsOfTvfSpec extends GraftSpec {
 
   private def makeViews(): Unit = {
-    val ev = Tables.events(spark, sf0001)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-              unix_timestamp(col("ts")).as("sec"))
-    ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("sec"))
-      .createOrReplaceTempView("purch_v")
-    ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
-              col("sec").as("click_sec"))
-      .createOrReplaceTempView("click_v")
+    val (purchases, clicks) = TimeWindows.purchasesAndClicks(spark, sf0001)
+    purchases.createOrReplaceTempView("purch_v")
+    clicks.createOrReplaceTempView("click_v")
   }
 
   test("SQL asof_join TVF over TABLE arguments equals the DataFrame form") {
@@ -46,6 +39,26 @@ class AsOfTvfSpec extends GraftSpec {
         |ORDER BY click_id""".stripMargin).collect()
     val viaApi = TimeWindows.asofJoinForwardPhysical(spark, sf0001).collect()
     assert(viaSql.length === viaApi.length && viaSql.sameElements(viaApi))
+  }
+
+  test("a lone 7th argument naming a direction is a direction, not a tiebreak column") {
+    makeViews()
+    // forward-without-tiebreak is the natural short call; it must not
+    // resolve 'forward' as a column name
+    val shortCall = spark.sql(
+      "SELECT * FROM asof_join(TABLE(click_v), TABLE(purch_v), " +
+        "'click_user', 'user_id', 'click_sec', 'sec', 'forward')").count()
+    val longCall = spark.sql(
+      "SELECT * FROM asof_join(TABLE(click_v), TABLE(purch_v), " +
+        "'click_user', 'user_id', 'click_sec', 'sec', 'event_id', 'forward')").count()
+    val backward = spark.sql(
+      "SELECT * FROM asof_join(TABLE(click_v), TABLE(purch_v), " +
+        "'click_user', 'user_id', 'click_sec', 'sec')").count()
+    // match EXISTENCE is tiebreak-independent, so the two forward forms
+    // agree; the backward count differs on this data, proving the
+    // direction actually took effect
+    assert(shortCall === longCall)
+    assert(shortCall !== backward)
   }
 
   test("TVF argument errors are caught with clear messages") {

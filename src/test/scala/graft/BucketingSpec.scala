@@ -46,14 +46,7 @@ class BucketingSpec extends GraftSpec {
 
   test("as-of join over co-bucketed pre-sorted tables plans zero exchanges and zero sorts") {
     val dir = sf0001
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-              unix_timestamp(col("ts")).as("sec"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("sec"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
-              col("sec").as("click_sec"))
+    val (purchases, clicks) = graft.operators.TimeWindows.purchasesAndClicks(spark, dir)
 
     // one file per bucket (repartition by the bucket column with numBuckets
     // tasks — repartition and bucketBy share the Murmur3 hash, so each task

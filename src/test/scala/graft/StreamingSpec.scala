@@ -722,6 +722,47 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of never finalizes the watermark's still-open second") {
+    // a mid-second watermark (70_200 ms → horizon sec 70) must NOT flush
+    // sec-70 events: a same-second click at 70_900 ms is still admissible
+    // (ts >= watermark) and is the purchase's true match under the batch
+    // tie policy. With a <=-horizon flush the purchase would mis-match
+    // the older click at sec 50.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import StreamingWindows.AsOfEv
+      val ms = MemoryStream[AsOfEv](64, spark, None)
+      val q = StreamingWindows.asofTws(ms.toDS(), watermark = "0 seconds")
+        .writeStream.format("memory").queryName("asof_midsec_mem")
+        .outputMode("append").start()
+      try {
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        ms.addData(
+          AsOfEv(1L, new Timestamp(t0 + 50_000), "click", 1L),
+          AsOfEv(1L, new Timestamp(t0 + 70_200), "purchase", 10L))
+        q.processAllAvailable() // watermark 70_200: sec 70 still open
+        ms.addData(AsOfEv(1L, new Timestamp(t0 + 70_900), "click", 2L))
+        q.processAllAvailable()
+        ms.addData(AsOfEv(2L, new Timestamp(t0 + 600_000), "view", 90L))
+        q.processAllAvailable()
+        ms.addData(AsOfEv(2L, new Timestamp(t0 + 601_000), "view", 91L))
+        q.processAllAvailable()
+        val rows = spark.table("asof_midsec_mem").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(rows === Set((1L, 10L, 2L, 0L)),
+          s"purchase must match the same-second click, got $rows")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming as-of state is bounded: the buffer drains to O(1) per user at flush") {
     // audited through the state DATA SOURCE (offline state inspection —
     // the ops tool for "why is my state store huge"): per-element list
