@@ -79,5 +79,23 @@ class AsOfTvfSpec extends GraftSpec {
         "'no_such_col', 'click_user', 'sec', 'click_sec')").collect()
     }
     assert(badCol.getMessage.toLowerCase.contains("no_such_col"), badCol.getMessage)
+    // PARTITION BY table-argument clauses would fight the operator's own
+    // declared distribution — rejected with the reason
+    val partBy = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join(TABLE(purch_v) PARTITION BY (user_id), " +
+        "TABLE(click_v), 'user_id', 'click_user', 'sec', 'click_sec')").collect()
+    }
+    assert(partBy.getMessage.contains("declares its own distribution"), partBy.getMessage)
+    // a key name present on BOTH sides is ambiguous, same as DataFrame joins
+    spark.sql("SELECT click_id AS event_id, click_user AS user_id, click_sec AS sec " +
+      "FROM click_v").createOrReplaceTempView("click_same_v")
+    try {
+      val ambiguous = intercept[Exception] {
+        spark.sql("SELECT * FROM asof_join(TABLE(purch_v), TABLE(click_same_v), " +
+          "'user_id', 'user_id', 'sec', 'sec')").collect()
+      }
+      assert(ambiguous.getMessage.contains("AMBIGUOUS") ||
+        ambiguous.getMessage.toLowerCase.contains("ambiguous"), ambiguous.getMessage)
+    } finally spark.catalog.dropTempView("click_same_v")
   }
 }
