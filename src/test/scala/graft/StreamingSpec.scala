@@ -722,6 +722,66 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of equals the batch reference on random streams and batch splits") {
+    // randomized events over few users and a narrow time range, delivered
+    // in random order across a random number of micro-batches, then
+    // watermark-advanced: the emitted matches must equal a direct batch
+    // reference computed with the as-of tie policy — cross-batch
+    // buffering and ordering can't depend on where batch boundaries fall
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import StreamingWindows.AsOfEv
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evGen = Gen.zip(Gen.chooseNum(1L, 2L), Gen.chooseNum(0L, 20L),
+      Gen.oneOf("click", "purchase"))
+    val caseGen = Gen.zip(Gen.listOfN(16, evGen), Gen.chooseNum(1, 4))
+    val cases = (0 until 4).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    try cases.zipWithIndex.foreach { case ((raw, nBatches), caseNo) =>
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val events = raw.zipWithIndex.map { case ((uid, sec, typ), i) =>
+        AsOfEv(uid, new Timestamp(t0 + sec * 1000), typ, i.toLong)
+      }
+      val expected = events.filter(_.event_type == "purchase").flatMap { p =>
+        val clicks = events.filter(c => c.event_type == "click" &&
+          c.user_id == p.user_id && c.ts.getTime / 1000 <= p.ts.getTime / 1000)
+        if (clicks.isEmpty) None
+        else {
+          val best = clicks.maxBy(c => (c.ts.getTime / 1000, c.event_id))
+          Some((p.user_id, p.event_id, best.event_id,
+            p.ts.getTime / 1000 - best.ts.getTime / 1000))
+        }
+      }.toSet
+
+      val ms = MemoryStream[AsOfEv](100 + caseNo, spark, None)
+      val q = StreamingWindows.asofTws(ms.toDS(), watermark = "10 minutes")
+        .writeStream.format("memory").queryName(s"asof_prop_$caseNo")
+        .outputMode("append").start()
+      try {
+        events.grouped(math.max(1, events.length / nBatches)).foreach { b =>
+          ms.addData(b: _*); q.processAllAvailable()
+        }
+        // two sentinel batches push the watermark far past every event
+        ms.addData(AsOfEv(99L, new Timestamp(t0 + 10_000_000), "view", 900L))
+        q.processAllAvailable()
+        ms.addData(AsOfEv(99L, new Timestamp(t0 + 10_001_000), "view", 901L))
+        q.processAllAvailable()
+        val got = spark.table(s"asof_prop_$caseNo").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got === expected,
+          s"case $caseNo (batches=$nBatches): events=$events")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming as-of never finalizes the watermark's still-open second") {
     // a mid-second watermark (70_200 ms → horizon sec 70) must NOT flush
     // sec-70 events: a same-second click at 70_900 ms is still admissible
