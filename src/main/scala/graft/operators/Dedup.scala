@@ -150,9 +150,10 @@ object Dedup {
     *
     * Vs [[jaccardNearDupDfCap]]: the df-cap drops hot shingles lossily
     * (a pair sharing only capped shingles is missed); the prefix filter
-    * is LOSSLESS for the fixed threshold — the scale trade is two extra
-    * shuffles (global df aggregation + per-doc re-sort) bought back in
-    * candidate-join fan-out. Exact verification joins candidates back to
+    * is LOSSLESS for the fixed threshold — the scale trade is the extra
+    * per-doc re-sort shuffle (the global df count WINDOWS over the
+    * exploded rows' own hash partitioning, costing no join-back) bought
+    * back in candidate-join fan-out. Exact verification joins candidates back to
     * the full shingle arrays, so emitted scores are full-set Jaccard,
     * bit-identical to the baseline's. */
   def jaccardPrefixNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -160,9 +161,13 @@ object Dedup {
     val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
     val sh = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
     // global order key: (document frequency asc, shingle asc) — a total
-    // order (s is distinct per doc), identical for every document
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val ordered = sh.join(dfreq, "s")
+    // order (s is distinct per doc), identical for every document.
+    // df via a WINDOW over s, not groupBy + join-back: the same
+    // one-shuffle-instead-of-three lesson jaccardNearDupDfCap's `rare`
+    // measured (8.8 s → 3.7 s) — the df count rides the exploded rows'
+    // own hash partitioning by s
+    val ordered = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
     val pref = ordered.select(
@@ -176,6 +181,17 @@ object Dedup {
           col("y.n") * t <= col("x.n") && col("x.n") * t <= col("y.n"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+    verifyPairs(candidates, docsArr, t).orderBy("a_id", "b_id")
+  }
+
+  /** Exact full-set Jaccard verification of (a_id, b_id) candidate pairs:
+    * join both sides back to the shingle arrays, score |a∩b| / |a∪b|, keep
+    * ≥ t. This is THE semantics-critical expression every near-dup oracle
+    * hash-match rests on — one copy, shared by the prefix, df-cap, and
+    * MinHash-LSH paths so a threshold or cast change cannot desynchronize
+    * them. */
+  private def verifyPairs(candidates: DataFrame, docsArr: DataFrame,
+                          t: Double): DataFrame =
     candidates
       .join(docsArr.select(col("doc_id").as("a_id"), col("sh").as("sa"),
         size(col("sh")).cast("long").as("na")), "a_id")
@@ -186,8 +202,6 @@ object Dedup {
         col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= t)
       .select("a_id", "b_id", "jac")
-      .orderBy("a_id", "b_id")
-  }
 
   /** Default document-frequency cap for [[jaccardNearDupDfCap]]. */
   private val DfCap = 128
@@ -254,13 +268,7 @@ object Dedup {
     val band = withBounds
       .filter(col("s_ab") > 0 && col("jub") >= 0.5)
       .select("a_id", "b_id")
-    val verifiedBand = band
-      .join(docsArr.select(col("doc_id").as("a_id"), col("sh").as("sa"), size(col("sh")).as("na")), "a_id")
-      .join(docsArr.select(col("doc_id").as("b_id"), col("sh").as("sb"), size(col("sh")).as("nb")), "b_id")
-      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac") >= 0.5)
-      .select("a_id", "b_id", "jac")
+    val verifiedBand = verifyPairs(band, docsArr, 0.5)
     decided.union(verifiedBand).orderBy("a_id", "b_id")
   }
 
@@ -389,14 +397,7 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = bucketCandidates(buckets, "band", "bucket")
-    cand
-      .join(docsArr.select(col("doc_id").as("a_id"), col("sh").as("sa"), size(col("sh")).as("na")), "a_id")
-      .join(docsArr.select(col("doc_id").as("b_id"), col("sh").as("sb"), size(col("sh")).as("nb")), "b_id")
-      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac") >= 0.5)
-      .select("a_id", "b_id", "jac")
-      .orderBy("a_id", "b_id")
+    verifyPairs(cand, docsArr, 0.5).orderBy("a_id", "b_id")
   }
 
   // --------------------------------------------------------------- SimHash
@@ -625,16 +626,23 @@ object Dedup {
     def keyed(d: DataFrame, as: String): DataFrame = d.select(
       col("doc_id").as(as), md5(col("text")).as("h"),
       length(col("text")).as("len"))
+    // each re-referenced frame is cached once (the in-file pattern): exact
+    // feeds both the output union and the left_anti, and each shingle-array
+    // side is read twice (candidate explode + size join) — without the
+    // caches one action re-runs the full-corpus digest join three times
     val exact = keyed(batch, "batch_id").join(keyed(corpus, "corpus_id"), Seq("h", "len"))
       .groupBy("batch_id").agg(min("corpus_id").as("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
         lit("exact").as("kind"), lit(1.0).as("jac"))
+      .cache()
     val rest = batch.join(
       exact.select(col("batch_id").as("doc_id")), Seq("doc_id"), "left_anti")
     val bArr = shingleArrays(rest).select(
       col("doc_id").as("batch_id"), col("sh"), size(col("sh")).cast("long").as("nb"))
+      .cache()
     val cArr = shingleArrays(corpus).select(
       col("doc_id").as("corpus_id"), col("sh"), size(col("sh")).cast("long").as("nc"))
+      .cache()
     val common = bArr.select(col("batch_id"), explode(col("sh")).as("s"))
       .join(cArr.select(col("corpus_id"), explode(col("sh")).as("s")), "s")
       .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("c"))

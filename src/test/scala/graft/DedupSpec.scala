@@ -53,6 +53,11 @@ class DedupSpec extends GraftSpec {
       .select($"doc_id", $"text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val out = Dedup.incrementalDedup(spark, sf0001).collect()
     assert(out.nonEmpty, "fixture corpus must contain planted duplicates")
+    // the near probe (the hard half) must actually fire — exact-only
+    // output would leave it silently untested. The exact branch has no
+    // cross-split twins at sf0.001 (matches here are all near-dups); its
+    // correctness is hash-gated by the DuckDB oracle at sf0.01/sf0.1.
+    assert(out.exists(_.getString(2) == "near"), "near stage produced no rows")
     val ids = out.map(_.getLong(0))
     assert(ids.distinct.length == ids.length, "one verdict per batch doc")
     out.foreach { r =>
