@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -32,9 +32,15 @@ case class SimHashAgg(
     hashExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
 
   private val Bits = 64
+
+  // without this a non-LongType hash (e.g. the builtin Murmur3 `hash`,
+  // IntegerType) passes analysis and cast-crashes per row in update();
+  // declaring the input type widens integrals and fails anything else at
+  // analysis — the same contract DtwDistance documents
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def children: Seq[Expression] = Seq(hashExpr)
   override def nullable: Boolean = false
@@ -65,7 +71,9 @@ case class SimHashAgg(
     var sim = 0L
     var k = 0
     while (k < Bits) {
-      if (buf(k) * 2 > n) sim |= 1L << k
+      // majority as `set > unset`, not `set*2 > n` — the doubled form
+      // overflows Long past 2^62 rows, betraying the documented 2^63 bound
+      if (buf(k) > n - buf(k)) sim |= 1L << k
       k += 1
     }
     sim

@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.Tables
-
 /** Cost-based-optimizer statistics wiring (SURVEY.md §4 follow-through to
   * the ANALYZE-to-estimates spec): materialize the TPC-H tables into the
   * session catalog and `ANALYZE TABLE .. FOR ALL COLUMNS` them, so
@@ -51,28 +49,43 @@ object CboStats {
     * the existing parquet at `dir` (no data copy — a managed saveAsTable
     * twin measured 11.7 s at sf0.1, almost all of it rewriting lineitem)
     * and compute table + all-column statistics: one stats scan per table,
-    * catalog entries only. Idempotent per session. */
+    * catalog entries only. Idempotent per session PER (table, requested
+    * column set) — NOT mere table existence: a CREATE that succeeded but
+    * whose ANALYZE failed, or an earlier registration with a narrower
+    * column set, re-analyzes. (The skip would otherwise be invisible:
+    * results are unchanged, only the plan silently degrades to the naive
+    * order — see the class doc on one stats-less table disabling the
+    * whole reorder.) */
   def registerAnalyzed(s: SparkSession, dir: String,
                        tables: Seq[String] = TpchTables,
                        columns: Map[String, Seq[String]] = Map.empty): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.DurationInt
+    import org.apache.spark.sql.catalyst.TableIdentifier
     implicit val ec: ExecutionContext = ExecutionContext.global
     // each CREATE/ANALYZE is a separate Spark job with ~1 s fixed
     // scheduling+codegen overhead; run the per-table chains concurrently
     // (independent table names, thread-safe catalog) so the wall cost is
     // the slowest chain, not the sum — measured 9.4 s -> ~2 s at sf0.1
-    val pending = tables.filter(t => !s.catalog.tableExists(s"${t}_cbo"))
-    val work = pending.map { t => Future {
+    val work = tables.map { t => Future {
       val name = s"${t}_cbo"
-      s.sql(s"CREATE TABLE $name USING parquet LOCATION '$dir/$t.parquet'")
+      if (!s.catalog.tableExists(name)) {
+        // single-quote-escape the interpolated path: SQL string literal
+        val loc = s"$dir/$t.parquet".replace("'", "''")
+        s.sql(s"CREATE TABLE $name USING parquet LOCATION '$loc'")
+      }
       // NDV/min-max per analyzed column is a full HLL pass — restrict
       // to the columns the consumer's estimates actually read when the
       // caller knows them (join keys, filter columns)
-      val forCols = columns.get(t)
-        .map(cs => s"FOR COLUMNS ${cs.mkString(", ")}")
-        .getOrElse("FOR ALL COLUMNS")
-      s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS $forCols")
+      val need = columns.getOrElse(t, s.table(name).columns.toSeq)
+      val have = s.sessionState.catalog.getTableMetadata(TableIdentifier(name)).stats
+      val ok = have.exists(st => st.rowCount.isDefined && need.forall(st.colStats.contains))
+      if (!ok) {
+        val forCols = columns.get(t)
+          .map(cs => s"FOR COLUMNS ${cs.mkString(", ")}")
+          .getOrElse("FOR ALL COLUMNS")
+        s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS $forCols")
+      }
     }}
     Await.result(Future.sequence(work), 10.minutes)
     ()

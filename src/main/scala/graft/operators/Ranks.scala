@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed global row-numbering.
   *
@@ -12,8 +13,7 @@ import org.apache.spark.sql.types.LongType
   * how many executors exist. The classic distributed shape is a
   * range-partitioned `orderBy` (Spark's sort is already global and
   * parallel) followed by `zipWithIndex`, which assigns contiguous indexes
-  * from per-partition offsets — one extra tiny job to count partition
-  * sizes, and every partition numbers its rows independently.
+  * from per-partition offsets.
   *
   * Result is IDENTICAL to the window formulation whenever the sort order
   * is total (callers pass a deterministic tiebreak column), so
@@ -24,9 +24,21 @@ object Ranks {
   /** `df` with an `out` column = 1-based global row number under
     * `sortCols` (which must define a total order for determinism). */
   def globalRowNumber(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
-    val sorted = df.orderBy(sortCols: _*)
-    val schema = sorted.schema.add(out, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex()
+    // fail at the mistake site: schema.add would happily produce a
+    // duplicate-name schema that only errors much later as an ambiguous
+    // reference downstream
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists in (${df.columns.mkString(", ")})")
+    // zipWithIndex's partition-size job fully CONSUMES each sorted
+    // partition — i.e. it runs the complete post-shuffle sort. Persist the
+    // sorted rows so that first pass materializes the sort once and both
+    // the size job and every downstream action reuse it; without this,
+    // each action on the result re-sorts the corpus. (The block storage is
+    // reclaimed by the ContextCleaner once the RDD is unreachable — the
+    // same cache-and-forget pattern as the dedup operators.)
+    val sorted = df.orderBy(sortCols: _*).rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val schema = df.schema.add(out, LongType, nullable = false)
+    val rdd = sorted.zipWithIndex()
       .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     df.sparkSession.createDataFrame(rdd, schema)
   }

@@ -63,6 +63,17 @@ class CboSpec extends GraftSpec {
     }
   }
 
+  test("the shipped cbo_q9_reorder path (restricted stats, isolated session) reorders too") {
+    // the queries-map code path differs from the test above in BOTH ways
+    // that could break silently (Q9Columns-restricted stats; CBO confs on
+    // a child newSession) and the reorder is result-invisible, so only a
+    // plan assertion can catch a regression here
+    val df = CboStats.productProfitAnalyzed(spark, sf0001)
+    val order = leafOrder(df)
+    assert(order.take(2).toSet != Set("lineitem_cbo", "orders_cbo"),
+      s"join-key-only stats in the isolated session must still reorder: $order")
+  }
+
   test("equi-height histograms fix range estimates on skewed columns") {
     // events.value is long-tailed (~2.7% of rows above the range midpoint);
     // NDV+min/max selectivity assumes UNIFORM spread and predicts ~50%.
