@@ -162,12 +162,15 @@ object Dedup {
     val sh = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
     // global order key: (document frequency asc, shingle asc) — a total
     // order (s is distinct per doc), identical for every document.
-    // df via a WINDOW over s, not groupBy + join-back: the same
-    // one-shuffle-instead-of-three lesson jaccardNearDupDfCap's `rare`
-    // measured (8.8 s → 3.7 s) — the df count rides the exploded rows'
-    // own hash partitioning by s
-    val ordered = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+    // df deliberately via groupBy + join-back, NOT the dfcap `rare`
+    // window: the window's win there came from its s-partitioning being
+    // REUSED by the following self-join on s; here the next operator
+    // groups by doc_id, so a window would only add a full-width sort of
+    // every exploded row (measured A/B warm at sf0.1: 3.2 s this form vs
+    // 4.8 s windowed). The extra dfreq exchange is a partial-agg of
+    // DISTINCT shingles — small — and the join-back reuses sh's shuffle.
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ordered = sh.join(dfreq, "s")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
     val pref = ordered.select(

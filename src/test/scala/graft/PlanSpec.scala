@@ -204,7 +204,7 @@ class PlanSpec extends GraftSpec {
       "ann_ivf_topk"        -> 10,
       "neardup_minhash_lsh" -> 19, // banding pipeline; AQE broadcasts most at runtime
       "neardup_simhash"     -> 21,
-      "neardup_jaccard_prefix" -> 9, // window df (one shuffle, was groupBy+join-back at 11) + re-sort + verify diamond
+      "neardup_jaccard_prefix" -> 11, // df agg + join-back + re-sort + verify diamond (windowed-df A/B measured slower: no downstream reuse of the s-partitioning)
       "dedup_incremental"   -> 20, // two-stage probe: digest join + shingle index + best-match window (cached frames: each exchange EXECUTES once)
       "asof_join_physical"  -> 5,  // custom exec: fan-out x2 + cluster x2 + final order
       "asof_join_forward_physical" -> 5) // same shape, forward merge
