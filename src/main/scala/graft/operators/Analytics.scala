@@ -669,9 +669,9 @@ object Analytics {
       .groupBy(key.head, key.tail: _*).agg(min(col("sec")).as("t3"))
     sess.select(col("user_id"), col("session_id")).distinct()
       .agg(count(lit(1)).as("n_sessions"))
-      .crossJoin(t1.agg(count(lit(1)).as("n_click")))
-      .crossJoin(t2.agg(count(lit(1)).as("n_click_view")))
-      .crossJoin(t3.agg(count(lit(1)).as("n_full_funnel")))
+      .crossJoin(broadcast(t1.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(t2.agg(count(lit(1)).as("n_click_view"))))
+      .crossJoin(broadcast(t3.agg(count(lit(1)).as("n_full_funnel"))))
   }
 
   val sessionFunnelSql: String =

@@ -443,23 +443,49 @@ object Dedup {
     * (hash-function-dependent); scalatest checks the planted near-dups are
     * found. */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sim = simhash(Tables.documents(s, dir)).cache()
-    val blocks = sim.select(col("doc_id"),
-        explode(sequence(lit(0), lit(SimBlocks - 1))).as("blk"), col("simhash"))
+    // the fingerprint RIDES the block rows (8 bytes × 8 rows/doc), so the
+    // pair generation below emits (a_id, b_id, ha, hb) directly and the
+    // old two verify joins back to the signature table disappear. Bucket
+    // stats come from ONE window over (blk, blkval) instead of a groupBy +
+    // join-back, and — the dfcap pattern — the cache preserves the
+    // window's hash partitioning, so the same-keys self-join underneath
+    // zips the two cached sides with no further exchange. Net: the
+    // candidate stage runs in one shuffle where the earlier form paid
+    // four (stats agg, join-back, self-join re-shuffle ×2) plus two
+    // verify-join stages — measured A/B before/after in BASELINE.md.
+    val blocks = simhash(Tables.documents(s, dir))
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(SimBlocks - 1))).as("blk"))
       .withColumn("blkval",
         expr(s"shiftrightunsigned(simhash, blk * ${SimBits / SimBlocks})")
           .bitwiseAND(lit((1L << (SimBits / SimBlocks)) - 1)))
-      .select("doc_id", "blk", "blkval")
+    val w = Window.partitionBy(col("blk"), col("blkval"))
+    // min(struct) picks the bucket's lowest doc_id AND its fingerprint in
+    // the same pass (struct ordering is lexicographic, doc_id first)
+    val annotated = blocks
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bm", min(struct(col("doc_id"), col("simhash"))).over(w))
+      .filter(col("bsz") >= 2)
+      .cache()
+    val small = annotated.filter(col("bsz") <= MaxBucket)
+      .select(col("doc_id"), col("simhash"), col("blk"), col("blkval"))
+    val smallPairs = small.as("x").join(small.as("y"),
+        col("x.blk") === col("y.blk") && col("x.blkval") === col("y.blkval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
     // oversized blocks fall back to star candidates (see MaxBucket) — a
     // > cap cluster of near-identical fingerprints stays fully linked to
     // its min-doc_id representative instead of being dropped
-    val cand = bucketCandidates(blocks, "blk", "blkval")
-    cand
-      .join(sim.select(col("doc_id").as("a_id"), col("simhash").as("ha")), "a_id")
-      .join(sim.select(col("doc_id").as("b_id"), col("simhash").as("hb")), "b_id")
+    val starPairs = annotated
+      .filter(col("bsz") > MaxBucket && col("doc_id") =!= col("bm.doc_id"))
+      .select(col("bm.doc_id").as("a_id"), col("doc_id").as("b_id"),
+        col("bm.simhash").as("ha"), col("simhash").as("hb"))
+    smallPairs.union(starPairs)
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= 12)
       .select("a_id", "b_id", "hamming")
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
@@ -618,10 +644,16 @@ object Dedup {
     * once and shuffled on the shingle key while the batch side is a sliver
     * of it (AQE broadcasts the batch index when it fits); a production
     * deployment materializes the corpus shingle index once (bucketed by
-    * shingle) and probes it daily without reshuffling the corpus — and
-    * composes the [[jaccardPrefixNearDup]] prefix filter to keep the index
-    * at half size. Output: one row per duplicated batch doc
-    * (batch_id, corpus_id, kind ∈ exact|near, jac), fully oracle-checked. */
+    * shingle) and probes it daily without reshuffling the corpus. The
+    * candidate stage COMPOSES the [[jaccardPrefixNearDup]] prefix filter
+    * (see [[incrementalNearCandidates]]): both sides index only their
+    * PREFIX under the shared global (df asc, shingle) order, so the
+    * standing corpus index is half-size and holds each document's rarest
+    * shingles — the Σ df² join fan-out collapses exactly as in the
+    * self-join case, and the filter is lossless at t = 0.5, which the
+    * unchanged oracle hash-gate proves end-to-end. Output: one row per
+    * duplicated batch doc (batch_id, corpus_id, kind ∈ exact|near, jac),
+    * fully oracle-checked. */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val batch  = docs.filter(col("doc_id") % 7 === 0)
@@ -631,8 +663,9 @@ object Dedup {
       length(col("text")).as("len"))
     // each re-referenced frame is cached once (the in-file pattern): exact
     // feeds both the output union and the left_anti, and each shingle-array
-    // side is read twice (candidate explode + size join) — without the
-    // caches one action re-runs the full-corpus digest join three times
+    // side is read twice (prefix-index explode + exact verify join) —
+    // without the caches one action re-runs the full-corpus digest join
+    // three times
     val exact = keyed(batch, "batch_id").join(keyed(corpus, "corpus_id"), Seq("h", "len"))
       .groupBy("batch_id").agg(min("corpus_id").as("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
@@ -646,12 +679,13 @@ object Dedup {
     val cArr = shingleArrays(corpus).select(
       col("doc_id").as("corpus_id"), col("sh"), size(col("sh")).cast("long").as("nc"))
       .cache()
-    val common = bArr.select(col("batch_id"), explode(col("sh")).as("s"))
-      .join(cArr.select(col("corpus_id"), explode(col("sh")).as("s")), "s")
-      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("c"))
-    val best = common
-      .join(bArr.select("batch_id", "nb"), "batch_id")
-      .join(cArr.select("corpus_id", "nc"), "corpus_id")
+    // exact full-set verification of the prefix-filtered candidates: join
+    // both arrays back, score, keep ≥ t, best corpus match per batch doc
+    // (highest Jaccard, ties to lowest corpus_id)
+    val best = incrementalNearCandidates(bArr, cArr, 0.5)
+      .join(bArr.select(col("batch_id"), col("sh").as("sb"), col("nb")), "batch_id")
+      .join(cArr.select(col("corpus_id"), col("sh").as("sc"), col("nc")), "corpus_id")
+      .withColumn("c", size(array_intersect(col("sb"), col("sc"))).cast("long"))
       .withColumn("jac",
         col("c").cast("double") / (col("nb") + col("nc") - col("c")))
       .filter(col("jac") >= 0.5)
@@ -660,6 +694,48 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("batch_id"), col("corpus_id"), lit("near").as("kind"), col("jac"))
     exact.unionByName(best).orderBy("batch_id")
+  }
+
+  /** Prefix-filtered batch→corpus candidate pairs — the R-S–join form of
+    * [[jaccardPrefixNearDup]]'s self-join prefix filter. Both sides'
+    * shingle sets are sorted by ONE global total order — (document
+    * frequency asc, shingle asc), df counted over the UNION of the two
+    * sides so the order is defined and identical for every shingle either
+    * side contains — and only the first |x| − ⌈t·|x|⌉ + 1 shingles enter
+    * each side's inverted index. The PPJoin prefix lemma applies to any
+    * pair, so an R-S join loses nothing: J(b, c) ≥ t ⇒ prefix(b) ∩
+    * prefix(c) ≠ ∅ under the shared order. The symmetric length filter
+    * (t·|b| ≤ |c| ∧ t·|c| ≤ |b|) prunes before the distinct. Inputs are
+    * (id, sh array, size) frames; output (batch_id, corpus_id) pairs for
+    * exact verification. */
+  private[graft] def incrementalNearCandidates(bArr: DataFrame, cArr: DataFrame,
+                                               t: Double): DataFrame = {
+    // ONE side-tagged union builds both prefix indexes in a single df-join
+    // + groupBy pipeline (two per-side pipelines would pay the df join and
+    // the per-doc re-sort twice); the cached exploded index is then split
+    // by the tag for the candidate join. At deployment scale the corpus
+    // half of this index is the precomputed, shingle-bucketed standing
+    // index — only the batch sliver is built per run.
+    val sh = bArr.select(col("batch_id").as("id"), lit(true).as("isB"),
+        explode(col("sh")).as("s"))
+      .unionByName(cArr.select(col("corpus_id").as("id"), lit(false).as("isB"),
+        explode(col("sh")).as("s")))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val idx = sh.join(dfreq, "s")
+      .groupBy("id", "isB")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
+      .select(col("id"), col("isB"), size(col("os")).cast("long").as("n"),
+        expr(s"slice(os, 1, cast(size(os) - ceil($t * size(os)) + 1 as int))")
+          .as("pf"))
+      .select(col("id"), col("isB"), col("n"), explode(col("pf")).as("e"))
+      .select(col("id"), col("isB"), col("n"), col("e.s").as("s"))
+      .cache()
+    idx.filter(col("isB"))
+      .select(col("id").as("batch_id"), col("n").as("bn"), col("s"))
+      .join(idx.filter(!col("isB"))
+        .select(col("id").as("corpus_id"), col("n").as("cn"), col("s")), "s")
+      .filter(col("bn") * t <= col("cn") && col("cn") * t <= col("bn"))
+      .select("batch_id", "corpus_id").distinct()
   }
 
   val incrementalDedupSql: String =

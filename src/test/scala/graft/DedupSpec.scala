@@ -69,6 +69,41 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("incremental near probe: prefix index prunes candidates losslessly") {
+    import org.apache.spark.sql.functions._
+    // the operator's two sides, rebuilt as incrementalDedup builds them
+    val docs = graft.Tables.documents(spark, sf0001)
+    val bArr = Dedup.shingleArrays(docs.filter(col("doc_id") % 7 === 0))
+      .select(col("doc_id").as("batch_id"), col("sh"),
+        size(col("sh")).cast("long").as("nb"))
+    val cArr = Dedup.shingleArrays(docs.filter(col("doc_id") % 7 =!= 0))
+      .select(col("doc_id").as("corpus_id"), col("sh"),
+        size(col("sh")).cast("long").as("nc"))
+    // full-index candidates: any shared shingle (the pre-round-7 probe)
+    val full = bArr.select(col("batch_id"), explode(col("sh")).as("s"))
+      .join(cArr.select(col("corpus_id"), explode(col("sh")).as("s")), "s")
+      .select("batch_id", "corpus_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = Dedup.incrementalNearCandidates(bArr, cArr, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pref.subsetOf(full), s"prefix invented pairs: ${(pref -- full).take(5)}")
+    assert(pref.size < full.size,
+      s"prefix index must prune the candidate space: $full vs $pref")
+    info(s"candidate pairs: full-index=${full.size}, prefix-index=${pref.size} " +
+      f"(${100.0 * (full.size - pref.size) / full.size}%.0f%% pruned)")
+    // losslessness: every pair whose TRUE full-set Jaccard clears the
+    // threshold must survive the filter (the PPJoin completeness lemma)
+    val shapes = (bArr.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet) ++
+      cArr.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)).toMap
+    val truePairs = full.filter { case (b, c) =>
+      val (sb, sc) = (shapes(b), shapes(c))
+      sb.intersect(sc).size.toDouble / sb.union(sc).size >= 0.5
+    }
+    assert(truePairs.nonEmpty, "fixture corpus must contain true near pairs")
+    assert(truePairs.subsetOf(pref),
+      s"prefix filter LOST true pairs: ${(truePairs -- pref).take(5)}")
+  }
+
   test("connected components merge transitive chains and keep components separate") {
     // chain 1~2~3 (1~3 NOT a pair: transitivity must come from propagation),
     // separate pair 10~11, plus a star 20~{21,22}
