@@ -67,7 +67,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // table function: SQL surface for the custom as-of operator —
     //   SELECT * FROM asof_join(TABLE(l), TABLE(r),
     //                           'lkey', 'rkey', 'ltime', 'rtime'
-    //                           [, 'rtiebreak' [, 'forward'|'backward']])
+    //                           [, 'rtiebreak'][, 'forward'|'backward']
+    //                           [, 'inner'|'outer'])
     // TABLE(...) arguments arrive as FunctionTableSubqueryArgumentExpression
     // carrying the parsed relation; the node is built with unresolved
     // attribute names and the analyzer resolves them against the two sides
@@ -76,34 +77,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("asof_join"),
       new ExpressionInfo(classOf[graft.plans.AsOfJoin].getName, "asof_join"),
       (children: Seq[Expression]) => {
-        require(children.length >= 6 && children.length <= 8,
+        require(children.length >= 6 && children.length <= 9,
           "asof_join(TABLE(l), TABLE(r), 'lkey', 'rkey', 'ltime', 'rtime'" +
-            "[, 'rtiebreak'[, 'forward'|'backward']])")
+            "[, 'rtiebreak'][, 'forward'|'backward'][, 'inner'|'outer'])")
         import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
         val l = tableArg(children(0), "asof_join left")
         val r = tableArg(children(1), "asof_join right")
         val names = children.drop(2).zipWithIndex.map { case (c, i) =>
           literalString(c, s"asof_join argument ${i + 3}")
         }
-        // the two optional slots accept [tiebreak], [direction], or
-        // [tiebreak, direction]: a lone 7th argument saying 'forward' is a
-        // direction, NOT a tiebreak column name (the natural way to ask for
-        // a forward join without a tiebreak must not silently resolve
-        // against a column that happens to be called "forward")
-        def parseDirection(s: String): Boolean = s.toLowerCase match {
-          case "forward"  => true
-          case "backward" => false
-          case other => throw new IllegalArgumentException(
-            s"asof_join direction must be 'forward' or 'backward', got '$other'")
-        }
+        // the optional slots accept [tiebreak][direction][inner|outer], any
+        // suffix of keywords: a leading extra that is NOT a keyword is the
+        // tiebreak column; every remaining token must be a keyword. A lone
+        // 7th argument saying 'forward' is therefore a direction, NOT a
+        // tiebreak column name (the natural way to ask for a forward join
+        // without a tiebreak must not silently resolve against a column
+        // that happens to be called "forward") — a right-side column named
+        // forward/backward/inner/outer needs the tiebreak-first full form.
+        def isDir(s: String): Boolean =
+          s.equalsIgnoreCase("forward") || s.equalsIgnoreCase("backward")
+        def isMode(s: String): Boolean =
+          s.equalsIgnoreCase("outer") || s.equalsIgnoreCase("inner")
         val extras = names.drop(4)
-        val (tiebreakName, forward) = extras match {
-          case Seq()         => ("", false)
-          case Seq(one) if one.equalsIgnoreCase("forward") ||
-                           one.equalsIgnoreCase("backward") =>
-            ("", parseDirection(one))
-          case Seq(one)      => (one, false)
-          case Seq(tb, dir)  => (tb, parseDirection(dir))
+        val (tiebreakName, keywords) = extras match {
+          case head +: tail if !isDir(head) && !isMode(head) => (head, tail)
+          case kw => ("", kw)
+        }
+        if (tiebreakName.isEmpty && extras.nonEmpty)
+          System.err.println(s"[graft] asof_join: argument '${extras.head}' " +
+            "parsed as a keyword, not a tiebreak column; use the " +
+            "tiebreak-first form if a right-side column shares the name")
+        var forward = false
+        var outer = false
+        keywords.foreach {
+          case d if isDir(d)  => forward = d.equalsIgnoreCase("forward")
+          case m if isMode(m) => outer = m.equalsIgnoreCase("outer")
+          case other => throw new IllegalArgumentException(
+            s"asof_join optional argument must be 'forward'/'backward' or " +
+              s"'inner'/'outer' (after an optional leading tiebreak column), " +
+              s"got '$other'")
         }
         val tiebreak =
           if (tiebreakName.nonEmpty) Seq(UnresolvedAttribute.quoted(tiebreakName))
@@ -113,7 +125,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq(UnresolvedAttribute.quoted(names(1))),
           UnresolvedAttribute.quoted(names(2)),
           UnresolvedAttribute.quoted(names(3)),
-          tiebreak, forward)
+          tiebreak, forward, outer)
       }))
 
     ext.injectFunction((

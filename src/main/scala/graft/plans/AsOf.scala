@@ -16,7 +16,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object AsOf {
 
   /** Latest right row per left row with `rightTime <= leftTime`, equi-keyed;
-    * inner semantics (left rows with no match drop). `rightTiebreak` makes
+    * inner semantics by default (left rows with no match drop) —
+    * `outer = true` keeps every left row, null-padded on the right (the
+    * pandas `merge_asof` default shape). `rightTiebreak` makes
     * same-timestamp winners deterministic: the LAST row in ascending
     * tiebreak order wins.
     */
@@ -27,13 +29,14 @@ object AsOf {
       rightKeys: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame =
+      rightTiebreak: Seq[String] = Nil,
+      outer: Boolean = false): DataFrame =
     join(left, right, leftKeys, rightKeys, leftTime, rightTime,
-      rightTiebreak, forward = false)
+      rightTiebreak, forward = false, outer = outer)
 
   /** Earliest right row per left row with `rightTime >= leftTime` — the
     * mirror direction; the FIRST row in ascending tiebreak order wins
-    * same-timestamp ties. */
+    * same-timestamp ties. `outer = true` null-pads unmatched left rows. */
   def joinForward(
       left: DataFrame,
       right: DataFrame,
@@ -41,9 +44,10 @@ object AsOf {
       rightKeys: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame =
+      rightTiebreak: Seq[String] = Nil,
+      outer: Boolean = false): DataFrame =
     join(left, right, leftKeys, rightKeys, leftTime, rightTime,
-      rightTiebreak, forward = true)
+      rightTiebreak, forward = true, outer = outer)
 
   private def join(
       left: DataFrame,
@@ -53,7 +57,8 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       rightTiebreak: Seq[String],
-      forward: Boolean): DataFrame = {
+      forward: Boolean,
+      outer: Boolean): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     val node = AsOfJoin(
@@ -63,7 +68,7 @@ object AsOf {
       attr(lPlan, leftTime, "left"),
       attr(rPlan, rightTime, "right"),
       rightTiebreak.map(attr(rPlan, _, "right")),
-      forward)
+      forward, outer)
     GraftShims.ofRows(left.sparkSession, node)
   }
 

@@ -12,8 +12,10 @@ import org.apache.spark.sql.types.LongType
 /** As-of join as a first-class Catalyst operator: for every left row, the
   * single closest right row of the same key — backward (most recent with
   * `rightTime <= leftTime`, the default) or forward (`forward = true`:
-  * earliest with `rightTime >= leftTime`). Inner semantics — unmatched
-  * left rows drop out.
+  * earliest with `rightTime >= leftTime`). Inner semantics by default —
+  * unmatched left rows drop out; `outer = true` keeps EVERY left row
+  * (including null-key/null-time rows, which never match) null-padded on
+  * the right — the default shape of pandas `merge_asof` and kdb `aj`.
   *
   * Why a custom operator instead of composition (SURVEY §4 ladder, step c):
   * Spark's relational surface can express as-of only indirectly — a
@@ -47,7 +49,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreak: Seq[Expression],
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    outer: Boolean = false) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs at least one equi-key on each side, same count")
   // fail at construction, not mid-task: the merge compares keys with a
@@ -75,7 +78,10 @@ case class AsOfJoin(
     "as-of join does not support streaming inputs; use the streaming twin " +
       "graft.streaming.StreamingWindows.asofTws (buffer-until-watermark)")
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // outer null-pads the right side, so its attributes must surface as
+  // nullable regardless of the child's schema (same rule as LeftOuter Join)
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -87,8 +93,8 @@ case class AsOfJoin(
   * `SparkSessionExtensions.injectPlannerStrategy` in `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, fwd) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, fwd, out) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, out, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -108,7 +114,9 @@ object AsOfJoinStrategy extends SparkStrategy {
   * row in tiebreak order. Both tie policies are what the ascending sort
   * yields naturally, and both are deterministic — required for the
   * hash-compared oracle. Null keys and null times never match, mirroring
-  * SQL equi-join semantics.
+  * SQL equi-join semantics. With `outer = true` every left row is emitted:
+  * unmatched rows (including null-key/null-time ones) carry a null-padded
+  * right side — the pandas `merge_asof` / DuckDB `ASOF LEFT JOIN` shape.
   *
   * Not whole-stage-codegen'd: the operator sits between two sorted streams
   * and does O(1) work per row; codegen would buy nothing measurable (the
@@ -123,6 +131,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     rightTiebreak: Seq[Expression],
     forward: Boolean,
+    outer: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -130,7 +139,8 @@ case class AsOfJoinExec(
     s"as-of time columns must be BIGINT (epoch-like), got " +
       s"${leftTime.dataType.sql} / ${rightTime.dataType.sql}")
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
@@ -162,14 +172,33 @@ case class AsOfJoinExec(
     val lOut = left.output
     val rOut = right.output
     val isForward = forward
+    val isOuter = outer
+    // the projection's output attrs must be nullable on the right when
+    // outer-padding, or codegen'd null checks get elided and the pad row
+    // writes garbage
+    val outAttrs = output
 
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // zipPartitions requires equal partition counts; EnsureRequirements
+    // guarantees it today by reconciling the two ClusteredDistributions —
+    // fail with an actionable message rather than zipPartitions' raw
+    // "can only zip RDDs with same number of elements" if a future
+    // AQE/partitioning change ever breaks that invariant
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"as-of join children must be co-partitioned: left has " +
+        s"${lRdd.getNumPartitions} partitions, right ${rRdd.getNumPartitions} — " +
+        "EnsureRequirements should have reconciled both ClusteredDistributions")
+
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
-      val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val rightNullRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.length)
       val joined = new JoinedRow
 
       if (isForward) new Iterator[InternalRow] {
@@ -215,13 +244,16 @@ case class AsOfJoinExec(
           while (staged == null && lIter.hasNext) {
             val lRow = lIter.next()
             val lKey = lKeyProj(lRow)
+            var matched = false
             if (!lKey.anyNull) {
               val t = lTimeProj(lRow)
               if (!t.isNullAt(0) && advance(lKey, t.getLong(0))) {
                 staged = resultProj(joined(lRow, rightRow))
-                numOutputRows += 1
+                matched = true
               }
             }
+            if (!matched && isOuter) staged = resultProj(joined(lRow, rightNullRow))
+            if (staged != null) numOutputRows += 1
           }
           staged != null
         }
@@ -286,12 +318,11 @@ case class AsOfJoinExec(
               val t = lTimeProj(lRow)
               if (!t.isNullAt(0)) {
                 advance(lKey, t.getLong(0))
-                if (candidate != null) {
-                  staged = resultProj(joined(lRow, candidate))
-                  numOutputRows += 1
-                }
+                if (candidate != null) staged = resultProj(joined(lRow, candidate))
               }
             }
+            if (staged == null && isOuter) staged = resultProj(joined(lRow, rightNullRow))
+            if (staged != null) numOutputRows += 1
           }
           staged != null
         }

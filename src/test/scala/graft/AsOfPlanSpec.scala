@@ -47,6 +47,52 @@ class AsOfPlanSpec extends GraftSpec {
     assert(got === Set((1, 3, "p3"), (2, 1, "p1"), (4, 5, "p5")))
   }
 
+  test("outer as-of: every left row kept, unmatched null-padded, matches unchanged") {
+    val out = AsOf.joinBackward(leftDf, rightDf,
+      leftKeys = Seq("k"), rightKeys = Seq("rk"),
+      leftTime = "lsec", rightTime = "rsec", rightTiebreak = Seq("rid"),
+      outer = true)
+    // right-side columns must surface nullable once the operator can pad them
+    assert(out.schema("rid").nullable && out.schema("payload").nullable)
+    val got = out.select("lid", "rid", "payload").collect()
+      .map(r => (r.getInt(0),
+                 if (r.isNullAt(1)) None else Some(r.getInt(1)),
+                 Option(r.getString(2)))).toSet
+    // matched rows identical to the inner join; lid 3 (no candidate at/
+    // before), lid 5 (null key), lid 6 (null time), lid 7 (absent key) are
+    // KEPT with a null-padded right side instead of dropping
+    assert(got === Set(
+      (1, Some(3), Some("p3")), (2, Some(1), Some("p1")), (4, Some(5), Some("p5")),
+      (3, None, None), (5, None, None), (6, None, None), (7, None, None)))
+  }
+
+  test("outer forward as-of: unmatched and null-key/time left rows kept null-padded") {
+    val got = AsOf.joinForward(leftDf, rightDf,
+        leftKeys = Seq("k"), rightKeys = Seq("rk"),
+        leftTime = "lsec", rightTime = "rsec", rightTiebreak = Seq("rid"),
+        outer = true)
+      .select("lid", "rid").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSet
+    // forward matches as in the inner test; lid 4 (nothing at/after 100),
+    // lid 5/6/7 (null key, null time, absent key) kept null-padded
+    assert(got === Set((3, Some(1)), (2, Some(2)), (1, Some(2)),
+      (4, None), (5, None), (6, None), (7, None)))
+  }
+
+  test("outer as-of matches the unfiltered window twin row for row at sf0.001") {
+    val win = TimeWindows.asofJoin(spark, sf0001)  // inner window twin
+    val outer = TimeWindows.asofJoinOuter(spark, sf0001)
+    // outer ⊇ inner: every inner row appears identically, and the extra
+    // rows are exactly the purchases the inner form dropped, null-padded
+    val innerRows = win.collect().map(_.toSeq).toSet
+    val outerRows = outer.collect().map(_.toSeq).toSet
+    val matched = outerRows.filter(r => r(2) != null)
+    assert(matched === innerRows)
+    assert(outerRows.size > innerRows.size, "outer must keep unmatched purchases")
+    assert(outerRows.forall(r => (r(2) == null) == (r(3) == null)),
+      "click_id and gap_sec must be null together on padded rows")
+  }
+
   test("custom as-of matches the window-trick twin row for row at sf0.001") {
     val win = TimeWindows.asofJoin(spark, sf0001).collect()
     val custom = TimeWindows.asofJoinPhysical(spark, sf0001).collect()

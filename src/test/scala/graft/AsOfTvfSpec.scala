@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** SQL table-function surface of the custom as-of operator:
   * `SELECT * FROM asof_join(TABLE(l), TABLE(r), 'lkey', 'rkey', 'ltime',
-  * 'rtime'[, 'rtiebreak'[, direction]])` — registered through
-  * `injectTableFunction` in `GraftExtensions`. */
+  * 'rtime'[, 'rtiebreak'][, direction][, 'inner'|'outer'])` — registered
+  * through `injectTableFunction` in `GraftExtensions`. */
 class AsOfTvfSpec extends GraftSpec {
 
   private def makeViews(): Unit = {
@@ -61,6 +61,25 @@ class AsOfTvfSpec extends GraftSpec {
     assert(shortCall !== backward)
   }
 
+  test("SQL asof_join TVF 'outer' keyword equals the outer DataFrame form") {
+    makeViews()
+    val viaSql = spark.sql(
+      """SELECT event_id AS purchase_id, user_id, click_id,
+        |       sec - click_sec AS gap_sec
+        |FROM asof_join(TABLE(purch_v), TABLE(click_v),
+        |               'user_id', 'click_user', 'sec', 'click_sec',
+        |               'click_id', 'outer')
+        |ORDER BY purchase_id""".stripMargin).collect()
+    val viaApi = TimeWindows.asofJoinOuter(spark, sf0001).collect()
+    assert(viaSql.length === viaApi.length && viaSql.sameElements(viaApi))
+    // and the keyword composes with a direction in either optional slot
+    val n = spark.sql(
+      "SELECT * FROM asof_join(TABLE(click_v), TABLE(purch_v), " +
+        "'click_user', 'user_id', 'click_sec', 'sec', 'forward', 'outer')").count()
+    val nLeft = spark.sql("SELECT count(*) FROM click_v").collect().head.getLong(0)
+    assert(n === nLeft, "outer forward must keep every left row")
+  }
+
   test("TVF argument errors are caught with clear messages") {
     makeViews()
     val noTable = intercept[Exception] {
@@ -73,7 +92,7 @@ class AsOfTvfSpec extends GraftSpec {
         "'user_id', 'click_user', 'sec', 'click_sec', 'click_id', 'sideways')")
         .collect()
     }
-    assert(badDir.getMessage.contains("'forward' or 'backward'"), badDir.getMessage)
+    assert(badDir.getMessage.contains("'forward'/'backward'"), badDir.getMessage)
     val badCol = intercept[Exception] {
       spark.sql("SELECT * FROM asof_join(TABLE(purch_v), TABLE(click_v), " +
         "'no_such_col', 'click_user', 'sec', 'click_sec')").collect()

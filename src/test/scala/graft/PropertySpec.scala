@@ -187,7 +187,7 @@ class PropertySpec extends GraftSpec {
       val lDf = spark.sparkContext.parallelize(l, 3).toDF("k", "lsec", "lid")
       val rDf = spark.sparkContext.parallelize(r, 3).toDF("rk", "rsec", "rid")
 
-      def reference(forward: Boolean): Set[(Int, Int)] =
+      def reference(forward: Boolean, outer: Boolean): Set[(Int, Option[Int])] =
         l.flatMap { case (k, t, lid) =>
           val cands = r.filter { case (rk, rt, _) => rk == k &&
             (if (forward) rt >= t else rt <= t) }
@@ -197,17 +197,23 @@ class PropertySpec extends GraftSpec {
             // forward: earliest time, smallest id on ties
             else if (forward) Some(cands.minBy { case (_, rt, rid) => (rt, rid) })
             else Some(cands.maxBy { case (_, rt, rid) => (rt, rid) })
-          best.map { case (_, _, rid) => (lid, rid) }
+          best match {
+            case Some((_, _, rid))  => Some((lid, Some(rid)))
+            case None if outer      => Some((lid, None))
+            case None               => None
+          }
         }.toSet
 
-      Seq(false, true).foreach { fwd =>
-        val join = if (fwd) graft.plans.AsOf.joinForward _
-                   else graft.plans.AsOf.joinBackward _
-        val got = join(lDf, rDf, Seq("k"), Seq("rk"), "lsec", "rsec", Seq("rid"))
-          .select("lid", "rid").collect()
-          .map(x => (x.getInt(0), x.getInt(1))).toSet
-        assert(got === reference(fwd),
-          s"case $caseNo forward=$fwd left=$l right=$r")
+      for (fwd <- Seq(false, true); out <- Seq(false, true)) {
+        val joined =
+          if (fwd) graft.plans.AsOf.joinForward(
+            lDf, rDf, Seq("k"), Seq("rk"), "lsec", "rsec", Seq("rid"), outer = out)
+          else graft.plans.AsOf.joinBackward(
+            lDf, rDf, Seq("k"), Seq("rk"), "lsec", "rsec", Seq("rid"), outer = out)
+        val got = joined.select("lid", "rid").collect()
+          .map(x => (x.getInt(0), if (x.isNullAt(1)) None else Some(x.getInt(1)))).toSet
+        assert(got === reference(fwd, out),
+          s"case $caseNo forward=$fwd outer=$out left=$l right=$r")
       }
     }
   }
