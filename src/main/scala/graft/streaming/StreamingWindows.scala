@@ -472,12 +472,26 @@ object StreamingWindows {
     * horizon (bounded by out-of-orderness, evicted on every flush) plus
     * one O(1) `AsOfClick` — the latest finalized click, which carries
     * as-of continuity ACROSS flushes (a purchase arriving an hour later
-    * still sees it). The `ValueState` deliberately has no TTL: dropping
-    * it would silently un-match late purchases; cap it per deployment
-    * with `TTLConfig` if user churn demands. */
-  class AsOfProcessor extends StatefulProcessor[Long, AsOfEv, AsOfHit] {
+    * still sees it). `continuityTtl` caps that continuity in EVENT time —
+    * the pandas `merge_asof(tolerance=...)` shape: a purchase matches only
+    * a click at most `continuityTtl` older, and once the watermark passes
+    * a click's usefulness the value is CLEARED, so churned-away users hold
+    * no state forever. Event-time expiry is deliberate: Spark's native
+    * state TTL (`TTLConfig`) is processing-time based and rejected outright
+    * in `TimeMode.EventTime` (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_
+    * ASSIGN_TTL) — and a wall-clock TTL would make replay/restart
+    * nondeterministic, which the hash-compared twins cannot tolerate. The
+    * default `None` keeps exact unbounded continuity. The event BUFFER is
+    * never TTL'd: it is already bounded by the watermark and expiring it
+    * early would drop in-flight events, not just history. */
+  class AsOfProcessor(continuityTtl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[Long, AsOfEv, AsOfHit] {
     @transient private var buf: ListState[AsOfBuf] = _
     @transient private var lastClick: ValueState[AsOfClick] = _
+    private val ttlSec: Option[Long] = continuityTtl.map { d =>
+      require(!d.isNegative && !d.isZero, s"continuityTtl must be positive, got $d")
+      math.max(1L, d.toSeconds)
+    }
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[AsOfBuf](
@@ -522,14 +536,32 @@ object StreamingWindows {
       // purchases at the same second, event_id breaks remaining ties
       ready.sortBy(e => (e.sec, !e.is_click, e.event_id)).foreach { e =>
         if (e.is_click) lc = Some(AsOfClick(e.sec, e.event_id))
-        else lc.foreach(c =>
-          out += AsOfHit(uid, e.event_id, c.event_id, e.sec - c.sec))
+        else lc.foreach { c =>
+          // event-time tolerance: beyond-TTL purchases un-match (gap is
+          // non-negative — the event-time sort guarantees c.sec <= e.sec)
+          if (ttlSec.forall(e.sec - c.sec <= _))
+            out += AsOfHit(uid, e.event_id, c.event_id, e.sec - c.sec)
+        }
       }
-      lc.foreach(lastClick.update)
+      lc match {
+        // a click the watermark has already outlived by the TTL can never
+        // match any future purchase (its sec is >= horizon) — clear it so
+        // the per-user continuity state is bounded under churn
+        case Some(c) if ttlSec.exists(horizon - c.sec > _) => lastClick.clear()
+        case Some(c)                                       => lastClick.update(c)
+        case None                                          =>
+      }
       buf.clear()
       if (pending.nonEmpty) {
         buf.put(pending.toArray)
         armTimer(pending.map(_.sec).max * 1000L, tv)
+      } else if (ttlSec.isDefined && lastClick.exists()) {
+        // nothing buffered, but a live continuity value: arm a cleanup
+        // timer at its expiry so the state clears when the watermark
+        // passes it even if this user never sends another event — without
+        // this, a churned-away user would hold the value forever and the
+        // TTL would only bound MATCHING, not state size
+        armTimer((lastClick.get().sec + ttlSec.get) * 1000L + 1000L, tv)
       }
       out.iterator
     }
@@ -538,14 +570,18 @@ object StreamingWindows {
   /** Streaming as-of via [[AsOfProcessor]] — buffer-until-watermark, then
     * exact event-time-ordered matching; late events beyond the watermark
     * are dropped by the operator (the batch twins would have seen them —
-    * that is the streaming trade, made explicit by the watermark). */
+    * that is the streaming trade, made explicit by the watermark).
+    * `continuityTtl` bounds the per-user latest-click continuity state in
+    * event time — see [[AsOfProcessor]] for the exactness trade and why
+    * it is not Spark's processing-time `TTLConfig`. */
   def asofTws(events: org.apache.spark.sql.Dataset[AsOfEv],
-              watermark: String = "10 minutes"): DataFrame = {
+              watermark: String = "10 minutes",
+              continuityTtl: Option[java.time.Duration] = None): DataFrame = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .transformWithState(new AsOfProcessor,
+      .transformWithState(new AsOfProcessor(continuityTtl),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }

@@ -4,7 +4,7 @@ import graft.operators.TimeWindows
 import graft.streaming.StreamingWindows
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{TTLConfig, Trigger}
 import java.sql.Timestamp
 
 /** The streaming twin must compute exactly what the batch, oracle-checked
@@ -814,6 +814,72 @@ class StreamingSpec extends GraftSpec {
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
         assert(rows === Set((1L, 10L, 2L, 0L)),
           s"purchase must match the same-second click, got $rows")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("streaming as-of continuity TTL: expiry un-matches only beyond-TTL purchases") {
+    // the TTL is EVENT-time (merge_asof tolerance shape — Spark's native
+    // TTLConfig is processing-time and rejected in TimeMode.EventTime, and
+    // a wall-clock expiry would be replay-nondeterministic): with a 100 s
+    // tolerance the gap-70 purchase matches, the gap-150 one does not, and
+    // once the watermark outlives the click by the TTL the continuity
+    // value itself is cleared from the store (bounded state under churn,
+    // proven through the state data source)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ttl").toString
+    def lastClickRows(): Long =
+      spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "lastClick")
+        .load().count()
+    try {
+      import StreamingWindows.AsOfEv
+      val ms = MemoryStream[AsOfEv](66, spark, None)
+      val q = StreamingWindows.asofTws(ms.toDS(), watermark = "0 seconds",
+          continuityTtl = Some(java.time.Duration.ofSeconds(100)))
+        .writeStream.format("memory").queryName("asof_ttl_mem")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        def ev(uid: Long, offSec: Long, typ: String, id: Long) =
+          AsOfEv(uid, new Timestamp(t0 + offSec * 1000), typ, id)
+        def flushVia(offSec: Long, id: Long): Unit = {
+          // two view batches push the watermark past the buffered events
+          ms.addData(ev(9L, offSec, "view", id)); q.processAllAvailable()
+          ms.addData(ev(9L, offSec + 1, "view", id + 1)); q.processAllAvailable()
+        }
+        // click@50 finalizes first; purchase@120 flushes in a LATER
+        // micro-batch (horizon 140) and still matches through the
+        // continuity value — gap 70 <= TTL 100
+        ms.addData(ev(1L, 50, "click", 1L), ev(1L, 120, "purchase", 10L))
+        q.processAllAvailable()
+        flushVia(140, 900L)
+        val got1 = spark.table("asof_ttl_mem").collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got1 === Set((10L, 1L, 70L)),
+          s"within-TTL purchase must match cross-flush, got $got1")
+        assert(lastClickRows() === 1L,
+          "continuity value still live while the watermark is within TTL")
+        // purchase@200: gap 150 > TTL → no hit; and once the watermark
+        // outlives the click by the TTL the value is cleared (the cleanup
+        // timer armed at click.sec + TTL fires even with nothing buffered)
+        ms.addData(ev(1L, 200, "purchase", 11L))
+        q.processAllAvailable()
+        flushVia(210, 902L)
+        val got2 = spark.table("asof_ttl_mem").collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got2 === got1,
+          s"beyond-TTL purchase must not match, got $got2")
+        assert(lastClickRows() === 0L,
+          "expired continuity value must be cleared from the store")
       } finally q.stop()
     } finally {
       prev match {
