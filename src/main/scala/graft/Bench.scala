@@ -67,6 +67,7 @@ object Bench {
       // pure collector time — every 4th query keeps the cleaner fed at a
       // quarter of the cost (validated: no late-suite slowdown).
       spark.catalog.clearCache()
+      graft.operators.Ranks.releaseAll() // persisted global sorts, same deal
       qIdx += 1
       if (qIdx % gcEvery == 0) System.gc()
       obs.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) += Obs(elapsed, wall, ld)

@@ -69,11 +69,23 @@ object CboStats {
     // the slowest chain, not the sum — measured 9.4 s -> ~2 s at sf0.1
     val work = tables.map { t => Future {
       val name = s"${t}_cbo"
-      if (!s.catalog.tableExists(name)) {
-        // single-quote-escape the interpolated path: SQL string literal
-        val loc = s"$dir/$t.parquet".replace("'", "''")
-        s.sql(s"CREATE TABLE $name USING parquet LOCATION '$loc'")
-      }
+      // IF NOT EXISTS makes concurrent registrations race-free (the old
+      // exists-then-CREATE was check-then-act: two callers could both pass
+      // the check and one CREATE would throw TableAlreadyExists)
+      // single-quote-escape the interpolated path: SQL string literal
+      val loc = s"$dir/$t.parquet".replace("'", "''")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$loc'")
+      // the _cbo name binds to whichever dir registered first in this
+      // catalog; a second scale reusing the name would silently compute
+      // stats (and run queries) over the WRONG data — fail loudly instead
+      val actualLoc = java.nio.file.Paths.get(
+        s.sessionState.catalog.getTableMetadata(TableIdentifier(name))
+          .location.getPath).normalize
+      val wantLoc = java.nio.file.Paths.get(s"$dir/$t.parquet").toAbsolutePath.normalize
+      require(actualLoc == wantLoc,
+        s"catalog table $name is already bound to $actualLoc, not $wantLoc — " +
+          "one catalog cannot mix scales under the _cbo names; use a fresh " +
+          "session (cboQ9Reorder does) or drop the tables first")
       // NDV/min-max per analyzed column is a full HLL pass — restrict
       // to the columns the consumer's estimates actually read when the
       // caller knows them (join keys, filter columns)

@@ -21,6 +21,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object Ranks {
 
+  // every persisted sort, so long-lived sessions can reclaim the blocks
+  // deterministically via [[releaseAll]] instead of waiting for driver GC
+  // + ContextCleaner (repeat callers — vocabEncode, qualitySignalAgreement
+  // — would otherwise accumulate corpus-sized storage within a session)
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[Row]]
+
   /** `df` with an `out` column = 1-based global row number under
     * `sortCols` (which must define a total order for determinism). */
   def globalRowNumber(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
@@ -33,13 +39,21 @@ object Ranks {
     // partition — i.e. it runs the complete post-shuffle sort. Persist the
     // sorted rows so that first pass materializes the sort once and both
     // the size job and every downstream action reuse it; without this,
-    // each action on the result re-sorts the corpus. (The block storage is
-    // reclaimed by the ContextCleaner once the RDD is unreachable — the
-    // same cache-and-forget pattern as the dedup operators.)
+    // each action on the result re-sorts the corpus.
     val sorted = df.orderBy(sortCols: _*).rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    live.add(sorted)
     val schema = df.schema.add(out, LongType, nullable = false)
     val rdd = sorted.zipWithIndex()
       .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Unpersist every sort this object has persisted. Call between
+    * queries (the harness loops do) or after the consumers of a returned
+    * frame have run — a released frame still WORKS if re-executed, it
+    * just re-sorts. Non-blocking: block removal proceeds async. */
+  def releaseAll(): Unit = {
+    var r = live.poll()
+    while (r != null) { r.unpersist(blocking = false); r = live.poll() }
   }
 }

@@ -52,10 +52,16 @@ object Similarity {
     * parquet footer metadata (count-star pushdown, no fan-out shuffle) —
     * one cheap job, not a data scan. */
   private val MaxExactRowsKey = "spark.graft.exactBaseline.maxRows"
+  // one count job per DIRECTORY, not per invocation: the harness tables are
+  // immutable parquet, so the footer-metadata count never changes for a
+  // given path — repeat guarded calls in a session were paying a Spark job
+  // each for the same number
+  private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
   private def guardExactBaseline(s: SparkSession, dir: String,
                                  what: String, annAlt: String): Unit = {
     val max = s.conf.getOption(MaxExactRowsKey).map(_.toLong).getOrElse(100000L)
-    val n = Tables.table(s, dir, "embeddings").count()
+    val n = rowCountCache.computeIfAbsent(dir,
+      d => Tables.table(s, d, "embeddings").count()).longValue()
     require(n <= max,
       s"$what is an exact baseline (quadratic pair space) guarded at $max rows; " +
       s"the corpus has $n. Use $annAlt at scale, or raise $MaxExactRowsKey deliberately.")
