@@ -415,6 +415,45 @@ object TimeWindows {
       |FROM w WHERE event_type = 'purchase'
       |ORDER BY purchase_id""".stripMargin
 
+  /** Tolerance-bounded backward as-of through the custom operator: the
+    * latest preceding click matches only within 600 s (`merge_asof
+    * tolerance` semantics — a staler click is NO match, not a fallback).
+    * The oracle is the window twin with the gap filter applied after the
+    * window, which is exactly the operator's contract: closest-first,
+    * THEN the bound. */
+  def asofJoinTolerance(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
+    graft.plans.AsOf.joinBackward(
+        purchases, clicks,
+        leftKeys = Seq("user_id"), rightKeys = Seq("click_user"),
+        leftTime = "sec", rightTime = "click_sec",
+        rightTiebreak = Seq("click_id"), tolerance = Some(600L))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("click_id"), (col("sec") - col("click_sec")).as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinToleranceSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), w AS (
+      |  SELECT event_id, user_id, event_type, sec,
+      |         last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY sec, is_click DESC, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+      |         last_value(CASE WHEN is_click = 1 THEN sec END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY sec, is_click DESC, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_sec
+      |  FROM ev
+      |)
+      |SELECT event_id AS purchase_id, user_id, click_id, sec - click_sec AS gap_sec
+      |FROM w WHERE event_type = 'purchase' AND click_id IS NOT NULL
+      |  AND sec - click_sec <= 600
+      |ORDER BY purchase_id""".stripMargin
+
   /** The SQL-surface twin of [[asofJoinPhysical]]: the identical join
     * through the `asof_join(TABLE(...), TABLE(...), ...)` table function
     * registered in `GraftExtensions` — proving a pure-SQL user reaches the
@@ -502,6 +541,7 @@ object TimeWindows {
     "asof_join_physical" -> (asofJoinPhysical _),
     "asof_join_forward_physical" -> (asofJoinForwardPhysical _),
     "asof_join_outer"    -> (asofJoinOuter _),
+    "asof_join_tolerance" -> (asofJoinTolerance _),
     "asof_join_tvf"      -> (asofJoinTvf _)
   )
 
@@ -521,6 +561,7 @@ object TimeWindows {
     "asof_join_physical" -> asofJoinSql,
     "asof_join_forward_physical" -> asofJoinForwardSql,
     "asof_join_outer"    -> asofJoinOuterSql,
+    "asof_join_tolerance" -> asofJoinToleranceSql,
     "asof_join_tvf"      -> asofJoinSql
   )
 }

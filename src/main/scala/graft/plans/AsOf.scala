@@ -18,7 +18,10 @@ object AsOf {
   /** Latest right row per left row with `rightTime <= leftTime`, equi-keyed;
     * inner semantics by default (left rows with no match drop) —
     * `outer = true` keeps every left row, null-padded on the right (the
-    * pandas `merge_asof` default shape). `rightTiebreak` makes
+    * pandas `merge_asof` default shape). `tolerance` bounds the match gap
+    * (`merge_asof(tolerance=...)` semantics, same units as the time
+    * columns): a latest-preceding row further back than the bound is NO
+    * match — not a fallback to an even older one. `rightTiebreak` makes
     * same-timestamp winners deterministic: the LAST row in ascending
     * tiebreak order wins.
     */
@@ -30,13 +33,15 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       rightTiebreak: Seq[String] = Nil,
-      outer: Boolean = false): DataFrame =
+      outer: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame =
     join(left, right, leftKeys, rightKeys, leftTime, rightTime,
-      rightTiebreak, forward = false, outer = outer)
+      rightTiebreak, forward = false, outer = outer, tolerance = tolerance)
 
   /** Earliest right row per left row with `rightTime >= leftTime` — the
     * mirror direction; the FIRST row in ascending tiebreak order wins
-    * same-timestamp ties. `outer = true` null-pads unmatched left rows. */
+    * same-timestamp ties. `outer = true` null-pads unmatched left rows;
+    * `tolerance` bounds the forward gap the same way. */
   def joinForward(
       left: DataFrame,
       right: DataFrame,
@@ -45,9 +50,10 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       rightTiebreak: Seq[String] = Nil,
-      outer: Boolean = false): DataFrame =
+      outer: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame =
     join(left, right, leftKeys, rightKeys, leftTime, rightTime,
-      rightTiebreak, forward = true, outer = outer)
+      rightTiebreak, forward = true, outer = outer, tolerance = tolerance)
 
   private def join(
       left: DataFrame,
@@ -58,7 +64,8 @@ object AsOf {
       rightTime: String,
       rightTiebreak: Seq[String],
       forward: Boolean,
-      outer: Boolean): DataFrame = {
+      outer: Boolean,
+      tolerance: Option[Long]): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     val node = AsOfJoin(
@@ -68,7 +75,7 @@ object AsOf {
       attr(lPlan, leftTime, "left"),
       attr(rPlan, rightTime, "right"),
       rightTiebreak.map(attr(rPlan, _, "right")),
-      forward, outer)
+      forward, outer, tolerance)
     GraftShims.ofRows(left.sparkSession, node)
   }
 

@@ -16,6 +16,10 @@ import org.apache.spark.sql.types.LongType
   * unmatched left rows drop out; `outer = true` keeps EVERY left row
   * (including null-key/null-time rows, which never match) null-padded on
   * the right — the default shape of pandas `merge_asof` and kdb `aj`.
+  * `tolerance` bounds the match gap (`merge_asof(tolerance=...)`): the
+  * closest right row still wins, but only within `tolerance` time units —
+  * a stale quote/state row beyond the bound is NO match (not a fallback
+  * to an even older one), which is the sensor/trade-quote semantics.
   *
   * Why a custom operator instead of composition (SURVEY §4 ladder, step c):
   * Spark's relational surface can express as-of only indirectly — a
@@ -50,9 +54,13 @@ case class AsOfJoin(
     rightTime: Expression,
     rightTiebreak: Seq[Expression],
     forward: Boolean = false,
-    outer: Boolean = false) extends BinaryNode {
+    outer: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs at least one equi-key on each side, same count")
+  require(tolerance.forall(_ > 0L),
+    s"as-of tolerance must be positive (same units as the time columns), " +
+      s"got ${tolerance.get}")
   // fail at construction, not mid-task: the merge compares keys with a
   // natural row ordering, which maps/UDTs don't define. Guarded on
   // resolvedness because the SQL TVF path builds this node with
@@ -93,8 +101,8 @@ case class AsOfJoin(
   * `SparkSessionExtensions.injectPlannerStrategy` in `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, fwd, out) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, out, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, fwd, out, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, out, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -132,6 +140,7 @@ case class AsOfJoinExec(
     rightTiebreak: Seq[Expression],
     forward: Boolean,
     outer: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -173,6 +182,7 @@ case class AsOfJoinExec(
     val rOut = right.output
     val isForward = forward
     val isOuter = outer
+    val tol = tolerance
     // the projection's output attrs must be nullable on the right when
     // outer-padding, or codegen'd null checks get elided and the pad row
     // writes garbage
@@ -248,8 +258,13 @@ case class AsOfJoinExec(
             if (!lKey.anyNull) {
               val t = lTimeProj(lRow)
               if (!t.isNullAt(0) && advance(lKey, t.getLong(0))) {
-                staged = resultProj(joined(lRow, rightRow))
-                matched = true
+                // tolerance: the closest at-or-after row either matches
+                // within the bound or the left row has no match at all
+                val gap = rTimeProj(rightRow).getLong(0) - t.getLong(0)
+                if (tol.forall(gap <= _)) {
+                  staged = resultProj(joined(lRow, rightRow))
+                  matched = true
+                }
               }
             }
             if (!matched && isOuter) staged = resultProj(joined(lRow, rightNullRow))
@@ -274,6 +289,7 @@ case class AsOfJoinExec(
         // both are defensive copies because projections reuse their buffers
         private var candidate: UnsafeRow = null
         private var candidateKey: UnsafeRow = null
+        private var candidateTime: Long = 0L // valid only while candidate != null
         private var staged: InternalRow = null
 
         /** Advance the right side to the last row `<= (lKey, lTime)`,
@@ -302,6 +318,7 @@ case class AsOfJoinExec(
                 } else if (t.getLong(0) <= lTime) {
                   candidate = rightRow.asInstanceOf[UnsafeRow].copy()
                   candidateKey = rKey.copy()
+                  candidateTime = t.getLong(0)
                   rightRow = if (rIter.hasNext) rIter.next() else null
                   continue = rightRow != null
                 } else continue = false // future row: keep for later left rows
@@ -318,7 +335,12 @@ case class AsOfJoinExec(
               val t = lTimeProj(lRow)
               if (!t.isNullAt(0)) {
                 advance(lKey, t.getLong(0))
-                if (candidate != null) staged = resultProj(joined(lRow, candidate))
+                // tolerance: the latest preceding row either matches within
+                // the bound or the left row has no match at all (an even
+                // older row is never a fallback)
+                if (candidate != null &&
+                    tol.forall(t.getLong(0) - candidateTime <= _))
+                  staged = resultProj(joined(lRow, candidate))
               }
             }
             if (staged == null && isOuter) staged = resultProj(joined(lRow, rightNullRow))

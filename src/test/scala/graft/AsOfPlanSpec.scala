@@ -93,6 +93,41 @@ class AsOfPlanSpec extends GraftSpec {
       "click_id and gap_sec must be null together on padded rows")
   }
 
+  test("tolerance bounds the match gap; a staler row is no fallback; composes with outer") {
+    // backward, tolerance 3: lid 1 @10 → rid 3 @10 (gap 0), lid 2 @7 →
+    // rid 1 @5 (gap 2); lid 4 @100's only candidate is rid 5 @90 (gap 10)
+    // — BEYOND the bound, and the even-older rows must not be consulted
+    val strict = AsOf.joinBackward(leftDf, rightDf,
+        leftKeys = Seq("k"), rightKeys = Seq("rk"),
+        leftTime = "lsec", rightTime = "rsec", rightTiebreak = Seq("rid"),
+        tolerance = Some(3L))
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(strict === Set((1, 3), (2, 1)))
+    // outer + tolerance: the beyond-bound row is kept, null-padded
+    val outerTol = AsOf.joinBackward(leftDf, rightDf,
+        leftKeys = Seq("k"), rightKeys = Seq("rk"),
+        leftTime = "lsec", rightTime = "rsec", rightTiebreak = Seq("rid"),
+        outer = true, tolerance = Some(3L))
+      .select("lid", "rid").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSet
+    assert(outerTol === Set((1, Some(3)), (2, Some(1)),
+      (3, None), (4, None), (5, None), (6, None), (7, None)))
+    // forward, tolerance 2: lid 2 @7's next candidate is @10 (gap 3) → out
+    val fwdTol = AsOf.joinForward(leftDf, rightDf,
+        leftKeys = Seq("k"), rightKeys = Seq("rk"),
+        leftTime = "lsec", rightTime = "rsec", rightTiebreak = Seq("rid"),
+        tolerance = Some(2L))
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(fwdTol === Set((3, 1), (1, 2)))
+    // a non-positive tolerance is a construction error, not silent inner
+    val err = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(leftDf, rightDf,
+        leftKeys = Seq("k"), rightKeys = Seq("rk"),
+        leftTime = "lsec", rightTime = "rsec", tolerance = Some(0L))
+    }
+    assert(err.getMessage.contains("positive"), err.getMessage)
+  }
+
   test("custom as-of matches the window-trick twin row for row at sf0.001") {
     val win = TimeWindows.asofJoin(spark, sf0001).collect()
     val custom = TimeWindows.asofJoinPhysical(spark, sf0001).collect()

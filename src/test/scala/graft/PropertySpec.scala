@@ -187,7 +187,8 @@ class PropertySpec extends GraftSpec {
       val lDf = spark.sparkContext.parallelize(l, 3).toDF("k", "lsec", "lid")
       val rDf = spark.sparkContext.parallelize(r, 3).toDF("rk", "rsec", "rid")
 
-      def reference(forward: Boolean, outer: Boolean): Set[(Int, Option[Int])] =
+      def reference(forward: Boolean, outer: Boolean,
+                    tol: Option[Long]): Set[(Int, Option[Int])] =
         l.flatMap { case (k, t, lid) =>
           val cands = r.filter { case (rk, rt, _) => rk == k &&
             (if (forward) rt >= t else rt <= t) }
@@ -197,23 +198,30 @@ class PropertySpec extends GraftSpec {
             // forward: earliest time, smallest id on ties
             else if (forward) Some(cands.minBy { case (_, rt, rid) => (rt, rid) })
             else Some(cands.maxBy { case (_, rt, rid) => (rt, rid) })
-          best match {
+          // tolerance applies to the CLOSEST row only — beyond-bound means
+          // unmatched, never a fallback to the next-closest
+          val bounded = best.filter { case (_, rt, _) =>
+            tol.forall(b => (if (forward) rt - t else t - rt) <= b) }
+          bounded match {
             case Some((_, _, rid))  => Some((lid, Some(rid)))
             case None if outer      => Some((lid, None))
             case None               => None
           }
         }.toSet
 
-      for (fwd <- Seq(false, true); out <- Seq(false, true)) {
+      for (fwd <- Seq(false, true); out <- Seq(false, true);
+           tol <- Seq(None, Some(4L))) {
         val joined =
           if (fwd) graft.plans.AsOf.joinForward(
-            lDf, rDf, Seq("k"), Seq("rk"), "lsec", "rsec", Seq("rid"), outer = out)
+            lDf, rDf, Seq("k"), Seq("rk"), "lsec", "rsec", Seq("rid"),
+            outer = out, tolerance = tol)
           else graft.plans.AsOf.joinBackward(
-            lDf, rDf, Seq("k"), Seq("rk"), "lsec", "rsec", Seq("rid"), outer = out)
+            lDf, rDf, Seq("k"), Seq("rk"), "lsec", "rsec", Seq("rid"),
+            outer = out, tolerance = tol)
         val got = joined.select("lid", "rid").collect()
           .map(x => (x.getInt(0), if (x.isNullAt(1)) None else Some(x.getInt(1)))).toSet
-        assert(got === reference(fwd, out),
-          s"case $caseNo forward=$fwd outer=$out left=$l right=$r")
+        assert(got === reference(fwd, out, tol),
+          s"case $caseNo forward=$fwd outer=$out tol=$tol left=$l right=$r")
       }
     }
   }
