@@ -31,19 +31,36 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    * timestamp; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see Verify/Bench/specs) so it arrives as nanos-since-epoch LongType,
-    * and this loader converts to TimestampType at microsecond precision
-    * (all queries use ≥second granularity, so truncation is immaterial;
-    * the DuckDB oracle floors to seconds the same way). */
-  private def eventsWithTs(df: DataFrame): DataFrame = {
+  /** Normalize `events.ts` to TimestampType regardless of how the driver
+    * encoded it — the testdata has been regenerated with different physical
+    * types across rounds, so the loader pins all three encodings:
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark cannot read nanos as a timestamp;
+    *     sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    *     Verify/Bench/specs) so it arrives as nanos-since-epoch LongType,
+    *     converted here at microsecond precision (all queries use ≥second
+    *     granularity, so truncation is immaterial; the DuckDB oracle floors
+    *     to seconds the same way);
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType:
+    *     cast to TimestampType — lossless because every session here runs
+    *     with `spark.sql.session.timeZone=UTC`, so the wall-clock reading of
+    *     the NTZ value IS its UTC instant (and watermarks/windows require
+    *     TimestampType, they reject NTZ);
+    *   - already TimestampType: pass through.
+    */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    else df
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros((col(colName) / 1000L).cast("long")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
   }
+
+  private def eventsWithTs(df: DataFrame): DataFrame = normalizeTs(df)
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

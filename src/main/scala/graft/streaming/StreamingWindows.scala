@@ -63,9 +63,10 @@ object StreamingWindows {
 
   /** File-replay source over the driver's events parquet — the rebuild's
     * stand-in for the Twitter receiver (S1): replayable, backpressured via
-    * `maxFilesPerTrigger`, no receivers. `ts` arrives as TIMESTAMP(NANOS) →
-    * LongType nanos (session sets nanosAsLong), converted here exactly like
-    * `graft.Tables.events`. */
+    * `maxFilesPerTrigger`, no receivers. `ts` is normalized to TimestampType
+    * via `graft.Tables.normalizeTs` — the same three-encoding pin (nanos-long
+    * / NTZ-micros / already-timestamp) as the batch loader, so watermarks
+    * (which reject TimestampNTZType) survive driver-side data regeneration. */
   def eventsFileStream(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
@@ -75,9 +76,7 @@ object StreamingWindows {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    else raw
+    graft.Tables.normalizeTs(raw)
   }
 
   /** Processing-time twin of the reference's windows: the reference's

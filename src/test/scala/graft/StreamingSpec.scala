@@ -28,6 +28,44 @@ class StreamingSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("file-replay handles every ts encoding the driver has shipped (long-nanos, NTZ, TZ)") {
+    // the driver regenerates /root/testdata between rounds and has already
+    // switched events.ts physical types once (nanos → NTZ-micros, round 7),
+    // silently breaking the watermark path. Synthesize all three encodings
+    // and replay each — a future regeneration can't break streaming unseen.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val batch = TimeWindows.slidingCounts(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val base = Tables.events(spark, sf0001)  // normalized TimestampType
+    val variants: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "tz"    -> base,
+      "ntz"   -> base.withColumn("ts", col("ts").cast("timestamp_ntz")),
+      "nanos" -> base.withColumn("ts", unix_micros(col("ts")) * 1000L))
+    variants.foreach { case (name, df) =>
+      val work = Files.createTempDirectory(s"graft_ts_$name")
+      val outDir = work.resolve("spark_out")
+      df.coalesce(1).write.parquet(outDir.toString)
+      // eventsFileStream expects a single FILE named events.parquet inside
+      // the table dir (the driver's layout) — move the lone part file there
+      val part = Files.list(outDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val tableDir = work.resolve("table")
+      Files.createDirectories(tableDir)
+      Files.move(part, tableDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+      val stream = StreamingWindows.eventsFileStream(spark, tableDir.toString)
+      assert(stream.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"$name: loader must normalize ts")
+      val q = StreamingWindows.slidingCounts(stream)
+        .writeStream.format("memory").queryName(s"replay_$name")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val streamed = spark.table(s"replay_$name")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"$name encoding diverged from the batch result")
+    }
+  }
+
   test("MemoryStream incremental: counts accumulate across micro-batches") {
     val ms = MemoryStream[(Timestamp, String)](42, spark, None)
     val df = ms.toDF().toDF("ts", "event_type")

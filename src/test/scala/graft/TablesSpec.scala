@@ -19,6 +19,27 @@ class TablesSpec extends GraftSpec {
     assert(df.filter(org.apache.spark.sql.functions.col("ts").isNull).count() == 0)
   }
 
+  test("normalizeTs pins all three ts encodings to the same UTC instants") {
+    // the driver has shipped events.ts as TIMESTAMP(NANOS)→LongType (rounds
+    // 1-6), then TIMESTAMP(MICROS) NTZ (round-7 regen); a future regen could
+    // ship true TimestampType. All three must normalize to identical instants.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // values must stay in ±Long.Max/1000 so the nanos encoding doesn't overflow
+    val micros = Seq(0L, 1L, -1000000L, 1700000000000000L)
+    val base = spark.createDataFrame(
+      spark.sparkContext.parallelize(micros.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("us", org.apache.spark.sql.types.LongType))))
+    val asLongNanos = base.select((col("us") * 1000L).as("ts"))
+    val asNtz = base.select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+    val asTz = base.select(timestamp_micros(col("us")).as("ts"))
+    val out = Seq(asLongNanos, asNtz, asTz).map(Tables.normalizeTs(_))
+    out.foreach(df => assert(df.schema("ts").dataType == TimestampType))
+    val instants = out.map(_.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq)
+    assert(instants.forall(_ == micros), s"encodings disagree: $instants vs $micros")
+  }
+
   test("fact scans fan out to full parallelism; dims keep natural partitioning") {
     // the harness parquet is single-row-group (scan = 1 task); the guarded
     // repartition must spread fact compute across cores without touching
