@@ -28,11 +28,34 @@ import org.apache.spark.sql.functions._
   * from the same CTE pieces.
   *
   * Scale: the stages add no new shuffle shapes — each is its standalone
-  * plan; drop sets join as broadcasts (they are tiny relative to the
-  * corpus: flagged docs, cluster non-representatives), and the final
-  * output is one ordered projection.
+  * plan; the drop-set anti-join is broadcast ONLY under a size guard (see
+  * [[dropSetJoin]]) — at 100 TB the union of near-dup non-representatives
+  * + repetition-flagged + contaminated docs is routinely 1-30% of the
+  * corpus (billions of ids, far past broadcast limits), so past the guard
+  * the hint is omitted and CBO/AQE picks the join strategy from runtime
+  * stats — a shuffled anti-join that degrades gracefully instead of a
+  * forced broadcast that OOMs the driver. Final output is one ordered
+  * projection.
   */
 object Pipeline {
+
+  /** Hint-guard threshold: corpus row count (parquet footer metadata — no
+    * scan) above which the drop set is no longer assumed broadcast-safe.
+    * The drop set is bounded by the corpus, so the corpus count is a cheap
+    * conservative proxy that needs no second evaluation of the drop-set
+    * plan. Overridable per-session for tests and deliberate operators. */
+  private val MaxBroadcastCorpusKey = "spark.graft.dropSetBroadcast.maxCorpusRows"
+
+  /** Anti-join `kept = corpus MINUS dropSet`, broadcast-hinted only when
+    * the corpus (hence the drop set) is provably small; otherwise unhinted
+    * so Catalyst/AQE chooses from actual sizes at runtime. */
+  private[operators] def dropSetJoin(s: SparkSession, dir: String,
+                                     corpus: DataFrame, dropSet: DataFrame): DataFrame = {
+    val max = s.conf.getOption(MaxBroadcastCorpusKey).map(_.toLong).getOrElse(10000000L)
+    val corpusRows = Tables.table(s, dir, "documents").count()
+    val drops = if (corpusRows <= max) broadcast(dropSet) else dropSet
+    corpus.join(drops, Seq("doc_id"), "left_anti")
+  }
 
   def curate(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
@@ -59,7 +82,7 @@ object Pipeline {
     val dropSet = nonReps.union(repFlagged).union(contaminated).distinct()
 
     // 5. split-assign the survivors
-    val kept = exact.join(broadcast(dropSet), Seq("doc_id"), "left_anti")
+    val kept = dropSetJoin(s, dir, exact, dropSet)
     DataPrep.splitOf(kept)
       .join(kept.select("doc_id", "lang", "source"), "doc_id")
       .select("doc_id", "lang", "source", "n_chars", "split")

@@ -33,4 +33,37 @@ class PipelineSpec extends GraftSpec {
         s"near-dup pair ($a, $b) fully kept")
     }
   }
+
+  test("drop-set anti-join broadcasts only under the corpus-size guard") {
+    // under the guard (default 10M): a forced broadcast anti-join
+    val key = "spark.graft.dropSetBroadcast.maxCorpusRows"
+    spark.conf.unset(key)
+    val hinted = Pipeline.curate(spark, sf0001).queryExecution.sparkPlan.toString
+    assert(hinted.contains("BroadcastHashJoin") && hinted.contains("LeftAnti"),
+      s"small corpus should broadcast the drop set:\n$hinted")
+
+    // past the guard: no broadcast HINT — the initial (pre-AQE) plan must
+    // fall back to a shuffled anti-join; at runtime AQE may still convert
+    // when actual sizes allow, which is exactly the desired degradation
+    try {
+      spark.conf.set(key, "0")
+      // also pin autoBroadcastJoinThreshold off so the *planner* can't
+      // re-introduce a broadcast from its own stats — we are asserting the
+      // hint is gone, not fighting the optimizer's legitimate choice
+      val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val unhinted = Pipeline.curate(spark, sf0001).queryExecution.sparkPlan.toString
+        val antiLines = unhinted.linesIterator.filter(_.contains("LeftAnti")).mkString("\n")
+        assert(antiLines.nonEmpty && !antiLines.contains("BroadcastHashJoin"),
+          s"guarded-off corpus must not force a broadcast anti-join:\n$unhinted")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+
+      // and the guarded-off path still computes the identical answer
+      val a = Pipeline.curate(spark, sf0001).collect().map(_.toString).toSeq
+      spark.conf.unset(key)
+      val b = Pipeline.curate(spark, sf0001).collect().map(_.toString).toSeq
+      assert(a == b, "broadcast guard changed the curate result")
+    } finally spark.conf.unset(key)
+  }
 }
