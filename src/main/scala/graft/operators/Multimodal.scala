@@ -10,25 +10,32 @@ import org.apache.spark.sql.types._
   * metadata, and run decode / feature-extraction as partition-batched
   * transforms.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`decodeStub`); everything around it —
-  * the binary column, the metadata struct schema, the partition-batched
-  * iterator transform, the downstream aggregation — is real Spark plumbing,
-  * which is the part that matters at 100 TB: payload bytes stay columnar in
-  * parquet, metadata predicates prune row groups without touching payloads,
-  * and decode runs once per partition batch, not per row.
+  * The decode step is REAL: payloads are spec-conformant BMP / WAV / PPM
+  * containers (formats a pure-JVM header+samples parser handles with zero
+  * codec dependencies — see [[graft.functions.MediaCodecs]]), and
+  * [[mediaFeatures]] parses them by magic-byte sniffing, validating headers
+  * against buffer sizes. Everything around it — the binary column, the
+  * metadata struct schema, the partition-batched iterator transform, the
+  * downstream aggregation — is the Spark plumbing that matters at 100 TB:
+  * payload bytes stay columnar in parquet, metadata predicates prune row
+  * groups without touching payloads, and decode amortizes per partition
+  * batch, not per row. Swapping BMP→JPEG means swapping ONLY the parser.
   *
   * The synthetic corpus has no binary column, so payloads are derived
-  * (utf-8 bytes of `documents.text`) — the derivation is itself part of the
-  * oracle-checked surface (DuckDB `encode()` produces the same bytes).
+  * deterministically (utf-8 bytes of `documents.text`, wrapped in a real
+  * container per mime) — which makes the whole encode→decode→featurize
+  * path ORACLE-CHECKABLE: decoded sample statistics must equal DuckDB's
+  * direct statistics over the same text bytes (hex-expansion in SQL), so a
+  * single hash compare proves both codec directions end-to-end.
   */
 object Multimodal {
 
   /** Typed metadata for an opaque media payload. */
   case class MediaMeta(mime: String, width: Int, height: Int, nBytes: Long)
   case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
-  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
-                           feat_dim: Int, feat_l1: Double)
+  case class MediaRowFlat(doc_id: Long, mime: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, mime: String, n_samples: Long,
+                           sample_sum: Long, sample_mean: Double, sample_max: Int)
 
   /** Media table: binary payload + metadata struct, derived deterministically
     * from `documents`. The mime/width/height are synthetic but flow through
@@ -89,46 +96,119 @@ object Multimodal {
       |  CAST(max(doc_id % 480 + 1) AS INT) AS max_h
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // ---------------------------------------------------------- decode stub
-  /** STUB — stands in for a real codec (libjpeg/ffmpeg/…), which this
-    * container does not have. Deterministic fake: "features" are byte
-    * histogram moments of the payload. A real deployment swaps ONLY this
-    * function; the partition-batched plumbing around it is unchanged. */
-  private[graft] def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) { hist((payload(i) & 0xff) % 8) += 1f; i += 1 }
-    hist
+  // ---------------------------------------------------------- real decode
+  /** Media table with REAL container payloads: each doc's utf-8 text bytes
+    * wrapped in a spec-conformant BMP (doc_id%3=0), WAV (%3=1), or PPM
+    * (%3=2) file via [[graft.functions.MediaCodecs]]. This is the "ingest"
+    * stage — at 100 TB these bytes arrive from object storage instead of
+    * being synthesized, and everything downstream is unchanged. Encoding
+    * runs partition-local (narrow, no shuffle). */
+  def codecMediaTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.product[MediaRowFlat]
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val data = r.getAs[Array[Byte]](1)
+          val (mime, payload) = (id % 3) match {
+            case 0 => ("image/bmp" , MediaCodecs.toBmp(data))
+            case 1 => ("audio/wav" , MediaCodecs.toWav(data))
+            case _ => ("image/ppm" , MediaCodecs.toPpm(data))
+          }
+          MediaRowFlat(id, mime, payload)
+        }
+      }(enc)
+      .toDF()
   }
 
-  /** Partition-batched "decode + featurize": the Scala twin of a
-    * `mapInPandas` media pipeline — an iterator→iterator transform per
-    * partition (constant memory, batch-amortized codec setup), returning a
-    * typed Dataset. Feature values are deterministic (stub), so the driver
-    * gate gets a stable rows-only result; the scalatest spec pins exact
-    * values on a fixture. */
+  /** Partition-batched decode + featurize over the real containers: the
+    * Scala twin of a `mapInPandas` media pipeline — an iterator→iterator
+    * transform per partition (constant memory, batch-amortized decoder
+    * setup), returning a typed Dataset. The parser dispatches on magic
+    * bytes and validates headers ([[graft.functions.MediaCodecs.decode]]);
+    * features are decoded-sample statistics, which by construction equal
+    * the text-byte statistics DuckDB computes independently — so this
+    * query is HASH-checked by the driver oracle, proving encode, header
+    * layout, stride/chunk handling, and sample extraction in one compare. */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    import graft.functions.MediaCodecs
     val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
-    mediaTable(s, dir)
-      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+    codecMediaTable(s, dir)
       .repartition(col("doc_id"))  // spread decode work evenly, not by file
       .mapPartitions { rows =>
-        // per-partition codec init happens here (once), then rows are
-        // decoded in fixed-size batches — the same batch shape a
-        // vectorized/pandas-style decode API wants, with constant memory
+        // per-partition decoder init happens here (once), then rows decode
+        // in fixed-size batches — the same batch shape a vectorized decode
+        // API wants, with constant memory
         rows.grouped(64).flatMap { batch =>
           batch.map { r =>
-            val feats = decodeStub(r.getAs[Array[Byte]]("payload"))
+            val d = MediaCodecs.decode(r.getAs[Array[Byte]]("payload"))
+            val n = d.samples.length
+            var sum = 0L; var max = Int.MinValue
+            var i = 0
+            while (i < n) { val v = d.samples(i); sum += v; if (v > max) max = v; i += 1 }
             MediaFeatures(r.getAs[Long]("doc_id"), r.getAs[String]("mime"),
-              feats.map(_.toLong).sum, feats.length,
-              feats.foldLeft(0.0)((a, f) => a + f))
+              n.toLong, sum,
+              BigDecimal(sum.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              max)
           }
         }
       }(enc)
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** Sample statistics DuckDB computes straight from the text bytes
+    * (hex-expansion: byte i of the blob is hex pair 2i-1..2i), matching
+    * [[mediaFeatures]]'s decoded output — the cross-engine proof that the
+    * container roundtrip is lossless. */
+  val mediaFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      |  FROM documents
+      |),
+      |bytes AS (
+      |  SELECT doc_id, CAST('0x' || substring(h, 2 * i - 1, 2) AS INTEGER) AS v
+      |  FROM b, LATERAL (SELECT unnest(generate_series(1, n)) AS i) g
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |       ELSE 'image/ppm' END AS mime,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(v) AS BIGINT) AS sample_sum,
+      |  round(avg(v), 6) AS sample_mean,
+      |  CAST(max(v) AS INTEGER) AS sample_max
+      |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Container-overhead audit: payload size vs source size per mime — the
+    * header/stride/sample-width arithmetic of all three encoders, checked
+    * byte-exactly against DuckDB's closed-form size formulas. */
+  def codecSizes(s: SparkSession, dir: String): DataFrame =
+    codecMediaTable(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"),
+        length(encode(col("text"), "utf-8")).cast("long").as("src_bytes")), "doc_id")
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n_files"),
+           sum(length(col("payload"))).cast("long").as("container_bytes"),
+           sum(col("src_bytes")).cast("long").as("source_bytes"))
+      .orderBy("mime")
+
+  val codecSizesSql: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n,
+      |                  length(CAST(octet_length(encode(text)) AS VARCHAR)) AS dig
+      |           FROM documents)
+      |SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+      |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |            ELSE 'image/ppm' END AS mime,
+      |  count(*) AS n_files,
+      |  CAST(sum(CASE
+      |    WHEN doc_id % 3 = 0 THEN 54 + CAST(ceil(3 * n / 4.0) AS BIGINT) * 4
+      |    WHEN doc_id % 3 = 1 THEN 44 + 2 * n
+      |    ELSE 3 + dig + 3 + 4 + 3 * n  -- 'P6\n' + digits(w) + ' 1\n' + '255\n' + rgb
+      |  END) AS BIGINT) AS container_bytes,
+      |  CAST(sum(n) AS BIGINT) AS source_bytes
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Frame-sample shape: explode a payload into fixed-stride "frames"
     * (here: 64-byte slices) with per-frame digests — the plumbing of video
@@ -183,6 +263,7 @@ object Multimodal {
     "mm_metadata"   -> (mediaMetadata _),
     "mm_by_mime"    -> (mediaByMime _),
     "mm_features"   -> (mediaFeatures _),
+    "mm_codec_sizes" -> (codecSizes _),
     "mm_frame_sample" -> (frameSample _),
     "mm_size_percentiles" -> (sizePercentiles _)
   )
@@ -190,8 +271,9 @@ object Multimodal {
   def oracles: Map[String, String] = Map(
     "mm_metadata"     -> mediaMetadataSql,
     "mm_by_mime"      -> mediaByMimeSql,
+    "mm_features"     -> mediaFeaturesSql,
+    "mm_codec_sizes"  -> codecSizesSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_size_percentiles" -> sizePercentilesSql
-    // mm_features: decode stub is Scala-side → rows-only gate + spec
   )
 }

@@ -1,26 +1,127 @@
 package graft
 
+import graft.functions.MediaCodecs
 import graft.operators.Multimodal
 
 class MultimodalSpec extends GraftSpec {
 
-  test("decode stub is deterministic and shape-stable") {
-    val payload = "hello world".getBytes("UTF-8")
-    val f1 = Multimodal.decodeStub(payload)
-    val f2 = Multimodal.decodeStub(payload)
-    assert(f1.sameElements(f2))
-    assert(f1.length == 8)
-    assert(f1.sum == payload.length.toFloat, "histogram mass = payload bytes")
+  // ---------------------------------------------------------------- codecs
+
+  test("BMP/WAV/PPM roundtrip: decoded samples equal the source bytes") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(1, 2, 3, 4, 5, 63, 64, 257)) {
+      val data = Array.fill(n)(rnd.nextInt(256).toByte)
+      val want = data.map(_ & 0xff)
+      for ((bytes, fmt) <- Seq((MediaCodecs.toBmp(data), "bmp"),
+                               (MediaCodecs.toWav(data), "wav"),
+                               (MediaCodecs.toPpm(data), "ppm"))) {
+        val d = MediaCodecs.decode(bytes)
+        assert(d.format == fmt)
+        assert(d.samples.toSeq == want.toSeq, s"$fmt n=$n samples differ")
+        assert(d.width * d.height == n || (fmt == "wav" && d.width == n))
+      }
+    }
   }
 
-  test("partition-batched featurize preserves row count and carries mime through") {
+  test("BMP parser: hand-built golden bytes, bottom-up rows, stride padding") {
+    // 2x2 24bpp BMP, built by hand: image rows (top-down) are
+    //   [10, 20]
+    //   [30, 40]
+    // stored BOTTOM-UP with stride pad4(6)=8 (2 pad bytes per row)
+    import java.nio.{ByteBuffer, ByteOrder}
+    val stride = 8
+    val b = ByteBuffer.allocate(54 + 2 * stride).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + 2 * stride).putInt(0).putInt(54)
+    b.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(2 * stride).putInt(0).putInt(0).putInt(0).putInt(0)
+    def px(v: Int) = { b.put(v.toByte).put(v.toByte).put(v.toByte) }
+    px(30); px(40); b.put(0.toByte).put(0.toByte)  // file row 0 = BOTTOM image row
+    px(10); px(20); b.put(0.toByte).put(0.toByte)  // file row 1 = TOP image row
+    val d = MediaCodecs.parseBmp(b.array())
+    assert((d.width, d.height) == (2, 2))
+    assert(d.samples.toSeq == Seq(10, 20, 30, 40), "rows must come out top-down")
+
+    // same image stored TOP-DOWN (negative height)
+    val t = ByteBuffer.allocate(54 + 2 * stride).order(ByteOrder.LITTLE_ENDIAN)
+    t.put('B'.toByte).put('M'.toByte).putInt(54 + 2 * stride).putInt(0).putInt(54)
+    t.putInt(40).putInt(2).putInt(-2).putShort(1).putShort(24)
+      .putInt(0).putInt(2 * stride).putInt(0).putInt(0).putInt(0).putInt(0)
+    def px2(v: Int) = { t.put(v.toByte).put(v.toByte).put(v.toByte) }
+    px2(10); px2(20); t.put(0.toByte).put(0.toByte)
+    px2(30); px2(40); t.put(0.toByte).put(0.toByte)
+    assert(MediaCodecs.parseBmp(t.array()).samples.toSeq == Seq(10, 20, 30, 40))
+
+    // distinct RGB channels → integer mean
+    val c = MediaCodecs.toBmp(Array[Byte](1))
+    c(54) = 10; c(55) = 20; c(56) = 31  // b,g,r → (31+20+10)/3 = 20
+    assert(MediaCodecs.parseBmp(c).samples.toSeq == Seq(20))
+  }
+
+  test("WAV parser: skips unknown chunks, honors odd-size word padding") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.charset.StandardCharsets.US_ASCII
+    // RIFF with an unknown 3-byte 'junk' chunk (padded to 4) BEFORE fmt/data
+    val samples = Seq(-5, 0, 300)
+    val n = samples.length
+    val junkPayload = 3
+    val size = 4 + (8 + junkPayload + 1) + (8 + 16) + (8 + 2 * n)
+    val b = ByteBuffer.allocate(8 + size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes(US_ASCII)).putInt(size).put("WAVE".getBytes(US_ASCII))
+    b.put("junk".getBytes(US_ASCII)).putInt(junkPayload)
+      .put(Array[Byte](1, 2, 3)).put(0.toByte)  // odd size → 1 pad byte
+    b.put("fmt ".getBytes(US_ASCII)).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes(US_ASCII)).putInt(2 * n)
+    samples.foreach(v => b.putShort(v.toShort))
+    val d = MediaCodecs.parseWav(b.array())
+    assert(d.format == "wav" && d.width == n)
+    assert(d.samples.toSeq == samples, "signed 16-bit samples must decode exactly")
+  }
+
+  test("PPM parser: whitespace variants and # comments in the header") {
+    import java.nio.charset.StandardCharsets.US_ASCII
+    val header = "P6 # comment right after magic\n 2\t1 # dims done\n255\n".getBytes(US_ASCII)
+    val body = Array[Byte](5, 5, 5, 9, 9, 9)
+    val d = MediaCodecs.parsePpm(header ++ body)
+    assert((d.width, d.height) == (2, 1))
+    assert(d.samples.toSeq == Seq(5, 9))
+  }
+
+  test("decoders reject malformed input loudly") {
+    intercept[IllegalArgumentException](MediaCodecs.decode(Array[Byte]('X', 'Y', 1, 2)))
+    // truncated BMP: header promises more pixel data than the buffer holds
+    val bmp = MediaCodecs.toBmp(Array[Byte](1, 2, 3, 4))
+    intercept[IllegalArgumentException](MediaCodecs.parseBmp(bmp.dropRight(3)))
+    // WAV data chunk overrunning the buffer
+    val wav = MediaCodecs.toWav(Array[Byte](1, 2, 3, 4))
+    intercept[IllegalArgumentException](MediaCodecs.parseWav(wav.dropRight(2)))
+    // PPM missing sample bytes
+    val ppm = MediaCodecs.toPpm(Array[Byte](1, 2))
+    intercept[IllegalArgumentException](MediaCodecs.parsePpm(ppm.dropRight(1)))
+    // non-PCM WAV must be refused, not misparsed
+    val bad = MediaCodecs.toWav(Array[Byte](1))
+    bad(20) = 3  // audioFormat: 1 (PCM) → 3 (IEEE float)
+    intercept[IllegalArgumentException](MediaCodecs.parseWav(bad))
+  }
+
+  // ------------------------------------------------------------- pipeline
+
+  test("mediaFeatures decodes real containers back to exact text-byte stats") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
     val out = Multimodal.mediaFeatures(spark, sf0001).collect()
-    val n = Tables.documents(spark, sf0001).count()
-    assert(out.length == n)
+    assert(out.length == docs.size)
     out.foreach { r =>
-      assert(Set("image/png", "audio/wav", "video/mp4").contains(r.getString(1)))
-      assert(r.getInt(3) == 8)                       // feat_dim
-      assert(r.getLong(2) == r.getDouble(4).toLong)  // n_bytes == l1 mass of stub
+      val id = r.getLong(0)
+      val bytes = docs(id).map(_ & 0xff)
+      val expectMime = (id % 3) match {
+        case 0 => "image/bmp"; case 1 => "audio/wav"; case _ => "image/ppm"
+      }
+      assert(r.getString(1) == expectMime)
+      assert(r.getLong(2) == bytes.length, s"doc $id n_samples")
+      assert(r.getLong(3) == bytes.map(_.toLong).sum, s"doc $id sample_sum")
+      assert(r.getInt(5) == bytes.max, s"doc $id sample_max")
     }
   }
 
