@@ -67,7 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // table function: SQL surface for the custom as-of operator —
     //   SELECT * FROM asof_join(TABLE(l), TABLE(r),
     //                           'lkey', 'rkey', 'ltime', 'rtime'
-    //                           [, 'rtiebreak'][, 'forward'|'backward']
+    //                           [, 'rtiebreak'][, 'forward'|'backward'|'nearest']
     //                           [, 'inner'|'outer'])
     // TABLE(...) arguments arrive as FunctionTableSubqueryArgumentExpression
     // carrying the parsed relation; the node is built with unresolved
@@ -79,7 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length >= 6 && children.length <= 9,
           "asof_join(TABLE(l), TABLE(r), 'lkey', 'rkey', 'ltime', 'rtime'" +
-            "[, 'rtiebreak'][, 'forward'|'backward'][, 'inner'|'outer'])")
+            "[, 'rtiebreak'][, 'forward'|'backward'|'nearest'][, 'inner'|'outer'])")
         import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
         val l = tableArg(children(0), "asof_join left")
         val r = tableArg(children(1), "asof_join right")
@@ -95,7 +95,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // that happens to be called "forward") — a right-side column named
         // forward/backward/inner/outer needs the tiebreak-first full form.
         def isDir(s: String): Boolean =
-          s.equalsIgnoreCase("forward") || s.equalsIgnoreCase("backward")
+          s.equalsIgnoreCase("forward") || s.equalsIgnoreCase("backward") ||
+            s.equalsIgnoreCase("nearest")
         def isMode(s: String): Boolean =
           s.equalsIgnoreCase("outer") || s.equalsIgnoreCase("inner")
         val extras = names.drop(4)
@@ -108,13 +109,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "parsed as a keyword, not a tiebreak column; use the " +
             "tiebreak-first form if a right-side column shares the name")
         var forward = false
+        var nearest = false
         var outer = false
         keywords.foreach {
-          case d if isDir(d)  => forward = d.equalsIgnoreCase("forward")
+          case d if isDir(d)  =>
+            forward = d.equalsIgnoreCase("forward")
+            nearest = d.equalsIgnoreCase("nearest")
           case m if isMode(m) => outer = m.equalsIgnoreCase("outer")
           case other => throw new IllegalArgumentException(
-            s"asof_join optional argument must be 'forward'/'backward' or " +
-              s"'inner'/'outer' (after an optional leading tiebreak column), " +
+            s"asof_join optional argument must be 'forward'/'backward'/'nearest' " +
+              s"or 'inner'/'outer' (after an optional leading tiebreak column), " +
               s"got '$other'")
         }
         val tiebreak =
@@ -125,7 +129,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq(UnresolvedAttribute.quoted(names(1))),
           UnresolvedAttribute.quoted(names(2)),
           UnresolvedAttribute.quoted(names(3)),
-          tiebreak, forward, outer)
+          tiebreak, forward, outer, nearest = nearest)
       }))
 
     ext.injectFunction((

@@ -454,6 +454,94 @@ object TimeWindows {
       |  AND sec - click_sec <= 600
       |ORDER BY purchase_id""".stripMargin
 
+  /** Nearest-direction as-of through the custom operator
+    * (`nearest = true`): each purchase matched to its closest click in
+    * EITHER direction — the smaller of the backward gap (click at-or-before,
+    * gap ≥ 0) and the forward gap (click strictly after, reported as a
+    * NEGATIVE `gap_sec` so direction survives the projection). Equal gaps
+    * resolve backward, same-time clicks are backward matches with gap 0 —
+    * pandas `merge_asof(direction='nearest')`. The oracle computes both
+    * directional candidates with the window formulations of [[asofJoin]] /
+    * [[asofJoinForward]] and takes the argmin, so the hash gate pins the
+    * pick rule (including both tie policies) end-to-end. */
+  def asofJoinNearest(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
+    graft.plans.AsOf.joinNearest(
+        purchases, clicks,
+        leftKeys = Seq("user_id"), rightKeys = Seq("click_user"),
+        leftTime = "sec", rightTime = "click_sec",
+        rightTiebreak = Seq("click_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("click_id"), (col("sec") - col("click_sec")).as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinNearestSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), w AS (
+      |  SELECT event_id, user_id, event_type, sec,
+      |         last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+      |           OVER back AS b_id,
+      |         last_value(CASE WHEN is_click = 1 THEN sec END IGNORE NULLS)
+      |           OVER back AS b_sec,
+      |         first_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+      |           OVER fwd AS f_id,
+      |         first_value(CASE WHEN is_click = 1 THEN sec END IGNORE NULLS)
+      |           OVER fwd AS f_sec
+      |  FROM ev
+      |  WINDOW back AS (PARTITION BY user_id ORDER BY sec, is_click DESC, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |         fwd AS (PARTITION BY user_id ORDER BY sec, is_click DESC, event_id
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT event_id AS purchase_id, user_id,
+      |       CASE WHEN f_id IS NULL OR (b_id IS NOT NULL AND sec - b_sec <= f_sec - sec)
+      |            THEN b_id ELSE f_id END AS click_id,
+      |       CASE WHEN f_id IS NULL OR (b_id IS NOT NULL AND sec - b_sec <= f_sec - sec)
+      |            THEN sec - b_sec ELSE sec - f_sec END AS gap_sec
+      |FROM w
+      |WHERE event_type = 'purchase' AND (b_id IS NOT NULL OR f_id IS NOT NULL)
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Skew-hardened as-of: the salted form the operator's Scaladoc names as
+    * the hot-key mitigation (`AsOfJoinPlan`: single hot key = clustered-join
+    * exposure), shipped as a query so the mechanics are oracle-protected.
+    *
+    * An as-of can't salt like an equi-join (hash both sides): every left
+    * row needs the FULL right history of its key, so the left side salts
+    * (deterministic hash of its row identity → one of `AsofSalts` subkeys)
+    * and the right side REPLICATES ×`AsofSalts` (explode), joining on
+    * (key, salt). A key that previously landed on one reducer now spreads
+    * over `AsofSalts` of them; each still sees the key's whole right
+    * history, so the result is provably identical — the oracle is the
+    * UNSALTED window formulation ([[asofJoinSql]]), making the equivalence
+    * a hash-gate fact, not a claim. Cost: the right side shuffles ×salts —
+    * the standard trade (pay replication of the small/history side to
+    * split the hot fact key); keep `AsofSalts` modest and target it at
+    * skewed keys only in production (here every key salts, worst case for
+    * the rewrite, and it must still match). */
+  private val AsofSalts = 8
+
+  def asofJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
+    val l = purchases.withColumn("salt",
+      pmod(hash(col("event_id")), lit(AsofSalts)))
+    val r = clicks.withColumn("click_salt",
+      explode(sequence(lit(0), lit(AsofSalts - 1))))
+    graft.plans.AsOf.joinBackward(
+        l, r,
+        leftKeys = Seq("user_id", "salt"), rightKeys = Seq("click_user", "click_salt"),
+        leftTime = "sec", rightTime = "click_sec",
+        rightTiebreak = Seq("click_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("click_id"), (col("sec") - col("click_sec")).as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
   /** The SQL-surface twin of [[asofJoinPhysical]]: the identical join
     * through the `asof_join(TABLE(...), TABLE(...), ...)` table function
     * registered in `GraftExtensions` — proving a pure-SQL user reaches the
@@ -542,6 +630,8 @@ object TimeWindows {
     "asof_join_forward_physical" -> (asofJoinForwardPhysical _),
     "asof_join_outer"    -> (asofJoinOuter _),
     "asof_join_tolerance" -> (asofJoinTolerance _),
+    "asof_join_nearest"  -> (asofJoinNearest _),
+    "asof_join_salted"   -> (asofJoinSalted _),
     "asof_join_tvf"      -> (asofJoinTvf _)
   )
 
@@ -562,6 +652,8 @@ object TimeWindows {
     "asof_join_forward_physical" -> asofJoinForwardSql,
     "asof_join_outer"    -> asofJoinOuterSql,
     "asof_join_tolerance" -> asofJoinToleranceSql,
+    "asof_join_nearest"  -> asofJoinNearestSql,
+    "asof_join_salted"   -> asofJoinSql,  // salted rewrite must equal the plain as-of
     "asof_join_tvf"      -> asofJoinSql
   )
 }

@@ -55,6 +55,29 @@ object AsOf {
     join(left, right, leftKeys, rightKeys, leftTime, rightTime,
       rightTiebreak, forward = true, outer = outer, tolerance = tolerance)
 
+  /** Closest right row per left row in EITHER direction — the smaller of
+    * the backward gap (`leftTime - rightTime`, rows at-or-before) and the
+    * forward gap (rows strictly after; at-equal-time rows always count as
+    * backward with gap 0). Equal gaps resolve to the BACKWARD row —
+    * pandas `merge_asof(direction='nearest')` semantics. Tiebreak order
+    * applies per direction: last among same-time backward rows, first
+    * among same-time forward rows. `tolerance` bounds the winning gap
+    * (if the nearer side is out of bound, so is the farther — no
+    * fallback). `outer = true` null-pads unmatched left rows. */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: Seq[String] = Nil,
+      outer: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame =
+    join(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      rightTiebreak, forward = false, outer = outer, tolerance = tolerance,
+      nearest = true)
+
   private def join(
       left: DataFrame,
       right: DataFrame,
@@ -65,7 +88,8 @@ object AsOf {
       rightTiebreak: Seq[String],
       forward: Boolean,
       outer: Boolean,
-      tolerance: Option[Long]): DataFrame = {
+      tolerance: Option[Long],
+      nearest: Boolean = false): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     val node = AsOfJoin(
@@ -75,7 +99,7 @@ object AsOf {
       attr(lPlan, leftTime, "left"),
       attr(rPlan, rightTime, "right"),
       rightTiebreak.map(attr(rPlan, _, "right")),
-      forward, outer, tolerance)
+      forward, outer, tolerance, nearest)
     GraftShims.ofRows(left.sparkSession, node)
   }
 

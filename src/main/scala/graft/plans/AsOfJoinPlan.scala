@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.LongType
 
 /** As-of join as a first-class Catalyst operator: for every left row, the
   * single closest right row of the same key — backward (most recent with
-  * `rightTime <= leftTime`, the default) or forward (`forward = true`:
-  * earliest with `rightTime >= leftTime`). Inner semantics by default —
+  * `rightTime <= leftTime`, the default), forward (`forward = true`:
+  * earliest with `rightTime >= leftTime`), or nearest (`nearest = true`:
+  * whichever of those two is closer in absolute gap, ties to the backward
+  * row — pandas `merge_asof(direction='nearest')`). Inner semantics by default —
   * unmatched left rows drop out; `outer = true` keeps EVERY left row
   * (including null-key/null-time rows, which never match) null-padded on
   * the right — the default shape of pandas `merge_asof` and kdb `aj`.
@@ -55,9 +57,13 @@ case class AsOfJoin(
     rightTiebreak: Seq[Expression],
     forward: Boolean = false,
     outer: Boolean = false,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    nearest: Boolean = false) extends BinaryNode {
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs at least one equi-key on each side, same count")
+  require(!(forward && nearest),
+    "as-of direction is one of backward (default), forward, or nearest — " +
+      "forward and nearest are mutually exclusive")
   require(tolerance.forall(_ > 0L),
     s"as-of tolerance must be positive (same units as the time columns), " +
       s"got ${tolerance.get}")
@@ -101,8 +107,8 @@ case class AsOfJoin(
   * `SparkSessionExtensions.injectPlannerStrategy` in `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, fwd, out, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, out, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, fwd, out, tol, near) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, fwd, out, tol, planLater(l), planLater(r), near) :: Nil
     case _ => Nil
   }
 }
@@ -142,7 +148,8 @@ case class AsOfJoinExec(
     outer: Boolean,
     tolerance: Option[Long],
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    nearest: Boolean = false) extends BinaryExecNode {
 
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     s"as-of time columns must be BIGINT (epoch-like), got " +
@@ -181,6 +188,7 @@ case class AsOfJoinExec(
     val lOut = left.output
     val rOut = right.output
     val isForward = forward
+    val isNearest = nearest
     val isOuter = outer
     val tol = tolerance
     // the projection's output attrs must be nullable on the right when
@@ -327,6 +335,39 @@ case class AsOfJoinExec(
           }
         }
 
+        /** Nearest direction: after the backward advance, `candidate` is the
+          * latest same-key row `<= lTime` and `rightRow` — when it still has
+          * the same key — is exactly the FIRST same-key row `> lTime` (the
+          * forward match; same-time rows were consumed into the backward
+          * candidate, so a forward gap is always > 0). Pick the smaller
+          * absolute gap, ties to the backward row, then apply the tolerance
+          * to the winner (if the nearer side is out of bound, the farther
+          * side is too, so no second chance is needed). Gaps use saturating
+          * subtraction so pathological epoch extremes compare sanely instead
+          * of overflowing. */
+        private def satGap(a: Long, b: Long): Long = {
+          val g = a - b
+          if (a >= b && g < 0) Long.MaxValue else g // overflow → saturate
+        }
+
+        private def nearestMatch(lRow: InternalRow, lKey: UnsafeRow, lTime: Long): InternalRow = {
+          val backGap = if (candidate != null) satGap(lTime, candidateTime) else -1L
+          var fwdGap = -1L
+          if (rightRow != null) {
+            val rKey = rKeyProj(rightRow)
+            if (!rKey.anyNull && keyOrd.compare(rKey, lKey) == 0) {
+              val rt = rTimeProj(rightRow)
+              if (!rt.isNullAt(0)) fwdGap = satGap(rt.getLong(0), lTime)
+            }
+          }
+          val pickBack = candidate != null && (fwdGap < 0 || backGap <= fwdGap)
+          if (pickBack) {
+            if (tol.forall(backGap <= _)) resultProj(joined(lRow, candidate)) else null
+          } else if (fwdGap >= 0) {
+            if (tol.forall(fwdGap <= _)) resultProj(joined(lRow, rightRow)) else null
+          } else null
+        }
+
         override def hasNext: Boolean = {
           while (staged == null && lIter.hasNext) {
             val lRow = lIter.next()
@@ -335,10 +376,12 @@ case class AsOfJoinExec(
               val t = lTimeProj(lRow)
               if (!t.isNullAt(0)) {
                 advance(lKey, t.getLong(0))
-                // tolerance: the latest preceding row either matches within
-                // the bound or the left row has no match at all (an even
-                // older row is never a fallback)
-                if (candidate != null &&
+                if (isNearest) {
+                  staged = nearestMatch(lRow, lKey, t.getLong(0))
+                } else if (candidate != null &&
+                    // tolerance: the latest preceding row either matches
+                    // within the bound or the left row has no match at all
+                    // (an even older row is never a fallback)
                     tol.forall(t.getLong(0) - candidateTime <= _))
                   staged = resultProj(joined(lRow, candidate))
               }

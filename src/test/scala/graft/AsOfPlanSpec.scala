@@ -205,12 +205,96 @@ class AsOfPlanSpec extends GraftSpec {
     assert(got === Set((3, 1), (2, 2), (1, 2)))
   }
 
+  test("nearest as-of: absolute-gap argmin, ties to backward, composes with outer+tolerance") {
+    // lid 1 @10: backward rid 3 @10 (gap 0) beats forward (none) → rid 3
+    // lid 2 @7: backward rid 1 @5 (gap 2) vs forward rid 2 @10 (gap 3) → rid 1
+    // lid 3 @4: backward (none) vs forward rid 1 @5 (gap 1) → rid 1
+    // lid 4 @100: backward rid 5 @90 (gap 10), forward none → rid 5
+    // lid 5/6/7: null key / null time / absent key → dropped (inner)
+    val got = AsOf.joinNearest(leftDf, rightDf,
+        leftKeys = Seq("k"), rightKeys = Seq("rk"),
+        leftTime = "lsec", rightTime = "rsec", rightTiebreak = Seq("rid"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got === Set((1, 3), (2, 1), (3, 1), (4, 5)))
+
+    // equal gaps resolve to the BACKWARD row (pandas direction='nearest')
+    import spark.implicits._
+    val l = spark.sparkContext.parallelize(Seq(("a", 10L, 1))).toDF("k", "lsec", "lid")
+    val r = spark.sparkContext.parallelize(Seq(
+      ("a", 7L, 21), ("a", 13L, 22))).toDF("rk", "rsec", "rid")
+    val tie = AsOf.joinNearest(l, r, Seq("k"), Seq("rk"), "lsec", "rsec")
+      .select("rid").collect().map(_.getInt(0)).toSeq
+    assert(tie === Seq(21), "equal-gap tie must pick the backward row")
+
+    // tolerance bounds the WINNING gap; outer keeps the row null-padded
+    val tol = AsOf.joinNearest(leftDf, rightDf,
+        leftKeys = Seq("k"), rightKeys = Seq("rk"),
+        leftTime = "lsec", rightTime = "rsec", rightTiebreak = Seq("rid"),
+        outer = true, tolerance = Some(3L))
+      .select("lid", "rid").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSet
+    // lid 4's nearest (gap 10) is out of bound → padded, no fallback
+    assert(tol === Set((1, Some(3)), (2, Some(1)), (3, Some(1)),
+      (4, None), (5, None), (6, None), (7, None)))
+
+    // forward+nearest is a construction error
+    val lPlan = leftDf.queryExecution.analyzed
+    val rPlan = rightDf.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val err = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin(lPlan, rPlan,
+        Seq(a(lPlan, "k")), Seq(a(rPlan, "rk")), a(lPlan, "lsec"), a(rPlan, "rsec"),
+        Nil, forward = true, nearest = true)
+    }
+    assert(err.getMessage.contains("mutually exclusive"), err.getMessage)
+  }
+
+  test("nearest as-of via the SQL table function reaches the custom exec") {
+    leftDf.createOrReplaceTempView("asof_near_l_v")
+    rightDf.createOrReplaceTempView("asof_near_r_v")
+    try {
+      val out = spark.sql(
+        """SELECT lid, rid FROM asof_join(TABLE(asof_near_l_v), TABLE(asof_near_r_v),
+          |  'k', 'rk', 'lsec', 'rsec', 'rid', 'nearest')""".stripMargin)
+      assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      val got = out.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(got === Set((1, 3), (2, 1), (3, 1), (4, 5)))
+    } finally {
+      spark.catalog.dropTempView("asof_near_l_v")
+      spark.catalog.dropTempView("asof_near_r_v")
+    }
+  }
+
   test("forward custom as-of matches the forward window twin row for row at sf0.001") {
     val win = TimeWindows.asofJoinForward(spark, sf0001).collect()
     val custom = TimeWindows.asofJoinForwardPhysical(spark, sf0001).collect()
     assert(custom.length === win.length)
     assert(custom.sameElements(win),
       s"first divergence: ${custom.zip(win).find { case (c, w) => c != w }}")
+  }
+
+  test("salted as-of equals the unsalted join row for row, within the shuffle budget") {
+    spark.catalog.clearCache()
+    val salted = TimeWindows.asofJoinSalted(spark, sf0001)
+    val plain = TimeWindows.asofJoinPhysical(spark, sf0001)
+    // the rewrite is result-identical: every left row still sees its key's
+    // full right history inside its salt bucket
+    assert(salted.collect().sameElements(plain.collect()),
+      "salting must not change the as-of result")
+    // and it stays on the custom exec with the SAME exchange count as the
+    // unsalted twin — salting adds compute (hash + explode), never a shuffle
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(800))
+    def shuffleCount(p: String) =
+      "(?m)^\\s*(?:[+:|\\- ]*)Exchange ".r.findAllIn(p).length
+    val plainShuffles = shuffleCount(plain.queryExecution.executedPlan.toString)
+    assert(shuffleCount(plan) === plainShuffles,
+      s"salting must add no shuffles beyond the unsalted form's $plainShuffles:\n$plan")
+    // the clustering keys must actually include the salt, or the hot key
+    // still lands on one reducer and the rewrite is decorative
+    assert(plan.contains("salt"), s"salt column missing from the exchange keys:\n$plan")
   }
 
   test("multi-column keys resolve and match componentwise") {

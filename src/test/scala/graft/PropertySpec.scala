@@ -187,21 +187,33 @@ class PropertySpec extends GraftSpec {
       val lDf = spark.sparkContext.parallelize(l, 3).toDF("k", "lsec", "lid")
       val rDf = spark.sparkContext.parallelize(r, 3).toDF("rk", "rsec", "rid")
 
-      def reference(forward: Boolean, outer: Boolean,
+      def reference(direction: String, outer: Boolean,
                     tol: Option[Long]): Set[(Int, Option[Int])] =
         l.flatMap { case (k, t, lid) =>
-          val cands = r.filter { case (rk, rt, _) => rk == k &&
-            (if (forward) rt >= t else rt <= t) }
-          val best =
-            if (cands.isEmpty) None
-            // backward: latest time, largest id on ties;
-            // forward: earliest time, smallest id on ties
-            else if (forward) Some(cands.minBy { case (_, rt, rid) => (rt, rid) })
-            else Some(cands.maxBy { case (_, rt, rid) => (rt, rid) })
+          // backward candidate: latest time ≤ t, largest id on ties;
+          // forward candidate: earliest time after t, smallest id on ties
+          // (equal-time rows are ALWAYS backward candidates, gap 0)
+          val backBest = r.filter { case (rk, rt, _) => rk == k && rt <= t }
+            .sortBy { case (_, rt, rid) => (rt, rid) }.lastOption
+          val fwdBest = r.filter { case (rk, rt, _) => rk == k && rt > t }
+            .sortBy { case (_, rt, rid) => (rt, rid) }.headOption
+          val best = direction match {
+            case "backward" => backBest
+            case "forward"  =>
+              // forward semantics are non-strict (>=): an equal-time row is
+              // the match, and among equal times the smallest id wins
+              r.filter { case (rk, rt, _) => rk == k && rt >= t }
+                .sortBy { case (_, rt, rid) => (rt, rid) }.headOption
+            case "nearest"  => (backBest, fwdBest) match {
+              case (Some(b), Some(f)) =>
+                if (t - b._2 <= f._2 - t) Some(b) else Some(f) // tie → backward
+              case (b, f) => b.orElse(f)
+            }
+          }
           // tolerance applies to the CLOSEST row only — beyond-bound means
           // unmatched, never a fallback to the next-closest
           val bounded = best.filter { case (_, rt, _) =>
-            tol.forall(b => (if (forward) rt - t else t - rt) <= b) }
+            tol.forall(b => math.abs(rt - t) <= b) }
           bounded match {
             case Some((_, _, rid))  => Some((lid, Some(rid)))
             case None if outer      => Some((lid, None))
@@ -209,19 +221,23 @@ class PropertySpec extends GraftSpec {
           }
         }.toSet
 
-      for (fwd <- Seq(false, true); out <- Seq(false, true);
+      for (dir <- Seq("backward", "forward", "nearest"); out <- Seq(false, true);
            tol <- Seq(None, Some(4L))) {
-        val joined =
-          if (fwd) graft.plans.AsOf.joinForward(
+        val joined = dir match {
+          case "forward" => graft.plans.AsOf.joinForward(
             lDf, rDf, Seq("k"), Seq("rk"), "lsec", "rsec", Seq("rid"),
             outer = out, tolerance = tol)
-          else graft.plans.AsOf.joinBackward(
+          case "nearest" => graft.plans.AsOf.joinNearest(
             lDf, rDf, Seq("k"), Seq("rk"), "lsec", "rsec", Seq("rid"),
             outer = out, tolerance = tol)
+          case _ => graft.plans.AsOf.joinBackward(
+            lDf, rDf, Seq("k"), Seq("rk"), "lsec", "rsec", Seq("rid"),
+            outer = out, tolerance = tol)
+        }
         val got = joined.select("lid", "rid").collect()
           .map(x => (x.getInt(0), if (x.isNullAt(1)) None else Some(x.getInt(1)))).toSet
-        assert(got === reference(fwd, out, tol),
-          s"case $caseNo forward=$fwd outer=$out tol=$tol left=$l right=$r")
+        assert(got === reference(dir, out, tol),
+          s"case $caseNo direction=$dir outer=$out tol=$tol left=$l right=$r")
       }
     }
   }
