@@ -34,6 +34,27 @@ class DataPrepSpec extends GraftSpec {
     }
   }
 
+  test("Ranks.releaseAll returns storage to baseline after repeat global-rank runs") {
+    // the rank sorts persist MEMORY_AND_DISK blocks (one per call); a
+    // long-lived session running the rank consumers repeatedly must be able
+    // to reclaim them deterministically — the release registry is the fix
+    // for exactly that leak, so pin it: double-run two rank-using queries,
+    // release, and assert the persistent-RDD registry is back to baseline
+    graft.operators.Ranks.releaseAll()  // clear residue from earlier tests
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    (1 to 2).foreach { _ =>
+      DataPrep.vocabEncode(spark, sf0001).collect()
+      graft.operators.QualityFilters.qualitySignalAgreement(spark, sf0001).collect()
+    }
+    val during = spark.sparkContext.getPersistentRDDs.keySet
+    assert((during -- baseline).nonEmpty,
+      "expected the rank sorts to persist blocks while live")
+    graft.operators.Ranks.releaseAll()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after == baseline,
+      s"leaked persistent RDDs after releaseAll: ${after -- baseline}")
+  }
+
   test("split assign: buckets are content-stable (subset never reassigns)") {
     // the same doc_id must land in the same split regardless of corpus
     // size — recompute on a half corpus and compare per document
