@@ -62,6 +62,29 @@ object Tables {
 
   private def eventsWithTs(df: DataFrame): DataFrame = normalizeTs(df)
 
+  /** Normalize `embeddings.embedding` to `array<float>` — the declared
+    * vector type every similarity operator computes in. Parquet writers
+    * routinely flip between `list<float>` and `list<double>` (and the
+    * driver has already regenerated tables with changed physical types
+    * once — see [[normalizeTs]]); a silent `array<double>` would fail
+    * every ANN query at analysis. The float→double precision question is
+    * moot here: vectors are MODEL OUTPUT, fp32 at the source; a double
+    * encoding carries no extra information, so the down-cast is the
+    * identity on real data. Unknown element types fail loudly at the
+    * loader with the actual schema, not deep inside a query. */
+  def normalizeEmbedding(df: DataFrame, colName: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(DoubleType, n) =>
+        df.withColumn(colName, col(colName).cast(ArrayType(FloatType, n)))
+      case other => throw new IllegalArgumentException(
+        s"embeddings.$colName must be array<float> or array<double>, got " +
+          s"${other.sql} — the table schema drifted; extend Tables.normalizeEmbedding")
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
@@ -71,7 +94,8 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = fanOut(s, table(s, d, "lineitem"))
   def events(s: SparkSession, d: String): DataFrame    = eventsWithTs(fanOut(s, table(s, d, "events")))
   def documents(s: SparkSession, d: String): DataFrame = fanOut(s, table(s, d, "documents"))
-  def embeddings(s: SparkSession, d: String): DataFrame = fanOut(s, table(s, d, "embeddings"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    normalizeEmbedding(fanOut(s, table(s, d, "embeddings")))
 
   /** Expected column names per table (SURVEY.md §1: fixed schemas declared
     * in code; the parquet footer is the source of truth, this asserts we

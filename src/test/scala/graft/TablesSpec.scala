@@ -40,6 +40,26 @@ class TablesSpec extends GraftSpec {
     assert(instants.forall(_ == micros), s"encodings disagree: $instants vs $micros")
   }
 
+  test("embeddings loader pins the vector type across float/double encodings") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // the shipped table must come out array<float>
+    val vec = Tables.embeddings(spark, sf0001).schema("embedding").dataType
+    assert(vec == ArrayType(FloatType, containsNull = true) ||
+           vec == ArrayType(FloatType, containsNull = false), s"got ${vec.sql}")
+    // a double-encoded regeneration normalizes to the same values
+    val doubles = spark.range(3).select(col("id"),
+      array(col("id").cast("double") / 4, lit(0.25)).as("embedding"))
+    val norm = Tables.normalizeEmbedding(doubles)
+    assert(norm.schema("embedding").dataType.asInstanceOf[ArrayType].elementType == FloatType)
+    val vals = norm.orderBy("id").collect().map(_.getSeq[Float](1).toSeq)
+    assert(vals.toSeq == Seq(Seq(0.0f, 0.25f), Seq(0.25f, 0.25f), Seq(0.5f, 0.25f)))
+    // any other element type must fail at the loader, naming the schema
+    val bad = spark.range(1).select(array(lit("x")).as("embedding"))
+    val err = intercept[IllegalArgumentException](Tables.normalizeEmbedding(bad))
+    assert(err.getMessage.contains("array<float>"), err.getMessage)
+  }
+
   test("fact scans fan out to full parallelism; dims keep natural partitioning") {
     // the harness parquet is single-row-group (scan = 1 task); the guarded
     // repartition must spread fact compute across cores without touching
