@@ -60,6 +60,41 @@ class TablesSpec extends GraftSpec {
     assert(err.getMessage.contains("array<float>"), err.getMessage)
   }
 
+  test("loader output dtypes are pinned (regeneration drift fails here, not mid-query)") {
+    // the driver has regenerated /root/testdata with changed physical types
+    // before (events.ts nanos → NTZ-micros); the loaders normalize the
+    // benign re-encodings (ts, embedding vectors), and THIS pin catches
+    // everything else with a message naming the table and column. If it
+    // fires after a regeneration: decide normalize-vs-adopt per column,
+    // mirroring Tables.normalizeTs / normalizeEmbedding.
+    val expected = Map(
+      "documents" -> Map("doc_id" -> "bigint", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> Map("vec_id" -> "bigint",
+        "embedding" -> "array<float>", "label" -> "int"),
+      "events" -> Map("event_id" -> "bigint", "ts" -> "timestamp",
+        "user_id" -> "bigint", "event_type" -> "string",
+        "value" -> "double", "props" -> "string"),
+      "lineitem" -> Map("l_orderkey" -> "bigint", "l_linenumber" -> "int",
+        "l_quantity" -> "double", "l_extendedprice" -> "double",
+        "l_shipdate" -> "timestamp_ntz"),
+      "orders" -> Map("o_orderkey" -> "bigint", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"))
+    val loaders: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "documents" -> (Tables.documents _), "embeddings" -> (Tables.embeddings _),
+      "events" -> (Tables.events _), "lineitem" -> (Tables.lineitem _),
+      "orders" -> (Tables.orders _))
+    expected.foreach { case (table, cols) =>
+      val schema = loaders(table)(spark, sf0001).schema
+      cols.foreach { case (c, want) =>
+        val got = schema(c).dataType.simpleString
+        assert(got == want, s"$table.$c: loader yields $got, pinned $want — " +
+          "testdata regeneration drift; see this test's comment")
+      }
+    }
+  }
+
   test("fact scans fan out to full parallelism; dims keep natural partitioning") {
     // the harness parquet is single-row-group (scan = 1 task); the guarded
     // repartition must spread fact compute across cores without touching
