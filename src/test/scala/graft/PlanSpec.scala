@@ -257,4 +257,39 @@ class PlanSpec extends GraftSpec {
     // codegen'd operators carry the "*(n)" stage prefix in toString
     assert(plan.contains("*(1)"), plan.take(800))
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the engine's skew posture (SCALE.md): manual salting where AQE can't
+    // see (aggregations, the custom as-of exec) and AQE's skew-join split
+    // for plain sort-merge joins — this pins the latter actually engaging.
+    // One hot key (~90% of the left side) with thresholds scaled down to
+    // harness size; the hot partition must split into multiple tasks and
+    // the result must equal the non-adaptive join.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = spark.range(0, 20000)
+      .select(when(col("id") % 10 =!= 0, 1L).otherwise(col("id")).as("k"),
+              col("id").as("payload"))
+    val right = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("rv"))
+    def joined = left.join(right.hint("SHUFFLE_MERGE"), "k")
+      .agg(count(lit(1)).as("n"), sum(col("payload") + col("rv")).as("s"))
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = joined
+      val rows = df.collect()
+      val plan = planOf(df)
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not engage:\n${plan.take(1500)}")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val baseline = joined.collect()
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      assert(rows.sameElements(baseline), "skew split changed the result")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
