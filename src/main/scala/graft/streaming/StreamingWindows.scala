@@ -584,4 +584,141 @@ object StreamingWindows {
         TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
+
+  case class AsOfPend(sec: Long, event_id: Long)
+
+  /** Streaming NEAREST as-of (the batch `nearest = true` direction of
+    * `graft.plans.AsOfJoinExec`, tolerance-bounded).
+    *
+    * Nearest REQUIRES a tolerance in streaming: the match may be a click
+    * that has not arrived yet, and without a bound a purchase would have
+    * to wait forever for a possibly-nearer future click. With a bound the
+    * decision point is exact: purchase at second `s` is decidable once the
+    * watermark closes every second ≤ `s + tol` — no admissible click can
+    * change the answer after that.
+    *
+    * State per user, all watermark-bounded:
+    *   - the raw event buffer (same role as [[AsOfProcessor]]'s: exact
+    *     event-time ordering for out-of-order arrivals),
+    *   - finalized-but-undecided purchases (those with `s + tol` still
+    *     above the horizon),
+    *   - a sliding window of finalized clicks, retained only while
+    *     `c.sec ≥ horizon − 2·tol`: every undecided or future purchase has
+    *     `s ≥ horizon − tol`, and its backward window reaches `s − tol` —
+    *     older clicks can never be candidates again. A cleanup timer clears
+    *     the window for churned-away users, so the TTL bounds STATE, not
+    *     just matching.
+    *
+    * Pick rule is the batch operator's exactly: backward candidate = latest
+    * click ≤ s within tol (largest id on ties), forward = earliest click
+    * > s within tol (smallest id on ties), smaller absolute gap wins, equal
+    * gaps resolve backward; `gap_sec` is signed (`s − c.sec`, negative =
+    * forward match) like the batch `asof_join_nearest` projection. */
+  class NearestAsOfProcessor(tolerance: java.time.Duration)
+      extends StatefulProcessor[Long, AsOfEv, AsOfHit] {
+    private val tolSec: Long = {
+      require(!tolerance.isNegative && !tolerance.isZero,
+        s"nearest as-of tolerance must be positive, got $tolerance")
+      math.max(1L, tolerance.toSeconds)
+    }
+    @transient private var buf: ListState[AsOfBuf] = _
+    @transient private var clicks: ListState[AsOfClick] = _
+    @transient private var pend: ListState[AsOfPend] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[AsOfBuf](
+        "buf", Encoders.product[AsOfBuf], TTLConfig.NONE)
+      clicks = getHandle.getListState[AsOfClick](
+        "clicks", Encoders.product[AsOfClick], TTLConfig.NONE)
+      pend = getHandle.getListState[AsOfPend](
+        "pend", Encoders.product[AsOfPend], TTLConfig.NONE)
+    }
+
+    private def armTimer(atMs: Long, tv: TimerValues): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(atMs, tv.getCurrentWatermarkInMs() + 1))
+    }
+
+    /** Earliest future instant at which new work becomes decidable: a
+      * buffered event finalizes at `(sec+1)s`, a pending purchase decides
+      * at `(sec+tol+1)s`, and with nothing else alive the click window
+      * fully evicts at `(newest + 2·tol + 1)s`. */
+    private def rearm(bufNow: Seq[AsOfBuf], pendNow: Seq[AsOfPend],
+                      clicksNow: Seq[AsOfClick], tv: TimerValues): Unit = {
+      val needs =
+        bufNow.map(e => (e.sec + 1) * 1000L) ++
+        pendNow.map(p => (p.sec + tolSec + 1) * 1000L) ++
+        (if (bufNow.isEmpty && pendNow.isEmpty && clicksNow.nonEmpty)
+           Seq((clicksNow.map(_.sec).max + 2 * tolSec + 1) * 1000L)
+         else Nil)
+      if (needs.nonEmpty) armTimer(needs.min, tv)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[AsOfEv],
+                                 tv: TimerValues): Iterator[AsOfHit] = {
+      var any = false
+      rows.foreach { e =>
+        val isClick = e.event_type == "click"
+        if (isClick || e.event_type == "purchase") {
+          buf.appendValue(AsOfBuf(e.ts.getTime / 1000L, isClick, e.event_id))
+          any = true
+        }
+      }
+      if (any)
+        rearm(buf.get().toSeq, pend.get().toSeq, clicks.get().toSeq, tv)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[AsOfHit] = {
+      // strict-< horizon: a second is closed only when ALL of it is below
+      // the watermark (same mid-second guard as AsOfProcessor)
+      val horizon = tv.getCurrentWatermarkInMs() / 1000L
+      val (ready, stay) = buf.get().toList.partition(_.sec < horizon)
+      val readySorted = ready.sortBy(e => (e.sec, !e.is_click, e.event_id))
+      val clickList = (clicks.get().toList ++
+        readySorted.filter(_.is_click).map(e => AsOfClick(e.sec, e.event_id)))
+        .sortBy(c => (c.sec, c.event_id))
+      val pendList = pend.get().toList ++
+        readySorted.filterNot(_.is_click).map(e => AsOfPend(e.sec, e.event_id))
+      val (decidable, waiting) = pendList.partition(_.sec + tolSec < horizon)
+
+      val out = decidable.sortBy(p => (p.sec, p.event_id)).flatMap { p =>
+        val back = clickList.filter(c => c.sec <= p.sec && p.sec - c.sec <= tolSec)
+          .sortBy(c => (c.sec, c.event_id)).lastOption
+        val fwd = clickList.filter(c => c.sec > p.sec && c.sec - p.sec <= tolSec)
+          .sortBy(c => (c.sec, c.event_id)).headOption
+        val chosen = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (p.sec - b.sec <= f.sec - p.sec) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+        chosen.map(c => AsOfHit(uid, p.event_id, c.event_id, p.sec - c.sec))
+      }
+
+      // sliding click window: undecided and future purchases reach back at
+      // most to horizon − 2·tol (see class doc) — older clicks evict
+      val keepClicks = clickList.filter(_.sec >= horizon - 2 * tolSec)
+      buf.clear(); if (stay.nonEmpty) buf.put(stay.toArray)
+      clicks.clear(); if (keepClicks.nonEmpty) clicks.put(keepClicks.toArray)
+      pend.clear(); if (waiting.nonEmpty) pend.put(waiting.toArray)
+      rearm(stay, waiting, keepClicks, tv)
+      out.iterator
+    }
+  }
+
+  /** Streaming nearest as-of via [[NearestAsOfProcessor]] — the
+    * tolerance-bounded `merge_asof(direction='nearest')` twin. Late events
+    * beyond the watermark are dropped, as in [[asofTws]]. */
+  def asofNearestTws(events: org.apache.spark.sql.Dataset[AsOfEv],
+                     tolerance: java.time.Duration,
+                     watermark: String = "10 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new NearestAsOfProcessor(tolerance),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
 }

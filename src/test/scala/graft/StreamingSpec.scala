@@ -820,6 +820,121 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming nearest as-of equals the batch nearest reference on random streams") {
+    // the tolerance-bounded nearest twin: random few-user, narrow-range
+    // streams over random micro-batch splits must equal the batch pick
+    // rule (abs-gap argmin, ties backward, backward ties largest id,
+    // forward ties smallest id, signed gap) — cross-batch buffering, the
+    // pending-purchase wait (a decision may need a click from a LATER
+    // batch), and click-window eviction can't change answers
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import StreamingWindows.AsOfEv
+    val tol = 4L
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evGen = Gen.zip(Gen.chooseNum(1L, 2L), Gen.chooseNum(0L, 20L),
+      Gen.oneOf("click", "purchase"))
+    val caseGen = Gen.zip(Gen.listOfN(16, evGen), Gen.chooseNum(1, 4))
+    val cases = (0 until 4).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(31L + i)))
+    try cases.zipWithIndex.foreach { case ((raw, nBatches), caseNo) =>
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val events = raw.zipWithIndex.map { case ((uid, sec, typ), i) =>
+        AsOfEv(uid, new Timestamp(t0 + sec * 1000), typ, i.toLong)
+      }
+      def sec(e: AsOfEv) = e.ts.getTime / 1000
+      val expected = events.filter(_.event_type == "purchase").flatMap { p =>
+        val cs = events.filter(c => c.event_type == "click" && c.user_id == p.user_id)
+        val back = cs.filter(c => sec(c) <= sec(p) && sec(p) - sec(c) <= tol)
+          .sortBy(c => (sec(c), c.event_id)).lastOption
+        val fwd = cs.filter(c => sec(c) > sec(p) && sec(c) - sec(p) <= tol)
+          .sortBy(c => (sec(c), c.event_id)).headOption
+        val chosen = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (sec(p) - sec(b) <= sec(f) - sec(p)) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+        chosen.map(c => (p.user_id, p.event_id, c.event_id, sec(p) - sec(c)))
+      }.toSet
+
+      val ms = MemoryStream[AsOfEv](200 + caseNo, spark, None)
+      val q = StreamingWindows.asofNearestTws(ms.toDS(),
+          tolerance = java.time.Duration.ofSeconds(tol), watermark = "10 minutes")
+        .writeStream.format("memory").queryName(s"asof_near_prop_$caseNo")
+        .outputMode("append").start()
+      try {
+        events.grouped(math.max(1, events.length / nBatches)).foreach { b =>
+          ms.addData(b: _*); q.processAllAvailable()
+        }
+        // sentinels push the watermark past every decision point
+        ms.addData(AsOfEv(99L, new Timestamp(t0 + 10_000_000), "view", 900L))
+        q.processAllAvailable()
+        ms.addData(AsOfEv(99L, new Timestamp(t0 + 10_001_000), "view", 901L))
+        q.processAllAvailable()
+        val got = spark.table(s"asof_near_prop_$caseNo").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got === expected,
+          s"case $caseNo (batches=$nBatches): events=$events")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("streaming nearest as-of: forward wait, equal-gap tie, beyond-tolerance drop") {
+    // deterministic edges: a purchase must WAIT for a possibly-nearer
+    // future click (decision at watermark > s+tol), equal gaps resolve
+    // backward, beyond-tolerance purchases drop, forward gap is negative
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import StreamingWindows.AsOfEv
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def ev(uid: Long, s: Long, t: String, id: Long) =
+        AsOfEv(uid, new Timestamp(t0 + s * 1000), t, id)
+      val ms = MemoryStream[AsOfEv](210, spark, None)
+      val q = StreamingWindows.asofNearestTws(ms.toDS(),
+          tolerance = java.time.Duration.ofSeconds(5), watermark = "0 seconds")
+        .writeStream.format("memory").queryName("asof_near_edge_mem")
+        .outputMode("append").start()
+      try {
+        // batch 1: purchase @10 with click @7 (back gap 3) — NOT decidable
+        // yet (needs watermark past 15); nothing may emit
+        ms.addData(ev(1, 7, "click", 1), ev(1, 10, "purchase", 2))
+        q.processAllAvailable()
+        assert(spark.table("asof_near_edge_mem").count() == 0,
+          "purchase decided before its forward window closed")
+        // batch 2: click @12 (fwd gap 2 < back gap 3) arrives LATER but
+        // must win; purchase @30 equal gaps (clicks @28,@32) → backward;
+        // purchase @50 nearest click @44 (gap 6 > tol) → dropped
+        ms.addData(ev(1, 12, "click", 3),
+          ev(1, 28, "click", 4), ev(1, 30, "purchase", 5), ev(1, 32, "click", 6),
+          ev(1, 44, "click", 7), ev(1, 50, "purchase", 8))
+        q.processAllAvailable()
+        // sentinels close every decision window
+        ms.addData(ev(99, 10000, "view", 900)); q.processAllAvailable()
+        ms.addData(ev(99, 10001, "view", 901)); q.processAllAvailable()
+        val got = spark.table("asof_near_edge_mem").collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got === Set((2L, 3L, -2L), (5L, 4L, 2L)),
+          s"got $got")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming as-of never finalizes the watermark's still-open second") {
     // a mid-second watermark (70_200 ms → horizon sec 70) must NOT flush
     // sec-70 events: a same-second click at 70_900 ms is still admissible
