@@ -1042,6 +1042,54 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming nearest as-of state is bounded: clicks evict past the 2-tolerance window") {
+    // state-data-source audit of the nearest processor's three stores:
+    // buffer drains at flush, decided purchases leave pend, and the click
+    // window holds only the trailing 2*tol seconds — churned users go to
+    // zero rows once the cleanup timer fires
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asofn_state").toString
+    def stateRows(varName: String): Long =
+      spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", varName)
+        .load().count()
+    try {
+      import StreamingWindows.AsOfEv
+      val ms = MemoryStream[AsOfEv](220, spark, None)
+      val q = StreamingWindows.asofNearestTws(ms.toDS(),
+          tolerance = java.time.Duration.ofSeconds(5), watermark = "30 seconds")
+        .writeStream.format("memory").queryName("asofn_bound_mem")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        def ev(uid: Long, offSec: Long, typ: String, id: Long) =
+          AsOfEv(uid, new Timestamp(t0 + offSec * 1000), typ, id)
+        ms.addData((1 to 20).map(i =>
+          ev(1, 50 + i, if (i % 2 == 0) "click" else "purchase", i.toLong)): _*)
+        q.processAllAvailable()
+        assert(stateRows("buf") === 20L,
+          "every in-flight event holds exactly one buffered list element")
+        // push the watermark far past every decision point and the click
+        // window (cleanup timer needs one extra advance to fire)
+        ms.addData(ev(2, 600, "view", 90)); q.processAllAvailable()
+        ms.addData(ev(2, 601, "view", 91)); q.processAllAvailable()
+        ms.addData(ev(2, 602, "view", 92)); q.processAllAvailable()
+        assert(stateRows("buf") === 0L, "the flush must evict the entire buffer")
+        assert(stateRows("pend") === 0L, "every decidable purchase must leave pend")
+        assert(stateRows("clicks") === 0L,
+          "the click window must fully evict once the watermark outruns 2*tol")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming as-of state is bounded: the buffer drains to O(1) per user at flush") {
     // audited through the state DATA SOURCE (offline state inspection —
     // the ops tool for "why is my state store huge"): per-element list
