@@ -68,7 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     //   SELECT * FROM asof_join(TABLE(l), TABLE(r),
     //                           'lkey', 'rkey', 'ltime', 'rtime'
     //                           [, 'rtiebreak'][, 'forward'|'backward'|'nearest']
-    //                           [, 'inner'|'outer'])
+    //                           [, 'inner'|'outer'][, 'tolerance=N'])
     // TABLE(...) arguments arrive as FunctionTableSubqueryArgumentExpression
     // carrying the parsed relation; the node is built with unresolved
     // attribute names and the analyzer resolves them against the two sides
@@ -77,9 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("asof_join"),
       new ExpressionInfo(classOf[graft.plans.AsOfJoin].getName, "asof_join"),
       (children: Seq[Expression]) => {
-        require(children.length >= 6 && children.length <= 9,
+        require(children.length >= 6 && children.length <= 10,
           "asof_join(TABLE(l), TABLE(r), 'lkey', 'rkey', 'ltime', 'rtime'" +
-            "[, 'rtiebreak'][, 'forward'|'backward'|'nearest'][, 'inner'|'outer'])")
+            "[, 'rtiebreak'][, 'forward'|'backward'|'nearest'][, 'inner'|'outer']" +
+            "[, 'tolerance=N'])")
         import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
         val l = tableArg(children(0), "asof_join left")
         val r = tableArg(children(1), "asof_join right")
@@ -99,9 +100,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s.equalsIgnoreCase("nearest")
         def isMode(s: String): Boolean =
           s.equalsIgnoreCase("outer") || s.equalsIgnoreCase("inner")
+        def isTol(s: String): Boolean = s.toLowerCase.startsWith("tolerance=")
         val extras = names.drop(4)
         val (tiebreakName, keywords) = extras match {
-          case head +: tail if !isDir(head) && !isMode(head) => (head, tail)
+          case head +: tail if !isDir(head) && !isMode(head) && !isTol(head) =>
+            (head, tail)
           case kw => ("", kw)
         }
         if (tiebreakName.isEmpty && extras.nonEmpty)
@@ -111,15 +114,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         var forward = false
         var nearest = false
         var outer = false
+        var tolerance: Option[Long] = None
         keywords.foreach {
           case d if isDir(d)  =>
             forward = d.equalsIgnoreCase("forward")
             nearest = d.equalsIgnoreCase("nearest")
           case m if isMode(m) => outer = m.equalsIgnoreCase("outer")
+          case t if isTol(t)  =>
+            val v = t.substring("tolerance=".length)
+            tolerance = Some(try v.toLong catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"asof_join tolerance must be a positive integer " +
+                  s"(same units as the time columns), got 'tolerance=$v'")
+            })
           case other => throw new IllegalArgumentException(
-            s"asof_join optional argument must be 'forward'/'backward'/'nearest' " +
-              s"or 'inner'/'outer' (after an optional leading tiebreak column), " +
-              s"got '$other'")
+            s"asof_join optional argument must be 'forward'/'backward'/'nearest', " +
+              s"'inner'/'outer', or 'tolerance=N' (after an optional leading " +
+              s"tiebreak column), got '$other'")
         }
         val tiebreak =
           if (tiebreakName.nonEmpty) Seq(UnresolvedAttribute.quoted(tiebreakName))
@@ -129,7 +140,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq(UnresolvedAttribute.quoted(names(1))),
           UnresolvedAttribute.quoted(names(2)),
           UnresolvedAttribute.quoted(names(3)),
-          tiebreak, forward, outer, nearest = nearest)
+          tiebreak, forward, outer, tolerance, nearest)
       }))
 
     ext.injectFunction((

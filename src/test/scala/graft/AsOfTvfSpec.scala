@@ -80,6 +80,37 @@ class AsOfTvfSpec extends GraftSpec {
     assert(n === nLeft, "outer forward must keep every left row")
   }
 
+  test("SQL asof_join TVF 'tolerance=N' equals the tolerance DataFrame form") {
+    makeViews()
+    val viaSql = spark.sql(
+      """SELECT event_id AS purchase_id, user_id, click_id,
+        |       sec - click_sec AS gap_sec
+        |FROM asof_join(TABLE(purch_v), TABLE(click_v),
+        |               'user_id', 'click_user', 'sec', 'click_sec',
+        |               'click_id', 'tolerance=600')
+        |ORDER BY purchase_id""".stripMargin).collect()
+    val viaApi = TimeWindows.asofJoinTolerance(spark, sf0001).collect()
+    assert(viaSql.length === viaApi.length && viaSql.sameElements(viaApi))
+    // composes with a direction keyword; parse order is free
+    val near = spark.sql(
+      """SELECT count(*) FROM asof_join(TABLE(purch_v), TABLE(click_v),
+        |  'user_id', 'click_user', 'sec', 'click_sec',
+        |  'click_id', 'nearest', 'tolerance=600')""".stripMargin)
+      .collect().head.getLong(0)
+    assert(near > 0)
+    // malformed and non-positive tolerances fail with the reason
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join(TABLE(purch_v), TABLE(click_v), " +
+        "'user_id', 'click_user', 'sec', 'click_sec', 'tolerance=soon')").collect()
+    }
+    assert(bad.getMessage.contains("positive integer"), bad.getMessage)
+    val zero = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join(TABLE(purch_v), TABLE(click_v), " +
+        "'user_id', 'click_user', 'sec', 'click_sec', 'tolerance=0')").collect()
+    }
+    assert(zero.getMessage.contains("positive"), zero.getMessage)
+  }
+
   test("TVF argument errors are caught with clear messages") {
     makeViews()
     val noTable = intercept[Exception] {
