@@ -507,6 +507,58 @@ object TimeWindows {
       |WHERE event_type = 'purchase' AND (b_id IS NOT NULL OR f_id IS NOT NULL)
       |ORDER BY purchase_id""".stripMargin
 
+  /** Nearest + tolerance composed: the closest click in either direction,
+    * but only within 600 s — the last matrix cell (direction × bound)
+    * exercised under the oracle. Pick-then-bound semantics: the nearest
+    * candidate is chosen first and the bound applies to the WINNER (if
+    * the nearer side is out of bound, the farther side is too — never a
+    * fallback), which the oracle mirrors by filtering the argmin's gap. */
+  def asofJoinNearestTol(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
+    graft.plans.AsOf.joinNearest(
+        purchases, clicks,
+        leftKeys = Seq("user_id"), rightKeys = Seq("click_user"),
+        leftTime = "sec", rightTime = "click_sec",
+        rightTiebreak = Seq("click_id"), tolerance = Some(600L))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("click_id"), (col("sec") - col("click_sec")).as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  val asofJoinNearestTolSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), w AS (
+      |  SELECT event_id, user_id, event_type, sec,
+      |         last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+      |           OVER back AS b_id,
+      |         last_value(CASE WHEN is_click = 1 THEN sec END IGNORE NULLS)
+      |           OVER back AS b_sec,
+      |         first_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+      |           OVER fwd AS f_id,
+      |         first_value(CASE WHEN is_click = 1 THEN sec END IGNORE NULLS)
+      |           OVER fwd AS f_sec
+      |  FROM ev
+      |  WINDOW back AS (PARTITION BY user_id ORDER BY sec, is_click DESC, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |         fwd AS (PARTITION BY user_id ORDER BY sec, is_click DESC, event_id
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |), picked AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |         CASE WHEN f_id IS NULL OR (b_id IS NOT NULL AND sec - b_sec <= f_sec - sec)
+      |              THEN b_id ELSE f_id END AS click_id,
+      |         CASE WHEN f_id IS NULL OR (b_id IS NOT NULL AND sec - b_sec <= f_sec - sec)
+      |              THEN sec - b_sec ELSE sec - f_sec END AS gap_sec
+      |  FROM w
+      |  WHERE event_type = 'purchase' AND (b_id IS NOT NULL OR f_id IS NOT NULL)
+      |)
+      |SELECT purchase_id, user_id, click_id, gap_sec FROM picked
+      |WHERE abs(gap_sec) <= 600
+      |ORDER BY purchase_id""".stripMargin
+
   /** Skew-hardened as-of: the salted form the operator's Scaladoc names as
     * the hot-key mitigation (`AsOfJoinPlan`: single hot key = clustered-join
     * exposure), shipped as a query so the mechanics are oracle-protected.
@@ -631,6 +683,7 @@ object TimeWindows {
     "asof_join_outer"    -> (asofJoinOuter _),
     "asof_join_tolerance" -> (asofJoinTolerance _),
     "asof_join_nearest"  -> (asofJoinNearest _),
+    "asof_join_nearest_tol" -> (asofJoinNearestTol _),
     "asof_join_salted"   -> (asofJoinSalted _),
     "asof_join_tvf"      -> (asofJoinTvf _)
   )
@@ -653,6 +706,7 @@ object TimeWindows {
     "asof_join_outer"    -> asofJoinOuterSql,
     "asof_join_tolerance" -> asofJoinToleranceSql,
     "asof_join_nearest"  -> asofJoinNearestSql,
+    "asof_join_nearest_tol" -> asofJoinNearestTolSql,
     "asof_join_salted"   -> asofJoinSql,  // salted rewrite must equal the plain as-of
     "asof_join_tvf"      -> asofJoinSql
   )
