@@ -33,7 +33,8 @@ object Multimodal {
   /** Typed metadata for an opaque media payload. */
   case class MediaMeta(mime: String, width: Int, height: Int, nBytes: Long)
   case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
-  case class MediaRowFlat(doc_id: Long, mime: String, payload: Array[Byte])
+  case class MediaRowFlat(doc_id: Long, mime: String, payload: Array[Byte],
+                          src_bytes: Long)
   case class MediaFeatures(doc_id: Long, mime: String, n_samples: Long,
                            sample_sum: Long, sample_mean: Double, sample_max: Int)
 
@@ -116,7 +117,9 @@ object Multimodal {
             case 1 => ("audio/wav" , MediaCodecs.toWav(data))
             case _ => ("image/ppm" , MediaCodecs.toPpm(data))
           }
-          MediaRowFlat(id, mime, payload)
+          // source size rides along so downstream audits need no second
+          // documents scan + join (payload bytes dwarf the extra long)
+          MediaRowFlat(id, mime, payload, data.length.toLong)
         }
       }(enc)
       .toDF()
@@ -134,8 +137,11 @@ object Multimodal {
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.MediaCodecs
     val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
+    // decode stays NARROW: the documents loader already fans the scan out
+    // across cores, so encode+decode chain partition-local — payload bytes
+    // never cross an exchange (the earlier repartition here moved every
+    // container through a full shuffle for nothing)
     codecMediaTable(s, dir)
-      .repartition(col("doc_id"))  // spread decode work evenly, not by file
       .mapPartitions { rows =>
         // per-partition decoder init happens here (once), then rows decode
         // in fixed-size batches — the same batch shape a vectorized decode
@@ -186,8 +192,6 @@ object Multimodal {
     * byte-exactly against DuckDB's closed-form size formulas. */
   def codecSizes(s: SparkSession, dir: String): DataFrame =
     codecMediaTable(s, dir)
-      .join(Tables.documents(s, dir).select(col("doc_id"),
-        length(encode(col("text"), "utf-8")).cast("long").as("src_bytes")), "doc_id")
       .groupBy("mime")
       .agg(count(lit(1)).as("n_files"),
            sum(length(col("payload"))).cast("long").as("container_bytes"),
