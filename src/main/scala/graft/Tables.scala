@@ -13,6 +13,34 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Exact row count from parquet FOOTER metadata, read driver-side via
+    * parquet-hadoop — schedules NO Spark job at all (vs `df.count()`,
+    * whose metadata-only plan still runs a job per call). Query builders
+    * use this for size guards (broadcast hints, exact-baseline tripwires)
+    * so that BUILDING a query never fires an action — the engine-idiomatic
+    * contract is one action per query. Cached per path: the harness tables
+    * are immutable, so the footer sum never changes for a given path. */
+  private val footerCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  def footerRowCount(spark: SparkSession, dir: String, name: String): Long =
+    footerCounts.computeIfAbsent(s"$dir/$name.parquet", { path =>
+      import org.apache.hadoop.fs.Path
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet"))
+        else Array(fs.getFileStatus(p))
+      files.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    }).longValue()
+
   /** Parquet splits at row-group granularity, and each harness file is a
     * SINGLE row group — so every scan starts as one task and all narrow
     * compute above it (tokenizing, hashing, JSON parsing of up to 600 k

@@ -52,16 +52,22 @@ object MediaCodecs {
     b.array()
   }
 
-  /** Parse an uncompressed 24bpp BMP (BITMAPINFOHEADER). Handles bottom-up
-    * (positive height — the common case: last row in the file is the top
-    * image row) and top-down (negative height) storage, and per-row 4-byte
-    * stride padding. Samples are row-major top-down gray = (r+g+b)/3. */
-  def parseBmp(bytes: Array[Byte]): Decoded = {
+  /** Shared BMP header walk: validates everything, then hands each pixel's
+    * (r, g, b) to `f` in row-major TOP-DOWN order, regardless of whether
+    * the file stores rows bottom-up (positive height) or top-down
+    * (negative). Returns (width, height). Both the gray decode and the
+    * per-channel decode build on this so the validation lives once. */
+  private def walkBmp24(bytes: Array[Byte])(f: (Int, Int, Int) => Unit): (Int, Int) = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val dataOffset = b.getInt(10)
     val hdrSize = b.getInt(14)
     require(hdrSize >= 40, s"unsupported BMP header size $hdrSize")
+    // dataOffset is attacker-controlled: a negative value would index before
+    // the buffer, and a value inside the header region would silently decode
+    // header bytes as pixels. Long arithmetic so a huge hdrSize can't wrap.
+    require(dataOffset >= 14L + hdrSize && dataOffset <= bytes.length,
+      s"BMP pixel data offset $dataOffset outside [${14L + hdrSize}, ${bytes.length}]")
     val w = b.getInt(18)
     val hRaw = b.getInt(22)
     val topDown = hRaw < 0
@@ -76,7 +82,6 @@ object MediaCodecs {
     val stride = pad4(3 * w)
     require(bytes.length >= dataOffset + stride.toLong * h,
       s"BMP truncated: need ${dataOffset + stride.toLong * h}, have ${bytes.length}")
-    val out = new Array[Int](w * h)
     var row = 0
     while (row < h) {
       // file row index for image row `row` (top-down output order)
@@ -85,14 +90,23 @@ object MediaCodecs {
       var x = 0
       while (x < w) {
         val o = base + 3 * x
-        val blue = bytes(o) & 0xff; val green = bytes(o + 1) & 0xff
-        val red = bytes(o + 2) & 0xff
-        out(row * w + x) = (red + green + blue) / 3
+        // 24bpp BMP stores pixels little-endian-ish as B, G, R
+        f(bytes(o + 2) & 0xff, bytes(o + 1) & 0xff, bytes(o) & 0xff)
         x += 1
       }
       row += 1
     }
-    Decoded("bmp", w, h, out)
+    (w, h)
+  }
+
+  /** Parse an uncompressed 24bpp BMP (BITMAPINFOHEADER). Handles bottom-up
+    * (positive height — the common case: last row in the file is the top
+    * image row) and top-down (negative height) storage, and per-row 4-byte
+    * stride padding. Samples are row-major top-down gray = (r+g+b)/3. */
+  def parseBmp(bytes: Array[Byte]): Decoded = {
+    val out = scala.collection.mutable.ArrayBuilder.make[Int]
+    val (w, h) = walkBmp24(bytes) { (r, g, b) => out += (r + g + b) / 3 }
+    Decoded("bmp", w, h, out.result())
   }
 
   // ===================================================================== WAV
@@ -128,7 +142,9 @@ object MediaCodecs {
     while (pos + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
       val id = new String(bytes, pos, 4, StandardCharsets.US_ASCII)
       val size = b.getInt(pos + 4)
-      require(size >= 0 && pos + 8 + size <= bytes.length,
+      // Long arithmetic: a declared size near Int.MaxValue would wrap the
+      // Int sum negative and sail past this check into a huge allocation.
+      require(size >= 0 && pos + 8 + size.toLong <= bytes.length,
         s"WAV chunk '$id' overruns buffer (size=$size at $pos)")
       id match {
         case "fmt " =>
@@ -170,10 +186,11 @@ object MediaCodecs {
     out
   }
 
-  /** Parse a binary PPM (P6): ASCII header tokens separated by arbitrary
+  /** Shared P6 header walk: ASCII header tokens separated by arbitrary
     * whitespace, `#` comments running to end-of-line, maxval ≤ 255, then a
-    * SINGLE whitespace byte and raw RGB samples. */
-  def parsePpm(bytes: Array[Byte]): Decoded = {
+    * SINGLE whitespace byte and raw RGB samples, handed to `f` as
+    * (r, g, b) per pixel. Returns (width, height). */
+  private def walkPpm(bytes: Array[Byte])(f: (Int, Int, Int) => Unit): (Int, Int) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
     var pos = 2
     def isWs(c: Byte) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
@@ -201,14 +218,87 @@ object MediaCodecs {
     pos += 1 // exactly one whitespace byte before binary data, per spec
     require(bytes.length >= pos + 3L * w * h,
       s"PPM truncated: need ${pos + 3L * w * h}, have ${bytes.length}")
-    val out = new Array[Int](w * h)
     var i = 0
     while (i < w * h) {
       val o = pos + 3 * i
-      out(i) = ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)) / 3
+      // P6 stores pixels as R, G, B (opposite of BMP's B, G, R)
+      f(bytes(o) & 0xff, bytes(o + 1) & 0xff, bytes(o + 2) & 0xff)
       i += 1
     }
-    Decoded("ppm", w, h, out)
+    (w, h)
+  }
+
+  /** Parse a binary PPM (P6); samples are gray = (r+g+b)/3. */
+  def parsePpm(bytes: Array[Byte]): Decoded = {
+    val out = scala.collection.mutable.ArrayBuilder.make[Int]
+    val (w, h) = walkPpm(bytes) { (r, g, b) => out += (r + g + b) / 3 }
+    Decoded("ppm", w, h, out.result())
+  }
+
+  // ================================================================ channels
+
+  /** Per-channel sums from a decoded image — the channel-ORDER proof
+    * surface: BMP stores B,G,R and PPM stores R,G,B, so any swizzle bug
+    * swaps these sums and the cross-engine oracle catches it (the RGB
+    * encoders below write three DIFFERENT functions of the source byte per
+    * channel, unlike the gray encoders where a swap would be invisible). */
+  final case class DecodedRgb(format: String, nPx: Int,
+                              sumR: Long, sumG: Long, sumB: Long)
+
+  /** Channel transforms for the RGB containers: r = v, g = 255 − v,
+    * b = 7·v mod 256 — three distinct, SQL-expressible functions of the
+    * source byte, so per-channel means are independently oracle-checkable
+    * and channel order is pinned. */
+  @inline def rgbOf(v: Int): (Int, Int, Int) = (v, 255 - v, (7 * v) % 256)
+
+  /** Encode bytes as a single-row 24bpp BMP with per-channel transforms
+    * ([[rgbOf]]) — same container rules as [[toBmp]], distinct channels. */
+  def toBmpRgb(data: Array[Byte]): Array[Byte] = {
+    require(data.nonEmpty, "empty payload")
+    val w = data.length
+    val stride = pad4(3 * w)
+    val fileSize = 54 + stride
+    val b = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(1).putShort(1).putShort(24)
+      .putInt(0).putInt(stride).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var i = 0
+    while (i < w) {
+      val (r, g, bl) = rgbOf(data(i) & 0xff)
+      b.put(bl.toByte).put(g.toByte).put(r.toByte) // BMP pixel order: B, G, R
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Encode bytes as a single-row P6 PPM with per-channel transforms. */
+  def toPpmRgb(data: Array[Byte]): Array[Byte] = {
+    require(data.nonEmpty, "empty payload")
+    val header = s"P6\n${data.length} 1\n255\n".getBytes(StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + 3 * data.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < data.length) {
+      val (r, g, b) = rgbOf(data(i) & 0xff)
+      val o = header.length + 3 * i
+      out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = b.toByte // R, G, B
+      i += 1
+    }
+    out
+  }
+
+  /** Decode per-channel sums, dispatching on magic bytes (images only —
+    * WAV has no channels in this corpus). */
+  def decodeRgb(bytes: Array[Byte]): DecodedRgb = {
+    require(bytes.length >= 2, s"payload too short to sniff (${bytes.length} bytes)")
+    var sr = 0L; var sg = 0L; var sb = 0L; var n = 0
+    val acc = (r: Int, g: Int, b: Int) => { sr += r; sg += g; sb += b; n += 1 }
+    if (bytes(0) == 'B' && bytes(1) == 'M') {
+      walkBmp24(bytes)(acc); DecodedRgb("bmp", n, sr, sg, sb)
+    } else if (bytes(0) == 'P' && bytes(1) == '6') {
+      walkPpm(bytes)(acc); DecodedRgb("ppm", n, sr, sg, sb)
+    } else throw new IllegalArgumentException(
+      s"unrecognized image magic: 0x${(bytes(0) & 0xff).toHexString}${(bytes(1) & 0xff).toHexString}")
   }
 
   // ================================================================ dispatch

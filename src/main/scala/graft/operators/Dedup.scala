@@ -536,6 +536,22 @@ object Dedup {
     * per clustered doc, lbl = the component's minimum id. The curation
     * pipeline consumes this directly (drop every id ≠ lbl). */
   private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
+    // The fixpoint loop below is the ONE place a query builder legitimately
+    // runs eager jobs (localCheckpoint materialization + convergence
+    // counts): iterative CC needs a data-dependent number of rounds, so it
+    // cannot ride a single lazy plan. Tag those jobs with a local property
+    // so the one-action-per-query spec (PipelineSpec) can verify that
+    // every OTHER build-time job is a bug, not hide this one.
+    val sc = pairs.sparkSession.sparkContext
+    val prevTag = sc.getLocalProperty(CcFixpointTag)
+    sc.setLocalProperty(CcFixpointTag, "1")
+    try ccLabelsInner(pairs)
+    finally sc.setLocalProperty(CcFixpointTag, prevTag)
+  }
+
+  private[graft] val CcFixpointTag = "graft.cc.fixpoint"
+
+  private def ccLabelsInner(pairs: DataFrame): DataFrame = {
     // per-round lap timing is opt-in (SPARK_GRAFT_CC_TIMING=1) — the
     // library proper stays silent; only the bench harness logs
     val ccTiming = sys.env.contains("SPARK_GRAFT_CC_TIMING")

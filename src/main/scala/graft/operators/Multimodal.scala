@@ -108,15 +108,26 @@ object Multimodal {
     import graft.functions.MediaCodecs
     val enc = org.apache.spark.sql.Encoders.product[MediaRowFlat]
     Tables.documents(s, dir)
+      // an empty doc has no encodable payload (all three containers require
+      // ≥1 sample) — drop it HERE, mirrored by the oracle SQL's n>0 filter,
+      // instead of letting a bare require() abort the whole query if a
+      // future corpus regeneration ships an empty text
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0); val data = r.getAs[Array[Byte]](1)
-          val (mime, payload) = (id % 3) match {
-            case 0 => ("image/bmp" , MediaCodecs.toBmp(data))
-            case 1 => ("audio/wav" , MediaCodecs.toWav(data))
-            case _ => ("image/ppm" , MediaCodecs.toPpm(data))
-          }
+          val (mime, payload) =
+            try {
+              (id % 3) match {
+                case 0 => ("image/bmp" , MediaCodecs.toBmp(data))
+                case 1 => ("audio/wav" , MediaCodecs.toWav(data))
+                case _ => ("image/ppm" , MediaCodecs.toPpm(data))
+              }
+            } catch {
+              case e: IllegalArgumentException =>
+                throw new IllegalArgumentException(s"doc_id=$id: ${e.getMessage}", e)
+            }
           // source size rides along so downstream audits need no second
           // documents scan + join (payload bytes dwarf the extra long)
           MediaRowFlat(id, mime, payload, data.length.toLong)
@@ -171,7 +182,7 @@ object Multimodal {
   val mediaFeaturesSql: String =
     """WITH b AS (
       |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
-      |  FROM documents
+      |  FROM documents WHERE octet_length(encode(text)) > 0
       |),
       |bytes AS (
       |  SELECT doc_id, CAST('0x' || substring(h, 2 * i - 1, 2) AS INTEGER) AS v
@@ -201,7 +212,7 @@ object Multimodal {
   val codecSizesSql: String =
     """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n,
       |                  length(CAST(octet_length(encode(text)) AS VARCHAR)) AS dig
-      |           FROM documents)
+      |           FROM documents WHERE octet_length(encode(text)) > 0)
       |SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
       |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
       |            ELSE 'image/ppm' END AS mime,
@@ -213,6 +224,172 @@ object Multimodal {
       |  END) AS BIGINT) AS container_bytes,
       |  CAST(sum(n) AS BIGINT) AS source_bytes
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  case class WavStats(doc_id: Long, n_samples: Long, rms: Double, zcr: Double)
+  case class ChannelStats(doc_id: Long, mime: String, n_px: Long,
+                          r_mean: Double, g_mean: Double, b_mean: Double)
+  case class QuarantineRow(doc_id: Long, mime: String, status: String)
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Audio signal statistics from REAL WAV decode: RMS amplitude and
+    * zero-crossing rate (crossings of the mean level). The crossing
+    * comparison runs in EXACT integer arithmetic — `v < mean` is computed
+    * as `v·n < sum` — so Spark (decoding containers) and DuckDB (hex-
+    * expanding the same source bytes) agree bit-for-bit with no float
+    * epsilon anywhere. This is the "is the audio silence/noise/speechlike"
+    * triage a multimodal curation pipeline runs before expensive ASR. */
+  def wavAudioStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.product[WavStats]
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 1 && length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val d = MediaCodecs.parseWav(MediaCodecs.toWav(r.getAs[Array[Byte]](1)))
+          val n = d.samples.length
+          var sum = 0L; var sumsq = 0L
+          var i = 0
+          while (i < n) {
+            val v = d.samples(i).toLong; sum += v; sumsq += v * v; i += 1
+          }
+          var crossings = 0L
+          i = 1
+          while (i < n) {
+            // sign of (v − mean) via exact cross-multiplication v·n vs sum
+            val a = d.samples(i - 1).toLong * n; val b = d.samples(i).toLong * n
+            if ((a < sum && b > sum) || (a > sum && b < sum)) crossings += 1
+            i += 1
+          }
+          WavStats(id, n.toLong,
+            round6(math.sqrt(sumsq.toDouble / n)),
+            round6(crossings.toDouble / math.max(n - 1, 1)))
+        }
+      }(enc)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val wavAudioStatsSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0
+      |),
+      |bytes AS (
+      |  SELECT doc_id, i, CAST('0x' || substring(h, 2 * i - 1, 2) AS INTEGER) AS v
+      |  FROM b, LATERAL (SELECT unnest(generate_series(1, n)) AS i) g
+      |),
+      |m AS (
+      |  SELECT doc_id, count(*) AS n, sum(v) AS s, sum(v * v) AS sq
+      |  FROM bytes GROUP BY doc_id
+      |),
+      |x AS (
+      |  SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM bytes
+      |),
+      |c AS (
+      |  SELECT x.doc_id,
+      |         sum(CASE WHEN pv IS NOT NULL AND
+      |                       ((pv * n < s AND v * n > s) OR (pv * n > s AND v * n < s))
+      |                  THEN 1 ELSE 0 END) AS nc
+      |  FROM x JOIN m USING (doc_id) GROUP BY x.doc_id
+      |)
+      |SELECT m.doc_id, CAST(m.n AS BIGINT) AS n_samples,
+      |       round(sqrt(sq * 1.0 / n), 6) AS rms,
+      |       round(nc * 1.0 / greatest(n - 1, 1), 6) AS zcr
+      |FROM m JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Per-channel means over RGB containers where the channels genuinely
+    * DIFFER (r = v, g = 255 − v, b = 7·v mod 256 — [[graft.functions
+    * .MediaCodecs.rgbOf]]): BMP stores pixels B,G,R and PPM stores R,G,B,
+    * so a channel-order bug in either parser swaps the means and the
+    * oracle hash catches it — the gray containers (identical channels)
+    * could never see that bug. */
+  def channelMeans(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.product[ChannelStats]
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 =!= 1 && length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val data = r.getAs[Array[Byte]](1)
+          val (mime, container) =
+            if (id % 3 == 0) ("image/bmp", MediaCodecs.toBmpRgb(data))
+            else ("image/ppm", MediaCodecs.toPpmRgb(data))
+          val d = MediaCodecs.decodeRgb(container)
+          ChannelStats(id, mime, d.nPx.toLong,
+            round6(d.sumR.toDouble / d.nPx),
+            round6(d.sumG.toDouble / d.nPx),
+            round6(d.sumB.toDouble / d.nPx))
+        }
+      }(enc)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val channelMeansSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 <> 1 AND octet_length(encode(text)) > 0
+      |),
+      |bytes AS (
+      |  SELECT doc_id, CAST('0x' || substring(h, 2 * i - 1, 2) AS INTEGER) AS v
+      |  FROM b, LATERAL (SELECT unnest(generate_series(1, n)) AS i) g
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/bmp' ELSE 'image/ppm' END AS mime,
+      |  CAST(count(*) AS BIGINT) AS n_px,
+      |  round(avg(v), 6) AS r_mean,
+      |  round(avg(255 - v), 6) AS g_mean,
+      |  round(avg((7 * v) % 256), 6) AS b_mean
+      |FROM bytes GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  /** Corrupt-payload quarantine: the poison-pill side-output path of a
+    * media ingest job. A deterministic subset of containers is corrupted
+    * (doc_id % 34 → truncated to half; else doc_id % 17 → magic bytes
+    * smashed), decode runs under a catch of the parsers' VALIDATION error
+    * only (anything else — an index error, an OOM — stays loud, because
+    * an unexpected failure mode must fail the job, not be quarantined),
+    * and every row is routed to `ok` / `quarantined`. The oracle knows
+    * exactly which ids were corrupted, so the hash proves both directions:
+    * no valid container is rejected, no corrupt one slips through.
+    * Downstream, `filter(status = 'quarantined')` IS the side channel —
+    * same dataflow as the Kafka poison-pill route. */
+  def quarantine(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.product[QuarantineRow]
+    codecMediaTable(s, dir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          val candidate =
+            if (id % 34 == 0) payload.take(payload.length / 2)
+            else if (id % 17 == 0) {
+              val c = payload.clone(); c(0) = 0xDE.toByte; c(1) = 0xAD.toByte; c
+            } else payload
+          val status =
+            try { MediaCodecs.decode(candidate); "ok" }
+            catch { case _: IllegalArgumentException => "quarantined" }
+          QuarantineRow(id, r.getAs[String]("mime"), status)
+        }
+      }(enc)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val quarantineSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |       ELSE 'image/ppm' END AS mime,
+      |  CASE WHEN doc_id % 17 = 0 THEN 'quarantined' ELSE 'ok' END AS status
+      |FROM documents WHERE octet_length(encode(text)) > 0
+      |ORDER BY doc_id""".stripMargin
 
   /** Frame-sample shape: explode a payload into fixed-stride "frames"
     * (here: 64-byte slices) with per-frame digests — the plumbing of video
@@ -269,7 +446,10 @@ object Multimodal {
     "mm_features"   -> (mediaFeatures _),
     "mm_codec_sizes" -> (codecSizes _),
     "mm_frame_sample" -> (frameSample _),
-    "mm_size_percentiles" -> (sizePercentiles _)
+    "mm_size_percentiles" -> (sizePercentiles _),
+    "mm_wav_audio_stats" -> (wavAudioStats _),
+    "mm_channel_means" -> (channelMeans _),
+    "mm_quarantine" -> (quarantine _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -278,6 +458,9 @@ object Multimodal {
     "mm_features"     -> mediaFeaturesSql,
     "mm_codec_sizes"  -> codecSizesSql,
     "mm_frame_sample" -> frameSampleSql,
-    "mm_size_percentiles" -> sizePercentilesSql
+    "mm_size_percentiles" -> sizePercentilesSql,
+    "mm_wav_audio_stats" -> wavAudioStatsSql,
+    "mm_channel_means" -> channelMeansSql,
+    "mm_quarantine" -> quarantineSql
   )
 }

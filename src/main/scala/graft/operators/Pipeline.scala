@@ -52,7 +52,9 @@ object Pipeline {
   private[operators] def dropSetJoin(s: SparkSession, dir: String,
                                      corpus: DataFrame, dropSet: DataFrame): DataFrame = {
     val max = s.conf.getOption(MaxBroadcastCorpusKey).map(_.toLong).getOrElse(10000000L)
-    val corpusRows = Tables.table(s, dir, "documents").count()
+    // footer metadata, driver-side, cached — the guard costs zero Spark
+    // jobs (the earlier df.count() here fired an action per build)
+    val corpusRows = Tables.footerRowCount(s, dir, "documents")
     val drops = if (corpusRows <= max) broadcast(dropSet) else dropSet
     corpus.join(drops, Seq("doc_id"), "left_anti")
   }

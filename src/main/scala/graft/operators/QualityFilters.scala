@@ -271,10 +271,17 @@ object QualityFilters {
       .withColumn("rq", col("rq_l").cast("double"))
       .withColumn("rp", col("rp_l").cast("double"))
       .drop("rq_l", "rp_l")
-    val n = ranked.count()
-    val decile = math.max(1L, n / 10)
-    val topQ = ranked.filter(col("rq") <= decile).select("doc_id")
-    val topP = ranked.filter(col("rp") <= decile).select("doc_id")
+    // decile cutoff as a broadcast 1-row scalar (the graph_pagerank `nn`
+    // pattern) instead of a driver-side ranked.count(): the old form fired
+    // an extra ACTION per build that re-ran both global sorts just to get
+    // n; this rides the one real action, and the cutoff subtree is a plain
+    // count over the join — no sorts
+    val decileDf = broadcast(joined.agg(
+      greatest(lit(1L), floor(count(lit(1)) / 10)).as("decile")))
+    val topQ = ranked.crossJoin(decileDf)
+      .filter(col("rq") <= col("decile")).select("doc_id")
+    val topP = ranked.crossJoin(decileDf)
+      .filter(col("rp") <= col("decile")).select("doc_id")
     val overlap = topQ.intersect(topP).agg(count(lit(1)).as("top_decile_overlap"))
     ranked.agg(count(lit(1)).as("n_docs"),
         round(corr(col("rq"), col("rp")), 6).as("spearman_rho"))

@@ -49,19 +49,14 @@ object Similarity {
     * mistake cannot quietly schedule an n² join over a 100 TB corpus:
     * fail loudly, name the ANN counterpart, and leave a deliberate
     * override (`spark.graft.exactBaseline.maxRows`). The row count reads
-    * parquet footer metadata (count-star pushdown, no fan-out shuffle) —
-    * one cheap job, not a data scan. */
+    * parquet footer metadata driver-side ([[Tables.footerRowCount]],
+    * cached) — zero Spark jobs, so guarded builders keep the one-action-
+    * per-query contract. */
   private val MaxExactRowsKey = "spark.graft.exactBaseline.maxRows"
-  // one count job per DIRECTORY, not per invocation: the harness tables are
-  // immutable parquet, so the footer-metadata count never changes for a
-  // given path — repeat guarded calls in a session were paying a Spark job
-  // each for the same number
-  private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
   private def guardExactBaseline(s: SparkSession, dir: String,
                                  what: String, annAlt: String): Unit = {
     val max = s.conf.getOption(MaxExactRowsKey).map(_.toLong).getOrElse(100000L)
-    val n = rowCountCache.computeIfAbsent(dir,
-      d => Tables.table(s, d, "embeddings").count()).longValue()
+    val n = Tables.footerRowCount(s, dir, "embeddings")
     require(n <= max,
       s"$what is an exact baseline (quadratic pair space) guarded at $max rows; " +
       s"the corpus has $n. Use $annAlt at scale, or raise $MaxExactRowsKey deliberately.")

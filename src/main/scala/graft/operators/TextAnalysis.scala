@@ -237,20 +237,36 @@ object TextAnalysis {
       |SELECT lang, rnk, bg, n, df FROM r WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin
 
   // ----------------------------------------------------- stratified sample
-  /** Seeded stratified sampling (`sampleBy`): per-language keep fractions —
-    * the corpus rebalancing step of a training-data pipeline (downsample
-    * the dominant language, keep the rest). Bernoulli per row with a fixed
-    * seed: one pass, no shuffle, deterministic for a fixed input
-    * partitioning — but not SQL-expressible (hash-based coin flips) →
-    * rows-only gate + distribution-bound spec. */
-  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+  /** Deterministic stratified sampling: per-language keep fractions — the
+    * corpus rebalancing step of a training-data pipeline (downsample the
+    * dominant language, keep the rest). The keep decision is a pure
+    * function of the row's KEY — bucket = md5(doc_id) mod 100, keep while
+    * bucket < per-stratum percentage — not a seeded coin flip
+    * (`sampleBy`), which is what a production pipeline wants at 100 TB:
+    * the sample is stable under repartitioning, retries, engine versions,
+    * and incremental reruns (a doc's fate never changes), and any engine
+    * can reproduce it — which also makes it DuckDB-expressible, so this
+    * query is HASH-checked instead of rows-only. One narrow pass, filter
+    * before the aggregate exchange. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    // md5 → first 4 hex digits → int in [0, 65536) → mod 100: uniform
+    // enough per stratum, and byte-identical across Spark and DuckDB
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val keepPct = when(col("lang") === "en", 50).otherwise(100)
     Tables.documents(s, dir)
-      .stat.sampleBy("lang",
-        Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0),
-        seed = 42L)
+      .filter(bucket < keepPct)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT lang, count(*) AS n_sampled
+      |FROM documents
+      |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100
+      |      < CASE WHEN lang = 'en' THEN 50 ELSE 100 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Character-level edit distance over the near-dup candidate pairs —
     * the second-opinion verifier a dedup pipeline runs where token-set
@@ -312,6 +328,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "text_edit_distance" -> editDistancePairsSql,
+    "text_stratified_sample" -> stratifiedSampleSql,
     "text_token_counts" -> tokenCountsSql,
     "text_quality"      -> qualityScoreSql,
     "text_lang_id"      -> langIdSql,

@@ -488,8 +488,12 @@ object StreamingWindows {
     @transient private var buf: ListState[AsOfBuf] = _
     @transient private var lastClick: ValueState[AsOfClick] = _
     private val ttlSec: Option[Long] = continuityTtl.map { d =>
-      require(!d.isNegative && !d.isZero, s"continuityTtl must be positive, got $d")
-      math.max(1L, d.toSeconds)
+      // whole seconds only: the processor matches at second granularity, so
+      // a sub-second TTL would be silently coarsened to 1 s — reject it
+      // loudly instead of diverging from the caller's requested bound
+      require(d.toSeconds >= 1, s"continuityTtl must be >= 1 second " +
+        s"(the processor matches at second granularity), got $d")
+      d.toSeconds
     }
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -617,9 +621,12 @@ object StreamingWindows {
   class NearestAsOfProcessor(tolerance: java.time.Duration)
       extends StatefulProcessor[Long, AsOfEv, AsOfHit] {
     private val tolSec: Long = {
-      require(!tolerance.isNegative && !tolerance.isZero,
-        s"nearest as-of tolerance must be positive, got $tolerance")
-      math.max(1L, tolerance.toSeconds)
+      // same second-granularity contract as AsOfProcessor.ttlSec: a
+      // sub-second tolerance (e.g. Duration.ofMillis(500)) would silently
+      // coarsen to 1 s — fail loudly instead
+      require(tolerance.toSeconds >= 1, s"nearest as-of tolerance must be " +
+        s">= 1 second (the processor matches at second granularity), got $tolerance")
+      tolerance.toSeconds
     }
     @transient private var buf: ListState[AsOfBuf] = _
     @transient private var clicks: ListState[AsOfClick] = _

@@ -104,6 +104,65 @@ class MultimodalSpec extends GraftSpec {
     intercept[IllegalArgumentException](MediaCodecs.parseWav(bad))
   }
 
+  test("codec bounds are overflow- and offset-hardened") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // WAV chunk declaring a size near Int.MaxValue: Int arithmetic would
+    // wrap the bound check negative and attempt a multi-GB decode — must be
+    // a clean reject, not an OOM or raw IndexOutOfBounds
+    val wav = MediaCodecs.toWav(Array[Byte](1, 2, 3))
+    ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 4)  // data chunk size field
+    val e1 = intercept[IllegalArgumentException](MediaCodecs.parseWav(wav))
+    assert(e1.getMessage.contains("overruns"), e1.getMessage)
+
+    // BMP dataOffset: negative → would index before the buffer; inside the
+    // header region → would silently decode header bytes as pixels
+    for (off <- Seq(-8, 0, 20, 53)) {
+      val bmp = MediaCodecs.toBmp(Array[Byte](1, 2, 3, 4))
+      ByteBuffer.wrap(bmp).order(ByteOrder.LITTLE_ENDIAN).putInt(10, off)
+      val e = intercept[IllegalArgumentException](MediaCodecs.parseBmp(bmp))
+      assert(e.getMessage.contains("offset"), s"dataOffset=$off: ${e.getMessage}")
+    }
+  }
+
+  test("RGB containers: channel ORDER is pinned (BMP is B,G,R; PPM is R,G,B)") {
+    val data = Array[Byte](0, 1, 100.toByte, 255.toByte, 37)
+    val want = data.map(_ & 0xff).map(MediaCodecs.rgbOf)
+    val (wr, wg, wb) = (want.map(_._1.toLong).sum, want.map(_._2.toLong).sum,
+      want.map(_._3.toLong).sum)
+    for (bytes <- Seq(MediaCodecs.toBmpRgb(data), MediaCodecs.toPpmRgb(data))) {
+      val d = MediaCodecs.decodeRgb(bytes)
+      assert(d.nPx == data.length)
+      assert((d.sumR, d.sumG, d.sumB) == ((wr, wg, wb)),
+        s"${d.format}: channel sums swizzled")
+    }
+    // hand-built 1-pixel proofs with FULLY distinct channels: a swap of any
+    // two offsets in either parser changes the triple
+    val bmp = MediaCodecs.toBmp(Array[Byte](1))
+    bmp(54) = 3; bmp(55) = 2; bmp(56) = 1 // file order B=3, G=2, R=1
+    val db = MediaCodecs.decodeRgb(bmp)
+    assert((db.sumR, db.sumG, db.sumB) == ((1L, 2L, 3L)), "BMP must read B,G,R")
+    val ppm = MediaCodecs.toPpm(Array[Byte](1))
+    val base = ppm.length - 3
+    ppm(base) = 1; ppm(base + 1) = 2; ppm(base + 2) = 3 // file order R=1, G=2, B=3
+    val dp = MediaCodecs.decodeRgb(ppm)
+    assert((dp.sumR, dp.sumG, dp.sumB) == ((1L, 2L, 3L)), "PPM must read R,G,B")
+    // gray parse is unchanged by the walk refactor: distinct channels → mean
+    assert(MediaCodecs.parseBmp(bmp).samples.toSeq == Seq(2))
+    assert(MediaCodecs.parsePpm(ppm).samples.toSeq == Seq(2))
+  }
+
+  test("quarantine: corrupted subset rejected, everything else decodes") {
+    val out = Multimodal.quarantine(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0); val status = r.getString(2)
+      val want = if (id % 17 == 0) "quarantined" else "ok"
+      assert(status == want, s"doc $id: $status, want $want")
+    }
+    assert(out.exists(_.getString(2) == "quarantined"), "corrupt rows must exist at sf0.001")
+  }
+
   // ------------------------------------------------------------- pipeline
 
   test("mediaFeatures decodes real containers back to exact text-byte stats") {

@@ -7,6 +7,94 @@ import org.apache.spark.sql.functions._
   * against the standalone oracle-checked operators it is built from. */
 class PipelineSpec extends GraftSpec {
 
+  test("footerRowCount reads parquet metadata with ZERO Spark jobs, exactly") {
+    // the broadcast/tripwire guards (Pipeline.dropSetJoin,
+    // Similarity.guardExactBaseline) key off this — it must be free
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sc = spark.sparkContext
+    val group = s"graft-footer-${System.nanoTime()}"
+    val jobs = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.add(js.jobId)
+    }
+    sc.addSparkListener(l)
+    try {
+      sc.setJobGroup(group, "footer probe")
+      val n = try Tables.footerRowCount(spark, sf0001, "documents")
+              finally sc.clearJobGroup()
+      Thread.sleep(600) // async listener bus
+      assert(jobs.isEmpty, s"footerRowCount scheduled Spark jobs: $jobs")
+      assert(n == Tables.table(spark, sf0001, "documents").count(),
+        "footer sum must equal the scan count exactly")
+    } finally sc.removeSparkListener(l)
+  }
+
+  test("guarded builders fire one action per query: no eager count() jobs at build") {
+    // VERDICT r8 item 2: dropSetJoin's broadcast guard and
+    // qualitySignalAgreement's decile cutoff used to run a count() ACTION
+    // at build time (a job per invocation; for the decile, a full re-sort).
+    // Now the guard reads parquet footers driver-side (zero jobs) and the
+    // cutoff rides the plan as a broadcast scalar. Build-time jobs that
+    // REMAIN are inherent and allowed explicitly:
+    //   - "parquet at"   : spark.read.parquet footer/schema inference
+    //   - AQE stage materialization via Ranks.globalRowNumber's .rdd
+    //     (stage names come from SQLExecution futures), and zipWithIndex
+    //   - the CC fixpoint (tagged via Dedup.CcFixpointTag, data-dependent
+    //     round count — see ccLabels scaladoc)
+    // What must NEVER appear is a `count at` job from a query builder —
+    // that is exactly the regression this spec pins. Attribution is by
+    // job-group tag on this thread + QueryExecution reference, so
+    // concurrently-running suites cannot pollute the result.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val sc = spark.sparkContext
+    val names = Seq("pipeline_curate", "quality_signal_agreement", "ann_brute_topk")
+
+    val group = s"graft-lazy-build-${System.nanoTime()}"
+    val countJobs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val jobListener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id") &&
+            js.properties.getProperty(graft.operators.Dedup.CcFixpointTag) == null)
+          js.stageInfos.map(_.name).filter(_.startsWith("count at"))
+            .foreach(n => countJobs.add(s"${js.jobId}:$n"))
+    }
+    val seenQes = java.util.concurrent.ConcurrentHashMap.newKeySet[QueryExecution]()
+    val qeListener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit = { seenQes.add(qe); () }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    sc.addSparkListener(jobListener)
+    spark.listenerManager.register(qeListener)
+    try {
+      sc.setJobGroup(group, "lazy-build probe")
+      val built = try names.map(n => n -> SparkEntry.queries(n)(spark, sf0001))
+                  finally sc.clearJobGroup()
+      Thread.sleep(1000) // listener bus is async — let job-start events drain
+      assert(countJobs.isEmpty,
+        s"building ${names.mkString("/")} fired eager count() actions: $countJobs")
+
+      // execute: exactly one action each, seen for the query's OWN execution
+      built.foreach { case (name, df) =>
+        df.collect()
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!seenQes.contains(df.queryExecution) && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(seenQes.contains(df.queryExecution),
+          s"$name: no action event for the query's own execution")
+        graft.operators.Ranks.releaseAll()
+      }
+    } finally {
+      spark.listenerManager.unregister(qeListener)
+      sc.removeSparkListener(jobListener)
+    }
+  }
+
   test("curate output is disjoint from every drop category and well-formed") {
     val out = Pipeline.curate(spark, sf0001).collect()
     val ids = out.map(_.getLong(0))

@@ -1090,6 +1090,19 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("sub-second as-of durations are rejected, not silently coarsened to 1s") {
+    // the processors match at second granularity; a Duration.ofMillis(500)
+    // used to clamp to 1 s via math.max — diverging from the caller's bound
+    // with no signal (ADVICE r8)
+    intercept[IllegalArgumentException](
+      new StreamingWindows.NearestAsOfProcessor(java.time.Duration.ofMillis(500)))
+    intercept[IllegalArgumentException](
+      new StreamingWindows.AsOfProcessor(Some(java.time.Duration.ofMillis(500))))
+    // zero/negative still rejected
+    intercept[IllegalArgumentException](
+      new StreamingWindows.NearestAsOfProcessor(java.time.Duration.ZERO))
+  }
+
   test("streaming as-of state is bounded: the buffer drains to O(1) per user at flush") {
     // audited through the state DATA SOURCE (offline state inspection —
     // the ops tool for "why is my state store huge"): per-element list

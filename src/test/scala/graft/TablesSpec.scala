@@ -95,6 +95,19 @@ class TablesSpec extends GraftSpec {
     }
   }
 
+  test("documents text is non-null and non-empty (codec path invariant)") {
+    // the media codecs cannot wrap a zero-byte payload; codecMediaTable
+    // filters empty docs defensively (mirrored in its oracle SQL), but the
+    // current corpus should have none — if a regeneration introduces one,
+    // this pin names it so the filter's silent drop is a DECISION, not a
+    // surprise (ADVICE r8)
+    import org.apache.spark.sql.functions._
+    val bad = Tables.documents(spark, sf0001)
+      .filter(col("text").isNull || length(col("text")) === 0).count()
+    assert(bad == 0L, s"$bad empty/null-text documents — mm_* queries now " +
+      "silently exclude them on both engines; re-confirm that is intended")
+  }
+
   test("fact scans fan out to full parallelism; dims keep natural partitioning") {
     // the harness parquet is single-row-group (scan = 1 task); the guarded
     // repartition must spread fact compute across cores without touching

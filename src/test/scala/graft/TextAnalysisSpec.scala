@@ -44,6 +44,24 @@ class TextAnalysisSpec extends GraftSpec {
     }
   }
 
+  test("stratified sample is content-deterministic: invariant under repartitioning") {
+    // the hash-mod keep rule must be a pure function of doc_id — the same
+    // per-row fate regardless of physical layout (the property seeded
+    // sampleBy lacks, and the reason a 100 TB rerun/backfill can trust it)
+    import org.apache.spark.sql.functions._
+    def keptIds(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+      df.filter(bucket < when(col("lang") === "en", 50).otherwise(100))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val docs = Tables.documents(spark, sf0001)
+    val base = keptIds(docs)
+    assert(base == keptIds(docs.repartition(13)), "layout changed the sample")
+    assert(base == keptIds(docs.orderBy(desc("n_chars"))), "order changed the sample")
+    assert(base.nonEmpty)
+  }
+
   test("lang-id confusion rollup covers every document exactly once") {
     val n = TextAnalysis.langId(spark, sf0001)
       .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
