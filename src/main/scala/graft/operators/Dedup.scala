@@ -316,8 +316,15 @@ object Dedup {
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= n)
+      // the IF makes the expression TOTAL: `sequence(0, size - n)` flips
+      // to a descending sequence (0, -1, …) on a sub-n-token row, and the
+      // optimizer may constant-fold this projection over a local relation
+      // BEFORE the filter above prunes such rows (seen with streaming
+      // micro-batches) — the guard must live in the expression itself
       .select(col("doc_id"),
-        array_distinct(expr(s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', slice(tk, i + 1, $n)))"))
+        array_distinct(expr(s"IF(size(tk) >= $n, " +
+          s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', slice(tk, i + 1, $n))), " +
+          "array())"))
           .as("sh"))
 
   // ------------------------------------------------------------ MinHash LSH

@@ -1,0 +1,182 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.StreamingDedup
+import graft.streaming.StreamingDedup.DocEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The continuous incremental-dedup twin must compute exactly what the
+  * batch, oracle-checked `dedup_incremental` computes — per document,
+  * regardless of how the stream of new docs is sliced into micro-batches
+  * — and the standing corpus index must be read, never recomputed, per
+  * batch. The within-stream exact layer must equal `dedup_exact`'s
+  * keep-lowest-id rule under id-ordered arrival and survive a mid-stream
+  * kill with exactly-once state. */
+class StreamingDedupSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def corpusDf = Tables.documents(spark, sf0001).filter("doc_id % 7 <> 0")
+
+  private def newDocs: Array[DocEvent] =
+    Tables.documents(spark, sf0001).filter("doc_id % 7 = 0")
+      .select("doc_id", "text").collect()
+      .map(r => DocEvent(r.getLong(0), r.getString(1)))
+
+  private def splitChunks[T](xs: Seq[T], n: Int, rnd: scala.util.Random): Seq[Seq[T]] = {
+    // n-1 random cut points → n contiguous chunks (some possibly empty)
+    val cuts = (Seq.fill(n - 1)(rnd.nextInt(xs.length + 1)) :+ 0 :+ xs.length)
+      .sorted.distinct
+    cuts.zip(cuts.tail).map { case (a, b) => xs.slice(a, b) }
+  }
+
+  test("continuous incremental dedup == batch operator for arbitrary micro-batch splits") {
+    val expected = Dedup.incrementalDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(expected.nonEmpty, "harness corpus must contain incremental dups")
+    val idx = StreamingDedup.buildStandingIndex(corpusDf)
+    try {
+      val docs = newDocs.toSeq
+      for ((seed, msId) <- Seq((1, 301), (7, 302))) {
+        val rnd = new scala.util.Random(seed)
+        // arrival order shuffled AND split points random: decisions must
+        // depend on (doc, corpus) only
+        val chunks = splitChunks(rnd.shuffle(docs), 3 + rnd.nextInt(3), rnd)
+        val ms = MemoryStream[DocEvent](msId, spark, None)
+        val sink = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Double)]()
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+        val q = StreamingDedup.incrementalDedupStream(ms.toDS(), idx) { (df, _) =>
+          val rows = df.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+          sink.synchronized { sink ++= rows }
+          ()
+        }.option("checkpointLocation", ckpt).start()
+        try chunks.foreach { c =>
+          if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+        } finally q.stop()
+        val got = sink.synchronized(sink.toSet)
+        assert(got == expected,
+          s"seed=$seed: streamed decisions diverge from the batch operator " +
+          s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
+      }
+    } finally idx.release()
+  }
+
+  test("standing index is READ per micro-batch, never recomputed from the corpus") {
+    // the 100 TB contract: per-batch cost is proportional to the batch,
+    // not the corpus — the decision plan must source every corpus subtree
+    // from the materialized (cached) index and contain NO file scan at all
+    // (the micro-batch side is in-memory rows)
+    val idx = StreamingDedup.buildStandingIndex(corpusDf)
+    try {
+      Seq(idx.digests, idx.arrays, idx.dfreq, idx.prefix).foreach(_.count())
+      val mb = Seq(
+        DocEvent(7L, "the quick brown fox jumps over the lazy dog"),
+        DocEvent(14L, "tiny")).toDF("doc_id", "text")
+      // leaf collection descending through AQE wrappers (plain collect()
+      // stops at AdaptiveSparkPlanExec); InMemoryTableScan is a leaf, and
+      // its cached plan's provenance (which legitimately mentions the
+      // original FileScan) is innerChildren, not children — so any
+      // FileSourceScan LEAF found here is a genuine per-batch rescan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.inputPlan)
+        case s if s.children.isEmpty => Seq(s)
+        case s => s.children.flatMap(leaves)
+      }
+      val ls = leaves(StreamingDedup.decideBatch(mb, idx).queryExecution.executedPlan)
+      assert(ls.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        s"corpus index must be read from InMemoryRelation: ${ls.map(_.nodeName)}")
+      assert(!ls.exists(_.isInstanceOf[FileSourceScanExec]),
+        s"per-batch decision plan rescans storage: ${ls.map(_.nodeName)}")
+    } finally idx.release()
+  }
+
+  test("streaming exact dedup == batch keep-lowest-id rule, any id-ordered splits") {
+    val docs = Tables.documents(spark, sf0001)
+    val expected = docs.alias("d")
+      .join(docs.groupBy(md5(col("text")).as("h"), length(col("text")).as("len"))
+              .agg(min("doc_id").as("keeper_id")),
+        md5(col("d.text")) === col("h") && length(col("d.text")) === col("len"))
+      .select(col("d.doc_id"), col("keeper_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = docs.select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => DocEvent(r.getLong(0), r.getString(1))).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(11)
+      val chunks = splitChunks(all, 4, rnd) // id order preserved, cuts random
+      val ms = MemoryStream[DocEvent](303, spark, None)
+      val sink = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_exdedup").toString
+      val q = StreamingDedup.exactDedupTws(ms.toDS()).writeStream
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(0), r.getLong(1)))
+          sink.synchronized { sink ++= rows }
+          ()
+        }.start()
+      try chunks.foreach { c =>
+        if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      assert(sink.synchronized(sink.toSet) == expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming exact dedup: state bounded by distinct content; exactly-once across a kill") {
+    // state-data-source audit + the racy-kill restart proof, mirroring the
+    // as-of twin's: data enqueued but not awaited when the query dies, so
+    // the cut batch may land on either side — the final decision set must
+    // be identical either way, and the keeper store must hold EXACTLY one
+    // row per distinct digest (the dedup hit rate is the state NOT added)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_exdedup_kill").toString
+      val ms = MemoryStream[DocEvent](304, spark, None)
+      val sink = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      def start() = StreamingDedup.exactDedupTws(ms.toDS()).writeStream
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(0), r.getLong(1)))
+          sink.synchronized { sink ++= rows }
+          ()
+        }.start()
+      val q1 = start()
+      try {
+        ms.addData(DocEvent(1, "alpha beta"), DocEvent(2, "alpha beta"),
+          DocEvent(3, "gamma"))
+        q1.processAllAvailable()
+        // enqueue, then kill WITHOUT waiting — the racy point
+        ms.addData(DocEvent(4, "gamma"), DocEvent(5, "delta"))
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        ms.addData(DocEvent(6, "alpha beta"), DocEvent(7, "delta"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = sink.synchronized(sink.toSet)
+      assert(got == Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L),
+        (6L, 1L), (7L, 5L)),
+        s"decisions must be exactly-once across the kill: $got")
+      val stateRows = spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "keeper").load()
+      assert(stateRows.count() == 3L,
+        "keeper store must hold exactly one row per distinct digest " +
+        "(alpha beta / gamma / delta)")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+}
