@@ -34,11 +34,14 @@ import org.apache.spark.sql.types.LongType
   * uses (reference semantics: latest-preceding event per key,
   * `tweet-streamer/src/main/scala/main.scala:49-55` pairs each window's
   * counts with the latest state by key). Measured at sf0.1 against the
-  * window twin on the identical oracle-checked query (2 carried columns —
-  * the width where the window form is at its BEST): warm 0.56 s vs
-  * 0.76 s; the gap widens one `last(when(...)) OVER` aggregate per
-  * additional payload column while this operator stays one merge pass
-  * (see SCALE.md).
+  * window twin on the identical oracle-checked query (2 carried columns):
+  * warm 0.56 s vs 0.76 s; at 6M rows the merge wins 1.49× with 2 carried
+  * columns and 1.58× with 10 (9 of them 64-byte strings) — the window
+  * form's width tax is the padded-union SHUFFLE (every carried column
+  * rides both sides' shuffle rows), milder than one-aggregate-per-column
+  * since Spark shares a single frame pass across the `last(when(...))`
+  * functions; see SCALE.md's measured width + skew decision rules
+  * (`graft.AsOfWidthBench`).
   *
   * Scale shape: both children hash-cluster on the join key (one shuffle
   * each, inserted by `EnsureRequirements` only when the child isn't already

@@ -377,6 +377,35 @@ class AsOfPlanSpec extends GraftSpec {
     }
     assert(err.getMessage.contains("left side has no column 'nope'"), err.getMessage)
   }
+
+  test("salting splits a hot as-of key across reducers (the SCALE.md rule's mechanism)") {
+    // deterministic STRUCTURAL pin for the measured decision rule in
+    // SCALE.md (wall-clock lives in graft.AsOfWidthBench — a latency
+    // assert would flake on this shared host): the exec's
+    // ClusteredDistribution hash-partitions on the join keys, so model
+    // its exchange with an explicit hash repartition and compare the
+    // straggler share with and without the salt key.
+    import org.apache.spark.sql.functions._
+    val parts = 8
+    val hotLeft = spark.range(8000).select(
+      col("id").as("event_id"),
+      when(col("id") % 2 === 0, lit(999999999L)).otherwise(col("id") % 50)
+        .as("user_id"))
+    def maxShare(df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Double = {
+      val counts = df.repartition(parts, keys.map(col): _*)
+        .groupBy(spark_partition_id()).count()
+        .collect().map(_.getLong(1))
+      counts.max.toDouble / counts.sum
+    }
+    val unsalted = maxShare(hotLeft, Seq("user_id"))
+    val salted = maxShare(
+      hotLeft.withColumn("salt", pmod(hash(col("event_id")), lit(4))),
+      Seq("user_id", "salt"))
+    assert(unsalted >= 0.5,
+      f"hot key must concentrate unsalted: straggler share $unsalted%.2f")
+    assert(salted <= 0.3,
+      f"4-way salt must split the hot key: straggler share $salted%.2f")
+  }
 }
 
 object AsOfPlanSpec {
