@@ -10,8 +10,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * concern so query code never hardcodes paths.
   */
 object Tables {
+  /** Loader memo, keyed by (session, logical key). Every
+    * `spark.read.parquet` fires a small driver job for footer/schema
+    * inference and every `fanOut` pays a physical planning pass for its
+    * partition probe — per CALL. A 169-query bench touches loaders
+    * thousands of times, so the repeated per-call cost is real money for
+    * zero information: the harness tables are immutable for the life of a
+    * session. DataFrames are immutable plans, safe to share. Keyed by
+    * session so tests/Verify/Bench (separate sessions with different
+    * confs) never cross-contaminate. */
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def memo(s: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
+    // NOT computeIfAbsent: loader memos NEST (documents → table), and a
+    // nested computeIfAbsent on the same map throws "Recursive update"
+    // when both keys land in one bin. get/putIfAbsent tolerates nesting;
+    // a racing duplicate build is harmless (immutable plans, one wins).
+    val k = (s, key)
+    val existing = frames.get(k)
+    if (existing != null) existing
+    else {
+      val v = mk
+      val prev = frames.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo(spark, s"raw:$dir/$name")(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Exact row count from parquet FOOTER metadata, read driver-side via
     * parquet-hadoop — schedules NO Spark job at all (vs `df.count()`,
@@ -118,12 +144,16 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = fanOut(s, table(s, d, "orders"))
-  def lineitem(s: SparkSession, d: String): DataFrame  = fanOut(s, table(s, d, "lineitem"))
-  def events(s: SparkSession, d: String): DataFrame    = eventsWithTs(fanOut(s, table(s, d, "events")))
-  def documents(s: SparkSession, d: String): DataFrame = fanOut(s, table(s, d, "documents"))
+  def orders(s: SparkSession, d: String): DataFrame    =
+    memo(s, s"fan:$d/orders")(fanOut(s, table(s, d, "orders")))
+  def lineitem(s: SparkSession, d: String): DataFrame  =
+    memo(s, s"fan:$d/lineitem")(fanOut(s, table(s, d, "lineitem")))
+  def events(s: SparkSession, d: String): DataFrame    =
+    memo(s, s"fan:$d/events")(eventsWithTs(fanOut(s, table(s, d, "events"))))
+  def documents(s: SparkSession, d: String): DataFrame =
+    memo(s, s"fan:$d/documents")(fanOut(s, table(s, d, "documents")))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    normalizeEmbedding(fanOut(s, table(s, d, "embeddings")))
+    memo(s, s"fan:$d/embeddings")(normalizeEmbedding(fanOut(s, table(s, d, "embeddings"))))
 
   /** Expected column names per table (SURVEY.md §1: fixed schemas declared
     * in code; the parquet footer is the source of truth, this asserts we
