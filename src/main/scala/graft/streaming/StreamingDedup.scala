@@ -212,4 +212,150 @@ object StreamingDedup {
         TimeMode.None(), OutputMode.Append())
       .toDF()
   }
+
+  // ------------------------------------------------ growing-corpus stream
+  /** One decision of the growing-corpus curation stream: `kind` is
+    * `kept`, `exact` (duplicate of an earlier KEPT doc's text) or `near`
+    * (Jaccard ≥ t against an earlier KEPT doc); `keeper_id` names the
+    * smallest-id kept doc that caused a drop, −1 for kept rows. */
+  case class CurateDecision(doc_id: Long, kind: String, keeper_id: Long)
+
+  /** Growing-corpus continuous curation — the production form
+    * [[incrementalDedupStream]] deliberately does not attempt: ACCEPTED
+    * documents join the standing index, so later stream docs dedup
+    * against them too (the index grows; the batch probe's corpus is
+    * immutable).
+    *
+    * SEMANTICS (greedy prefix rule — the only order-deterministic one):
+    * documents are decided in doc_id order within each micro-batch,
+    * micro-batches in arrival order. A doc is dropped iff it exactly
+    * matches, or near-matches (J ≥ t), an EARLIER KEPT doc; otherwise it
+    * is kept and immediately becomes part of the index. Dropped docs
+    * never absorb later docs — which is why plain connected-components
+    * collapse (the batch `neardup_clusters` rule) is NOT equivalent:
+    * near-dup is not transitive, and greedy keeps the earliest
+    * representative of every chain link that escapes its predecessor.
+    * Fed the same docs in the same order, the decision sequence is
+    * IDENTICAL for every micro-batch slicing — spec-pinned against an
+    * independent O(n²) in-memory reference.
+    *
+    * SHAPE: the growing index is three distributed frames (kept digests,
+    * kept shingle arrays, kept prefix entries), extended per batch by
+    * union + eager localCheckpoint (lineage stays O(1) deep; the
+    * superseded snapshot is unpersisted). The prefix order here is plain
+    * LEXICOGRAPHIC — unlike the static twin's corpus-df order, a
+    * df-based order would shift as the corpus grows and break the prefix
+    * lemma's shared-order requirement across old index vs new probe; lex
+    * never moves, stays lossless, and costs only the rare-first pruning
+    * heuristic. Candidate generation and Jaccard verification are
+    * distributed; only the micro-batch's own decision list (the day's
+    * sliver) and its within-batch candidate pairs come to the driver,
+    * where the greedy rule resolves sequentially — the one inherently
+    * serial step, sized to the batch, never the corpus. Index state
+    * lives outside the checkpoint (production persists it as a bucketed
+    * table with idempotent per-batchId MERGE — documented trade; the
+    * split-invariance spec is the correctness surface here). */
+  def growingCurationStream(stream: Dataset[DocEvent], t: Double = 0.5)
+                           (sink: (Seq[CurateDecision], Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // growing-index state: driver-held handles to distributed frames
+    var digests: DataFrame = null // (h, len, id)  kept docs
+    var arrays: DataFrame = null  // (id, sh, n)   kept docs with ≥1 shingle
+    var prefix: DataFrame = null  // (id, n, s)    lex-order prefix entries
+
+    def lexPrefix(arr: DataFrame, idCol: String): DataFrame =
+      arr.select(col(idCol).as("id"), col("n"),
+          expr(s"slice(sort_array(sh), 1, cast(size(sh) - ceil($t * size(sh)) + 1 as int))")
+            .as("pf"))
+        .select(col("id"), col("n"), explode(col("pf")).as("s"))
+
+    stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
+      // pin the batch: everything below re-references it several times
+      val mb = mb0.select("doc_id", "text").localCheckpoint()
+      val mbKeyed = mb.select(col("doc_id"), md5(col("text")).as("h"),
+        length(col("text")).as("len")).localCheckpoint()
+      val mbArr = Dedup.shingleArrays(mb)
+        .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+        .localCheckpoint()
+
+      // ---- distributed: candidates against the KEPT index (all final)
+      val idxExact: Map[Long, Long] =
+        if (digests == null) Map.empty
+        else mbKeyed.join(digests, Seq("h", "len"))
+          .groupBy("doc_id").agg(min("id").as("keeper"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val idxNear: Map[Long, Long] =
+        if (arrays == null) Map.empty
+        else {
+          val probe = lexPrefix(mbArr, "doc_id")
+            .withColumnRenamed("id", "b_id").withColumnRenamed("n", "bn")
+          val cand = probe.join(prefix.withColumnRenamed("id", "k_id")
+              .withColumnRenamed("n", "kn"), "s")
+            .filter(col("bn") * t <= col("kn") && col("kn") * t <= col("bn"))
+            .select("b_id", "k_id").distinct()
+          cand
+            .join(mbArr.select(col("doc_id").as("b_id"), col("sh").as("sb"),
+              col("n").as("nb")), "b_id")
+            .join(arrays.select(col("id").as("k_id"), col("sh").as("sk"),
+              col("n").as("nk")), "k_id")
+            .withColumn("c", size(array_intersect(col("sb"), col("sk"))).cast("long"))
+            .filter(col("c").cast("double") / (col("nb") + col("nk") - col("c")) >= t)
+            .groupBy("b_id").agg(min("k_id").as("keeper"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }
+
+      // ---- distributed: WITHIN-batch candidate pairs (driver resolves)
+      val exactPairs = mbKeyed.alias("a")
+        .join(mbKeyed.alias("b"), col("a.h") === col("b.h") &&
+          col("a.len") === col("b.len") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nearPairs = Dedup.jaccardPairsFrom(mb)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+      // ---- driver: greedy resolution in doc order (batch-sized, serial)
+      val exactBy = exactPairs.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }
+      val nearBy = nearPairs.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }
+      val kept = scala.collection.mutable.TreeSet.empty[Long]
+      val decisions = scala.collection.mutable.ArrayBuffer.empty[CurateDecision]
+      mb.select("doc_id").collect().map(_.getLong(0)).sorted.foreach { id =>
+        val exactK: Option[Long] = (idxExact.get(id).toSeq ++
+          exactBy.getOrElse(id, Nil).filter(kept)).minOption
+        lazy val nearK: Option[Long] = (idxNear.get(id).toSeq ++
+          nearBy.getOrElse(id, Nil).filter(kept)).minOption
+        if (exactK.isDefined) decisions += CurateDecision(id, "exact", exactK.get)
+        else if (nearK.isDefined) decisions += CurateDecision(id, "near", nearK.get)
+        else { kept += id; decisions += CurateDecision(id, "kept", -1L) }
+      }
+
+      // ---- grow the index with this batch's kept docs
+      val keptIds = kept.toSeq.toDF("doc_id")
+      val newDig = mbKeyed.join(keptIds, "doc_id")
+        .select(col("h"), col("len"), col("doc_id").as("id"))
+      val newArr = mbArr.join(keptIds, "doc_id")
+        .select(col("doc_id").as("id"), col("sh"), col("n"))
+      val oldDig = digests; val oldArr = arrays; val oldPf = prefix
+      digests = (if (oldDig == null) newDig else oldDig.unionByName(newDig))
+        .localCheckpoint()
+      arrays = (if (oldArr == null) newArr else oldArr.unionByName(newArr))
+        .localCheckpoint()
+      // the index grows by the batch's DELTA only — a lex prefix never
+      // moves once computed, so old entries stay valid forever (this is
+      // exactly what a df-based order would break)
+      val newPf = lexPrefix(newArr, "id")
+      prefix = (if (oldPf == null) newPf else oldPf.unionByName(newPf))
+        .localCheckpoint()
+      // superseded snapshots: safe to drop once the new eager checkpoints
+      // above have materialized
+      Seq(oldDig, oldArr, oldPf).filter(_ != null)
+        .foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
+      Seq(mb, mbKeyed, mbArr)
+        .foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
+
+      sink(decisions.toSeq, batchId)
+    }
+  }
 }

@@ -94,6 +94,72 @@ class StreamingDedupSpec extends GraftSpec {
     } finally idx.release()
   }
 
+  test("growing-corpus curation == independent greedy reference, any micro-batch splits") {
+    // The greedy prefix rule (drop iff exact/near match against an earlier
+    // KEPT doc, decided in doc order) is order-deterministic, so the
+    // decision sequence must be IDENTICAL for every micro-batch slicing —
+    // verified against an O(n²) in-memory reimplementation that shares no
+    // code with the operator (text equality instead of md5; plain Scala
+    // sets instead of Spark arrays).
+    def shingles(text: String): Set[String] = {
+      val tk = text.split(" ", -1) // Spark's split keeps empty tokens
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val c = (a & b).size
+      val d = a.size + b.size - c
+      if (d == 0) 0.0 else c.toDouble / d
+    }
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // the sf0.001 slice has near-dups but no exact twins whose first copy
+    // survives — append synthetic exact copies of early docs (new ids past
+    // the max) so the 'exact' path is exercised; reference and stream
+    // consume the SAME extended sequence, so equality stays meaningful
+    val maxId = base.map(_._1).max
+    val docs = base ++ base.take(3).zipWithIndex.map { case ((_, text), i) =>
+      (maxId + 1 + i, text)
+    }
+    case class Kept(id: Long, text: String, sh: Set[String])
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Kept]
+    val expected = docs.map { case (id, text) =>
+      val sh = shingles(text)
+      val exactK = kept.filter(_.text == text).map(_.id).minOption
+      lazy val nearK = kept.filter(k => jac(sh, k.sh) >= 0.5).map(_.id).minOption
+      exactK match {
+        case Some(k) => (id, "exact", k)
+        case None => nearK match {
+          case Some(k) => (id, "near", k)
+          case None => kept += Kept(id, text, sh); (id, "kept", -1L)
+        }
+      }
+    }.toSeq
+    assert(expected.exists(_._2 == "exact") && expected.exists(_._2 == "near"),
+      "harness corpus must exercise both drop kinds")
+
+    val events = docs.map { case (id, text) => DocEvent(id, text) }.toSeq
+    for ((seed, msId) <- Seq((3, 306), (13, 307))) {
+      val rnd = new scala.util.Random(seed)
+      // id order ACROSS batches (the rule's total order), cuts random
+      val chunks = splitChunks(events, 2 + rnd.nextInt(4), rnd)
+      val ms = MemoryStream[DocEvent](msId, spark, None)
+      val sink = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_growdedup").toString
+      val q = StreamingDedup.growingCurationStream(ms.toDS()) { (ds, _) =>
+        sink.synchronized { sink ++= ds.map(d => (d.doc_id, d.kind, d.keeper_id)) }
+        ()
+      }.option("checkpointLocation", ckpt).start()
+      try chunks.foreach { c =>
+        if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = sink.synchronized(sink.toSeq).sortBy(_._1)
+      assert(got == expected,
+        s"seed=$seed: greedy decisions diverge " +
+        s"(first diff: ${got.zip(expected).find(p => p._1 != p._2)})")
+    }
+  }
+
   test("streaming exact dedup == batch keep-lowest-id rule, any id-ordered splits") {
     val docs = Tables.documents(spark, sf0001)
     val expected = docs.alias("d")
