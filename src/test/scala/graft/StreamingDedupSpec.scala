@@ -94,6 +94,55 @@ class StreamingDedupSpec extends GraftSpec {
     } finally idx.release()
   }
 
+  test("decideBatch == brute-force reference on random small-vocab corpora") {
+    // randomized losslessness proof for the corpus-df prefix filter: tiny
+    // vocabulary + short docs generate dense boundary cases (J exactly at
+    // threshold, empty docs, sub-shingle docs, exact twins) that the
+    // harness corpus never hits; the reference is an all-pairs scan with
+    // plain Scala sets — no shared code, no filtering
+    import spark.implicits._
+    def sh(t: String): Set[String] = {
+      val tk = t.split(" ", -1)
+      if (tk.length < 3) Set.empty else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (seed <- Seq(5, 21, 77)) {
+      val rnd = new scala.util.Random(seed)
+      def mkDoc(): String =
+        (0 until rnd.nextInt(13)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val corpus = (0L until 60L).map(i => (i, mkDoc()))
+      val batch = (100L until 130L).map(i => (i, mkDoc()))
+      val idx = StreamingDedup.buildStandingIndex(corpus.toDF("doc_id", "text"))
+      try {
+        val got = StreamingDedup.decideBatch(batch.toDF("doc_id", "text"), idx)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+          .toSet
+        val expected = batch.flatMap { case (bid, btext) =>
+          corpus.filter(_._2 == btext).map(_._1).minOption match {
+            case Some(cid) => Some((bid, cid, "exact", 1.0))
+            case None =>
+              val bsh = sh(btext)
+              val cands = corpus.flatMap { case (cid, ctext) =>
+                val csh = sh(ctext)
+                val c = (bsh & csh).size
+                val den = bsh.size + csh.size - c
+                if (den > 0 && c.toDouble / den >= 0.5)
+                  Some((c.toDouble / den, cid)) else None
+              }
+              if (cands.isEmpty) None
+              else {
+                val (j, cid) = cands.minBy { case (jv, cv) => (-jv, cv) }
+                Some((bid, cid, "near", j))
+              }
+          }
+        }.toSet
+        assert(got == expected, s"seed=$seed: missing=${(expected -- got).take(3)} " +
+          s"extra=${(got -- expected).take(3)}")
+      } finally idx.release()
+    }
+  }
+
   test("growing-corpus curation == independent greedy reference, any micro-batch splits") {
     // The greedy prefix rule (drop iff exact/near match against an earlier
     // KEPT doc, decided in doc order) is order-deterministic, so the
