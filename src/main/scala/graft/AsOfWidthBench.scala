@@ -172,6 +172,12 @@ object AsOfWidthBench {
         .select(col("event_id"), (col("sec") - col("click_sec")).as("gap_sec"),
           lit(0L).as("p1"))
     }
+    // the right-hot alternative: split TIME instead of replicating history
+    // (asof_join_epoch's rewrite) — 6h epochs over the events' ~90-day span
+    def epochSplit(l: DataFrame, r: DataFrame): DataFrame =
+      graft.operators.TimeWindows.asofEpochSplit(l, r, epochSec = 6 * 3600)
+        .select(col("event_id"), (col("sec") - col("click_sec")).as("gap_sec"),
+          lit(0L).as("p1"))
     for ((scenario, probes, right, rightSample) <- Seq(
         // trades-vs-quotes shape: huge hot probe side, SMALL right side
         // (1% of purchases) — replication ×S is cheap, splitting the
@@ -182,11 +188,13 @@ object AsOfWidthBench {
       val (l, r) = mkSides(probes, right, rightSample)
       checksum(unsalted(l, r)) // warmup
       val (uT, uSum) = best(() => unsalted(l, r))
+      val (eT, eSum) = best(() => epochSplit(l, r))
+      require(uSum == eSum, s"$scenario: epoch-split disagrees — $uSum vs $eSum")
       for (s <- Seq(4, 8)) {
         val (sT, sSum) = best(() => salted(l, r, s))
         require(uSum == sSum, s"$scenario salt=$s: forms disagree — $uSum vs $sSum")
         println(s"""{"exp":"skew","scenario":"$scenario","salts":$s,""" +
-          s""""rows":${uSum._1},"unsalted_min":$uT,"salted_min":$sT}""")
+          s""""rows":${uSum._1},"unsalted_min":$uT,"salted_min":$sT,"epoch_min":$eT}""")
       }
     }
     spark.stop()

@@ -594,6 +594,67 @@ object TimeWindows {
       .orderBy("purchase_id")
   }
 
+  /** Epoch-split as-of: the RIGHT-hot skew mitigation the salted form
+    * cannot provide (SCALE.md decision rule, measured by
+    * `graft.AsOfWidthBench`: replicating a hot right side ×salts re-sorts
+    * it `salts` times — when the hot key's right history is itself large,
+    * salting loses). Instead of replicating history, split TIME: bucket
+    * both sides into fixed epochs and join on (key, epoch), so a hot
+    * key's rows spread over its ACTIVE EPOCHS with zero right-side
+    * replication. Backward matches can cross an epoch boundary (the
+    * latest click may live in an earlier epoch), so each left epoch is
+    * SEEDED with one extra right row: the key's latest click from all
+    * earlier epochs — computed by running THE SAME as-of operator at
+    * epoch granularity (per-(key, epoch) latest-click table, ~one row per
+    * key-epoch, probed by each left epoch at `e − 1`). Seeds are bounded
+    * by |left epochs|, not by right-side size — the asymmetry that makes
+    * this the right-hot remedy. Works when the hot key's activity SPANS
+    * epochs (time-distributed skew, the common case); a key hot inside a
+    * single epoch composes with the salted form instead. Oracle-gated on
+    * the UNSALTED [[asofJoinSql]], so the rewrite's equivalence is a
+    * hash-gate fact at both scales; epoch-boundary edges (click in a
+    * prior epoch, click at the epoch's first/last second, empty epochs
+    * between activity) are randomized-verified in `AsOfPlanSpec`. */
+  private[graft] def asofEpochSplit(purchases: DataFrame, clicks: DataFrame,
+                                    epochSec: Long): DataFrame = {
+    val l = purchases.withColumn("e", floor(col("sec") / epochSec).cast("long"))
+    val r = clicks.withColumn("e", floor(col("click_sec") / epochSec).cast("long"))
+    // one row per (user, epoch): the epoch's latest click — max by
+    // (click_sec, click_id), the operator's backward tie rule
+    val perEpoch = r.groupBy(col("click_user"), col("e").as("ce"))
+      .agg(max(struct(col("click_sec"), col("click_id"))).as("m"))
+      .select(col("click_user"), col("ce"),
+        col("m.click_sec").as("click_sec"), col("m.click_id").as("click_id"))
+    // seed per LEFT epoch = the key's latest click in any epoch ≤ e−1:
+    // the as-of operator itself, at epoch granularity (tiny input)
+    val lEpochs = l.select(col("user_id"), col("e")).distinct()
+      .withColumn("probe_e", col("e") - 1)
+    val seeds = graft.plans.AsOf.joinBackward(
+        lEpochs, perEpoch,
+        leftKeys = Seq("user_id"), rightKeys = Seq("click_user"),
+        leftTime = "probe_e", rightTime = "ce",
+        rightTiebreak = Seq("click_id"))
+      .select(col("click_id"), col("user_id").as("click_user"),
+        col("click_sec"), col("e"))
+    // augmented right: in-epoch clicks + one seed row per left epoch —
+    // the (key, epoch) merge then finds the global backward winner
+    val augRight = r.select("click_id", "click_user", "click_sec", "e")
+      .unionByName(seeds)
+    graft.plans.AsOf.joinBackward(
+        l, augRight,
+        leftKeys = Seq("user_id", "e"), rightKeys = Seq("click_user", "e"),
+        leftTime = "sec", rightTime = "click_sec",
+        rightTiebreak = Seq("click_id"))
+  }
+
+  def asofJoinEpoch(s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
+    asofEpochSplit(purchases, clicks, epochSec = 6 * 3600)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("click_id"), (col("sec") - col("click_sec")).as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
   /** The SQL-surface twin of [[asofJoinPhysical]]: the identical join
     * through the `asof_join(TABLE(...), TABLE(...), ...)` table function
     * registered in `GraftExtensions` — proving a pure-SQL user reaches the
@@ -685,6 +746,7 @@ object TimeWindows {
     "asof_join_nearest"  -> (asofJoinNearest _),
     "asof_join_nearest_tol" -> (asofJoinNearestTol _),
     "asof_join_salted"   -> (asofJoinSalted _),
+    "asof_join_epoch"    -> (asofJoinEpoch _),
     "asof_join_tvf"      -> (asofJoinTvf _)
   )
 
@@ -708,6 +770,7 @@ object TimeWindows {
     "asof_join_nearest"  -> asofJoinNearestSql,
     "asof_join_nearest_tol" -> asofJoinNearestTolSql,
     "asof_join_salted"   -> asofJoinSql,  // salted rewrite must equal the plain as-of
+    "asof_join_epoch"    -> asofJoinSql,  // epoch-split rewrite likewise
     "asof_join_tvf"      -> asofJoinSql
   )
 }

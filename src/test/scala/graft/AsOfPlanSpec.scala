@@ -378,6 +378,35 @@ class AsOfPlanSpec extends GraftSpec {
     assert(err.getMessage.contains("left side has no column 'nope'"), err.getMessage)
   }
 
+  test("epoch-split as-of == direct merge for random inputs and epoch widths") {
+    // the right-hot mitigation (asof_join_epoch): random event times at
+    // small epoch widths make every boundary case dense — the winning
+    // click in a strictly earlier epoch, clicks at an epoch's first/last
+    // second, empty epochs between activity, epoch-0 lefts with no seed
+    import spark.implicits._
+    import graft.operators.TimeWindows
+    for (seed <- Seq(2, 9); w <- Seq(1L, 3L, 7L)) {
+      val rnd = new scala.util.Random(seed * 31 + w.toInt)
+      val pDf = (1 to 80).map(i =>
+          (1000L + i, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(40).toLong))
+        .toDF("event_id", "user_id", "sec")
+      val cDf = (1 to 60).map(i =>
+          (2000L + i, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(40).toLong))
+        .toDF("click_id", "click_user", "click_sec")
+      val direct = AsOf.joinBackward(pDf, cDf,
+          leftKeys = Seq("user_id"), rightKeys = Seq("click_user"),
+          leftTime = "sec", rightTime = "click_sec",
+          rightTiebreak = Seq("click_id"))
+        .select("event_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val split = TimeWindows.asofEpochSplit(pDf, cDf, w)
+        .select("event_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(split == direct, s"seed=$seed w=$w: " +
+        s"missing=${(direct -- split).take(3)} extra=${(split -- direct).take(3)}")
+    }
+  }
+
   test("salting splits a hot as-of key across reducers (the SCALE.md rule's mechanism)") {
     // deterministic STRUCTURAL pin for the measured decision rule in
     // SCALE.md (wall-clock lives in graft.AsOfWidthBench — a latency
