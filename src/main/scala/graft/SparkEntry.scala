@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, CboStats, DataPrep, Dedup, Layout, Modern,
   Multimodal, Pipeline, QualityFilters, Reference, Relational, RelationalExt,
-  RelationalMore, Similarity, SourcesSinks, TextAnalysis, TimeWindows, TpchFull,
-  TypedOps}
+  RelationalMore, Similarity, SourcesSinks, StandingIndex, TextAnalysis,
+  TimeWindows, TpchFull, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,7 @@ object SparkEntry {
       (QualityFilters.queries, QualityFilters.oracles),
       (Pipeline.queries, Pipeline.oracles),
       (Dedup.queries, Dedup.oracles),
+      (StandingIndex.queries, StandingIndex.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Similarity.queries, Similarity.oracles),
       (Multimodal.queries, Multimodal.oracles),

@@ -99,8 +99,18 @@ object QualityFilters {
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(Tables.documents(s, dir))
     val bench = sh.filter(col("doc_id") % 10 === 0).select("s").distinct()
+      .withColumn("hit", lit(1))
+    // the harness benchmark is corpus-DERIVED (every 10th doc), so unlike
+    // a real eval suite its shingle set grows with the corpus — hint the
+    // broadcast only under the same footer-count guard as
+    // Pipeline.dropSetJoin, and let AQE pick from runtime sizes past it
+    val max = s.conf.getOption("spark.graft.dropSetBroadcast.maxCorpusRows")
+      .map(_.toLong).getOrElse(10000000L)
+    val benchSide =
+      if (Tables.footerRowCount(s, dir, "documents") <= max) broadcast(bench)
+      else bench
     sh.filter(col("doc_id") % 10 =!= 0)
-      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("s"), "left")
+      .join(benchSide, Seq("s"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
       .withColumn("overlap", col("n_hit").cast("double") / col("n_sh").cast("double"))

@@ -234,6 +234,77 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  // ------------------------------------------------- sign-grid near-dup
+  private val GridDims = 8
+
+  /** Axis-aligned sign-grid bucket: bit d = [v_d ≥ 0] over the first
+    * `GridDims` coordinates — the deterministic sibling of [[srpBucket]].
+    * Same cell geometry (2^8 orthant cells), but the "hyperplanes" are the
+    * coordinate axes, so the bucket id is plain arithmetic ANY engine
+    * reproduces bit-for-bit. That buys what the SRP form cannot have: the
+    * bucketed scale path itself goes under the DuckDB hash gate, not just
+    * its exact-verification filter. */
+  private def signGridBucket(v: Column): Column =
+    (0 until GridDims).map { d =>
+      when(element_at(v, d + 1) >= 0, lit(1L << d)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Sign-grid bucketed cosine near-duplicate pairs — [[cosineNearDupLsh]]
+    * with deterministic cells, fully ORACLE-CHECKED. Candidates are pairs
+    * meeting in one cell after single-bit multi-probe on the lower-id side
+    * (a near-boundary pair differs in one sign bit; the flip is symmetric,
+    * so probing one side finds it), then exact cosine ≥ 0.4 verification.
+    * All joins are equi joins on the cell id or vec_id — candidate count
+    * follows cell occupancy, never n². Recall < 1 by construction (pairs
+    * differing in ≥ 2 sign bits are skipped — at scale you add probe bits
+    * or re-rank survivors); the oracle reproduces the same approximation
+    * exactly, which is the point: approximation error is pinned by the
+    * hash gate instead of trusted. */
+  def cosineNearDupSignGrid(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).withColumn("bucket", signGridBucket(col("v"))).cache()
+    val probes = e.select(col("vec_id").as("a_id"), col("bucket"))
+      .withColumn("bucket",
+        explode(array(col("bucket") +:
+          (0 until GridDims).map(d => col("bucket").bitwiseXOR(lit(1L << d))): _*)))
+    val cand = probes
+      .join(e.select(col("vec_id").as("b_id"), col("bucket")), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .filter(col("score") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score_r"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val cosineNearDupSignGridSql: String = {
+    val bucket = (0 until GridDims)
+      .map(d => s"(CASE WHEN v[${d + 1}] >= 0 THEN ${1L << d} ELSE 0 END)")
+      .mkString(" + ")
+    val probeList = ("bucket" +:
+      (0 until GridDims).map(d => s"xor(bucket, ${1L << d})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |probes AS (
+       |  SELECT vec_id AS a_id, unnest([$probeList]) AS bucket FROM b
+       |),
+       |cand AS (
+       |  SELECT DISTINCT p.a_id, c.vec_id AS b_id
+       |  FROM probes p JOIN b c ON p.bucket = c.bucket AND p.a_id < c.vec_id
+       |)
+       |SELECT cand.a_id, cand.b_id,
+       |       round(list_dot_product(x.v, y.v) /
+       |             (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+       |         AS score_r
+       |FROM cand JOIN b x ON cand.a_id = x.vec_id
+       |          JOIN b y ON cand.b_id = y.vec_id
+       |WHERE list_dot_product(x.v, y.v) /
+       |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------- IVF
   private val NProbe = 2
 
@@ -759,7 +830,8 @@ object Similarity {
     "emb_label_centroids" -> (labelCentroids _),
     "emb_kmeans_fit"  -> (kmeansFit _),
     "emb_neardup_cosine" -> (cosineNearDup _),
-    "emb_neardup_cosine_lsh" -> (cosineNearDupLsh _)
+    "emb_neardup_cosine_lsh" -> (cosineNearDupLsh _),
+    "emb_neardup_signgrid" -> (cosineNearDupSignGrid _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -772,7 +844,8 @@ object Similarity {
     "ann_heap_topk"  -> bruteForceTopKSql,
     "ann_ivf_topk"   -> ivfTopKSql,
     "emb_label_centroids" -> labelCentroidsSql,
-    "emb_neardup_cosine" -> cosineNearDupSql
+    "emb_neardup_cosine" -> cosineNearDupSql,
+    "emb_neardup_signgrid" -> cosineNearDupSignGridSql
     // lsh variants: hash-dependent bucketing → rows-only gate
   )
 }

@@ -230,4 +230,19 @@ class SimilaritySpec extends GraftSpec {
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     assert(recall >= 0.3, f"LSH recall $recall%.2f below floor")
   }
+
+  test("sign-grid near-dup: exact subset of O(n^2), deterministic across runs") {
+    val exact = Similarity.cosineNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.cosineNearDupSignGrid(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val first = run()
+    assert(first.nonEmpty, "sign-grid must surface near-dup pairs on the fixture")
+    assert(first.map(t => (t._1, t._2)).toSet.subsetOf(exact),
+      "exact verification must kill all false positives")
+    // determinism is the whole point vs the SRP variant: same rows, same
+    // order, same scores on every run — this is what lets the query go
+    // under the DuckDB hash gate instead of a rows-only check
+    assert(run().sameElements(first), "sign-grid output must be deterministic")
+  }
 }
