@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions._
   */
 object StandingIndex {
 
-  private val Threshold = 0.5
+  private[graft] val Threshold = 0.5
   private val Buckets = 8
 
   /** Index builds already done, keyed by (session, corpus dir) — the

@@ -168,6 +168,26 @@ object StreamingDedup {
         sink(decideBatch(mb, idx), batchId)
       }
 
+  /** The deployment wiring: a [[StandingIndex]] view over the ON-DISK
+    * bucketed tables `graft.operators.StandingIndex` materializes (built
+    * once per session if absent). Same dataflow [[decideBatch]] always
+    * ran — the cached-plan index and the bucketed-table index are
+    * interchangeable inputs, which the spec proves by running the stream
+    * against this view and matching the batch operator. At 100 TB this is
+    * the ONLY viable form: the index outlives any one streaming query and
+    * every probe-side join reads the tables pre-partitioned on its key. */
+  def standingIndexFromTables(s: org.apache.spark.sql.SparkSession,
+                              dir: String): StandingIndex = {
+    val t = graft.operators.StandingIndex.ensureBuilt(s, dir)
+    def idx(name: String): DataFrame = s.table(s"graft_idx_${name}_$t")
+    StandingIndex(
+      digests = idx("digests"),
+      arrays = idx("arrays"),
+      dfreq = idx("dfreq"),
+      prefix = idx("prefix").withColumnRenamed("cn", "nc"),
+      threshold = graft.operators.StandingIndex.Threshold)
+  }
+
   // ------------------------------------------------- within-stream exact
   case class DigestDoc(digest: String, doc_id: Long)
   case class KeeperDecision(doc_id: Long, keeper_id: Long)

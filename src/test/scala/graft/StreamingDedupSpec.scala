@@ -62,6 +62,33 @@ class StreamingDedupSpec extends GraftSpec {
     } finally idx.release()
   }
 
+  test("continuous probe against the ON-DISK bucketed index == batch operator") {
+    // the deployment wiring: the stream's standing index is the
+    // materialized bucketed-table form, not a cached plan — decisions
+    // must still equal the batch operator exactly
+    val expected = Dedup.incrementalDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val idx = StreamingDedup.standingIndexFromTables(spark, sf0001)
+    val rnd = new scala.util.Random(11)
+    val chunks = splitChunks(rnd.shuffle(newDocs.toSeq), 4, rnd)
+    val ms = MemoryStream[DocEvent](307, spark, None)
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Double)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_diskidx").toString
+    val q = StreamingDedup.incrementalDedupStream(ms.toDS(), idx) { (df, _) =>
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      sink.synchronized { sink ++= rows }
+      ()
+    }.option("checkpointLocation", ckpt).start()
+    try chunks.foreach { c =>
+      if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = sink.synchronized(sink.toSet)
+    assert(got == expected,
+      s"on-disk-index stream diverges from the batch operator " +
+      s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
+  }
+
   test("standing index is READ per micro-batch, never recomputed from the corpus") {
     // the 100 TB contract: per-batch cost is proportional to the batch,
     // not the corpus — the decision plan must source every corpus subtree
