@@ -57,7 +57,10 @@ object StandingIndex {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
   private def tagOf(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    // sanitizer + hash: the readable part aids debugging, the hash makes
+    // distinct dirs that sanitize identically (sf0.1 vs sf0_1) collide-free
+    dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase +
+      "_" + Integer.toHexString(dir.hashCode)
 
   private def tablePath(tag: String, name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_standing_index/$tag/$name"
@@ -68,12 +71,18 @@ object StandingIndex {
     Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0)
 
   /** Build (once per session+dir) the four bucketed index tables and
-    * return the table-name tag. Thread-safe; a racing duplicate build
-    * writes the same content (deterministic inputs) and one memo wins. */
-  def ensureBuilt(s: SparkSession, dir: String): String = {
+    * return the table-name tag. Serialized under a lock: unlike the
+    * loader memos (immutable plans, racing builds harmless), two
+    * concurrent builds here would WRITE the same table paths — the
+    * overwrite staging of one can delete files the other just committed. */
+  def ensureBuilt(s: SparkSession, dir: String): String = built.synchronized {
     val k = (s, dir)
     val existing = built.get(k)
-    if (existing != null) return existing
+    if (existing != null) existing else buildTables(s, dir, k)
+  }
+
+  private def buildTables(s: SparkSession, dir: String,
+                          k: (SparkSession, String)): String = {
     val tag = tagOf(dir)
     val corpus = corpusOf(s, dir)
 
@@ -115,8 +124,8 @@ object StandingIndex {
       .select(col("corpus_id"), col("cn"), col("e.s").as("s"))
     save(prefix, "prefix", "s")
 
-    val prev = built.putIfAbsent(k, tag)
-    if (prev != null) prev else tag
+    built.put(k, tag)
+    tag
   }
 
   /** Probe the standing index with the batch sliver (doc_id % 7 == 0) —
