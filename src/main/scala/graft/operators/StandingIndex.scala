@@ -84,22 +84,31 @@ object StandingIndex {
   private def buildTables(s: SparkSession, dir: String,
                           k: (SparkSession, String)): String = {
     val tag = tagOf(dir)
-    val corpus = corpusOf(s, dir)
+    buildFor(s, corpusOf(s, dir), tag)
+    built.put(k, tag)
+    tag
+  }
 
-    def save(df: DataFrame, name: String, bucketCol: String): Unit =
-      df.write.mode("overwrite")
-        .option("path", tablePath(tag, name))
-        .bucketBy(Buckets, bucketCol)
-        .saveAsTable(s"graft_idx_${name}_$tag")
+  private def save(df: DataFrame, tag: String, name: String,
+                   bucketCol: String, mode: String): Unit =
+    df.write.mode(mode)
+      .option("path", tablePath(tag, name))
+      .bucketBy(Buckets, bucketCol)
+      .saveAsTable(s"graft_idx_${name}_$tag")
 
-    // stage-1 index: min corpus twin per content digest. Pre-aggregating
-    // the min here means the probe's exact stage is a plain join — no
-    // groupBy over corpus rows at probe time.
+  /** Write the four index tables for `corpus` under `tag` (overwrite).
+    * Exposed within the package so specs can index arbitrary corpora. */
+  private[graft] def buildFor(s: SparkSession, corpus: DataFrame,
+                              tag: String): Unit = {
+    // stage-1 index: min corpus twin per content digest, pre-aggregated
+    // so the probe's exact stage joins one row per distinct content (per
+    // SEGMENT — appends may add a second row for a digest, which the
+    // probe's min-agg re-collapses)
     save(corpus
       .select(md5(col("text")).as("h"), length(col("text")).as("len"),
         col("doc_id").as("corpus_id"))
       .groupBy("h", "len").agg(min("corpus_id").as("corpus_id")),
-      "digests", "h")
+      tag, "digests", "h", "overwrite")
 
     // stage-2 indexes: per-doc distinct shingle arrays (row-local), the
     // corpus document frequencies (the frozen global order), and the
@@ -108,11 +117,11 @@ object StandingIndex {
     val cArr = Dedup.shingleArrays(corpus).select(
       col("doc_id").as("corpus_id"), col("sh"),
       size(col("sh")).cast("long").as("nc"))
-    save(cArr, "arrays", "corpus_id")
+    save(cArr, tag, "arrays", "corpus_id", "overwrite")
 
     val shC = cArr.select(col("corpus_id"), explode(col("sh")).as("s"))
     val dfreq = shC.groupBy("s").agg(count(lit(1)).as("df"))
-    save(dfreq, "dfreq", "s")
+    save(dfreq, tag, "dfreq", "s", "overwrite")
 
     val prefix = shC.join(dfreq, "s")
       .groupBy("corpus_id")
@@ -122,10 +131,62 @@ object StandingIndex {
           .as("pf"))
       .select(col("corpus_id"), col("cn"), explode(col("pf")).as("e"))
       .select(col("corpus_id"), col("cn"), col("e.s").as("s"))
-    save(prefix, "prefix", "s")
+    save(prefix, tag, "prefix", "s", "overwrite")
+  }
 
-    built.put(k, tag)
-    tag
+  /** Append newly accepted documents to an existing standing index — the
+    * MAINTENANCE path: a curation pipeline admits yesterday's unique docs
+    * into the corpus, and the index must follow without the full rebuild
+    * the A/B shows costs ~6× the probe. Appends write new bucketed files
+    * into the same four tables (bucket specs match, so probe-side joins
+    * stay exchange-free); three invariants make this exact, not
+    * approximate:
+    *
+    *   - `dfreq` — the prefix ORDER — is frozen at first build and NEVER
+    *     appended to: the PPJoin lemma needs one total order shared by
+    *     both sides of any pair, not a current one, so appended docs rank
+    *     their shingles under the original (df, s) order with unseen
+    *     shingles at df 0 — exactly how probes rank theirs. Updating df
+    *     counts instead would REORDER old prefixes and invalidate them.
+    *   - the digest table may now hold several rows per (h, len) (one per
+    *     append segment); the probe re-minimizes per batch doc — the same
+    *     min rule the batch operator applies.
+    *   - appended prefix/array rows only ADD candidates; exact full-set
+    *     verification keeps the output identical to a fresh index over
+    *     the unioned corpus, which `StandingIndexSpec` asserts.
+    */
+  private[graft] def appendFor(s: SparkSession, tag: String,
+                               docs: DataFrame): Unit = built.synchronized {
+    save(docs
+      .select(md5(col("text")).as("h"), length(col("text")).as("len"),
+        col("doc_id").as("corpus_id"))
+      .groupBy("h", "len").agg(min("corpus_id").as("corpus_id")),
+      tag, "digests", "h", "append")
+    val cArr = Dedup.shingleArrays(docs).select(
+      col("doc_id").as("corpus_id"), col("sh"),
+      size(col("sh")).cast("long").as("nc"))
+    save(cArr, tag, "arrays", "corpus_id", "append")
+    val prefix = cArr
+      .select(col("corpus_id"), explode(col("sh")).as("s"))
+      .join(s.table(s"graft_idx_dfreq_$tag"), Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy("corpus_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
+      .select(col("corpus_id"), size(col("os")).cast("long").as("cn"),
+        expr(s"slice(os, 1, cast(size(os) - ceil($Threshold * size(os)) + 1 as int))")
+          .as("pf"))
+      .select(col("corpus_id"), col("cn"), explode(col("pf")).as("e"))
+      .select(col("corpus_id"), col("cn"), col("e.s").as("s"))
+    save(prefix, tag, "prefix", "s", "append")
+  }
+
+  /** Dir-keyed convenience over [[appendFor]]: append to the index of the
+    * standard corpus split (which must already be built). */
+  def append(s: SparkSession, dir: String, docs: DataFrame): Unit = {
+    val tag = built.get((s, dir))
+    require(tag != null,
+      s"standing index for $dir not built in this session — ensureBuilt first")
+    appendFor(s, tag, docs)
   }
 
   /** Probe the standing index with the batch sliver (doc_id % 7 == 0) —
@@ -138,12 +199,15 @@ object StandingIndex {
     val t = Threshold
 
     val batch = Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
-    // exact probe: a batch doc has exactly one digest, so the pre-min'd
-    // digest table makes this a 1:≤1 join — no aggregation at probe time
+    // exact probe: each digest is pre-min'd PER SEGMENT, and appends may
+    // add a second segment row for a digest — the min-agg re-collapses to
+    // the batch operator's lowest-twin rule (a near-no-op on a fresh
+    // index: one row per group)
     val exact = batch
       .select(col("doc_id").as("batch_id"), md5(col("text")).as("h"),
         length(col("text")).as("len"))
       .join(idx("digests"), Seq("h", "len"))
+      .groupBy("batch_id").agg(min("corpus_id").as("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
         lit("exact").as("kind"), lit(1.0).as("jac"))
       .cache() // feeds both the output union and the left_anti below

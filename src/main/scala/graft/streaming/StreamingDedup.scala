@@ -113,6 +113,10 @@ object StreamingDedup {
       .select(col("doc_id").as("batch_id"), md5(col("text")).as("h"),
         length(col("text")).as("len"))
       .join(idx.digests, Seq("h", "len"))
+      // tolerate several digest rows per (h, len): an APPENDED on-disk
+      // index is pre-min'd per segment, not globally — re-minimize to the
+      // batch operator's lowest-twin rule (no-op on a single-segment index)
+      .groupBy("batch_id").agg(min("corpus_id").as("corpus_id"))
       .select(col("batch_id"), col("corpus_id"),
         lit("exact").as("kind"), lit(1.0).as("jac"))
     val rest = mb.join(exact.select(col("batch_id").as("doc_id")),

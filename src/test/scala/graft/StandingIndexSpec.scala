@@ -28,6 +28,45 @@ class StandingIndexSpec extends GraftSpec {
     assert(actual == expected)
   }
 
+  test("appended on-disk index decides identically to a fresh full index") {
+    // index maintenance: build on corpus A, append corpus B, probe — must
+    // equal a fresh index over A ∪ B (itself proven against an all-pairs
+    // reference in StreamingDedupSpec). Small vocab → dense boundary
+    // cases; a planted cross-segment twin forces the digest min-agg path.
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (seed <- Seq(9, 33)) {
+      val rnd = new scala.util.Random(seed)
+      def mkDoc(): String =
+        (0 until rnd.nextInt(13)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val corpusA = (0L until 40L).map(i => (i, mkDoc()))
+      val corpusB = (40L until 69L).map(i => (i, mkDoc())) :+ (69L, corpusA.head._2)
+      val batch = ((100L until 130L).map(i => (i, mkDoc())) :+ (131L, corpusA.head._2))
+      val tag = s"spec_append_$seed"
+      StandingIndex.buildFor(spark, corpusA.toDF("doc_id", "text"), tag)
+      StandingIndex.appendFor(spark, tag, corpusB.toDF("doc_id", "text"))
+      def tbl(n: String) = spark.table(s"graft_idx_${n}_$tag")
+      val diskIdx = StreamingDedup.StandingIndex(
+        digests = tbl("digests"), arrays = tbl("arrays"), dfreq = tbl("dfreq"),
+        prefix = tbl("prefix").withColumnRenamed("cn", "nc"), threshold = 0.5)
+      def decisions(idx: StreamingDedup.StandingIndex) =
+        StreamingDedup.decideBatch(batch.toDF("doc_id", "text"), idx).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+          .toSet
+      val got = decisions(diskIdx)
+      val fresh = StreamingDedup.buildStandingIndex(
+        (corpusA ++ corpusB).toDF("doc_id", "text"))
+      try {
+        val expected = decisions(fresh)
+        assert(got == expected, s"seed=$seed: appended index diverges " +
+          s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
+        assert(got.exists(d => d._1 == 131L && d._3 == "exact"),
+          "planted cross-segment twin must resolve through the digest min-agg")
+      } finally fresh.release()
+    }
+  }
+
   test("probe plan reads the index bucketed — corpus side never reshuffled") {
     StandingIndex.ensureBuilt(spark, sf0001)
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
