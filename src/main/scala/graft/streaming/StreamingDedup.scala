@@ -290,10 +290,7 @@ object StreamingDedup {
     var prefix: DataFrame = null  // (id, n, s)    lex-order prefix entries
 
     def lexPrefix(arr: DataFrame, idCol: String): DataFrame =
-      arr.select(col(idCol).as("id"), col("n"),
-          expr(s"slice(sort_array(sh), 1, cast(size(sh) - ceil($t * size(sh)) + 1 as int))")
-            .as("pf"))
-        .select(col("id"), col("n"), explode(col("pf")).as("s"))
+      lexPrefixOf(arr, idCol, t)
 
     stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
       // pin the batch: everything below re-references it several times
@@ -382,4 +379,158 @@ object StreamingDedup {
       sink(decisions.toSeq, batchId)
     }
   }
+
+  /** Lex-order PPJoin prefix entries of a shingle-array frame — the
+    * growing-index order: lexicographic never shifts as the corpus grows,
+    * so old prefix entries stay valid forever (a df order would not). */
+  private def lexPrefixOf(arr: DataFrame, idCol: String, t: Double): DataFrame =
+    arr.select(col(idCol).as("id"), col("n"),
+        expr(s"slice(sort_array(sh), 1, cast(size(sh) - ceil($t * size(sh)) + 1 as int))")
+          .as("pf"))
+      .select(col("id"), col("n"), explode(col("pf")).as("s"))
+
+  // ------------------------------------------- durable growing curation
+  private def gidxPath(tag: String, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_growing_index/$tag/$name"
+  private def gidxTable(name: String, tag: String): String =
+    s"graft_gidx_${name}_$tag"
+
+  /** Create the durable growing-index tables for `tag` if absent —
+    * digests (by content hash), shingle arrays (by doc id), lex-order
+    * prefix entries (by shingle): the same bucket keys the probe joins
+    * on, so probes read the tables exchange-free on the index side. */
+  private[graft] def durableCurateInit(s: org.apache.spark.sql.SparkSession,
+                                       tag: String): Unit = {
+    import s.implicits._
+    def ensure(df: DataFrame, name: String, bucketCol: String): Unit =
+      if (!s.catalog.tableExists(gidxTable(name, tag)))
+        df.write.mode("overwrite").option("path", gidxPath(tag, name))
+          .bucketBy(8, bucketCol).saveAsTable(gidxTable(name, tag))
+    ensure(Seq.empty[(String, Int, Long)].toDF("h", "len", "id"), "digests", "h")
+    ensure(Seq.empty[(Long, Seq[String], Long)].toDF("id", "sh", "n"), "arrays", "id")
+    ensure(Seq.empty[(Long, Long, String)].toDF("id", "n", "s"), "prefix", "s")
+  }
+
+  /** One micro-batch of DURABLE growing curation: decide `mb` against the
+    * on-disk kept-doc index, then append this batch's kept docs to it.
+    * This closes the trade [[growingCurationStream]]'s scaladoc documents
+    * (its index lives in session-cached frames that die with the query);
+    * here the index is bucketed tables that survive restarts, and the
+    * replay story is EXACT by construction:
+    *
+    *   - decisions are replay-stable: index probes only admit keepers with
+    *     `id < doc_id`. In normal operation that is a no-op (arrival is
+    *     id-ordered, every indexed id precedes the batch); on a replay
+    *     AFTER the append landed, it exactly cancels the batch's own rows
+    *     — a replayed doc can only match what it could match the first
+    *     time (the within-batch pass finds the same earlier-in-batch
+    *     keepers either way, and the decision takes the min over both).
+    *   - appends are marker-guarded per batchId (skip if already applied),
+    *     and a crash BETWEEN append and marker is still harmless: every
+    *     probe path is duplicate-neutral (exact/near keepers are min-aggs,
+    *     candidates are distinct'd), so a double-append costs storage
+    *     until compaction, never a changed decision — at-least-once
+    *     storage, exactly-once semantics. A lakehouse table format would
+    *     make the append itself atomic; plain parquet tables cannot, so
+    *     the invariant is carried by the algebra instead and spec-pinned
+    *     (replay after append, and after a simulated crashed marker, must
+    *     reproduce byte-identical decisions).
+    */
+  private[graft] def durableDecideAndGrow(s: org.apache.spark.sql.SparkSession,
+                                          tag: String, mb0: DataFrame,
+                                          batchId: Long, t: Double = 0.5)
+      : Seq[CurateDecision] = {
+    import s.implicits._
+    durableCurateInit(s, tag)
+    def tbl(name: String): DataFrame = s.table(gidxTable(name, tag))
+
+    val mb = mb0.select("doc_id", "text").localCheckpoint()
+    val mbKeyed = mb.select(col("doc_id"), md5(col("text")).as("h"),
+      length(col("text")).as("len")).localCheckpoint()
+    val mbArr = Dedup.shingleArrays(mb)
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+      .localCheckpoint()
+
+    // ---- distributed: candidates against the durable KEPT index
+    val idxExact: Map[Long, Long] =
+      mbKeyed.join(tbl("digests"), Seq("h", "len"))
+        .filter(col("id") < col("doc_id")) // replay safety (see scaladoc)
+        .groupBy("doc_id").agg(min("id").as("keeper"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val idxNear: Map[Long, Long] = {
+      val probe = lexPrefixOf(mbArr, "doc_id", t)
+        .withColumnRenamed("id", "b_id").withColumnRenamed("n", "bn")
+      val cand = probe.join(tbl("prefix").withColumnRenamed("id", "k_id")
+          .withColumnRenamed("n", "kn"), "s")
+        .filter(col("bn") * t <= col("kn") && col("kn") * t <= col("bn"))
+        .filter(col("k_id") < col("b_id")) // replay safety
+        .select("b_id", "k_id").distinct()
+      cand
+        .join(mbArr.select(col("doc_id").as("b_id"), col("sh").as("sb"),
+          col("n").as("nb")), "b_id")
+        .join(tbl("arrays").select(col("id").as("k_id"), col("sh").as("sk"),
+          col("n").as("nk")), "k_id")
+        .withColumn("c", size(array_intersect(col("sb"), col("sk"))).cast("long"))
+        .filter(col("c").cast("double") / (col("nb") + col("nk") - col("c")) >= t)
+        .groupBy("b_id").agg(min("k_id").as("keeper"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    // ---- distributed: WITHIN-batch candidate pairs (driver resolves)
+    val exactPairs = mbKeyed.alias("a")
+      .join(mbKeyed.alias("b"), col("a.h") === col("b.h") &&
+        col("a.len") === col("b.len") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nearPairs = Dedup.jaccardPairsFrom(mb)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // ---- driver: greedy resolution in doc order (batch-sized, serial)
+    val exactBy = exactPairs.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }
+    val nearBy = nearPairs.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }
+    val kept = scala.collection.mutable.TreeSet.empty[Long]
+    val decisions = scala.collection.mutable.ArrayBuffer.empty[CurateDecision]
+    mb.select("doc_id").collect().map(_.getLong(0)).sorted.foreach { id =>
+      val exactK: Option[Long] = (idxExact.get(id).toSeq ++
+        exactBy.getOrElse(id, Nil).filter(kept)).minOption
+      lazy val nearK: Option[Long] = (idxNear.get(id).toSeq ++
+        nearBy.getOrElse(id, Nil).filter(kept)).minOption
+      if (exactK.isDefined) decisions += CurateDecision(id, "exact", exactK.get)
+      else if (nearK.isDefined) decisions += CurateDecision(id, "near", nearK.get)
+      else { kept += id; decisions += CurateDecision(id, "kept", -1L) }
+    }
+
+    // ---- grow the durable index with this batch's kept docs (guarded)
+    val marker = new java.io.File(gidxPath(tag, s"_applied_$batchId"))
+    if (!marker.exists()) {
+      val keptIds = kept.toSeq.toDF("doc_id")
+      def appendTo(df: DataFrame, name: String, bucketCol: String): Unit =
+        df.write.mode("append").option("path", gidxPath(tag, name))
+          .bucketBy(8, bucketCol).saveAsTable(gidxTable(name, tag))
+      val newArr = mbArr.join(keptIds, "doc_id")
+        .select(col("doc_id").as("id"), col("sh"), col("n"))
+      appendTo(mbKeyed.join(keptIds, "doc_id")
+        .select(col("h"), col("len"), col("doc_id").as("id")), "digests", "h")
+      appendTo(newArr, "arrays", "id")
+      appendTo(lexPrefixOf(newArr, "id", t), "prefix", "s")
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+
+    Seq(mb, mbKeyed, mbArr)
+      .foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
+    decisions.toSeq
+  }
+
+  /** Streaming wiring for [[durableDecideAndGrow]] — same contract as
+    * [[growingCurationStream]], but the kept-doc index outlives the
+    * query in bucketed tables keyed by `tag`. */
+  def growingCurationStreamDurable(stream: Dataset[DocEvent], tag: String,
+                                   t: Double = 0.5)
+                                  (sink: (Seq[CurateDecision], Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.toDF().writeStream.foreachBatch { (mb: DataFrame, batchId: Long) =>
+      sink(durableDecideAndGrow(stream.sparkSession, tag, mb, batchId, t), batchId)
+    }
 }

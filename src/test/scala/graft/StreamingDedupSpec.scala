@@ -236,6 +236,64 @@ class StreamingDedupSpec extends GraftSpec {
     }
   }
 
+  test("durable growing curation == greedy reference; replay and crashed-marker replay are decision-stable") {
+    def shingles(text: String): Set[String] = {
+      val tk = text.split(" ", -1)
+      if (tk.length < 3) Set.empty else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val c = (a & b).size; val d = a.size + b.size - c
+      if (d == 0) 0.0 else c.toDouble / d
+    }
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val maxId = base.map(_._1).max
+    val docs = base ++ base.take(3).zipWithIndex.map { case ((_, text), i) =>
+      (maxId + 1 + i, text)
+    }
+    // independent O(n²) greedy reference (no shared code with the operator)
+    case class Kept(id: Long, text: String, sh: Set[String])
+    val keptRef = scala.collection.mutable.ArrayBuffer.empty[Kept]
+    val expected = docs.map { case (id, text) =>
+      val sh = shingles(text)
+      val exactK = keptRef.filter(_.text == text).map(_.id).minOption
+      lazy val nearK = keptRef.filter(k => jac(sh, k.sh) >= 0.5).map(_.id).minOption
+      exactK match {
+        case Some(k) => (id, "exact", k)
+        case None => nearK match {
+          case Some(k) => (id, "near", k)
+          case None => keptRef += Kept(id, text, sh); (id, "kept", -1L)
+        }
+      }
+    }.toSeq
+
+    import spark.implicits._
+    val tag = s"spec_durable_${System.nanoTime()}"
+    val third = docs.length / 3
+    val chunks = Seq(docs.take(third), docs.slice(third, 2 * third),
+      docs.drop(2 * third))
+    def run(chunk: Seq[(Long, String)], batchId: Long) =
+      StreamingDedup.durableDecideAndGrow(spark, tag,
+          chunk.toDF("doc_id", "text"), batchId)
+        .map(d => (d.doc_id, d.kind, d.keeper_id))
+
+    val d0 = run(chunks(0), 0)
+    val d1 = run(chunks(1), 1)
+    // replay batch 0 with its marker present: append skipped, decisions
+    // must be byte-identical despite the index now CONTAINING batch 0
+    assert(run(chunks(0), 0) == d0, "replay after append changed decisions")
+    // simulate the crash window: marker lost, append re-applied — the
+    // duplicate index rows must be decision-neutral
+    val marker = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_growing_index/$tag/_applied_0")
+    assert(marker.exists()); assert(marker.delete())
+    assert(run(chunks(0), 0) == d0, "duplicate append changed decisions")
+    val d2 = run(chunks(2), 2)
+    assert((d0 ++ d1 ++ d2) == expected,
+      s"durable decisions diverge from the greedy reference (first diff: " +
+      s"${(d0 ++ d1 ++ d2).zip(expected).find(p => p._1 != p._2)})")
+  }
+
   test("streaming exact dedup == batch keep-lowest-id rule, any id-ordered splits") {
     val docs = Tables.documents(spark, sf0001)
     val expected = docs.alias("d")
