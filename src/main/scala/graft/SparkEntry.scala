@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, CboStats, DataPrep, Dedup, Layout, Modern,
-  Multimodal, Pipeline, QualityFilters, Reference, Relational, RelationalExt,
-  RelationalMore, Similarity, SourcesSinks, StandingIndex, TextAnalysis,
-  TimeWindows, TpchFull, TypedOps}
+  Multimodal, PiiScrub, Pipeline, QualityFilters, Reference, Relational,
+  RelationalExt, RelationalMore, Similarity, SourcesSinks, StandingIndex,
+  TextAnalysis, TimeWindows, TpchFull, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +32,7 @@ object SparkEntry {
       (TpchFull.queries, TpchFull.oracles),
       (DataPrep.queries, DataPrep.oracles),
       (QualityFilters.queries, QualityFilters.oracles),
+      (PiiScrub.queries, PiiScrub.oracles),
       (Pipeline.queries, Pipeline.oracles),
       (Dedup.queries, Dedup.oracles),
       (StandingIndex.queries, StandingIndex.oracles),

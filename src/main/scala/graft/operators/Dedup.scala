@@ -410,6 +410,96 @@ object Dedup {
     verifyPairs(cand, docsArr, 0.5).orderBy("a_id", "b_id")
   }
 
+  /** MinHash + LSH with a CROSS-ENGINE-REPRODUCIBLE hash — the oracle-proof
+    * twin of [[minhashLsh]]. The k "permutations" are
+    * `bigint(first 15 hex chars of md5(shingle || '#' || seed))` — both
+    * Spark (`conv(substring(md5(s), 1, 15), 16, 10)`) and DuckDB
+    * (`('0x' || substring(md5(s), 1, 15))::BIGINT`) compute the identical
+    * value (15 hex digits < 2⁶⁰ fits signed 64-bit in both), so the ENTIRE
+    * pipeline — signatures, band buckets, the [[MaxBucket]] star fallback,
+    * exact verification — is expressed in the DuckDB oracle and
+    * hash-gated, star-capping semantics included. [[minhashLsh]] stays the
+    * production hot path (xxhash64 is one codegen'd mix vs a digest call
+    * here; same shuffle shape, ~10× cheaper per shingle); this twin
+    * exists to PROVE the banding/candidate/verify machinery end-to-end
+    * against an independent engine rather than against our own spec.
+    * Same 4-shuffle, candidates-not-n² scale story as [[minhashLsh]]. */
+  def minhashMd5(s: SparkSession, dir: String): DataFrame = {
+    val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
+    // min over shingles of the seeded md5-derived long, k wide agg columns
+    // in one partial-agg shuffle (same shape as the xxhash64 variant)
+    val mins = (0 until NumHashes).map { i =>
+      min(conv(substring(md5(concat(col("s"), lit(s"#$i"))), 1, 15), 16, 10)
+        .cast("long")).as(s"mh$i")
+    }
+    val sig = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // band bucket key = comma-joined minhash subsequence as a STRING —
+    // trivially identical across engines (no second-level hash to match)
+    val bandCols = (0 until NumHashes / BandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until BandRows)
+          .map(r => col(s"mh${b * BandRows + r}").cast("string")): _*).as("bucket"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = bucketCandidates(buckets, "band", "bucket")
+    verifyPairs(cand, docsArr, 0.5).orderBy("a_id", "b_id")
+  }
+
+  /** DuckDB mirror of [[minhashMd5]] — reproduces the md5-derived minhash
+    * signatures, the band buckets, the [[MaxBucket]] star fallback
+    * (bsz > cap → pairs only against the bucket's min doc_id), and the
+    * exact-Jaccard verification, so the scale guard itself is
+    * hash-compared, not just the happy path. */
+  val minhashMd5Sql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |hashes AS (
+      |  SELECT doc_id, i,
+      |         min(('0x' || substring(md5(s || '#' || i), 1, 15))::BIGINT) AS mh
+      |  FROM sh, LATERAL (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS i) seeds
+      |  GROUP BY doc_id, i
+      |),
+      |bands AS (
+      |  SELECT doc_id, i // $BandRows AS band,
+      |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+      |  FROM hashes GROUP BY doc_id, i // $BandRows
+      |),
+      |bstats AS (
+      |  SELECT band, bucket, count(*) AS bsz, min(doc_id) AS bmin
+      |  FROM bands GROUP BY 1, 2 HAVING count(*) >= 2
+      |),
+      |joined AS (SELECT b.doc_id, b.band, b.bucket, s.bsz, s.bmin
+      |           FROM bands b JOIN bstats s USING (band, bucket)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM joined a JOIN joined b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE a.bsz <= $MaxBucket
+      |  UNION
+      |  SELECT DISTINCT bmin AS a_id, doc_id AS b_id
+      |  FROM joined WHERE bsz > $MaxBucket AND doc_id <> bmin
+      |),
+      |common AS (
+      |  SELECT c.a_id, c.b_id, count(*) AS c
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.a_id
+      |  JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a_id, b_id, c * 1.0 / (sa.n + sb.n - c) AS jac
+      |FROM common JOIN sizes sa ON a_id = sa.doc_id
+      |            JOIN sizes sb ON b_id = sb.doc_id
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --------------------------------------------------------------- SimHash
   private val SimBits   = 64
   private val SimBlocks = 8   // 8 blocks × 8 bits; pigeonhole catches hamming ≤ 7
@@ -810,6 +900,7 @@ object Dedup {
     "neardup_jaccard_dfcap" -> (jaccardNearDupDfCap _),
     "neardup_jaccard_prefix" -> (jaccardPrefixNearDup _),
     "neardup_minhash_lsh"   -> (minhashLsh _),
+    "neardup_minhash_md5"   -> (minhashMd5 _),
     "neardup_simhash"       -> (simhashNearDup _),
     "neardup_clusters"      -> (nearDupClusters _),
     "dedup_incremental"     -> (incrementalDedup _)
@@ -823,7 +914,10 @@ object Dedup {
     // all-shingle baseline's result EXACTLY — same oracle, hash-compared
     "neardup_jaccard_prefix" -> jaccardNearDupSql,
     "neardup_clusters"      -> nearDupClustersSql,
-    "dedup_incremental"     -> incrementalDedupSql
-    // minhash/simhash: hash-internal-dependent → rows-only gate
+    "dedup_incremental"     -> incrementalDedupSql,
+    // the md5 twin makes the full LSH pipeline (signatures, bands, star
+    // cap, verify) cross-engine reproducible → hash-gated
+    "neardup_minhash_md5"   -> minhashMd5Sql
+    // xxhash64 minhash / simhash: hash-internal-dependent → rows-only gate
   )
 }

@@ -260,7 +260,14 @@ object Similarity {
     * or re-rank survivors); the oracle reproduces the same approximation
     * exactly, which is the point: approximation error is pinned by the
     * hash gate instead of trusted. */
-  def cosineNearDupSignGrid(s: SparkSession, dir: String): DataFrame = {
+  def cosineNearDupSignGrid(s: SparkSession, dir: String): DataFrame =
+    signGridPairs(s, dir)
+      .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score_r"))
+      .orderBy("a_id", "b_id")
+
+  /** Shared candidate+verify core of [[cosineNearDupSignGrid]] and
+    * [[semanticDedup]]: (a_id, b_id, score) with exact cosine ≥ 0.4. */
+  private def signGridPairs(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir).withColumn("bucket", signGridBucket(col("v"))).cache()
     val probes = e.select(col("vec_id").as("a_id"), col("bucket"))
       .withColumn("bucket",
@@ -275,8 +282,7 @@ object Similarity {
       .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
       .withColumn("score", cosine(col("va"), col("vb")))
       .filter(col("score") >= 0.4)
-      .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score_r"))
-      .orderBy("a_id", "b_id")
+      .select("a_id", "b_id", "score")
   }
 
   val cosineNearDupSignGridSql: String = {
@@ -303,6 +309,74 @@ object Similarity {
        |WHERE list_dot_product(x.v, y.v) /
        |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- semantic dedup
+  /** SemDeDup-style semantic deduplication (public literature: Abbas et
+    * al., "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): documents whose EMBEDDINGS are near-identical
+    * are redundant for training even when their text differs, so keep one
+    * representative per embedding-space cluster. Composition of two
+    * already-proven operators: sign-grid bucketed cosine pairs
+    * ([[signGridPairs]] — deterministic cells, candidates follow cell
+    * occupancy not n²) → connected components over the pair graph
+    * (min-label propagation with pointer doubling, O(log diameter) rounds
+    * — [[Dedup.ccLabels]]) → keep the minimum vec_id per component.
+    * Output is a per-vector decision table (vec_id, cluster_rep, kept):
+    * the downstream training-set build is one semi-join on kept = true.
+    * Every stage is deterministic arithmetic, so the WHOLE pipeline —
+    * bucketing approximation included — is oracle-checked against a
+    * DuckDB recursive-CTE closure, not trusted. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.ccLabels(signGridPairs(s, dir).select("a_id", "b_id"))
+      .withColumnRenamed("id", "vec_id")
+    embeddings(s, dir).select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("cluster_rep"),
+        (coalesce(col("lbl"), col("vec_id")) === col("vec_id")).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String = {
+    val bucket = (0 until GridDims)
+      .map(d => s"(CASE WHEN v[${d + 1}] >= 0 THEN ${1L << d} ELSE 0 END)")
+      .mkString(" + ")
+    val probeList = ("bucket" +:
+      (0 until GridDims).map(d => s"xor(bucket, ${1L << d})")).mkString(", ")
+    s"""WITH RECURSIVE pairs AS (
+       |  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |  b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |  probes AS (
+       |    SELECT vec_id AS a_id, unnest([$probeList]) AS bucket FROM b
+       |  ),
+       |  cand AS (
+       |    SELECT DISTINCT p.a_id, c.vec_id AS b_id
+       |    FROM probes p JOIN b c ON p.bucket = c.bucket AND p.a_id < c.vec_id
+       |  )
+       |  SELECT cand.a_id, cand.b_id
+       |  FROM cand JOIN b x ON cand.a_id = x.vec_id
+       |            JOIN b y ON cand.b_id = y.vec_id
+       |  WHERE list_dot_product(x.v, y.v) /
+       |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4
+       |),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+       |),
+       |lbl AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS rep
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT e.vec_id, coalesce(l.rep, e.vec_id) AS cluster_rep,
+       |       coalesce(l.rep, e.vec_id) = e.vec_id AS kept
+       |FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.vec_id
+       |ORDER BY e.vec_id""".stripMargin
   }
 
   // ----------------------------------------------------------------- IVF
@@ -831,7 +905,8 @@ object Similarity {
     "emb_kmeans_fit"  -> (kmeansFit _),
     "emb_neardup_cosine" -> (cosineNearDup _),
     "emb_neardup_cosine_lsh" -> (cosineNearDupLsh _),
-    "emb_neardup_signgrid" -> (cosineNearDupSignGrid _)
+    "emb_neardup_signgrid" -> (cosineNearDupSignGrid _),
+    "semantic_dedup"       -> (semanticDedup _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -845,7 +920,8 @@ object Similarity {
     "ann_ivf_topk"   -> ivfTopKSql,
     "emb_label_centroids" -> labelCentroidsSql,
     "emb_neardup_cosine" -> cosineNearDupSql,
-    "emb_neardup_signgrid" -> cosineNearDupSignGridSql
+    "emb_neardup_signgrid" -> cosineNearDupSignGridSql,
+    "semantic_dedup"       -> semanticDedupSql
     // lsh variants: hash-dependent bucketing → rows-only gate
   )
 }

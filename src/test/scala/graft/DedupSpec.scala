@@ -160,6 +160,30 @@ class DedupSpec extends GraftSpec {
       s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("md5-minhash derives the exact 60-bit value DuckDB's formula yields") {
+    // conv(substring(md5(s),1,15),16,10) in Spark must equal
+    // ('0x' || substring(md5(s),1,15))::BIGINT in DuckDB — the constant
+    // below was computed IN DuckDB for 'the quick#3'; any drift in either
+    // engine's md5/hex handling breaks the neardup_minhash_md5 oracle gate
+    import org.apache.spark.sql.functions._
+    val v = Seq("the quick#3").toDF("s")
+      .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      .head().getLong(0)
+    assert(v == 148890231742269918L)
+  }
+
+  test("md5-minhash LSH matches the xxhash64 variant's guarantees") {
+    val exact = Dedup.jaccardNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashMd5(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verification must kill all false positives")
+    // measured 28/28 on the fixed corpus; assert the generic LSH bound so
+    // a testdata regeneration with different planted pairs still passes
+    assert(lsh.size >= math.ceil(exact.size * 0.8).toInt,
+      s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
   test("SimHash blocking finds the high-similarity planted pairs") {
     val exact = Dedup.jaccardNearDup(spark, sf0001)
       .filter("jac >= 0.8").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

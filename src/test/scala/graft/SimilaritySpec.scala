@@ -245,4 +245,25 @@ class SimilaritySpec extends GraftSpec {
     // under the DuckDB hash gate instead of a rows-only check
     assert(run().sameElements(first), "sign-grid output must be deterministic")
   }
+
+  test("semantic dedup: one representative per pair-component, all vectors covered") {
+    val decisions = Similarity.semanticDedup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val rep = decisions.map(d => d._1 -> d._2).toMap
+    val total = Tables.embeddings(spark, sf0001).count()
+    assert(decisions.length == total, "every vector gets a decision row")
+    // kept iff own representative; every cluster_rep is itself kept
+    assert(decisions.forall { case (id, r, kept) => kept == (id == r) })
+    assert(decisions.map(_._2).toSet.subsetOf(
+      decisions.filter(_._3).map(_._1).toSet))
+    // both ends of every sign-grid pair share a representative, and the
+    // rep is <= both (min-label semantics)
+    val pairs = Similarity.cosineNearDupSignGrid(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) =>
+      rep(a) == rep(b) && rep(a) <= a && rep(b) <= b })
+    // something must actually be dropped on the fixture (planted near-dups)
+    assert(decisions.count(!_._3) > 0)
+  }
 }
