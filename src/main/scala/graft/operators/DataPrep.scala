@@ -159,15 +159,71 @@ object DataPrep {
       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------ data mixing
+  /** Source-weighted mixture sampling — the "data mixing" step of a
+    * training-set build (public practice: The Pile, Dolma, LLaMA corpus
+    * recipes all train on per-source weights, upsampling high-quality
+    * sources past 1 epoch and downsampling bulk crawl below 1): each
+    * document is replicated `copies = ⌊w⌋ + [hash-bucket < frac(w)]`
+    * times, where w is its source's target weight. All integer permille
+    * arithmetic — no RNG, no floats — so the realized mixture is
+    * content-stable (re-runs and engine changes never resample) and the
+    * whole decision table is oracle-checked. Weights here are derived
+    * from the source id (0.25×…2.0× across the 20 sources — both down-
+    * AND up-sampling paths exercised); a production run would join a
+    * tiny broadcast weights table instead, with identical downstream
+    * shape. The doc-level hash bucket uses md5 chars 5-8, DISJOINT from
+    * [[splitOf]]'s chars 1-4, so mixing decisions are independent of
+    * split assignment (a doc's sampling fate must not correlate with its
+    * train/valid/test bucket). Per-row projection + one tiny agg: no
+    * shuffle a 100 TB corpus would notice. */
+  def mixWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      // source number → weight in permille: (num % 8 + 1) * 250
+      .withColumn("w1000", (expr("cast(substring(source, 4) as int)") % 8 + 1) * lit(250))
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 5, 4), 16, 10)
+          .cast("int") % 1000)
+      .withColumn("copies",
+        (col("w1000") / 1000).cast("long") +
+          when(col("bucket") < col("w1000") % 1000, 1L).otherwise(0L))
+    d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        min(col("w1000")).cast("long").as("weight_permille"),
+        sum(col("copies")).as("n_sampled"),
+        sum(col("copies") * col("n_chars").cast("long")).as("chars_sampled"))
+      .orderBy("source")
+  }
+
+  val mixWeightedSampleSql: String =
+    """WITH w AS (
+      |  SELECT source, n_chars,
+      |         (substring(source, 4)::INT % 8 + 1) * 250 AS w1000,
+      |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 5, 4) AS INTEGER) % 1000 AS bucket
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT source, n_chars, w1000,
+      |         w1000 // 1000 + CASE WHEN bucket < w1000 % 1000 THEN 1 ELSE 0 END AS copies
+      |  FROM w
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |       min(w1000)::BIGINT AS weight_permille,
+      |       sum(copies)::BIGINT AS n_sampled,
+      |       sum(copies * n_chars::BIGINT)::BIGINT AS chars_sampled
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prep_vocab_encode" -> (vocabEncode _),
     "prep_seq_pack"     -> (seqPack _),
-    "prep_split_assign" -> (splitAssign _)
+    "prep_split_assign" -> (splitAssign _),
+    "prep_mix_weighted" -> (mixWeightedSample _)
   )
 
   def oracles: Map[String, String] = Map(
     "prep_vocab_encode" -> vocabEncodeSql,
     "prep_seq_pack"     -> seqPackSql,
-    "prep_split_assign" -> splitAssignSql
+    "prep_split_assign" -> splitAssignSql,
+    "prep_mix_weighted" -> mixWeightedSampleSql
   )
 }

@@ -73,4 +73,24 @@ class DataPrepSpec extends GraftSpec {
     assert(counts("train") > counts("valid") && counts("train") > counts("test"),
       "90/5/5 skew must favor train")
   }
+
+  test("weighted mixing: copies bracket the weight, both up- and down-sampling realized") {
+    val rows = DataPrep.mixWeightedSample(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20, "one row per source")
+    rows.foreach { case (src, n, w, sampled) =>
+      // every doc contributes floor(w/1000) or floor(w/1000)+1 copies
+      val lo = n * (w / 1000); val hi = n * (w / 1000 + 1)
+      assert(sampled >= lo && sampled <= hi, s"$src: $sampled outside [$lo,$hi]")
+      // realized permille within a loose binomial band of the target
+      val achieved = sampled * 1000.0 / n
+      assert(math.abs(achieved - w) <= 220, s"$src: achieved $achieved vs target $w")
+    }
+    // 2000-permille sources replicate EVERY doc exactly twice (frac = 0)
+    rows.filter(_._3 == 2000).foreach { case (src, n, _, sampled) =>
+      assert(sampled == 2 * n, s"$src: integral weight must be exact")
+    }
+    assert(rows.exists(_._3 < 1000) && rows.exists(_._3 > 1000),
+      "fixture must exercise down- AND up-sampling")
+  }
 }
