@@ -34,7 +34,7 @@ object Dedup {
     * (map-side only: split + transform + explode, no shuffle). The single
     * home of the 1-based-slice window expression — [[shingles]] and the
     * repetition filter both build on it. */
-  private[operators] def ngrams(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def ngrams(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= n)

@@ -282,17 +282,31 @@ object StreamingDedup {
   def growingCurationStream(stream: Dataset[DocEvent], t: Double = 0.5)
                            (sink: (Seq[CurateDecision], Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val spark = stream.sparkSession
-    import spark.implicits._
-    // growing-index state: driver-held handles to distributed frames
-    var digests: DataFrame = null // (h, len, id)  kept docs
-    var arrays: DataFrame = null  // (id, sh, n)   kept docs with ≥1 shingle
-    var prefix: DataFrame = null  // (id, n, s)    lex-order prefix entries
+    val gi = new GreedyGrowingIndex(t)
+    stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
+      sink(gi.decideAndGrow(mb0), batchId)
+    }
+  }
 
-    def lexPrefix(arr: DataFrame, idCol: String): DataFrame =
+  /** The greedy growing-index core of [[growingCurationStream]], factored
+    * out so [[StreamingCurate]] can compose the same dedup layer with
+    * stateless quality gates. Driver-held handles to three distributed
+    * frames; one [[decideAndGrow]] call per micro-batch. NOT thread-safe —
+    * exactly one owner stream, which is how foreachBatch runs it. */
+  private[streaming] final class GreedyGrowingIndex(t: Double) {
+    private var digests: DataFrame = null // (h, len, id)  kept docs
+    private var arrays: DataFrame = null  // (id, sh, n)   kept docs with ≥1 shingle
+    private var prefix: DataFrame = null  // (id, n, s)    lex-order prefix entries
+
+    private def lexPrefix(arr: DataFrame, idCol: String): DataFrame =
       lexPrefixOf(arr, idCol, t)
 
-    stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
+    /** Decide `mb0` (doc_id, text, …) against the index grown from every
+      * earlier call, in the greedy prefix rule's doc_id order; kept docs
+      * join the index before returning. */
+    def decideAndGrow(mb0: DataFrame): Seq[CurateDecision] = {
+      val spark = mb0.sparkSession
+      import spark.implicits._
       // pin the batch: everything below re-references it several times
       val mb = mb0.select("doc_id", "text").localCheckpoint()
       val mbKeyed = mb.select(col("doc_id"), md5(col("text")).as("h"),
@@ -376,7 +390,7 @@ object StreamingDedup {
       Seq(mb, mbKeyed, mbArr)
         .foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
 
-      sink(decisions.toSeq, batchId)
+      decisions.toSeq
     }
   }
 

@@ -1,0 +1,104 @@
+package graft
+
+import graft.streaming.{StreamingCurate, StreamingDedup}
+import graft.streaming.StreamingDedup.DocEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingCurateSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def splitChunks[T](xs: Seq[T], n: Int, rnd: scala.util.Random): Seq[Seq[T]] = {
+    val cuts = (Seq.fill(n - 1)(rnd.nextInt(xs.length + 1)) :+ 0 :+ xs.length)
+      .sorted.distinct
+    cuts.zip(cuts.tail).map { case (a, b) => xs.slice(a, b) }
+  }
+
+  // ---- independent reference pieces: no code shared with the operator
+  private def tokens(text: String): Array[String] = text.split(" ", -1)
+  private def shingleSet(text: String): Set[String] = {
+    val tk = tokens(text)
+    if (tk.length < 3) Set.empty else tk.sliding(3).map(_.mkString(" ")).toSet
+  }
+  private def isRepetitive(text: String): Boolean = {
+    val tk = tokens(text)
+    if (tk.length < 2) false
+    else {
+      val counts = tk.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity)
+        .map(_._2.size)
+      val top = counts.max; val total = counts.sum
+      top >= 2 && top.toDouble / total >= 0.05
+    }
+  }
+  private def jac(a: Set[String], b: Set[String]): Double = {
+    val c = (a & b).size; val d = a.size + b.size - c
+    if (d == 0) 0.0 else c.toDouble / d
+  }
+  private def splitOf(id: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val b = Integer.parseInt(hex.take(4), 16) % 100
+    if (b < 90) "train" else if (b < 95) "valid" else "test"
+  }
+
+  test("continuous curation == independent greedy+gates reference, any micro-batch splits") {
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val benchSh: Set[String] =
+      base.filter(_._1 % 10 == 0).flatMap(d => shingleSet(d._2)).toSet
+    // corpus = non-benchmark docs, plus exact twins of three early docs so
+    // the exact path fires (same trick as the growing-dedup spec)
+    val corpus0 = base.filter(_._1 % 10 != 0)
+    val maxId = base.map(_._1).max
+    val corpus = corpus0 ++ corpus0.take(3).zipWithIndex.map {
+      case ((_, text), i) => (maxId + 1 + i, text)
+    }
+
+    case class Kept(id: Long, text: String, sh: Set[String])
+    val keptIdx = scala.collection.mutable.ArrayBuffer.empty[Kept]
+    val expected = corpus.map { case (id, text) =>
+      val sh = shingleSet(text)
+      val exactK = keptIdx.filter(_.text == text).map(_.id).minOption
+      lazy val nearK = keptIdx.filter(k => jac(sh, k.sh) >= 0.5).map(_.id).minOption
+      exactK.orElse(nearK) match {
+        case Some(k) =>
+          (id, if (exactK.isDefined) "exact" else "near", k, "")
+        case None =>
+          keptIdx += Kept(id, text, sh) // dedup survivors index even if flagged
+          if (isRepetitive(text)) (id, "repetition", -1L, "")
+          else if (sh.nonEmpty &&
+            (sh & benchSh).size.toDouble / sh.size >= 0.5) (id, "contaminated", -1L, "")
+          else (id, "kept", -1L, splitOf(id))
+      }
+    }.toSeq
+    // the fixture must exercise every verdict
+    val kinds = expected.map(_._2).toSet
+    assert(Set("kept", "exact", "near", "contaminated").subsetOf(kinds),
+      s"fixture too weak: only $kinds")
+
+    val benchDf = Tables.documents(spark, sf0001).filter(col("doc_id") % 10 === 0)
+    val events = corpus.map { case (id, text) => DocEvent(id, text) }
+    for ((seed, msId) <- Seq((5, 311), (29, 312))) {
+      val rnd = new scala.util.Random(seed)
+      val chunks = splitChunks(events, 2 + rnd.nextInt(4), rnd)
+      val ms = MemoryStream[DocEvent](msId, spark, None)
+      val sink = scala.collection.mutable.ArrayBuffer[(Long, String, Long, String)]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_curate").toString
+      val q = StreamingCurate.curateStream(ms.toDS(),
+          StreamingCurate.benchmarkShingles(benchDf)) { (vs, _) =>
+        sink.synchronized {
+          sink ++= vs.map(v => (v.doc_id, v.verdict, v.keeper_id, v.split))
+        }
+        ()
+      }.option("checkpointLocation", ckpt).start()
+      try chunks.foreach { c =>
+        if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = sink.synchronized(sink.toSeq).sortBy(_._1)
+      assert(got == expected,
+        s"seed=$seed: curation decisions diverge " +
+        s"(first diff: ${got.zip(expected).find(p => p._1 != p._2)})")
+    }
+  }
+}
