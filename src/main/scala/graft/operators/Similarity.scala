@@ -464,6 +464,76 @@ object Similarity {
        |SELECT q_id, n_id, rnk, round(score, 6) AS score_r
        |FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
 
+  // -------------------------------------------------- standing IVF index
+  /** ANN index builds already done, keyed by (session, dir) — same memo
+    * discipline as [[StandingIndex.ensureBuilt]]. */
+  private val annBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** Materialize [[ivfTopK]]'s index half — centroids and the
+    * centroid-assigned corpus (the IVF inverted lists) — as bucketed
+    * tables, once per (session, corpus). The assignment join (corpus ×
+    * centroids, the expensive half of every ivf query) runs ONCE; the
+    * lists are bucketed BY LIST ID, so later probes land on the bucket
+    * key with zero corpus-side shuffle. This is how a vector store
+    * actually serves IVF at 100 TB: the index is a standing artifact
+    * maintained with the corpus, not per-query work. Serialized under a
+    * lock for the same staging-overwrite reason as the dedup index. */
+  def ensureAnnIndex(s: SparkSession, dir: String): String = annBuilt.synchronized {
+    val k = (s, dir)
+    val existing = annBuilt.get(k)
+    if (existing != null) existing
+    else {
+      val tag = StandingIndex.tagOf(dir)
+      val e = embeddings(s, dir)
+      val cent = e.filter(col("vec_id") % 200 === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_score").desc, col("c_id"))
+      val assigned = e.join(broadcast(cent), lit(true))
+        .withColumn("c_score", cosine(col("v"), col("cv")))
+        .withColumn("c_rnk", row_number().over(wAssign))
+        .filter(col("c_rnk") === 1)
+        .select(col("vec_id"), col("v"), col("c_id"))
+      StandingIndex.save(cent, tag, "annc", "c_id", "overwrite")
+      StandingIndex.save(assigned, tag, "anna", "c_id", "overwrite")
+      annBuilt.put(k, tag)
+      tag
+    }
+  }
+
+  /** [[ivfTopK]] served from the standing index: identical output (the
+    * driver gate runs BOTH against [[ivfTopKSql]]), but the per-query
+    * work is only the probe — queries broadcast against the tiny stored
+    * centroid table, then join the bucketed lists on c_id. The corpus is
+    * neither re-scanned nor re-assigned; at daily-ingest scale the
+    * maintenance path is an append of newly-embedded docs to their lists
+    * (same bucket-append mechanics as [[StandingIndex.appendAccepted]]). */
+  def ivfIndexedTopK(s: SparkSession, dir: String): DataFrame = {
+    val tag = ensureAnnIndex(s, dir)
+    val cent = s.table(s"graft_idx_annc_$tag")
+    val assigned = s.table(s"graft_idx_anna_$tag")
+    val q = embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("p_score").desc, col("c_id"))
+    val probes = q.join(broadcast(cent), lit(true))
+      .withColumn("p_score", cosine(col("qv"), col("cv")))
+      .withColumn("p_rnk", row_number().over(wProbe))
+      .filter(col("p_rnk") <= NProbe)
+      .select(col("q_id"), col("qv"), col("c_id"))
+    val scored = probes.join(assigned, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
+              round(col("score"), 6).as("score_r"))
+      .orderBy("q_id", "rnk")
+  }
+
   // -------------------------------------------------------------- k-means
   private val KmeansIters = 3
 
@@ -901,6 +971,7 @@ object Similarity {
     "ann_lsh_topk"    -> (lshTopK _),
     "ann_bucket_stats" -> (bucketStats _),
     "ann_ivf_topk"    -> (ivfTopK _),
+    "ann_ivf_indexed" -> (ivfIndexedTopK _),
     "emb_label_centroids" -> (labelCentroids _),
     "emb_kmeans_fit"  -> (kmeansFit _),
     "emb_neardup_cosine" -> (cosineNearDup _),
@@ -918,6 +989,9 @@ object Similarity {
     // construction — it shares the same oracle
     "ann_heap_topk"  -> bruteForceTopKSql,
     "ann_ivf_topk"   -> ivfTopKSql,
+    // the standing-index probe must reproduce the per-query plan's output
+    // EXACTLY — same oracle, hash-compared (the dedup index's pattern)
+    "ann_ivf_indexed" -> ivfTopKSql,
     "emb_label_centroids" -> labelCentroidsSql,
     "emb_neardup_cosine" -> cosineNearDupSql,
     "emb_neardup_signgrid" -> cosineNearDupSignGridSql,

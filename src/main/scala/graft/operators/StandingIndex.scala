@@ -56,13 +56,13 @@ object StandingIndex {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
-  private def tagOf(dir: String): String =
+  private[operators] def tagOf(dir: String): String =
     // sanitizer + hash: the readable part aids debugging, the hash makes
     // distinct dirs that sanitize identically (sf0.1 vs sf0_1) collide-free
     dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase +
       "_" + Integer.toHexString(dir.hashCode)
 
-  private def tablePath(tag: String, name: String): String =
+  private[operators] def tablePath(tag: String, name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_standing_index/$tag/$name"
 
   /** The corpus split this index covers — must match
@@ -89,7 +89,7 @@ object StandingIndex {
     tag
   }
 
-  private def save(df: DataFrame, tag: String, name: String,
+  private[operators] def save(df: DataFrame, tag: String, name: String,
                    bucketCol: String, mode: String): Unit =
     df.write.mode(mode)
       .option("path", tablePath(tag, name))

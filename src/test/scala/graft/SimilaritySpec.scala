@@ -266,4 +266,27 @@ class SimilaritySpec extends GraftSpec {
     // something must actually be dropped on the fixture (planted near-dups)
     assert(decisions.count(!_._3) > 0)
   }
+
+  test("standing IVF index probe: identical output to the per-query plan, lists read bucketed") {
+    val perQuery = Similarity.ivfTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val indexed = Similarity.ivfIndexedTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(indexed.nonEmpty && indexed.sameElements(perQuery),
+      "the standing index must serve exactly the per-query plan's answers")
+    // the inverted lists (the corpus-sized side at scale) must be read
+    // bucketed — a re-shuffle of the lists would defeat the index
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Similarity.ivfIndexedTopK(spark, sf0001)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(1200))
+      assert(!plan.contains("Bucketed: false"),
+        plan.linesIterator.filter(_.contains("Bucketed: false")).mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
 }
