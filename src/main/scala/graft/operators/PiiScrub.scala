@@ -34,6 +34,15 @@ object PiiScrub {
   // RE2-safe (linear-time, DuckDB/Go/Rust-compatible): character classes +
   // bounded quantifiers only — no backreferences, no lookaround. `\d` is
   // ASCII in both Java (default, no UNICODE_CHARACTER_CLASS) and RE2.
+  //
+  // Engine caveat: Spark executes these on java.util.regex, which
+  // BACKTRACKS — EmailRe's `[A-Za-z0-9.-]+\.` can retry split points and
+  // degrade to ~O(n²) on adversarial non-matching runs ('a@' + 'a'×10⁶),
+  // where RE2 stays linear. Possessive quantifiers would fix Java but
+  // don't exist in RE2, so the shared-pattern contract keeps the plain
+  // form; a corpus exposed to adversarial text should route the scrub
+  // through a linear-time engine (e.g. re2j) in a mapPartitions — same
+  // patterns, same results, linear worst case.
   val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re: String  = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
   val PhoneRe: String = "\\b\\d{3}-\\d{4}\\b"
