@@ -100,6 +100,41 @@ object StreamingDedupBench {
         s""""batch_secs":[${batchSecs.map(r2).mkString(",")}],""" +
         s""""docs_per_sec":${r2(docs.length / total)}}""")
     }
+
+    // ------------------------------------------------ composed curation
+    // the FULL chain (greedy dedup + repetition + decontamination +
+    // split): measures what the stateless gates add on top of the growing
+    // dedup — expected near-zero marginal (per-batch arithmetic + one
+    // broadcast join against the fixed benchmark shingles)
+    {
+      import org.apache.spark.sql.functions.col
+      val corpus = docs.filter(_.doc_id % 10 != 0)
+      val benchDf = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0)
+      val benchSh = graft.streaming.StreamingCurate.benchmarkShingles(benchDf)
+      val ms = MemoryStream[DocEvent](403, spark, None)
+      val verdictCounts = scala.collection.mutable.Map.empty[String, Long]
+      val batchSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val ckpt = java.nio.file.Files.createTempDirectory("sdb_curate").toString
+      val q = graft.streaming.StreamingCurate.curateStream(ms.toDS(), benchSh) { (vs, _) =>
+        vs.groupBy(_.verdict).foreach { case (k, v) =>
+          verdictCounts(k) = verdictCounts.getOrElse(k, 0L) + v.size
+        }
+        ()
+      }.option("checkpointLocation", ckpt).start()
+      try chunksOf(corpus, nBatches).foreach { c =>
+        val t0 = System.nanoTime()
+        ms.addData(c: _*); q.processAllAvailable()
+        batchSecs += (System.nanoTime() - t0) / 1e9
+      } finally q.stop()
+      val total = batchSecs.sum
+      val vjson = verdictCounts.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      println(s"""{"op":"curateStream","sf":"$sfDir",""" +
+        s""""n_docs":${corpus.length},"n_batches":${batchSecs.length},""" +
+        s""""verdicts":{$vjson},""" +
+        s""""batch_secs":[${batchSecs.map(r2).mkString(",")}],""" +
+        s""""docs_per_sec":${r2(corpus.length / total)}}""")
+    }
     spark.stop()
   }
 }
