@@ -60,6 +60,16 @@ object Pipeline {
   }
 
   def curate(s: SparkSession, dir: String): DataFrame = {
+    val kept = keptDocs(s, dir)
+    DataPrep.splitOf(kept)
+      .join(kept.select("doc_id", "lang", "source"), "doc_id")
+      .select("doc_id", "lang", "source", "n_chars", "split")
+      .orderBy("doc_id")
+  }
+
+  /** The curation chain's survivor set (full document rows) — shared by
+    * [[curate]] and [[trainingSet]]. */
+  private[operators] def keptDocs(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
 
     // 1. exact dedup WITHIN the corpus (a benchmark twin must not decide
@@ -83,15 +93,13 @@ object Pipeline {
 
     val dropSet = nonReps.union(repFlagged).union(contaminated).distinct()
 
-    // 5. split-assign the survivors
-    val kept = dropSetJoin(s, dir, exact, dropSet)
-    DataPrep.splitOf(kept)
-      .join(kept.select("doc_id", "lang", "source"), "doc_id")
-      .select("doc_id", "lang", "source", "n_chars", "split")
-      .orderBy("doc_id")
+    dropSetJoin(s, dir, exact, dropSet)
   }
 
-  val curateSql: String =
+  /** The WITH chain up to the `kept` survivor set — shared by
+    * [[curateSql]] and [[trainingSetSql]] so the oracle provably runs the
+    * SAME curation semantics under both final stages. */
+  private val keptCtes: String =
     """WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
       |exact AS (
       |  SELECT * FROM corpus
@@ -157,18 +165,111 @@ object Pipeline {
       |  WHERE NOT EXISTS (SELECT 1 FROM nonreps d WHERE d.doc_id = e.doc_id)
       |    AND NOT EXISTS (SELECT 1 FROM repflag r WHERE r.doc_id = e.doc_id)
       |    AND NOT EXISTS (SELECT 1 FROM decon c WHERE c.doc_id = e.doc_id)
-      |)
-      |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+      |)""".stripMargin
+
+  val curateSql: String = keptCtes + "\n" +
+    """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
       |       CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90 THEN 'train'
       |            WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 95 THEN 'valid'
       |            ELSE 'test' END AS split
       |FROM kept ORDER BY doc_id""".stripMargin
 
+  private val SeqTokens = 512L
+
+  /** The END-TO-END training-set build: the curation chain's survivors
+    * ([[keptDocs]]) carried through every remaining preparation stage in
+    * ONE dataflow —
+    *
+    *   kept → PII scrub (typed-placeholder redaction; on the clean
+    *   harness corpus the digest proves byte-identity — the same column
+    *   expression that redacts the planted-PII fixture in
+    *   [[PiiScrub.redactedDocs]]) → source-weighted mixture replication
+    *   ([[DataPrep.mixWeightedSample]]'s permille arithmetic; docs
+    *   down-sampled to zero copies leave the set here) → content-stable
+    *   split assignment → per-source-shard sequence chunking (running
+    *   token offset over copies×tokens in doc_id order, chunk =
+    *   offset / 512 — [[DataPrep.seqPack]]'s contiguous-concat rule).
+    *
+    * One row per training document: where it lands (split, chunk), how
+    * often (copies), and exactly what bytes go in (scrub_md5). This is
+    * the artifact a training job consumes, and the whole build —
+    * curation survivorship included via the SHARED kept-CTE oracle — is
+    * hash-gated row-for-row. Scale: everything after [[keptDocs]] is
+    * per-row arithmetic plus one per-source window (sources shard the
+    * corpus; within a source the running sum is the same
+    * sort-within-partition any packer pays). */
+  def trainingSet(s: SparkSession, dir: String): DataFrame = {
+    val kept = keptDocs(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("w1000",
+        (expr("cast(substring(source, 4) as int)") % 8 + 1) * lit(250))
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 5, 4), 16, 10)
+          .cast("int") % 1000)
+      .withColumn("copies",
+        (col("w1000") / 1000).cast("long") +
+          when(col("bucket") < col("w1000") % 1000, 1L).otherwise(0L))
+      .filter(col("copies") >= 1)
+      .withColumn("sbucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100)
+      .withColumn("split",
+        when(col("sbucket") < 90, "train")
+          .when(col("sbucket") < 95, "valid").otherwise("test"))
+      .withColumn("scrub_md5", md5(PiiScrub.scrub(col("text"))))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    kept
+      .withColumn("offset",
+        coalesce(sum(col("copies") * col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", (col("offset") / SeqTokens).cast("long"))
+      .select("doc_id", "source", "split", "copies", "n_tokens",
+        "chunk_id", "scrub_md5")
+      .orderBy("doc_id")
+  }
+
+  val trainingSetSql: String = keptCtes + ",\n" +
+    s"""enriched AS (
+      |  SELECT doc_id, source,
+      |         len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |         (substring(source, 4)::INT % 8 + 1) * 250 AS w1000,
+      |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 5, 4) AS INTEGER) % 1000 AS bucket,
+      |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS sbucket,
+      |         md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |             '${PiiScrub.EmailRe}', '<EMAIL>', 'g'),
+      |             '${PiiScrub.Ipv4Re}',  '<IP>',    'g'),
+      |             '${PiiScrub.PhoneRe}', '<PHONE>', 'g')) AS scrub_md5
+      |  FROM kept
+      |),
+      |mixed AS (
+      |  SELECT * FROM (
+      |    SELECT *, w1000 // 1000 +
+      |           CASE WHEN bucket < w1000 % 1000 THEN 1 ELSE 0 END AS copies
+      |    FROM enriched)
+      |  WHERE copies >= 1
+      |),
+      |packed AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN sbucket < 90 THEN 'train'
+      |              WHEN sbucket < 95 THEN 'valid' ELSE 'test' END AS split,
+      |         copies::BIGINT AS copies, n_tokens,
+      |         coalesce(sum(copies * n_tokens) OVER (
+      |           PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+      |         scrub_md5
+      |  FROM mixed
+      |)
+      |SELECT doc_id, source, split, copies, n_tokens,
+      |       (off // $SeqTokens)::BIGINT AS chunk_id, scrub_md5
+      |FROM packed ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curate" -> (curate _)
+    "pipeline_curate"       -> (curate _),
+    "pipeline_training_set" -> (trainingSet _)
   )
 
   def oracles: Map[String, String] = Map(
-    "pipeline_curate" -> curateSql
+    "pipeline_curate"       -> curateSql,
+    "pipeline_training_set" -> trainingSetSql
   )
 }

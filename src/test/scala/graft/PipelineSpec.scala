@@ -122,6 +122,40 @@ class PipelineSpec extends GraftSpec {
     }
   }
 
+  test("training-set build: curate survivors minus zero-copy docs, coherent chunk offsets") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val curated = Pipeline.curate(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val rows = Pipeline.trainingSet(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(rows.nonEmpty)
+    // membership: every training row is a curate survivor with the same
+    // split; survivors absent from the set are exactly the 0-copy docs
+    rows.foreach { case (id, _, split, copies, _, _, _) =>
+      assert(curated.get(id).contains(split), s"doc $id: not a survivor or split drift")
+      assert(copies >= 1)
+    }
+    assert(rows.length < curated.size,
+      "the 250-permille sources must down-sample some docs to zero copies")
+    // pass-through proof on the clean corpus: scrub changes nothing
+    val textMd5 = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, _, _, _, _, _, digest) =>
+      assert(textMd5(id) == digest, s"doc $id: scrub altered clean text")
+    }
+    // chunking: per source in doc_id order, chunk_id must equal the
+    // running-offset rule exactly
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      var offset = 0L
+      rs.sortBy(_._1).foreach { case (id, _, _, copies, nTok, chunk, _) =>
+        assert(chunk == offset / 512, s"$src/$id: chunk $chunk at offset $offset")
+        offset += copies * nTok
+      }
+    }
+  }
+
   test("drop-set anti-join broadcasts only under the corpus-size guard") {
     // under the guard (default 10M): a forced broadcast anti-join
     val key = "spark.graft.dropSetBroadcast.maxCorpusRows"
