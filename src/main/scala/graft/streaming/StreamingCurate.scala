@@ -59,6 +59,24 @@ object StreamingCurate {
   def benchmarkShingles(benchDocs: DataFrame): DataFrame =
     Dedup.shingles(benchDocs).select("s").distinct()
 
+  /** Per-batch stateless gates: (repetition-flagged ids, contaminated
+    * ids) — distributed aggregates over the batch sliver, batch-sized
+    * collects. Shared by [[curateStream]] and [[trainingSetStream]]. */
+  private def statelessFlags(mb: DataFrame, bench: DataFrame): (Set[Long], Set[Long]) = {
+    val bg = Dedup.ngrams(mb, 2)
+    val rep = bg.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("total"))
+      .filter(col("top_c") >= RepMinCount &&
+        col("top_c").cast("double") / col("total").cast("double") >= RepRatio)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cont = Dedup.shingles(mb)
+      .join(bench, Seq("s"), "left")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit").cast("double") / col("n_sh").cast("double") >= DeconThreshold)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    (rep, cont)
+  }
+
   def curateStream(stream: Dataset[DocEvent], benchShingles: DataFrame,
                    t: Double = 0.5)
                   (sink: (Seq[CurateVerdict], Long) => Unit)
@@ -74,17 +92,7 @@ object StreamingCurate {
       val dedup = gi.decideAndGrow(mb)
 
       // ---- stages 2-4: per-doc, order-independent, one pass each
-      val bg = Dedup.ngrams(mb, 2)
-      val rep = bg.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("total"))
-        .filter(col("top_c") >= RepMinCount &&
-          col("top_c").cast("double") / col("total").cast("double") >= RepRatio)
-        .select("doc_id").collect().map(_.getLong(0)).toSet
-      val cont = Dedup.shingles(mb)
-        .join(bench, Seq("s"), "left")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
-        .filter(col("n_hit").cast("double") / col("n_sh").cast("double") >= DeconThreshold)
-        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val (rep, cont) = statelessFlags(mb, bench)
       // split assignment: same md5 bucket arithmetic as DataPrep.splitOf
       val splits = mb.select(col("doc_id"),
           (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
@@ -104,4 +112,78 @@ object StreamingCurate {
       sink(verdicts, batchId)
     }
   }
+
+  // ------------------------------------------------- training-set stream
+  /** A document with its ingest metadata — the event type of the full
+    * training-set stream (production docs arrive WITH their source; the
+    * harness derives it, but the operator never does). */
+  case class CurateDoc(doc_id: Long, text: String, source: String)
+
+  /** One continuously-emitted training-set row — the streaming form of a
+    * [[graft.operators.Pipeline.trainingSet]] output row (sans digest:
+    * the batch build hashes payloads for the cross-engine gate; the
+    * stream's contract is the placement decision). */
+  case class TrainingRow(doc_id: Long, source: String, split: String,
+                         copies: Long, n_tokens: Long, chunk_id: Long)
+
+  /** The END-TO-END training-set build as a continuous job: curation
+    * verdicts exactly as [[curateStream]], then the surviving docs run
+    * the batch build's tail stages — source-weighted mixture replication
+    * (same permille arithmetic as `prep_mix_weighted`; zero-copy docs
+    * leave the set) and sequence chunking against a PER-SOURCE running
+    * token offset. The offsets are driver state (one counter per source
+    * — the same footprint class as the greedy decision list), advanced
+    * in arrival order: chunk placement follows the order documents
+    * actually arrive, which IS the streaming-meaningful order (the batch
+    * build's doc_id order coincides when ingest is id-ordered, as the
+    * equivalence spec arranges). */
+  def trainingSetStream(stream: Dataset[CurateDoc], benchShingles: DataFrame,
+                        t: Double = 0.5)
+                       (sink: (Seq[TrainingRow], Long) => Unit)
+      : DataStreamWriter[Row] = {
+    val gi = new StreamingDedup.GreedyGrowingIndex(t)
+    val bench = benchShingles.withColumn("hit", lit(1)).localCheckpoint()
+    val offsets = scala.collection.mutable.Map.empty[String, Long]
+
+    stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
+      val mb = mb0.select("doc_id", "text").localCheckpoint()
+      val dedup = gi.decideAndGrow(mb)
+      val (rep, cont) = statelessFlags(mb, bench)
+      // per-doc tail-stage inputs, one distributed pass: token count, mix
+      // copies (md5 chars 5-8) and split bucket (chars 1-4) — the same
+      // expressions as the batch build, collected batch-sized
+      val meta = mb0.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          (conv(substring(md5(col("doc_id").cast("string")), 5, 4), 16, 10)
+            .cast("int") % 1000).as("mbucket"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 100).as("sbucket"),
+          ((expr("cast(substring(source, 4) as int)") % 8 + 1) * lit(250)).as("w1000"))
+        .collect().map { r =>
+          r.getLong(0) -> (r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))
+        }.toMap
+
+      val rows = Seq.newBuilder[TrainingRow]
+      // dedup decisions are already in doc_id order (the greedy rule's
+      // order); offsets advance in exactly that order
+      dedup.foreach { d =>
+        if (d.kind == "kept" && !rep(d.doc_id) && !cont(d.doc_id)) {
+          val (src, nTok, mbucket, sbucket, w1000) = meta(d.doc_id)
+          val copies = w1000 / 1000 + (if (mbucket < w1000 % 1000) 1 else 0)
+          if (copies >= 1) {
+            val split =
+              if (sbucket < 90) "train" else if (sbucket < 95) "valid" else "test"
+            val off = offsets.getOrElse(src, 0L)
+            rows += TrainingRow(d.doc_id, src, split, copies.toLong, nTok,
+              off / SeqTokens)
+            offsets(src) = off + copies * nTok
+          }
+        }
+      }
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(mb)
+      sink(rows.result(), batchId)
+    }
+  }
+
+  private val SeqTokens = 512L
 }

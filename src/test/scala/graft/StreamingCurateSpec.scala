@@ -101,4 +101,74 @@ class StreamingCurateSpec extends GraftSpec {
         s"(first diff: ${got.zip(expected).find(p => p._1 != p._2)})")
     }
   }
+
+  test("continuous training-set build == batch-tail reference over the greedy kept set") {
+    import graft.streaming.StreamingCurate.CurateDoc
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val benchSh: Set[String] =
+      base.filter(_._1 % 10 == 0).flatMap(d => shingleSet(d._2)).toSet
+    val corpus = base.filter(_._1 % 10 != 0)
+
+    // reference: greedy dedup survivors (id order) → gates → mix/split/chunk
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    case class Kept(id: Long, text: String, sh: Set[String])
+    val keptIdx = scala.collection.mutable.ArrayBuffer.empty[Kept]
+    val offsets = scala.collection.mutable.Map.empty[String, Long]
+    val expected = corpus.flatMap { case (id, text, src) =>
+      val sh = shingleSet(text)
+      val dup = keptIdx.exists(_.text == text) ||
+        keptIdx.exists(k => jac(sh, k.sh) >= 0.5)
+      if (dup) None
+      else {
+        keptIdx += Kept(id, text, sh)
+        val contaminated = sh.nonEmpty &&
+          (sh & benchSh).size.toDouble / sh.size >= 0.5
+        if (isRepetitive(text) || contaminated) None
+        else {
+          val hex = md5hex(id.toString)
+          val mbucket = Integer.parseInt(hex.substring(4, 8), 16) % 1000
+          val w1000 = (src.drop(3).toInt % 8 + 1) * 250
+          val copies = w1000 / 1000 + (if (mbucket < w1000 % 1000) 1 else 0)
+          if (copies < 1) None
+          else {
+            val nTok = tokens(text).length.toLong
+            val off = offsets.getOrElse(src, 0L)
+            offsets(src) = off + copies * nTok
+            Some((id, src, splitOf(id), copies.toLong, nTok, off / 512))
+          }
+        }
+      }
+    }.toSeq
+    assert(expected.nonEmpty && expected.exists(_._6 > 0),
+      "fixture must fill more than one chunk in some source")
+    assert(expected.exists(_._4 == 2L), "an upsampled source must appear")
+
+    val events = corpus.map { case (id, text, src) => CurateDoc(id, text, src) }
+    for ((seed, msId) <- Seq((7, 313), (41, 314))) {
+      val rnd = new scala.util.Random(seed)
+      val chunks = splitChunks(events, 2 + rnd.nextInt(4), rnd)
+      val ms = MemoryStream[CurateDoc](msId, spark, None)
+      val sink = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long, Long)]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tset").toString
+      val benchDf = Tables.documents(spark, sf0001).filter(col("doc_id") % 10 === 0)
+      val q = StreamingCurate.trainingSetStream(ms.toDS(),
+          StreamingCurate.benchmarkShingles(benchDf)) { (rs, _) =>
+        sink.synchronized {
+          sink ++= rs.map(r => (r.doc_id, r.source, r.split, r.copies,
+            r.n_tokens, r.chunk_id))
+        }
+        ()
+      }.option("checkpointLocation", ckpt).start()
+      try chunks.foreach { c =>
+        if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = sink.synchronized(sink.toSeq).sortBy(_._1)
+      assert(got == expected,
+        s"seed=$seed: training rows diverge " +
+        s"(first diff: ${got.zip(expected).find(p => p._1 != p._2)})")
+    }
+  }
 }
