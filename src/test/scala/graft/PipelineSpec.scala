@@ -156,6 +156,17 @@ class PipelineSpec extends GraftSpec {
     }
   }
 
+  test("leakage audit: corpus stage shows cross-split near-dups, curated stage none") {
+    val rows = Pipeline.splitLeakageAudit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getBoolean(5)))
+    val (corpus, curated) = rows.partition(_._1 == "corpus")
+    assert(corpus.exists(r => r._5 && r._4 > 0),
+      "the raw corpus must carry cross-split near-dup pairs (planted twins)")
+    assert(curated.isEmpty,
+      s"curation must close every J>=0.3 pair among survivors, got: ${curated.toSeq}")
+  }
+
   test("drop-set anti-join broadcasts only under the corpus-size guard") {
     // under the guard (default 10M): a forced broadcast anti-join
     val key = "spark.graft.dropSetBroadcast.maxCorpusRows"
