@@ -136,7 +136,18 @@ object StreamingCurate {
     * in arrival order: chunk placement follows the order documents
     * actually arrive, which IS the streaming-meaningful order (the batch
     * build's doc_id order coincides when ingest is id-ordered, as the
-    * equivalence spec arranges). */
+    * equivalence spec arranges).
+    *
+    * Durability trade (documented, same as the in-memory growing stream
+    * before its durable twin): the greedy index AND the offset counters
+    * are session state — a restart resumes dedup decisions from an empty
+    * index and chunk offsets from zero. The persistence pattern is
+    * already shipped for the harder half
+    * ([[StreamingDedup.growingCurationStreamDurable]]'s marker-guarded
+    * bucketed tables); offsets are a strictly easier fold (20 longs —
+    * store them in the same per-batchId marker and replay-restore), left
+    * as deployment wiring since the decision logic is what the
+    * equivalence spec pins. */
   def trainingSetStream(stream: Dataset[CurateDoc], benchShingles: DataFrame,
                         t: Double = 0.5)
                        (sink: (Seq[TrainingRow], Long) => Unit)
