@@ -138,16 +138,12 @@ object StreamingCurate {
     * build's doc_id order coincides when ingest is id-ordered, as the
     * equivalence spec arranges).
     *
-    * Durability trade (documented, same as the in-memory growing stream
-    * before its durable twin): the greedy index AND the offset counters
-    * are session state — a restart resumes dedup decisions from an empty
-    * index and chunk offsets from zero. The persistence pattern is
-    * already shipped for the harder half
-    * ([[StreamingDedup.growingCurationStreamDurable]]'s marker-guarded
-    * bucketed tables); offsets are a strictly easier fold (20 longs —
-    * store them in the same per-batchId marker and replay-restore), left
-    * as deployment wiring since the decision logic is what the
-    * equivalence spec pins. */
+    * Durability: in THIS form the greedy index and the offset counters
+    * are session state (a restart resumes from an empty index and zero
+    * offsets) — the fast path when the stream owns its lifetime.
+    * [[trainingSetStreamDurable]] is the restart-safe twin: on-disk
+    * growing index plus per-batchId offset snapshots, replay-stable
+    * end to end. */
   def trainingSetStream(stream: Dataset[CurateDoc], benchShingles: DataFrame,
                         t: Double = 0.5)
                        (sink: (Seq[TrainingRow], Long) => Unit)
@@ -197,4 +193,102 @@ object StreamingCurate {
   }
 
   private val SeqTokens = 512L
+
+  // --------------------------------------- durable training-set stream
+  private def offsetsFile(tag: String, batchId: Long): java.io.File =
+    new java.io.File(s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_growing_index/$tag/_chunk_offsets_$batchId")
+
+  /** Offsets as of the END of `batchId` (empty for batchId < 0 or a
+    * fresh tag). Reading the PREVIOUS batch's snapshot at the start of
+    * every batch — instead of trusting driver memory — is what makes
+    * chunk placement replay-stable by construction: a replayed batch
+    * starts from exactly the offsets it started from the first time. */
+  private def loadOffsets(tag: String, batchId: Long)
+      : scala.collection.mutable.Map[String, Long] = {
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    val f = offsetsFile(tag, batchId)
+    if (batchId >= 0 && f.exists()) {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().filter(_.nonEmpty).foreach { l =>
+        val i = l.lastIndexOf('='); m(l.substring(0, i)) = l.substring(i + 1).toLong
+      } finally src.close()
+    }
+    m
+  }
+
+  private def saveOffsets(tag: String, batchId: Long,
+                          m: scala.collection.Map[String, Long]): Unit = {
+    val f = offsetsFile(tag, batchId)
+    f.getParentFile.mkdirs()
+    val tmp = new java.io.File(f.getPath + ".tmp")
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try m.toSeq.sortBy(_._1).foreach { case (k, v) => w.println(s"$k=$v") }
+    finally w.close()
+    // rename-over: a crash mid-write leaves only the tmp; the replay that
+    // follows re-derives the identical snapshot from batchId-1's
+    if (!tmp.renameTo(f)) { f.delete(); require(tmp.renameTo(f), s"snapshot $f") }
+  }
+
+  /** One micro-batch of the DURABLE training-set build: dedup against the
+    * on-disk growing index ([[StreamingDedup.durableDecideAndGrow]] —
+    * replay-stable, marker-guarded appends), stateless gates, then chunk
+    * placement against offsets loaded from the PREVIOUS batch's on-disk
+    * snapshot and snapshotted per batchId after. Everything a replayed
+    * batch consumes is the state as of its first run, so re-delivery
+    * after any crash emits byte-identical training rows — the spec
+    * drives replay and a torn-snapshot crash window. */
+  private[graft] def durableTrainingBatch(s: org.apache.spark.sql.SparkSession,
+                                          tag: String, mb0: DataFrame,
+                                          batchId: Long, benchShingles: DataFrame,
+                                          t: Double = 0.5): Seq[TrainingRow] = {
+    val mb = mb0.select("doc_id", "text").localCheckpoint()
+    val dedup = StreamingDedup.durableDecideAndGrow(s, tag, mb, batchId, t)
+    val (rep, cont) = statelessFlags(mb, benchShingles.withColumn("hit", lit(1)))
+    val meta = mb0.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (conv(substring(md5(col("doc_id").cast("string")), 5, 4), 16, 10)
+          .cast("int") % 1000).as("mbucket"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100).as("sbucket"),
+        ((expr("cast(substring(source, 4) as int)") % 8 + 1) * lit(250)).as("w1000"))
+      .collect().map { r =>
+        r.getLong(0) -> (r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      }.toMap
+
+    val offsets = loadOffsets(tag, batchId - 1)
+    val rows = Seq.newBuilder[TrainingRow]
+    dedup.foreach { d =>
+      if (d.kind == "kept" && !rep(d.doc_id) && !cont(d.doc_id)) {
+        val (src, nTok, mbucket, sbucket, w1000) = meta(d.doc_id)
+        val copies = w1000 / 1000 + (if (mbucket < w1000 % 1000) 1 else 0)
+        if (copies >= 1) {
+          val split =
+            if (sbucket < 90) "train" else if (sbucket < 95) "valid" else "test"
+          val off = offsets.getOrElse(src, 0L)
+          rows += TrainingRow(d.doc_id, src, split, copies.toLong, nTok,
+            off / SeqTokens)
+          offsets(src) = off + copies * nTok
+        }
+      }
+    }
+    saveOffsets(tag, batchId, offsets)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(mb)
+    rows.result()
+  }
+
+  /** Streaming wiring for [[durableTrainingBatch]] — the training-set
+    * build whose EVERY piece of state (kept-doc index, chunk offsets)
+    * survives a restart, closing [[trainingSetStream]]'s documented
+    * session-state trade. */
+  def trainingSetStreamDurable(stream: Dataset[CurateDoc], benchShingles: DataFrame,
+                               tag: String, t: Double = 0.5)
+                              (sink: (Seq[TrainingRow], Long) => Unit)
+      : DataStreamWriter[Row] = {
+    val bench = benchShingles.localCheckpoint()
+    stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
+      sink(durableTrainingBatch(mb0.sparkSession, tag, mb0, batchId, bench, t),
+        batchId)
+    }
+  }
 }

@@ -171,4 +171,54 @@ class StreamingCurateSpec extends GraftSpec {
         s"(first diff: ${got.zip(expected).find(p => p._1 != p._2)})")
     }
   }
+
+  test("durable training-set build: replay- and crash-stable, equals the session form") {
+    import graft.streaming.StreamingCurate.TrainingRow
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val corpus = base.filter(_._1 % 10 != 0)
+    val benchDf = Tables.documents(spark, sf0001).filter(col("doc_id") % 10 === 0)
+    val benchSh = StreamingCurate.benchmarkShingles(benchDf)
+
+    val tag = s"spec_tset_${System.nanoTime()}"
+    val third = corpus.length / 3
+    val chunks = Seq(corpus.take(third), corpus.slice(third, 2 * third),
+      corpus.drop(2 * third))
+    def run(chunk: Seq[(Long, String, String)], batchId: Long): Seq[TrainingRow] =
+      StreamingCurate.durableTrainingBatch(spark, tag,
+        chunk.toDF("doc_id", "text", "source"), batchId, benchSh)
+
+    val r0 = run(chunks(0), 0)
+    val r1 = run(chunks(1), 1)
+    // replay batch 1 after its index append + offset snapshot landed:
+    // rows (chunk ids included) must be byte-identical
+    assert(run(chunks(1), 1) == r1, "replay changed training rows")
+    // crash window: the batch-1 offset snapshot is torn away mid-write —
+    // the replay must re-derive it from batch 0's snapshot, identically
+    val snap = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_growing_index/$tag/_chunk_offsets_1")
+    assert(snap.exists()); assert(snap.delete())
+    assert(run(chunks(1), 1) == r1, "torn-snapshot replay changed training rows")
+    val r2 = run(chunks(2), 2)
+
+    // and the durable build must equal the session-state stream's rows
+    // (same corpus, id-ordered batches) — proven transitively against the
+    // independent batch-tail reference by the previous test
+    import graft.streaming.StreamingCurate.CurateDoc
+    val events = corpus.map { case (id, text, src) => CurateDoc(id, text, src) }
+    val ms = MemoryStream[CurateDoc](317, spark, None)
+    val sessionRows = scala.collection.mutable.ArrayBuffer[TrainingRow]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tset_d").toString
+    val q = StreamingCurate.trainingSetStream(ms.toDS(), benchSh) { (rs, _) =>
+      sessionRows.synchronized { sessionRows ++= rs }; ()
+    }.option("checkpointLocation", ckpt).start()
+    try chunks.foreach { c =>
+      if (c.nonEmpty) {
+        ms.addData(c.map { case (id, t2, s2) => CurateDoc(id, t2, s2) }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert((r0 ++ r1 ++ r2) == sessionRows.synchronized(sessionRows.toSeq),
+      "durable and session training rows diverge")
+  }
 }
