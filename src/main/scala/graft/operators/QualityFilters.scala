@@ -347,20 +347,118 @@ object QualityFilters {
       |       (SELECT round(corr(rq, rp), 6) FROM ranked) AS spearman_rho,
       |       (SELECT top_decile_overlap FROM ov) AS top_decile_overlap""".stripMargin
 
+  // ------------------------------------------- 13-gram decontamination
+  /** GPT-3-style exact-collision decontamination (public practice: Brown
+    * et al. 2020, appendix C — a training doc is "dirty" if it shares ANY
+    * 13-gram with an eval set; the canonical rule most later corpora
+    * reused). Complements [[decontaminate]]'s containment-ratio rule: a
+    * long document quoting one benchmark sentence passes a 0.5
+    * containment check but fails this one. Same join shape — distinct
+    * per-doc 13-grams semi-joined against the (broadcast at real scale)
+    * benchmark gram set; one scan + one partial agg. */
+  def decontaminate13gram(s: SparkSession, dir: String): DataFrame = {
+    val g = Dedup.shingles(Tables.documents(s, dir), 13)
+    val bench = g.filter(col("doc_id") % 10 === 0).select("s").distinct()
+    val max = s.conf.getOption("spark.graft.dropSetBroadcast.maxCorpusRows")
+      .map(_.toLong).getOrElse(10000000L)
+    val benchSide =
+      if (Tables.footerRowCount(s, dir, "documents") <= max) broadcast(bench)
+      else bench
+    g.filter(col("doc_id") % 10 =!= 0)
+      .join(benchSide, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_colliding_13grams"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminate13gramSql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+12], ' ') AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 12)) AS i) gg
+      |  WHERE len(tk) >= 13
+      |),
+      |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0)
+      |SELECT doc_id, count(*) AS n_colliding_13grams
+      |FROM g JOIN bench USING (s)
+      |WHERE doc_id % 10 <> 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------- multi-n repetition profile
+  // Gopher (Rae et al. 2021, table A1) thresholds: fraction of tokens in
+  // the most frequent n-gram, per n
+  private val RepNgramThresholds = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+
+  /** The full Gopher-style repetition profile: for n ∈ {2,3,4}, the
+    * fraction of n-gram occurrences carried by the doc's single most
+    * frequent n-gram, with the published per-n thresholds deciding a
+    * combined flag. Each n is one explode + two partial aggs (the
+    * [[repetitionFilter]] shape), joined back on doc_id; docs too short
+    * for an n-gram score 0 for that n (LEFT join + coalesce — no row is
+    * dropped, every doc gets a verdict). */
+  def repetitionNgramProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def ratioFor(n: Int): DataFrame =
+      Dedup.ngrams(docs, n)
+        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as(s"r$n"))
+    val joined = RepNgramThresholds.foldLeft(docs.select("doc_id")) {
+      case (acc, (n, _)) => acc.join(ratioFor(n), Seq("doc_id"), "left")
+    }
+    val flag = RepNgramThresholds
+      .map { case (n, t) => coalesce(col(s"r$n"), lit(0.0)) >= t }
+      .reduce(_ || _)
+    joined.select(
+        col("doc_id") +:
+        RepNgramThresholds.map { case (n, _) =>
+          round(coalesce(col(s"r$n"), lit(0.0)), 6).as(s"top_${n}gram_frac") } :+
+        flag.as("repetition_flagged"): _*)
+      .orderBy("doc_id")
+  }
+
+  val repetitionNgramProfileSql: String = {
+    val grams = RepNgramThresholds.map { case (n, _) =>
+      s"""r$n AS (
+         |  SELECT doc_id, max(c) * 1.0 / sum(c) AS r$n FROM (
+         |    SELECT doc_id, array_to_string(tk[i:i+${n - 1}], ' ') AS s, count(*) AS c
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |         LATERAL (SELECT unnest(generate_series(1, len(tk) - ${n - 1})) AS i) g
+         |    WHERE len(tk) >= $n
+         |    GROUP BY 1, 2)
+         |  GROUP BY doc_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    val cols = RepNgramThresholds.map { case (n, _) =>
+      s"round(coalesce(r$n, 0), 6) AS top_${n}gram_frac" }.mkString(", ")
+    val flag = RepNgramThresholds.map { case (n, t) =>
+      s"coalesce(r$n, 0) >= $t" }.mkString(" OR ")
+    s"""WITH $grams
+       |SELECT d.doc_id, $cols, ($flag) AS repetition_flagged
+       |FROM documents d
+       |LEFT JOIN r2 ON d.doc_id = r2.doc_id
+       |LEFT JOIN r3 ON d.doc_id = r3.doc_id
+       |LEFT JOIN r4 ON d.doc_id = r4.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_scrub_stoptokens" -> (scrubStopTokens _),
     "text_repetition"       -> (repetitionFilter _),
+    "text_repetition_ngrams" -> (repetitionNgramProfile _),
     "text_perplexity"       -> (perplexityScore _),
     "quality_signal_agreement" -> (qualitySignalAgreement _),
     "text_compress_ratio"   -> (compressRatio _),
-    "decontaminate"         -> (decontaminate _)
+    "decontaminate"         -> (decontaminate _),
+    "decontaminate_13gram"  -> (decontaminate13gram _)
   )
 
   def oracles: Map[String, String] = Map(
     "text_scrub_stoptokens" -> scrubStopTokensSql,
     "text_repetition"       -> repetitionFilterSql,
+    "text_repetition_ngrams" -> repetitionNgramProfileSql,
     "text_perplexity"       -> perplexityScoreSql,
     "quality_signal_agreement" -> qualitySignalAgreementSql,
-    "decontaminate"         -> decontaminateSql
+    "decontaminate"         -> decontaminateSql,
+    "decontaminate_13gram"  -> decontaminate13gramSql
   )
 }

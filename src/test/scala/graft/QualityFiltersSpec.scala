@@ -93,6 +93,52 @@ class QualityFiltersSpec extends GraftSpec {
     assert(ovl >= 0 && ovl <= math.max(1L, n / 10), s"overlap $ovl vs decile ${n / 10}")
   }
 
+  test("13-gram decontamination matches an independent gram-set recompute") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def grams13(t: String): Set[String] = {
+      val tk = t.split(" ", -1)
+      if (tk.length < 13) Set.empty else tk.sliding(13).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._1 % 10 == 0).flatMap(d => grams13(d._2)).toSet
+    val expected = docs.filter(_._1 % 10 != 0)
+      .map { case (id, t) => id -> (grams13(t) & bench).size.toLong }
+      .filter(_._2 > 0).toMap
+    val got = QualityFilters.decontaminate13gram(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"13-gram collisions diverge: got $got expected $expected")
+    assert(expected.nonEmpty, "fixture must contain 13-gram leakage")
+  }
+
+  test("repetition n-gram profile: flag fires iff any published threshold is met") {
+    val rows = QualityFilters.repetitionNgramProfile(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.length == Tables.documents(spark, sf0001).count())
+    rows.foreach { case (id, r2, r3, r4, f) =>
+      assert(f == (r2 >= 0.20 || r3 >= 0.18 || r4 >= 0.16),
+        s"doc $id: flag inconsistent with fractions ($r2,$r3,$r4)")
+    }
+    // the published Gopher thresholds only fire at sf0.1 on this corpus
+    // (7 flagged docs, DuckDB-verified; the driver gate hash-compares the
+    // booleans there) — here, pin the FRACTIONS against an independent
+    // recompute for the most repetitive doc instead of lowering thresholds
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    def frac(t: String, n: Int): Double = {
+      val gs = t.split(" ", -1).sliding(n).map(_.mkString(" ")).toSeq
+      if (gs.isEmpty || gs.head.split(" ", -1).length < n) 0.0
+      else {
+        val counts = gs.groupBy(identity).map(_._2.size)
+        counts.max.toDouble / counts.sum
+      }
+    }
+    val top = rows.maxBy(_._2)
+    assert(top._2 == math.rint(frac(docs(top._1), 2) * 1e6) / 1e6,
+      s"doc ${top._1}: r2 diverges from independent recompute")
+    assert(top._2 > 0.1, "fixture must contain repetitive structure")
+  }
+
   test("observed scrub reports metrics from the same job, matching recomputation") {
     val (df, obs) = QualityFilters.scrubObserved(spark, sf0001)
     val rows = df.collect() // the one action both returns rows and fills obs
