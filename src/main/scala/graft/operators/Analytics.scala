@@ -780,7 +780,77 @@ object Analytics {
       |UNION ALL SELECT 'lineitem.shipdate_not_null', n, shipdate_notnull FROM li_agg
       |ORDER BY rule""".stripMargin
 
+  // ------------------------------------------------- triangle counting
+  /** Triangle count + global clustering coefficient over the near-dup
+    * pair graph — the cohesion profile of a dedup graph (dense triangles
+    * = boilerplate families that cluster-collapse will fold; a high
+    * wedge-to-triangle ratio = chains where greedy and CC semantics
+    * diverge most). The ORDERED-edge algorithm: edges carry a < b, a
+    * wedge (a<b<c) comes from joining e(a,b)⋈e(b,c), and a semi-join
+    * against e(a,c) closes it — each triangle counted exactly once, all
+    * equi joins. At 100 TB the standard refinement is ordering by DEGREE
+    * instead of id (the join fan-out on a hub node is deg², and
+    * degree-ordering bounds every node's out-edges by √|E|); id-order
+    * keeps the oracle trivially reproducible here and the join shape is
+    * identical. Wedges come from per-node degree aggregates (one tiny
+    * agg), never a join. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.jaccardPairsFrom(Tables.documents(s, dir))
+      .select(col("a_id").as("a"), col("b_id").as("b")).cache()
+    val wedgeJoin = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val triangles = wedgeJoin
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val degrees = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val stats = degrees.agg(
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    stats.join(triangles, lit(true))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(col("n_triangles") * 3.0 / greatest(col("n_wedges"), lit(1L)), 6)
+          .as("clustering_coef"))
+  }
+
+  val graphTrianglesSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |e AS (
+      |  SELECT a_id AS a, b_id AS b FROM common
+      |  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+      |),
+      |deg AS (
+      |  SELECT v, count(*) AS d FROM (
+      |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v
+      |),
+      |st AS (
+      |  SELECT (sum(d) // 2)::BIGINT AS n_edges,
+      |         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      |  FROM deg
+      |)
+      |SELECT n_edges, n_wedges, n_triangles,
+      |       round(n_triangles * 3.0 / greatest(n_wedges, 1), 6) AS clustering_coef
+      |FROM st, tri""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles"    -> (graphTriangles _),
     "funnel_stages"      -> (funnelStages _),
     "scd2_history"       -> (scd2History _),
     "tfidf_top_terms"    -> (tfidfTopTerms _),
@@ -798,6 +868,7 @@ object Analytics {
     "type_trend_regr"    -> (typeTrendRegr _))
 
   val oracles: Map[String, String] = Map(
+    "graph_triangles"    -> graphTrianglesSql,
     "funnel_stages"      -> funnelStagesSql,
     "scd2_history"       -> scd2HistorySql,
     "tfidf_top_terms"    -> tfidfTopTermsSql,

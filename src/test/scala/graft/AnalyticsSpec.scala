@@ -232,4 +232,22 @@ class AnalyticsSpec extends GraftSpec {
       assert(r.getDouble(3) >= 0.0, "MAD non-negative")
     }
   }
+
+  test("triangle count matches a brute-force recount of the same pair graph") {
+    val edges = graft.operators.Dedup.jaccardNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val bruteTriangles = edges.toSeq.map { case (a, b) =>
+      adj(a).intersect(adj(b)).count(c => c > b) // a < b < c, each once
+    }.sum
+    val degrees = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size.toLong)
+    val bruteWedges = degrees.map(d => d * (d - 1) / 2).sum
+    val r = graft.operators.Analytics.graphTriangles(spark, sf0001).head()
+    assert(r.getLong(0) == edges.size.toLong)
+    assert(r.getLong(1) == bruteWedges, "wedge count diverges")
+    assert(r.getLong(2) == bruteTriangles.toLong, "triangle count diverges")
+    assert(bruteTriangles > 0, "fixture must contain triangles")
+  }
 }
