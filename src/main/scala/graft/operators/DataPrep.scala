@@ -213,17 +213,67 @@ object DataPrep {
       |       sum(copies * n_chars::BIGINT)::BIGINT AS chars_sampled
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- overlapping chunks
+  private val ChunkTokens = 32
+  private val ChunkStride = 24 // 8-token overlap between adjacent windows
+
+  /** Overlapping-window document chunking — the RAG-indexing /
+    * long-context-prep counterpart of [[seqPack]]: packing CONCATENATES
+    * short docs into fixed budgets, this SPLITS each document into
+    * [[ChunkTokens]]-token windows advancing by [[ChunkStride]] (the
+    * 8-token overlap keeps boundary-straddling context retrievable —
+    * standard retrieval-chunking practice). Pure row-local work: one
+    * `sequence` + `transform` + `explode` per doc, no shuffle but the
+    * driver-contract ORDER BY — embarrassingly parallel at any corpus
+    * size. Chunk text crosses engines as an md5 digest (the same
+    * hash-the-payload convention as the codec and scrub queries). */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")))
+    // window starts: 0, stride, 2*stride, … while start < n (every doc
+    // gets ≥1 chunk; the last window is allowed to run short)
+    d.select(col("doc_id"), col("tk"), col("n"),
+        expr(s"sequence(0, greatest(cast(ceil((n - $ChunkTokens) / " +
+          s"cast($ChunkStride as double)) as int), 0))").as("idxs"))
+      .select(col("doc_id"), col("n"), col("tk"),
+        posexplode(col("idxs")).as(Seq("chunk_idx", "i")))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"slice(tk, chunk_idx * $ChunkStride + 1, $ChunkTokens)").as("w"),
+        col("n"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("w")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("w"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkWindowsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk, len(string_split(text, ' ')) AS n
+      |           FROM documents),
+      |idx AS (
+      |  SELECT doc_id, tk, n,
+      |         unnest(generate_series(0,
+      |           greatest(CAST(ceil((n - $ChunkTokens) / CAST($ChunkStride AS DOUBLE)) AS INT), 0))) AS chunk_idx
+      |  FROM t
+      |)
+      |SELECT doc_id, chunk_idx,
+      |       len(tk[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens])::BIGINT AS n_tokens,
+      |       md5(array_to_string(tk[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens], ' ')) AS chunk_md5
+      |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prep_vocab_encode" -> (vocabEncode _),
     "prep_seq_pack"     -> (seqPack _),
     "prep_split_assign" -> (splitAssign _),
-    "prep_mix_weighted" -> (mixWeightedSample _)
+    "prep_mix_weighted" -> (mixWeightedSample _),
+    "prep_chunk_windows" -> (chunkWindows _)
   )
 
   def oracles: Map[String, String] = Map(
     "prep_vocab_encode" -> vocabEncodeSql,
     "prep_seq_pack"     -> seqPackSql,
     "prep_split_assign" -> splitAssignSql,
-    "prep_mix_weighted" -> mixWeightedSampleSql
+    "prep_mix_weighted" -> mixWeightedSampleSql,
+    "prep_chunk_windows" -> chunkWindowsSql
   )
 }

@@ -534,6 +534,51 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // ------------------------------------------------ int8 quantization
+  /** Symmetric per-dimension int8 quantization of the embedding corpus —
+    * the serving-prep step a vector store runs before PQ/IVF get
+    * involved (4× memory cut, SIMD-friendly dot products). Scales are
+    * the per-dimension corpus max-|x| (a 64-row aggregate riding the
+    * plan as a broadcast one-row array — the lazy-scalar pattern, no
+    * driver action); codes are `floor(x·127/scale + 0.5)` — every step
+    * is an IEEE double op both engines compute bit-identically, so the
+    * quantized codes AND the integer ‖q‖² are hash-gated (the `round()`
+    * builtin was deliberately avoided: its half-case tie rule is the one
+    * step engines disagree on). Codes cross the gate as a CSV string
+    * (array columns are engine-fragile to hash, per [[DataPrep
+    * .vocabEncode]]). Row-local work after one tiny aggregate. */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val scales = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(max(abs(col("x"))).as("m"))
+      .agg(expr("transform(sort_array(collect_list(struct(d, m))), s -> s.m)").as("ms"))
+    e.join(broadcast(scales), lit(true))
+      .withColumn("q", expr(
+        "zip_with(v, ms, (x, m) -> cast(floor(x * 127.0d / greatest(m, 1e-12d) + 0.5d) as int))"))
+      .select(col("vec_id"),
+        concat_ws(",", col("q").cast("array<string>")).as("q_csv"),
+        expr("aggregate(q, 0L, (acc, c) -> acc + cast(c as bigint) * c)").as("q_l2sq"))
+      .orderBy("vec_id")
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dims AS (
+      |  SELECT i, max(abs(v[i])) AS m
+      |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+      |  GROUP BY i
+      |),
+      |ms AS (SELECT list(m ORDER BY i) AS ms FROM dims),
+      |q AS (
+      |  SELECT vec_id,
+      |         list_transform(generate_series(1, len(v)),
+      |           i -> CAST(floor(v[i] * 127.0 / greatest(ms[i], 1e-12) + 0.5) AS INT)) AS q
+      |  FROM e, ms
+      |)
+      |SELECT vec_id, array_to_string(q, ',') AS q_csv,
+      |       CAST(list_sum(list_transform(q, c -> CAST(c AS BIGINT) * c)) AS BIGINT) AS q_l2sq
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // -------------------------------------------------------------- k-means
   private val KmeansIters = 3
 
@@ -977,7 +1022,8 @@ object Similarity {
     "emb_neardup_cosine" -> (cosineNearDup _),
     "emb_neardup_cosine_lsh" -> (cosineNearDupLsh _),
     "emb_neardup_signgrid" -> (cosineNearDupSignGrid _),
-    "semantic_dedup"       -> (semanticDedup _)
+    "semantic_dedup"       -> (semanticDedup _),
+    "emb_quantize_int8"    -> (quantizeInt8 _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -995,7 +1041,8 @@ object Similarity {
     "emb_label_centroids" -> labelCentroidsSql,
     "emb_neardup_cosine" -> cosineNearDupSql,
     "emb_neardup_signgrid" -> cosineNearDupSignGridSql,
-    "semantic_dedup"       -> semanticDedupSql
+    "semantic_dedup"       -> semanticDedupSql,
+    "emb_quantize_int8"    -> quantizeInt8Sql
     // lsh variants: hash-dependent bucketing → rows-only gate
   )
 }

@@ -93,4 +93,28 @@ class DataPrepSpec extends GraftSpec {
     assert(rows.exists(_._3 < 1000) && rows.exists(_._3 > 1000),
       "fixture must exercise down- AND up-sampling")
   }
+
+  test("chunk windows: full token coverage, 8-token overlap, exact reconstruction") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val chunks = DataPrep.chunkWindows(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(chunks.map(_._1).toSet == docs.keySet, "every doc chunks")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val tk = docs(id).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, "contiguous chunk ids")
+      // windows start every 24 tokens; last window reaches the doc end
+      sorted.foreach { case (_, idx, n, digest) =>
+        val w = tk.slice(idx * 24, idx * 24 + 32)
+        assert(n == w.length && digest == md5hex(w.mkString(" ")),
+          s"doc $id chunk $idx: window mismatch")
+      }
+      val last = sorted.last
+      assert(last._2 * 24 + last._3 == tk.length, s"doc $id: tail tokens uncovered")
+    }
+    assert(chunks.exists(_._2 > 0), "fixture must contain multi-chunk docs")
+  }
 }

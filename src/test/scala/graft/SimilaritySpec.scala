@@ -267,6 +267,28 @@ class SimilaritySpec extends GraftSpec {
     assert(decisions.count(!_._3) > 0)
   }
 
+  test("int8 quantization: codes in range, quantization error within half a step") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dims = vecs.values.head.length
+    val scales = (0 until dims).map(d => vecs.values.map(v => math.abs(v(d))).max)
+    val rows = Similarity.quantizeInt8(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(",").map(_.toInt), r.getLong(2)))
+    assert(rows.length == vecs.size)
+    rows.foreach { case (id, q, l2) =>
+      assert(q.length == dims)
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id: code out of range")
+      assert(l2 == q.map(c => c.toLong * c).sum, s"vec $id: l2 mismatch")
+      val v = vecs(id)
+      (0 until dims).foreach { d =>
+        val step = scales(d) / 127.0
+        assert(math.abs(v(d) - q(d) * step) <= step / 2 + 1e-9,
+          s"vec $id dim $d: dequant error exceeds half a step")
+      }
+    }
+  }
+
   test("standing IVF index probe: identical output to the per-query plan, lists read bucketed") {
     val perQuery = Similarity.ivfTopK(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
