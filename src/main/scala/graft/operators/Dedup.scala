@@ -500,6 +500,92 @@ object Dedup {
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ------------------------------------------------------------- Winnowing
+  private val WinnowK = 3 // k-gram size (tokens)
+  private val WinnowW = 4 // window: every w consecutive hashes yield >=1 pick
+
+  /** Winnowing-fingerprint near-dup pairs (public literature: Schleimer,
+    * Wilkerson, Aiken — "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003; the MOSS algorithm): hash every
+    * k-gram, slide a w-hash window, select each window's RIGHTMOST
+    * minimal hash — the guarantee is any shared run of w + k − 1 tokens
+    * yields at least one shared fingerprint, while storing only
+    * ~2/(w+1) of the hashes. The inverted index is built on the
+    * SELECTED fingerprints only — a w+1/2-fold smaller index than the
+    * all-shingles join for the same detection guarantee on long
+    * matches, which is the whole winnowing trade.
+    *
+    * Engine shape: hashing AND selection are row-local array ops (one
+    * `transform` over positions, a slice-argmin per window — no shuffle
+    * until the fingerprint explode), and the hash is the md5-derived
+    * 60-bit value of [[minhashMd5]], so the ENTIRE pipeline — selection
+    * tie-breaks included — is reproduced by the DuckDB oracle and
+    * hash-gated. Candidates sharing a fingerprint are exact-verified on
+    * full shingle sets (scores are true Jaccard, same join as
+    * [[verifyPairs]]). */
+  def winnowNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= WinnowK)
+    // ordered k-gram hash array (NOT distinct — positions matter)
+    val hashed = toks.select(col("doc_id"),
+      expr(s"""transform(sequence(1, size(tk) - ${WinnowK - 1}),
+              |  i -> cast(conv(substring(md5(concat_ws(' ', slice(tk, i, $WinnowK))), 1, 15), 16, 10) as bigint))"""
+        .stripMargin.replaceAll("\n", " ")).as("hs"))
+    // rightmost-min selection per w-window; distinct selected hashes
+    val fp = hashed.select(col("doc_id"),
+      explode(expr(
+        s"""array_distinct(transform(sequence(1, greatest(size(hs) - ${WinnowW - 1}, 1)),
+           |  i -> element_at(slice(hs, i, $WinnowW),
+           |         cast(size(slice(hs, i, $WinnowW)) - array_position(reverse(slice(hs, i, $WinnowW)),
+           |              array_min(slice(hs, i, $WinnowW))) + 1 as int))))"""
+          .stripMargin.replaceAll("\n", " "))).as("fp"))
+    val cand = fp.select(col("doc_id").as("a_id"), col("fp"))
+      .join(fp.select(col("doc_id").as("b_id"), col("fp")), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    verifyPairs(cand, docsArr, 0.5).orderBy("a_id", "b_id")
+  }
+
+  val winnowNearDupSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |hashed AS (
+      |  SELECT doc_id,
+      |         list_transform(generate_series(1, len(tk) - ${WinnowK - 1}),
+      |           i -> ('0x' || substring(md5(array_to_string(tk[i:i+${WinnowK - 1}], ' ')), 1, 15))::BIGINT) AS hs
+      |  FROM toks WHERE len(tk) >= $WinnowK
+      |),
+      |fp AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_distinct(list_transform(generate_series(1, greatest(len(hs) - ${WinnowW - 1}, 1)),
+      |           i -> hs[i:i+${WinnowW - 1}][len(hs[i:i+${WinnowW - 1}])
+      |                  - list_position(list_reverse(hs[i:i+${WinnowW - 1}]), list_min(hs[i:i+${WinnowW - 1}])) + 1]))) AS fp
+      |  FROM hashed
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.a_id, c.b_id, count(*) AS c
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.a_id
+      |  JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a_id, b_id, c * 1.0 / (sa.n + sb.n - c) AS jac
+      |FROM common JOIN sizes sa ON a_id = sa.doc_id
+      |            JOIN sizes sb ON b_id = sb.doc_id
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   // --------------------------------------------------------------- SimHash
   private val SimBits   = 64
   private val SimBlocks = 8   // 8 blocks × 8 bits; pigeonhole catches hamming ≤ 7
@@ -901,6 +987,7 @@ object Dedup {
     "neardup_jaccard_prefix" -> (jaccardPrefixNearDup _),
     "neardup_minhash_lsh"   -> (minhashLsh _),
     "neardup_minhash_md5"   -> (minhashMd5 _),
+    "neardup_winnow"        -> (winnowNearDup _),
     "neardup_simhash"       -> (simhashNearDup _),
     "neardup_clusters"      -> (nearDupClusters _),
     "dedup_incremental"     -> (incrementalDedup _)
@@ -917,7 +1004,8 @@ object Dedup {
     "dedup_incremental"     -> incrementalDedupSql,
     // the md5 twin makes the full LSH pipeline (signatures, bands, star
     // cap, verify) cross-engine reproducible → hash-gated
-    "neardup_minhash_md5"   -> minhashMd5Sql
+    "neardup_minhash_md5"   -> minhashMd5Sql,
+    "neardup_winnow"        -> winnowNearDupSql
     // xxhash64 minhash / simhash: hash-internal-dependent → rows-only gate
   )
 }

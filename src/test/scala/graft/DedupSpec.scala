@@ -184,6 +184,18 @@ class DedupSpec extends GraftSpec {
       s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("winnowing: exact-verified subset with full recall on the planted near-dups") {
+    val exact = Dedup.jaccardNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = Dedup.winnowNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(win.subsetOf(exact), "verification must kill all false positives")
+    // winnowing guarantees a shared fingerprint for any shared run of
+    // w+k-1 = 6 tokens; the planted J>=0.5 near-dups share far longer
+    // runs, so recall on this corpus must be total
+    assert(win == exact, s"missed pairs: ${exact.diff(win)}")
+  }
+
   test("SimHash blocking finds the high-similarity planted pairs") {
     val exact = Dedup.jaccardNearDup(spark, sf0001)
       .filter("jac >= 0.8").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
