@@ -525,7 +525,20 @@ object Dedup {
     * [[verifyPairs]]). */
   def winnowNearDup(s: SparkSession, dir: String): DataFrame = {
     val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
-    val toks = Tables.documents(s, dir)
+    val fp = winnowFingerprints(Tables.documents(s, dir))
+    val cand = fp.select(col("doc_id").as("a_id"), col("fp"))
+      .join(fp.select(col("doc_id").as("b_id"), col("fp")), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    verifyPairs(cand, docsArr, 0.5).orderBy("a_id", "b_id")
+  }
+
+  /** The winnowing selection itself: (doc_id, fp) — distinct selected
+    * k-gram hashes per doc. Row-local array arithmetic end to end;
+    * exposed within the package so the property spec can drive the
+    * w+k−1 guarantee on random corpora. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= WinnowK)
     // ordered k-gram hash array (NOT distinct — positions matter)
@@ -534,18 +547,13 @@ object Dedup {
               |  i -> cast(conv(substring(md5(concat_ws(' ', slice(tk, i, $WinnowK))), 1, 15), 16, 10) as bigint))"""
         .stripMargin.replaceAll("\n", " ")).as("hs"))
     // rightmost-min selection per w-window; distinct selected hashes
-    val fp = hashed.select(col("doc_id"),
+    hashed.select(col("doc_id"),
       explode(expr(
         s"""array_distinct(transform(sequence(1, greatest(size(hs) - ${WinnowW - 1}, 1)),
            |  i -> element_at(slice(hs, i, $WinnowW),
            |         cast(size(slice(hs, i, $WinnowW)) - array_position(reverse(slice(hs, i, $WinnowW)),
            |              array_min(slice(hs, i, $WinnowW))) + 1 as int))))"""
           .stripMargin.replaceAll("\n", " "))).as("fp"))
-    val cand = fp.select(col("doc_id").as("a_id"), col("fp"))
-      .join(fp.select(col("doc_id").as("b_id"), col("fp")), "fp")
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    verifyPairs(cand, docsArr, 0.5).orderBy("a_id", "b_id")
   }
 
   val winnowNearDupSql: String =

@@ -241,4 +241,28 @@ class PropertySpec extends GraftSpec {
       }
     }
   }
+
+  test("winnowing theorem: any shared w+k-1 token run yields a shared fingerprint") {
+    // random word-soup pairs with a PLANTED shared run of exactly
+    // w+k-1 = 6 tokens at random positions — the SIGMOD'03 guarantee says
+    // the two docs must then share >= 1 selected fingerprint, whatever
+    // surrounds the run. (Random pairs WITHOUT a planted run may still
+    // collide — the theorem is one-directional — so only the planted
+    // direction is asserted.)
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val run = Gen.listOfN(6, word)
+    val pad = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, word))
+    val docPair = for {
+      r <- run; p1 <- pad; s1 <- pad; p2 <- pad; s2 <- pad
+    } yield ((p1 ++ r ++ s1).mkString(" "), (p2 ++ r ++ s2).mkString(" "))
+    samples(docPair, 12).zipWithIndex.foreach { case ((a, b), i) =>
+      val docs = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+      val fps = graft.operators.Dedup.winnowFingerprints(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val fa = fps.filter(_._1 == 0L).map(_._2).toSet
+      val fb = fps.filter(_._1 == 1L).map(_._2).toSet
+      assert(fa.intersect(fb).nonEmpty,
+        s"case $i: planted 6-token run produced no shared fingerprint\nA=$a\nB=$b")
+    }
+  }
 }
