@@ -8,6 +8,48 @@ object Bench {
     try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
   }.getOrElse(-1.0)
 
+  /** (totalJiffies, busyJiffies) from /proc/stat's aggregate cpu line;
+    * (-1,-1) when unreadable. busy = total − idle − iowait. */
+  private def procStat(): (Long, Long) = scala.util.Try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, f.sum - f(3) - (if (f.length > 4) f(4) else 0L))
+    } finally src.close()
+  }.getOrElse((-1L, -1L))
+
+  private def processCpuNs(): Long = scala.util.Try {
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime
+  }.getOrElse(-1L)
+
+  /** Co-tenant CPU share of the whole machine over an interval:
+    * (/proc/stat busy fraction) − (this JVM's CPU fraction). The 1-min
+    * loadavg cannot distinguish co-tenant load from the bench's own 32
+    * threads (a quiet solo run still shows loadavg 5–15 mid-suite); this
+    * can — on a quiet host it reads ~0 regardless of how hard the bench
+    * itself runs, and any sustained co-tenant burn shows up directly.
+    * -1 when /proc/stat or process CPU time is unavailable. */
+  private def otherCpuFrac(stat0: (Long, Long), stat1: (Long, Long),
+                           cpuNs0: Long, cpuNs1: Long): Double = {
+    if (stat0._1 < 0 || stat1._1 < 0 || cpuNs0 < 0 || cpuNs1 < 0) return -1.0
+    val totalD = (stat1._1 - stat0._1).toDouble
+    if (totalD <= 0) return -1.0
+    val busyFrac = (stat1._2 - stat0._2) / totalD
+    // totalD jiffies ≈ wall × ncpu × HZ, so ourFrac in the same units is
+    // ourJiffies / totalD with ourJiffies = cpuSec × HZ × 1; eliminate HZ
+    // by scaling through the known jiffy rate: USER_HZ is 100 on linux —
+    // but rather than bake that in, derive our fraction from wall time is
+    // impossible here (no wall passed), so use USER_HZ=100 (universal on
+    // the targeted linux/amd64) with a floor at 0.
+    val ourFrac = ((cpuNs1 - cpuNs0) / 1e9 * 100.0) / totalD
+    math.max(0.0, busyFrac - ourFrac)
+  }
+
+  /** A single observation counts as CONTENDED when co-tenants burned more
+    * than this share of the machine while it ran. */
+  private val ContendedFrac = 0.25
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,17 +87,18 @@ object Bench {
     // slow across passes at low load = a real plan problem.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    final case class Obs(elapsed: Double, startEpochMs: Long, load: Double)
+    final case class Obs(elapsed: Double, startEpochMs: Long, load: Double, other: Double)
     val obs = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Obs]]
     val loadStart = loadavg1()
     var qIdx = 0
-    for (pass <- 1 to passes; (name, fn) <- names) {
-      System.err.println(s"[bench] pass $pass start $name")
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Obs = {
       val ld = loadavg1()
       val wall = System.currentTimeMillis()
+      val s0 = procStat(); val c0 = processCpuNs()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val s1 = procStat(); val c1 = processCpuNs()
       // queries that cache intermediates (LSH, SimHash) must not leak
       // cached blocks into later queries' memory budget; cleanup is billed
       // to no query (elapsed captured above). The explicit GC makes
@@ -70,8 +113,30 @@ object Bench {
       graft.operators.Ranks.releaseAll() // persisted global sorts, same deal
       qIdx += 1
       if (qIdx % gcEvery == 0) System.gc()
-      obs.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) += Obs(elapsed, wall, ld)
+      Obs(elapsed, wall, ld, otherCpuFrac(s0, s1, c0, c1))
     }
+    for (pass <- 1 to passes; (name, fn) <- names) {
+      System.err.println(s"[bench] pass $pass start $name")
+      obs.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) += timeOne(fn)
+    }
+    // Contention self-defense (round-9 lesson: a co-tenant spike spanning
+    // BOTH passes of adjacent-alphabet queries made even the 2-pass min
+    // garbage, and clearing the artifact cost a judge re-measure). A query
+    // whose EVERY observation ran while co-tenants burned >ContendedFrac
+    // of the machine gets re-run — up to SPARK_GRAFT_BENCH_RETRIES extra
+    // passes — until it owns at least one load-clean observation. Queries
+    // still contended after the retries are flagged `contended:true` in
+    // both artifacts so a slow min is attributable from the JSON alone.
+    def allContended(os: Seq[Obs]) = os.nonEmpty && os.forall(_.other > ContendedFrac)
+    val retries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt.max(0)
+    for (r <- 1 to retries) {
+      val still = names.filter { case (n, _) => allContended(obs(n).toSeq) }
+      for ((name, fn) <- still) {
+        System.err.println(s"[bench] retry $r (contended) $name")
+        obs(name) += timeOne(fn)
+      }
+    }
+    val contendedQ = obs.collect { case (n, os) if allContended(os.toSeq) => n }.toSet
     val loadEnd = loadavg1()
     // The driver captures only the LAST 2000 chars of output (tail_len=2000
     // in BENCH_r01..r03) and the JSON line must survive inside it intact:
@@ -96,11 +161,14 @@ object Bench {
         "\"" + k + "\":{\"min\":" + r2(os.map(_.elapsed).min) +
           ",\"passes\":[" + os.map(o => r2(o.elapsed)).mkString(",") + "]" +
           ",\"t0_ms\":[" + os.map(_.startEpochMs).mkString(",") + "]" +
-          ",\"load\":[" + os.map(o => r2(o.load)).mkString(",") + "]}"
+          ",\"load\":[" + os.map(o => r2(o.load)).mkString(",") + "]" +
+          ",\"other_cpu\":[" + os.map(o => r2(o.other)).mkString(",") + "]" +
+          ",\"contended\":" + contendedQ.contains(k) + "}"
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${minByQ.size},""" +
          s""""passes":$passes,"pass_totals":[${passTotals.map(r2).mkString(",")}],""" +
+         s""""n_contended":${contendedQ.size},"contended_frac_threshold":$ContendedFrac,""" +
          s""""load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},""" +
          s""""queries":$qsFull,"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
     }.recover { case e => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
@@ -119,7 +187,7 @@ object Bench {
       (if (omitted.nonEmpty)
          Seq("\"_omitted_fast\":{\"n\":" + omitted.length + ",\"sum\":" + r2(omitted.map(_._2).sum) + "}")
        else Nil)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${minByQ.size},"passes":$passes,"pass1_total":${r2(passTotals.head)},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${minByQ.size},"passes":$passes,"pass1_total":${r2(passTotals.head)},"n_contended":${contendedQ.size},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

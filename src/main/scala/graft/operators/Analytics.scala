@@ -804,9 +804,13 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
     val degrees = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+    // integral div end to end: the `/` operator promotes to double, and
+    // past 2^53 total wedges the rounded double silently diverges from
+    // the oracle's exact integer arithmetic — real at the 100 TB corpus
+    // sizes this targets, invisible at test SFs
     val stats = degrees.agg(
-      (sum(col("d")) / 2).cast("long").as("n_edges"),
-      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+      expr("sum(d) div 2").as("n_edges"),
+      expr("sum((d * (d - 1)) div 2)").as("n_wedges"))
     stats.join(triangles, lit(true))
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
         round(col("n_triangles") * 3.0 / greatest(col("n_wedges"), lit(1L)), 6)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,41 @@ object DataPrep {
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------ shared bucket / weight columns
+  // ONE definition of every content-stable placement decision, reused by
+  // the batch builds (splitOf / mixWeightedSample / Pipeline.trainingSet)
+  // AND the streaming twins (StreamingCurate) — hand-duplicated copies of
+  // this arithmetic desynchronize silently, and only some paths are
+  // oracle-gated (ADVICE round 9).
+
+  /** Content-stable hash bucket of doc_id: 4 hex chars of md5 starting at
+    * `start` (1-based), as an int mod `mod`. */
+  private[graft] def md5Bucket(start: Int, mod: Int): Column =
+    conv(substring(md5(col("doc_id").cast("string")), start, 4), 16, 10)
+      .cast("int") % mod
+
+  /** Split bucket: md5 chars 1-4 mod 100. */
+  private[graft] def splitBucketCol: Column = md5Bucket(1, 100)
+
+  /** Mix bucket: md5 chars 5-8 mod 1000 — a digest range DISJOINT from
+    * the split bucket, so a doc's sampling fate never correlates with its
+    * train/valid/test assignment. */
+  private[graft] def mixBucketCol: Column = md5Bucket(5, 1000)
+
+  /** 90/5/5 split label from the chars-1-4 bucket. */
+  private[graft] def splitLabelOf(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+
+  /** Harness source id → permille mixture weight (250‰…2000‰: both down-
+    * and up-sampling paths exercised). A production run joins a broadcast
+    * weights table instead; downstream shape identical. */
+  private[graft] def sourceW1000Col: Column =
+    (expr("cast(substring(source, 4) as int)") % 8 + 1) * lit(250)
+
+  /** Integer-permille replication count: ⌊w/1000⌋ + [bucket < w mod 1000]. */
+  private[graft] def copiesCol(w1000: Column, bucket: Column): Column =
+    (w1000 / 1000).cast("long") + when(bucket < w1000 % 1000, 1L).otherwise(0L)
+
   /** Deterministic 90/5/5 train/valid/test assignment: bucket = the first
     * 16 bits of md5(doc_id) mod 100. Content-keyed hashing (no RNG, no
     * seed) is the split discipline a training pipeline needs — the split
@@ -130,15 +165,11 @@ object DataPrep {
   /** Per-document assignment (doc_id, n_chars, bucket, split) — the
     * content-stability invariant (same doc ⇒ same split on ANY corpus
     * subset) is asserted per document in DataPrepSpec against this. */
-  private[graft] def splitOf(docs: DataFrame): DataFrame = {
-    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100).as("bucket")
+  private[graft] def splitOf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), bucket)
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "valid").otherwise("test"))
-  }
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        splitBucketCol.as("bucket"))
+      .withColumn("split", splitLabelOf(col("bucket")))
 
   def splitAssign(s: SparkSession, dir: String): DataFrame = {
     splitOf(Tables.documents(s, dir))
@@ -179,14 +210,9 @@ object DataPrep {
     * shuffle a 100 TB corpus would notice. */
   def mixWeightedSample(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-      // source number → weight in permille: (num % 8 + 1) * 250
-      .withColumn("w1000", (expr("cast(substring(source, 4) as int)") % 8 + 1) * lit(250))
-      .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 5, 4), 16, 10)
-          .cast("int") % 1000)
-      .withColumn("copies",
-        (col("w1000") / 1000).cast("long") +
-          when(col("bucket") < col("w1000") % 1000, 1L).otherwise(0L))
+      .withColumn("w1000", sourceW1000Col)
+      .withColumn("bucket", mixBucketCol)
+      .withColumn("copies", copiesCol(col("w1000"), col("bucket")))
     d.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         min(col("w1000")).cast("long").as("weight_permille"),

@@ -380,6 +380,16 @@ object Dedup {
     smallPairs.union(starPairs).distinct()
   }
 
+  /** Single-key form of [[bucketCandidates]] — for candidate generators
+    * whose bucket is one column (winnowing fingerprints) rather than a
+    * (band, bucket) pair. A constant band column routes it through the
+    * same star-capped path so EVERY candidate generator in the dedup
+    * family bounds per-key fan-out: a viral boilerplate fingerprint is a
+    * hot shuffle key at corpus scale, and without the cap its bucket
+    * self-join is quadratic in the bucket size. */
+  private[graft] def bucketCandidates(rows: DataFrame, key: String): DataFrame =
+    bucketCandidates(rows.withColumn("__band", lit(0)), "__band", key)
+
   /** MinHash + LSH near-dup pairs, exact-verified.
     * Pipeline: per-row shingle arrays → k minhashes (explode + one
     * partial-agg shuffle of k longs per doc) → band buckets (band id = hash
@@ -522,35 +532,52 @@ object Dedup {
     * tie-breaks included — is reproduced by the DuckDB oracle and
     * hash-gated. Candidates sharing a fingerprint are exact-verified on
     * full shingle sets (scores are true Jaccard, same join as
-    * [[verifyPairs]]). */
+    * [[verifyPairs]]).
+    *
+    * Fingerprint buckets go through the star-capped [[bucketCandidates]]
+    * path — the same [[MaxBucket]] fallback every other candidate
+    * generator uses — because a low-entropy corpus (boilerplate runs)
+    * concentrates documents on a handful of fingerprints, and an
+    * uncapped self-join on such a key is quadratic in the hottest
+    * bucket. Spokes to the bucket's min doc_id keep dense clusters
+    * recoverable via connected components; the DuckDB oracle reproduces
+    * the cap so the capped semantics themselves are hash-gated.
+    *
+    * Verification scores Jaccard over the DISTINCT HASHED k-grams —
+    * the very values the fingerprint stage already computed — rather
+    * than re-shingling to strings: one cached md5 pass feeds both
+    * selection and verification, and the verify join shuffles long
+    * arrays instead of string arrays. Identical to string-shingle
+    * Jaccard up to 60-bit-hash collisions, and since the oracle
+    * computes the SAME hashes both engines agree bit-for-bit even if a
+    * collision ever occurred. */
   def winnowNearDup(s: SparkSession, dir: String): DataFrame = {
-    val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
-    val fp = winnowFingerprints(Tables.documents(s, dir))
-    val cand = fp.select(col("doc_id").as("a_id"), col("fp"))
-      .join(fp.select(col("doc_id").as("b_id"), col("fp")), "fp")
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val hashed = winnowHashes(Tables.documents(s, dir)).cache()
+    val docsArr = hashed.select(col("doc_id"), array_distinct(col("hs")).as("sh"))
+    val fp = winnowSelect(hashed)
+    val cand = bucketCandidates(fp, "fp")
     verifyPairs(cand, docsArr, 0.5).orderBy("a_id", "b_id")
   }
 
-  /** The winnowing selection itself: (doc_id, fp) — distinct selected
-    * k-gram hashes per doc. Row-local array arithmetic end to end;
-    * exposed within the package so the property spec can drive the
-    * w+k−1 guarantee on random corpora. */
-  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
-    val toks = docs
+  /** Ordered k-gram hash array per doc (NOT distinct — positions matter
+    * for the window selection). One md5 pass; [[winnowNearDup]] caches
+    * it and reuses the distinct values for exact verification. */
+  private[graft] def winnowHashes(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= WinnowK)
-    // ordered k-gram hash array (NOT distinct — positions matter)
-    val hashed = toks.select(col("doc_id"),
-      expr(s"""transform(sequence(1, size(tk) - ${WinnowK - 1}),
-              |  i -> cast(conv(substring(md5(concat_ws(' ', slice(tk, i, $WinnowK))), 1, 15), 16, 10) as bigint))"""
-        .stripMargin.replaceAll("\n", " ")).as("hs"))
-    // rightmost-min selection per w-window; distinct selected hashes.
-    // Two-step transform so each window SLICE materializes once — the
-    // single-expression form re-evaluated slice(hs, i, w) five times per
-    // window under codegen (no CSE inside lambda bodies; measured 6.8 s
-    // warm at sf0.1 vs ~2 s for this shape)
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(1, size(tk) - ${WinnowK - 1}),
+                |  i -> cast(conv(substring(md5(concat_ws(' ', slice(tk, i, $WinnowK))), 1, 15), 16, 10) as bigint))"""
+          .stripMargin.replaceAll("\n", " ")).as("hs"))
+
+  /** Rightmost-min selection per w-window over [[winnowHashes]];
+    * (doc_id, fp) distinct selected hashes.
+    * Two-step transform so each window SLICE materializes once — the
+    * single-expression form re-evaluated slice(hs, i, w) five times per
+    * window under codegen (no CSE inside lambda bodies; measured 6.8 s
+    * warm at sf0.1 vs ~2 s for this shape) */
+  private[graft] def winnowSelect(hashed: DataFrame): DataFrame =
     hashed
       .withColumn("ws", expr(
         s"transform(sequence(1, greatest(size(hs) - ${WinnowW - 1}, 1)), i -> slice(hs, i, $WinnowW))"))
@@ -559,7 +586,13 @@ object Dedup {
           s"""array_distinct(transform(ws,
              |  s -> element_at(s, cast(size(s) - array_position(reverse(s), array_min(s)) + 1 as int))))"""
             .stripMargin.replaceAll("\n", " "))).as("fp"))
-  }
+
+  /** The winnowing selection end to end: (doc_id, fp) — distinct
+    * selected k-gram hashes per doc. Row-local array arithmetic;
+    * exposed within the package so the property spec can drive the
+    * w+k−1 guarantee on random corpora. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
+    winnowSelect(winnowHashes(docs))
 
   val winnowNearDupSql: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -576,14 +609,23 @@ object Dedup {
       |                  - list_position(list_reverse(hs[i:i+${WinnowW - 1}]), list_min(hs[i:i+${WinnowW - 1}])) + 1]))) AS fp
       |  FROM hashed
       |),
+      |bstats AS (
+      |  SELECT fp, count(*) AS bsz, min(doc_id) AS bmin
+      |  FROM fp GROUP BY 1 HAVING count(*) >= 2
+      |),
+      |joined AS (SELECT f.doc_id, f.fp, s.bsz, s.bmin
+      |           FROM fp f JOIN bstats s USING (fp)),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  FROM joined a JOIN joined b
+      |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  WHERE a.bsz <= $MaxBucket
+      |  UNION
+      |  SELECT DISTINCT bmin AS a_id, doc_id AS b_id
+      |  FROM joined WHERE bsz > $MaxBucket AND doc_id <> bmin
       |),
       |sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
-      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
-      |  WHERE len(tk) >= 3
+      |  SELECT DISTINCT doc_id, unnest(list_distinct(hs)) AS s FROM hashed
       |),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |common AS (

@@ -44,7 +44,13 @@ object PiiScrub {
   // through a linear-time engine (e.g. re2j) in a mapPartitions — same
   // patterns, same results, linear worst case.
   val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Re: String  = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  // Octets constrained to 0-255 via RE2-safe alternation (no lookaround):
+  // the loose \d{1,3} form redacted non-addresses like 999.999.999.999
+  // (ADVICE round 9). Still leftmost-match: a 5-octet run "1.2.3.4.5"
+  // redacts its first 4 octets — pinned in PiiScrubSpec; both engines
+  // agree because RE2 and java.util.regex share leftmost semantics here.
+  private val Octet    = "(25[0-5]|2[0-4]\\d|1?\\d?\\d)"
+  val Ipv4Re: String  = s"\\b($Octet\\.){3}$Octet\\b"
   val PhoneRe: String = "\\b\\d{3}-\\d{4}\\b"
 
   def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))

@@ -201,21 +201,12 @@ object Pipeline {
   def trainingSet(s: SparkSession, dir: String): DataFrame = {
     val kept = keptDocs(s, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("w1000",
-        (expr("cast(substring(source, 4) as int)") % 8 + 1) * lit(250))
-      .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 5, 4), 16, 10)
-          .cast("int") % 1000)
-      .withColumn("copies",
-        (col("w1000") / 1000).cast("long") +
-          when(col("bucket") < col("w1000") % 1000, 1L).otherwise(0L))
+      .withColumn("w1000", DataPrep.sourceW1000Col)
+      .withColumn("bucket", DataPrep.mixBucketCol)
+      .withColumn("copies", DataPrep.copiesCol(col("w1000"), col("bucket")))
       .filter(col("copies") >= 1)
-      .withColumn("sbucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("int") % 100)
-      .withColumn("split",
-        when(col("sbucket") < 90, "train")
-          .when(col("sbucket") < 95, "valid").otherwise("test"))
+      .withColumn("sbucket", DataPrep.splitBucketCol)
+      .withColumn("split", DataPrep.splitLabelOf(col("sbucket")))
       .withColumn("scrub_md5", md5(PiiScrub.scrub(col("text"))))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -483,7 +483,13 @@ object Similarity {
     val k = (s, dir)
     val existing = annBuilt.get(k)
     if (existing != null) existing
-    else {
+    else if ({ val t = StandingIndex.tagOf(dir)
+               Seq(s"graft_idx_annc_$t", s"graft_idx_anna_$t")
+                 .forall(s.catalog.tableExists) }) {
+      // adopt a previously-built index still listed in the catalog —
+      // same restart/durable-path story as StandingIndex.ensureBuilt
+      val tag = StandingIndex.tagOf(dir); annBuilt.put(k, tag); tag
+    } else {
       val tag = StandingIndex.tagOf(dir)
       val e = embeddings(s, dir)
       val cent = e.filter(col("vec_id") % 200 === 0)

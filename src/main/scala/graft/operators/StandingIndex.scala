@@ -56,14 +56,27 @@ object StandingIndex {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
-  private[operators] def tagOf(dir: String): String =
+  private[graft] def tagOf(dir: String): String =
     // sanitizer + hash: the readable part aids debugging, the hash makes
     // distinct dirs that sanitize identically (sf0.1 vs sf0_1) collide-free
     dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase +
       "_" + Integer.toHexString(dir.hashCode)
 
-  private[operators] def tablePath(tag: String, name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_standing_index/$tag/$name"
+  /** Root directory for every standing-index table (dedup AND ANN). The
+    * harness default lives under `java.io.tmpdir`; a deployment sets
+    * `spark.graft.standingIndex.path` to a durable location (HDFS /
+    * object store) — "standing" is only an honest claim when the tables
+    * outlive the process. Restart behavior: the table FILES survive
+    * wherever this points, and any session whose catalog still lists the
+    * `graft_idx_*` tables (same metastore, or `newSession()` off the same
+    * context) adopts them without rebuilding ([[ensureBuilt]]); a fresh
+    * in-memory-catalog process re-registers by rebuilding. */
+  private[graft] def indexRoot(s: SparkSession): String =
+    s.conf.get("spark.graft.standingIndex.path",
+      s"${System.getProperty("java.io.tmpdir")}/graft_standing_index")
+
+  private[operators] def tablePath(s: SparkSession, tag: String, name: String): String =
+    s"${indexRoot(s)}/$tag/$name"
 
   /** The corpus split this index covers — must match
     * [[Dedup.incrementalDedup]]'s (doc_id % 7 <> 0). */
@@ -75,10 +88,24 @@ object StandingIndex {
     * loader memos (immutable plans, racing builds harmless), two
     * concurrent builds here would WRITE the same table paths — the
     * overwrite staging of one can delete files the other just committed. */
+  /** Table names of the four index tables for `tag`. */
+  private def tableNames(tag: String): Seq[String] =
+    Seq("digests", "dfreq", "prefix", "arrays").map(n => s"graft_idx_${n}_$tag")
+
   def ensureBuilt(s: SparkSession, dir: String): String = built.synchronized {
     val k = (s, dir)
     val existing = built.get(k)
-    if (existing != null) existing else buildTables(s, dir, k)
+    if (existing != null) existing
+    else {
+      val tag = tagOf(dir)
+      // adopt an index another session already built: if the catalog still
+      // lists all four tables (shared metastore, or a newSession() off the
+      // same context), probing reads them as-is — the restart story the
+      // durable-path knob exists for. The index is immutable per tag; a
+      // stale index is rebuilt by dropping the tables first.
+      if (tableNames(tag).forall(s.catalog.tableExists)) { built.put(k, tag); tag }
+      else buildTables(s, dir, k)
+    }
   }
 
   private def buildTables(s: SparkSession, dir: String,
@@ -92,7 +119,7 @@ object StandingIndex {
   private[operators] def save(df: DataFrame, tag: String, name: String,
                    bucketCol: String, mode: String): Unit =
     df.write.mode(mode)
-      .option("path", tablePath(tag, name))
+      .option("path", tablePath(df.sparkSession, tag, name))
       .bucketBy(Buckets, bucketCol)
       .saveAsTable(s"graft_idx_${name}_$tag")
 

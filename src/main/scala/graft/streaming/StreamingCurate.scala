@@ -84,8 +84,18 @@ object StreamingCurate {
     val gi = new StreamingDedup.GreedyGrowingIndex(t)
     // the benchmark frame is re-joined every batch: pin it once
     val bench = benchShingles.withColumn("hit", lit(1)).localCheckpoint()
+    // Same-run retry guard: Structured Streaming may re-invoke
+    // foreachBatch with the SAME batchId after a transient sink failure;
+    // unconditionally re-growing the greedy index would double-absorb the
+    // batch and flip later verdicts. Re-emit the cached verdicts instead
+    // — the growing index already reflects them. (Cross-RESTART replay is
+    // out of scope for this session-state form; that is
+    // [[trainingSetStreamDurable]]'s contract.)
+    var lastBatch = -1L
+    var lastVerdicts: Seq[CurateVerdict] = Nil
 
     stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
+      if (batchId == lastBatch) sink(lastVerdicts, batchId) else {
       val mb = mb0.select("doc_id", "text").localCheckpoint()
 
       // ---- stage 1: greedy dedup, all docs participate (flags come later)
@@ -93,10 +103,10 @@ object StreamingCurate {
 
       // ---- stages 2-4: per-doc, order-independent, one pass each
       val (rep, cont) = statelessFlags(mb, bench)
-      // split assignment: same md5 bucket arithmetic as DataPrep.splitOf
+      // split assignment: THE shared bucket column from DataPrep — one
+      // definition across batch and streaming builds
       val splits = mb.select(col("doc_id"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-            .cast("int") % 100).as("bucket"))
+          graft.operators.DataPrep.splitBucketCol.as("bucket"))
         .collect().map { r =>
           val b = r.getInt(1)
           r.getLong(0) -> (if (b < 90) "train" else if (b < 95) "valid" else "test")
@@ -109,7 +119,9 @@ object StreamingCurate {
         else CurateVerdict(d.doc_id, "kept", -1L, splits(d.doc_id))
       }
       org.apache.spark.sql.GraftShims.unpersistCheckpoint(mb)
+      lastBatch = batchId; lastVerdicts = verdicts
       sink(verdicts, batchId)
+      }
     }
   }
 
@@ -125,6 +137,29 @@ object StreamingCurate {
     * stream's contract is the placement decision). */
   case class TrainingRow(doc_id: Long, source: String, split: String,
                          copies: Long, n_tokens: Long, chunk_id: Long)
+
+  /** Batch-sized driver map of per-doc tail-stage inputs — source, token
+    * count, mix/split buckets, permille weight — computed in ONE
+    * distributed pass with the shared [[graft.operators.DataPrep]] column
+    * helpers (the same expressions the oracle-gated batch build uses). */
+  private def collectMeta(mb0: DataFrame)
+      : Map[Long, (String, Long, Int, Int, Int)] =
+    mb0.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.operators.DataPrep.mixBucketCol.as("mbucket"),
+        graft.operators.DataPrep.splitBucketCol.as("sbucket"),
+        graft.operators.DataPrep.sourceW1000Col.as("w1000"))
+      .collect().map { r =>
+        r.getLong(0) -> (r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      }.toMap
+
+  /** Driver-side twins of [[graft.operators.DataPrep.copiesCol]] and
+    * [[graft.operators.DataPrep.splitLabelOf]] — the per-batch greedy
+    * tail runs on collected ints; keep the mirror in one place. */
+  private def copiesOf(w1000: Int, mbucket: Int): Int =
+    w1000 / 1000 + (if (mbucket < w1000 % 1000) 1 else 0)
+  private def splitLabelOf(sbucket: Int): String =
+    if (sbucket < 90) "train" else if (sbucket < 95) "valid" else "test"
 
   /** The END-TO-END training-set build as a continuous job: curation
     * verdicts exactly as [[curateStream]], then the surviving docs run
@@ -151,24 +186,20 @@ object StreamingCurate {
     val gi = new StreamingDedup.GreedyGrowingIndex(t)
     val bench = benchShingles.withColumn("hit", lit(1)).localCheckpoint()
     val offsets = scala.collection.mutable.Map.empty[String, Long]
+    // same-run retry guard, see [[curateStream]]: a re-invoked batchId
+    // must not double-advance the offsets or double-grow the index
+    var lastBatch = -1L
+    var lastRows: Seq[TrainingRow] = Nil
 
     stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
+      if (batchId == lastBatch) sink(lastRows, batchId) else {
       val mb = mb0.select("doc_id", "text").localCheckpoint()
       val dedup = gi.decideAndGrow(mb)
       val (rep, cont) = statelessFlags(mb, bench)
       // per-doc tail-stage inputs, one distributed pass: token count, mix
-      // copies (md5 chars 5-8) and split bucket (chars 1-4) — the same
-      // expressions as the batch build, collected batch-sized
-      val meta = mb0.select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          (conv(substring(md5(col("doc_id").cast("string")), 5, 4), 16, 10)
-            .cast("int") % 1000).as("mbucket"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-            .cast("int") % 100).as("sbucket"),
-          ((expr("cast(substring(source, 4) as int)") % 8 + 1) * lit(250)).as("w1000"))
-        .collect().map { r =>
-          r.getLong(0) -> (r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))
-        }.toMap
+      // and split buckets, permille weight — the SHARED column helpers
+      // from DataPrep, so batch and stream cannot desynchronize
+      val meta = collectMeta(mb0)
 
       val rows = Seq.newBuilder[TrainingRow]
       // dedup decisions are already in doc_id order (the greedy rule's
@@ -176,10 +207,9 @@ object StreamingCurate {
       dedup.foreach { d =>
         if (d.kind == "kept" && !rep(d.doc_id) && !cont(d.doc_id)) {
           val (src, nTok, mbucket, sbucket, w1000) = meta(d.doc_id)
-          val copies = w1000 / 1000 + (if (mbucket < w1000 % 1000) 1 else 0)
+          val copies = copiesOf(w1000, mbucket)
           if (copies >= 1) {
-            val split =
-              if (sbucket < 90) "train" else if (sbucket < 95) "valid" else "test"
+            val split = splitLabelOf(sbucket)
             val off = offsets.getOrElse(src, 0L)
             rows += TrainingRow(d.doc_id, src, split, copies.toLong, nTok,
               off / SeqTokens)
@@ -188,7 +218,9 @@ object StreamingCurate {
         }
       }
       org.apache.spark.sql.GraftShims.unpersistCheckpoint(mb)
-      sink(rows.result(), batchId)
+      lastBatch = batchId; lastRows = rows.result()
+      sink(lastRows, batchId)
+      }
     }
   }
 
@@ -245,26 +277,16 @@ object StreamingCurate {
     val mb = mb0.select("doc_id", "text").localCheckpoint()
     val dedup = StreamingDedup.durableDecideAndGrow(s, tag, mb, batchId, t)
     val (rep, cont) = statelessFlags(mb, benchShingles.withColumn("hit", lit(1)))
-    val meta = mb0.select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        (conv(substring(md5(col("doc_id").cast("string")), 5, 4), 16, 10)
-          .cast("int") % 1000).as("mbucket"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("int") % 100).as("sbucket"),
-        ((expr("cast(substring(source, 4) as int)") % 8 + 1) * lit(250)).as("w1000"))
-      .collect().map { r =>
-        r.getLong(0) -> (r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))
-      }.toMap
+    val meta = collectMeta(mb0)
 
     val offsets = loadOffsets(tag, batchId - 1)
     val rows = Seq.newBuilder[TrainingRow]
     dedup.foreach { d =>
       if (d.kind == "kept" && !rep(d.doc_id) && !cont(d.doc_id)) {
         val (src, nTok, mbucket, sbucket, w1000) = meta(d.doc_id)
-        val copies = w1000 / 1000 + (if (mbucket < w1000 % 1000) 1 else 0)
+        val copies = copiesOf(w1000, mbucket)
         if (copies >= 1) {
-          val split =
-            if (sbucket < 90) "train" else if (sbucket < 95) "valid" else "test"
+          val split = splitLabelOf(sbucket)
           val off = offsets.getOrElse(src, 0L)
           rows += TrainingRow(d.doc_id, src, split, copies.toLong, nTok,
             off / SeqTokens)

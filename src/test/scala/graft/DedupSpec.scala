@@ -149,6 +149,20 @@ class DedupSpec extends GraftSpec {
       "connected components over star pairs must recover the full cluster")
   }
 
+  test("single-key bucketCandidates (winnow path) caps hot fingerprints with the same star") {
+    // the winnow fingerprint join routes through the single-key overload; a
+    // viral boilerplate fingerprint shared by >MaxBucket docs must produce
+    // linear star spokes, not a quadratic self-join
+    val hot = (1L to 80L).map(id => (id, 42L))           // 80-doc fingerprint
+    val pair = Seq((100L, 7L), (101L, 7L))               // normal 2-doc bucket
+    val rows = (hot ++ pair).toDF("doc_id", "fp")
+    val cand = Dedup.bucketCandidates(rows, "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = (2L to 80L).map((1L, _)).toSet
+    assert(cand == star + ((100L, 101L)),
+      s"expected 79 star spokes + 1 pair, got ${cand.size}")
+  }
+
   test("MinHash-LSH candidates, exact-verified, recover >=80% of true Jaccard pairs") {
     val exact = Dedup.jaccardNearDup(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

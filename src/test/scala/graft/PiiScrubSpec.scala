@@ -33,6 +33,13 @@ class PiiScrubSpec extends GraftSpec {
     assert(scrubOne("id 1234-5678 x") == "id 1234-5678 x")
   }
 
+  test("octets outside 0-255 are not addresses") {
+    assert(scrubOne("x 999.999.999.999 y") == "x 999.999.999.999 y")
+    assert(scrubOne("x 256.1.2.3 y") == "x 256.1.2.3 y")
+    assert(scrubOne("x 0.0.0.0 and 255.255.255.255 y") == "x <IP> and <IP> y")
+    assert(scrubOne("x 249.200.199.100 y") == "x <IP> y")
+  }
+
   test("the fixture's negative third is untouched end to end") {
     val out = PiiScrub.redactedDocs(spark, sf0001)
       .join(Tables.documents(spark, sf0001), "doc_id")

@@ -67,6 +67,45 @@ class StandingIndexSpec extends GraftSpec {
     }
   }
 
+  test("durable-path knob: builds land under spark.graft.standingIndex.path") {
+    import spark.implicits._
+    val customRoot = java.nio.file.Files.createTempDirectory("graft_custom_idx")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.graft.standingIndex.path", customRoot)
+    try {
+      val corpus = (0L until 30L)
+        .map(i => (i, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 5} w${i % 3}"))
+        .toDF("doc_id", "text")
+      StandingIndex.buildFor(spark, corpus, "spec_custompath")
+      for (t <- Seq("digests", "dfreq", "prefix", "arrays"))
+        assert(new java.io.File(s"$customRoot/spec_custompath/$t").isDirectory,
+          s"table $t must materialize under the configured root, not tmpdir")
+      assert(spark.table("graft_idx_digests_spec_custompath").count() > 0)
+    } finally spark.conf.unset("spark.graft.standingIndex.path")
+  }
+
+  test("a second session adopts the cataloged index without rebuilding") {
+    StandingIndex.ensureBuilt(spark, sf0001)
+    val tag = StandingIndex.tagOf(sf0001)
+    val loc = new java.net.URI(
+      spark.sql(s"DESCRIBE FORMATTED graft_idx_digests_$tag")
+        .filter(col("col_name") === "Location").head().getString(1)).getPath
+    def snapshot(): Set[(String, Long)] =
+      Option(new java.io.File(loc).listFiles()).getOrElse(Array.empty)
+        .map(f => (f.getName, f.lastModified())).toSet
+    val before = snapshot()
+    assert(before.nonEmpty, s"expected index files under $loc")
+    // a fresh session off the same context shares the catalog: the probe
+    // must ADOPT the standing tables (restart story), not rebuild them
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val expected = rows(Dedup.incrementalDedup(spark, sf0001))
+    val actual = rows(StandingIndex.incrementalDedupIndexed(s2, sf0001))
+    assert(actual == expected)
+    assert(snapshot() == before,
+      "second-session probe must not rewrite any index file")
+  }
+
   test("probe plan reads the index bucketed — corpus side never reshuffled") {
     StandingIndex.ensureBuilt(spark, sf0001)
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
