@@ -315,4 +315,151 @@ object MediaCodecs {
     else throw new IllegalArgumentException(
       s"unrecognized media magic: 0x${(bytes(0) & 0xff).toHexString}${(bytes(1) & 0xff).toHexString}")
   }
+
+  // ============================== real-world metadata sniffing (no decode)
+  // A production multimodal pipeline meets JPEG / PNG / MP3 long before it
+  // meets BMP; full pure-JVM decoders for those are out of proportion for
+  // this container (libjpeg/ffmpeg territory), but the METADATA a curation
+  // job actually filters on — dimensions, sample rate, duration — lives in
+  // the first few hundred header bytes and parses with plain byte math.
+  // The encoders below emit structurally true headers (real signatures,
+  // real chunk/segment/frame-header layouts, PNG CRCs) around an opaque
+  // payload; `sniff` reads ONLY headers, never sample data. Swapping in a
+  // real library later changes nothing downstream of SniffedMeta.
+
+  /** Header-derived metadata: width/height for images (0 for audio),
+    * sampleRate/bitrateKbps/durationMs for audio (0 for images); format
+    * "unknown" (all zeros) when no known signature matches — the
+    * quarantine route, a DECISION not an exception, because unknown
+    * formats are data in an ingest job, not bugs. */
+  final case class SniffedMeta(format: String, width: Int, height: Int,
+                               sampleRate: Int, bitrateKbps: Int,
+                               durationMs: Long, nBytes: Long)
+
+  private def crc32(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(c.update)
+    c.getValue.toInt
+  }
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  /** Wrap bytes in a structurally-true PNG: signature, IHDR (8-bit RGB,
+    * real CRC), one IDAT carrying `data` verbatim (NOT zlib — the image
+    * data is opaque payload here; headers are what sniffing reads), IEND.
+    * Total size = 57 + data.length. */
+  def toPng(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(57 + data.length).order(ByteOrder.BIG_ENDIAN)
+    b.put(PngSig)
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    b.putInt(13).put("IHDR".getBytes(StandardCharsets.US_ASCII)).put(ihdr)
+      .putInt(crc32("IHDR".getBytes(StandardCharsets.US_ASCII), ihdr))
+    b.putInt(data.length).put("IDAT".getBytes(StandardCharsets.US_ASCII)).put(data)
+      .putInt(crc32("IDAT".getBytes(StandardCharsets.US_ASCII), data))
+    b.putInt(0).put("IEND".getBytes(StandardCharsets.US_ASCII))
+      .putInt(crc32("IEND".getBytes(StandardCharsets.US_ASCII)))
+    b.array()
+  }
+
+  /** Wrap bytes in a structurally-true JPEG: SOI, APP0/JFIF, SOF0
+    * (baseline, 3 components, height BEFORE width per spec), minimal SOS,
+    * `data` as the opaque entropy stream, EOI.
+    * Total size = 55 + data.length. */
+  def toJpeg(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(55 + data.length).order(ByteOrder.BIG_ENDIAN)
+    b.putShort(0xFFD8.toShort)                                  // SOI
+    b.putShort(0xFFE0.toShort).putShort(16.toShort)             // APP0, len 16
+      .put("JFIF".getBytes(StandardCharsets.US_ASCII)).put(0.toByte)
+      .put(1.toByte).put(1.toByte).put(0.toByte)                // v1.1, units 0
+      .putShort(1.toShort).putShort(1.toShort)                  // density 1×1
+      .put(0.toByte).put(0.toByte)                              // no thumbnail
+    b.putShort(0xFFC0.toShort).putShort(17.toShort)             // SOF0, len 17
+      .put(8.toByte)                                            // precision
+      .putShort(h.toShort).putShort(w.toShort)                  // HEIGHT, width
+      .put(3.toByte)                                            // 3 components
+      .put(1.toByte).put(0x22.toByte).put(0.toByte)             // Y  2×2 q0
+      .put(2.toByte).put(0x11.toByte).put(1.toByte)             // Cb 1×1 q1
+      .put(3.toByte).put(0x11.toByte).put(1.toByte)             // Cr 1×1 q1
+    b.putShort(0xFFDA.toShort).putShort(12.toShort)             // SOS, len 12
+      .put(3.toByte)
+      .put(1.toByte).put(0.toByte).put(2.toByte).put(0x11.toByte)
+      .put(3.toByte).put(0x11.toByte)
+      .put(0.toByte).put(63.toByte).put(0.toByte)               // spectral sel
+    b.put(data)                                                 // entropy data
+    b.putShort(0xFFD9.toShort)                                  // EOI
+    b.array()
+  }
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 1–14 valid. */
+  private[graft] val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  /** MPEG-1 sample-rate table (Hz), index 0–2 valid. */
+  private[graft] val Mp3SampleRates = Array(44100, 48000, 32000)
+
+  /** Prefix bytes with a real MPEG-1 Layer III frame header carrying the
+    * given bitrate (index 1–14) and sample rate (index 0–2).
+    * Total size = 4 + data.length. */
+  def toMp3(data: Array[Byte], bitrateIdx: Int, srIdx: Int): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, s"bitrate index $bitrateIdx")
+    require(srIdx >= 0 && srIdx <= 2, s"sample-rate index $srIdx")
+    val out = new Array[Byte](4 + data.length)
+    out(0) = 0xFF.toByte           // frame sync (8 of 11 bits)
+    out(1) = 0xFB.toByte           // sync|MPEG-1|Layer III|no CRC
+    out(2) = ((bitrateIdx << 4) | (srIdx << 2)).toByte
+    out(3) = 0.toByte              // stereo, no extras
+    System.arraycopy(data, 0, out, 4, data.length)
+    out
+  }
+
+  /** Header-only metadata sniff: dispatch on real-world signatures and
+    * read the metadata fields out of the headers — PNG IHDR dims (IHDR is
+    * mandated first chunk), JPEG SOFn dims via a marker-segment walk
+    * (APPn/anything skipped by declared length until SOF0/1/2; stop at
+    * SOS), MP3 frame-header bitrate/sample-rate with duration estimated
+    * as bytes·8/bitrate the way every tag-less MP3 probe does. Unknown
+    * signatures → format "unknown", zeros — route to quarantine
+    * downstream. Malformed KNOWN formats (truncated header, bad
+    * reserved bits) throw like the full decoders do. */
+  def sniff(bytes: Array[Byte]): SniffedMeta = {
+    val n = bytes.length.toLong
+    def be16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    def be32(i: Int): Int =
+      ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    if (bytes.length >= 8 && bytes.take(8).sameElements(PngSig)) {
+      require(bytes.length >= 33, s"PNG truncated before IHDR ($n bytes)")
+      require(new String(bytes, 12, 4, StandardCharsets.US_ASCII) == "IHDR",
+        "PNG first chunk is not IHDR")
+      SniffedMeta("png", be32(16), be32(20), 0, 0, 0L, n)
+    } else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xFF &&
+               (bytes(1) & 0xff) == 0xD8) {
+      var p = 2
+      while (p + 3 < bytes.length) {
+        require((bytes(p) & 0xff) == 0xFF, s"JPEG marker expected at $p")
+        val m = bytes(p + 1) & 0xff
+        if (m == 0xC0 || m == 0xC1 || m == 0xC2) {
+          require(p + 8 < bytes.length, "JPEG SOF truncated")
+          return SniffedMeta("jpeg", be16(p + 7), be16(p + 5), 0, 0, 0L, n)
+        }
+        if (m == 0xDA || m == 0xD9)
+          throw new IllegalArgumentException("JPEG has no SOF before SOS/EOI")
+        p += 2 + be16(p + 2)
+      }
+      throw new IllegalArgumentException("JPEG truncated before SOF")
+    } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xFF &&
+               (bytes(1) & 0xe0) == 0xE0) {
+      val version = (bytes(1) >> 3) & 3
+      val layer = (bytes(1) >> 1) & 3
+      require(version == 3 && layer == 1,
+        s"unsupported MPEG version/layer bits $version/$layer")
+      val bi = (bytes(2) >> 4) & 0xf
+      val si = (bytes(2) >> 2) & 3
+      require(bi >= 1 && bi <= 14, s"invalid MP3 bitrate index $bi")
+      require(si <= 2, s"invalid MP3 sample-rate index $si")
+      val kbps = Mp3Bitrates(bi)
+      SniffedMeta("mp3", 0, 0, Mp3SampleRates(si), kbps, n * 8 / kbps, n)
+    } else SniffedMeta("unknown", 0, 0, 0, 0, 0L, n)
+  }
 }

@@ -416,6 +416,70 @@ object Multimodal {
       |       CAST(floor((length(t) - 1) / 64) AS BIGINT) + 1)) AS i) g
       |ORDER BY doc_id, frame_no""".stripMargin
 
+  case class SniffRow(doc_id: Long, format: String, width: Int, height: Int,
+                      sample_rate: Int, bitrate_kbps: Int, duration_ms: Long,
+                      n_bytes: Long)
+
+  /** Real-world-format metadata sniffing — JPEG / PNG / MP3 header parsing
+    * with NO decode ([[graft.functions.MediaCodecs.sniff]]): the triage
+    * pass a production ingest runs over arriving objects to route, filter
+    * and budget them (dimensions, sample rate, duration) before any
+    * expensive decode. Payloads are synthesized with structurally true
+    * headers (real signatures, chunk/segment walks, planted dims/bitrates
+    * derived from doc arithmetic) and a quarter of docs carry NO known
+    * signature — sniff reports those as `unknown` (the quarantine route)
+    * rather than throwing, because unknown formats are data, not bugs.
+    *
+    * The oracle recomputes every header field from the same doc
+    * arithmetic, so the hash gate proves the byte packing AND the parse:
+    * a single endianness slip, a swapped JPEG height/width, or an
+    * off-by-one in the MP3 bitrate table breaks the match. Header-only
+    * cost at 100 TB: this reads each payload's first bytes and never
+    * touches sample data — with payloads columnar in parquet the scan is
+    * still payload-column-wide, but the per-row work is O(header). */
+  def sniffMetadata(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.product[SniffRow]
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val data = r.getAs[Array[Byte]](1)
+          val payload = (id % 4) match {
+            case 0 => MediaCodecs.toPng(data, data.length % 640 + 1, (id % 480).toInt + 1)
+            case 1 => MediaCodecs.toJpeg(data, data.length % 640 + 1, (id % 480).toInt + 1)
+            case 2 => MediaCodecs.toMp3(data, (id % 14).toInt + 1, (id % 3).toInt)
+            case _ => data // raw utf-8: no known signature → unknown
+          }
+          val m = MediaCodecs.sniff(payload)
+          SniffRow(id, m.format, m.width, m.height, m.sampleRate,
+            m.bitrateKbps, m.durationMs, m.nBytes)
+        }
+      }(enc)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val sniffMetadataSql: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+      |SELECT doc_id,
+      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |                  WHEN 2 THEN 'mp3' ELSE 'unknown' END AS format,
+      |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN len % 640 + 1 ELSE 0 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN doc_id % 480 + 1 ELSE 0 END AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 4 = 2
+      |            THEN ([44100, 48000, 32000])[CAST(doc_id % 3 AS INT) + 1]
+      |            ELSE 0 END AS INT) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 4 = 2
+      |            THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(doc_id % 14 AS INT) + 2]
+      |            ELSE 0 END AS INT) AS bitrate_kbps,
+      |  CAST(CASE WHEN doc_id % 4 = 2
+      |            THEN ((len + 4) * 8) // ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(doc_id % 14 AS INT) + 2]
+      |            ELSE 0 END AS BIGINT) AS duration_ms,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN len + 57 WHEN 1 THEN len + 55
+      |                       WHEN 2 THEN len + 4 ELSE len END AS BIGINT) AS n_bytes
+      |FROM d ORDER BY doc_id""".stripMargin
+
   /** Payload-size distribution per mime: exact p50/p90/p99 of byte sizes —
     * the storage-budget profile a corpus owner reads before choosing
     * compression or chunking. Metadata-only (never decodes); DuckDB
@@ -449,7 +513,8 @@ object Multimodal {
     "mm_size_percentiles" -> (sizePercentiles _),
     "mm_wav_audio_stats" -> (wavAudioStats _),
     "mm_channel_means" -> (channelMeans _),
-    "mm_quarantine" -> (quarantine _)
+    "mm_quarantine" -> (quarantine _),
+    "mm_sniff_metadata" -> (sniffMetadata _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -461,6 +526,7 @@ object Multimodal {
     "mm_size_percentiles" -> sizePercentilesSql,
     "mm_wav_audio_stats" -> wavAudioStatsSql,
     "mm_channel_means" -> channelMeansSql,
-    "mm_quarantine" -> quarantineSql
+    "mm_quarantine" -> quarantineSql,
+    "mm_sniff_metadata" -> sniffMetadataSql
   )
 }

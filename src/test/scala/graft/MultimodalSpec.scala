@@ -152,6 +152,46 @@ class MultimodalSpec extends GraftSpec {
     assert(MediaCodecs.parsePpm(ppm).samples.toSeq == Seq(2))
   }
 
+  // ------------------------------------------------- real-world sniffing
+
+  test("sniff: PNG/JPEG/MP3 headers parse back the planted metadata") {
+    val data = "hello media world".getBytes("UTF-8")
+    val png = MediaCodecs.sniff(MediaCodecs.toPng(data, 640, 480))
+    assert(png == MediaCodecs.SniffedMeta("png", 640, 480, 0, 0, 0L, data.length + 57L))
+    val jpg = MediaCodecs.sniff(MediaCodecs.toJpeg(data, 123, 45))
+    assert(jpg == MediaCodecs.SniffedMeta("jpeg", 123, 45, 0, 0, 0L, data.length + 55L))
+    // bitrate idx 9 = 128 kbps, sr idx 1 = 48000; 21 bytes -> 1 ms
+    val mp3 = MediaCodecs.sniff(MediaCodecs.toMp3(data, 9, 1))
+    assert(mp3 == MediaCodecs.SniffedMeta("mp3", 0, 0, 48000, 128,
+      (data.length + 4L) * 8 / 128, data.length + 4L))
+  }
+
+  test("sniff: JPEG walk skips foreign APP segments and reads SOF height-first") {
+    // splice an extra APP1 (Exif-style) segment between SOI and the rest;
+    // the marker walk must skip it by declared length and still find SOF0
+    val base = MediaCodecs.toJpeg("x".getBytes("UTF-8"), 31, 97)
+    val app1 = Array(0xFF, 0xE1, 0x00, 0x06, 0x45, 0x78, 0x69, 0x66).map(_.toByte)
+    val spliced = base.take(2) ++ app1 ++ base.drop(2)
+    val m = MediaCodecs.sniff(spliced)
+    assert(m.format == "jpeg" && m.width == 31 && m.height == 97,
+      s"got $m — height/width swapped or walk broken")
+  }
+
+  test("sniff: unknown signatures quarantine as a decision, malformed known formats throw") {
+    // utf-8 text can never start with a known signature byte
+    assert(MediaCodecs.sniff("plain text".getBytes("UTF-8")).format == "unknown")
+    assert(MediaCodecs.sniff(Array[Byte]()).format == "unknown")
+    // truncated PNG: signature present, IHDR missing
+    val png = MediaCodecs.toPng("abc".getBytes("UTF-8"), 2, 2)
+    intercept[IllegalArgumentException](MediaCodecs.sniff(png.take(20)))
+    // JPEG with SOS before any SOF
+    val noSof = Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x02).map(_.toByte)
+    intercept[IllegalArgumentException](MediaCodecs.sniff(noSof))
+    // MP3 sync with reserved bitrate index 15
+    val badMp3 = Array(0xFF, 0xFB, 0xF0, 0x00).map(_.toByte)
+    intercept[IllegalArgumentException](MediaCodecs.sniff(badMp3))
+  }
+
   test("quarantine: corrupted subset rejected, everything else decodes") {
     val out = Multimodal.quarantine(spark, sf0001).collect()
     assert(out.nonEmpty)
