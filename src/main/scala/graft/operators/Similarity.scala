@@ -845,8 +845,12 @@ object Similarity {
     * cannot. Scoring streams pairs through the codegen'd
     * `graft.functions.DtwDistance` 2-row DP (no materialized cell
     * matrix); same broadcast-query / rank-window plan as every ANN
-    * query. No oracle engine computes DTW ⇒ rows-only gate; the spec
-    * replays the full query against an independent pure-Scala DP. */
+    * query. Hash-gated since round 10: the DP is deterministic
+    * integer-in-double arithmetic (daily counts; squared costs and sums
+    * stay exact far below 2⁵³, min is order-free), so the DuckDB oracle
+    * replays it EXACTLY via a recursive CTE — see [[tsDtwTopKSql]] —
+    * and the spec still replays it against an independent pure-Scala
+    * DP. */
   def tsDtwTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.DtwDistance.dtw
     val dense = dailySeries(s, dir)
@@ -859,6 +863,79 @@ object Similarity {
       .select(col("q_id"), col("user_id").as("n_id"), col("rnk"),
         round(col("dist"), 6).as("dist_r"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB mirror of [[tsDtwTopK]] — the banded DTW DP as a recursive
+    * CTE, one ITERATION PER DP ROW. Why this is exact, not approximate:
+    * the series are integer daily counts on one shared grid (every
+    * series is the same length n, so the Sakoe-Chiba half-width is the
+    * plain `band` = 3), squared point costs and their sums are integers
+    * represented exactly in doubles, and `min` over exact integers is
+    * engine-independent — the ONLY irrational step is the final sqrt,
+    * which IEEE 754 rounds identically everywhere, and round(_, 6)
+    * already crosses the gate in ts_similarity.
+    *
+    * Encoding: each DP row is materialized as a 7-slot list covering the
+    * band positions j = i−3 … i+3 (out-of-range j pinned to +∞ keeps the
+    * recurrence uniform — no edge cases at the band boundary), and the
+    * within-row left-to-right dependency cur(j−1) is expressed with
+    * DuckDB lateral column aliases (c0 feeds c1 feeds c2 …), which a
+    * `list_transform` cannot do. Predecessor offsets: DP(i−1, j) sits at
+    * slot c+1 of the previous row, DP(i−1, j−1) at slot c, DP(i, j−1)
+    * is the chained alias. 30 iterations total; the answer is slot 4
+    * (j = m) of row n. Prototyped cell-for-cell against an independent
+    * Python DP before being trusted here. */
+  val tsDtwTopKSql: String = {
+    val inf = "'infinity'::DOUBLE"
+    def cell(c: Int): String = {
+      val j = s"(i + 1 - 3 + $c)"
+      val cost = s"(qs[i+1] - ss[$j]) * (qs[i+1] - ss[$j])"
+      val pred = c match {
+        case 0 => s"least(coalesce(row[${c + 2}], $inf), row[${c + 1}])"
+        case 6 => s"least(coalesce(row[${c + 2}], $inf), row[${c + 1}], c${c - 1})"
+        case _ => s"least(row[${c + 2}], row[${c + 1}], c${c - 1})"
+      }
+      s"CASE WHEN $j BETWEEN 1 AND n THEN $cost + $pred ELSE $inf END AS c$c"
+    }
+    s"""WITH RECURSIVE counts AS (
+      |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT min(day) AS d0, max(day) AS d1 FROM counts
+      |), grid AS (
+      |  SELECT u.user_id, d.day
+      |  FROM (SELECT DISTINCT user_id FROM counts) u
+      |  CROSS JOIN (SELECT unnest(generate_series((SELECT d0 FROM bounds), (SELECT d1 FROM bounds))) AS day) d
+      |), dense AS (
+      |  SELECT g.user_id,
+      |         array_agg(CAST(coalesce(c.cnt, 0) AS DOUBLE) ORDER BY g.day) AS series
+      |  FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.day = c.day
+      |  GROUP BY 1
+      |), q AS (
+      |  SELECT user_id AS q_id, series AS qs FROM dense WHERE user_id % 100 = 0
+      |), dp AS (
+      |  SELECT q.q_id, d.user_id AS n_id, q.qs, d.series AS ss,
+      |         len(q.qs) AS n, 0 AS i,
+      |         [$inf, $inf, $inf, 0.0, $inf, $inf, $inf] AS row
+      |  FROM q JOIN dense d ON d.user_id <> q.q_id
+      |  UNION ALL
+      |  SELECT q_id, n_id, qs, ss, n, i + 1 AS i,
+      |         [c0, c1, c2, c3, c4, c5, c6] AS row
+      |  FROM (
+      |    SELECT q_id, n_id, qs, ss, n, i, row,
+      |      ${(0 until 7).map(cell).mkString(",\n      ")}
+      |    FROM dp WHERE i < n
+      |  )
+      |), fin AS (
+      |  SELECT q_id, n_id, sqrt(row[4]) AS dist FROM dp WHERE i = n
+      |), r AS (
+      |  SELECT q_id, n_id, dist,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id) AS rnk
+      |  FROM fin
+      |)
+      |SELECT q_id, n_id, rnk, round(dist, 6) AS dist_r
+      |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
 
   // ------------------------------------------------------------- IVF-PQ
@@ -1037,6 +1114,7 @@ object Similarity {
     "ann_pq_topk"    -> pqTopKSql,
     "ann_ivfpq_topk" -> ivfPqTopKSql,
     "ts_similarity"  -> tsSimilaritySql,
+    "ts_dtw_topk"    -> tsDtwTopKSql,
     // the heap aggregate is result-identical to the window variant by
     // construction — it shares the same oracle
     "ann_heap_topk"  -> bruteForceTopKSql,
