@@ -265,4 +265,62 @@ class PropertySpec extends GraftSpec {
         s"case $i: planted 6-token run produced no shared fingerprint\nA=$a\nB=$b")
     }
   }
+
+  test("standing-index append: random append/probe schedules equal fresh rebuilds") {
+    // The append test in StandingIndexSpec asserts build+append == fresh
+    // ONCE; this drives RANDOM schedules — corpus split into 2-4 append
+    // segments with a probe after every segment — the way a daily-ingest
+    // deployment actually interleaves maintenance and probing. At every
+    // probe point the on-disk appended index must decide identically to
+    // a fresh index over everything admitted so far (the frozen-dfreq /
+    // per-segment-digest invariants must hold mid-schedule, not just at
+    // the end).
+    import graft.operators.StandingIndex
+    import graft.streaming.StreamingDedup
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val schedGen = for {
+      n     <- Gen.chooseNum(24, 40)
+      texts <- Gen.listOfN(n, docGen)
+      segs  <- Gen.chooseNum(2, 4)
+    } yield (texts, segs)
+    samples(schedGen, 3).zipWithIndex.foreach { case ((texts, segs), si) =>
+      // planted cross-segment twin: doc 0's text reappears as the LAST doc,
+      // exercising the multi-segment digest min-agg on every later probe
+      val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+        (900L, texts.head)
+      val segments = all.grouped(math.max(1, all.size / segs)).toList
+      val tag = s"prop_sched_$si"
+      def tbl(n: String) = spark.table(s"graft_idx_${n}_$tag")
+      var soFar = segments.head
+      StandingIndex.buildFor(spark, soFar.toDF("doc_id", "text"), tag)
+      def probeAndCheck(step: Int): Unit = {
+        // probe with twins of the most recently admitted docs plus one
+        // certainly-novel doc — fresh ids so exact twins resolve by digest
+        val batch = soFar.takeRight(6).map { case (id, t) => (id + 1000L, t) } :+
+          (2000L, "zz qq ww rr")
+        val diskIdx = StreamingDedup.StandingIndex(
+          digests = tbl("digests"), arrays = tbl("arrays"), dfreq = tbl("dfreq"),
+          prefix = tbl("prefix").withColumnRenamed("cn", "nc"), threshold = 0.5)
+        def decide(idx: StreamingDedup.StandingIndex) =
+          StreamingDedup.decideBatch(batch.toDF("doc_id", "text"), idx).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+            .toSet
+        val got = decide(diskIdx)
+        val fresh = StreamingDedup.buildStandingIndex(soFar.toDF("doc_id", "text"))
+        try {
+          val want = decide(fresh)
+          assert(got == want, s"schedule $si step $step (${soFar.size} docs): " +
+            s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+        } finally fresh.release()
+      }
+      probeAndCheck(0)
+      segments.tail.zipWithIndex.foreach { case (seg, step) =>
+        StandingIndex.appendFor(spark, tag, seg.toDF("doc_id", "text"))
+        soFar = soFar ++ seg
+        probeAndCheck(step + 1)
+      }
+    }
+  }
 }
