@@ -680,18 +680,25 @@ object Dedup {
     * block value) — n² never materializes. Rows-only gate
     * (hash-function-dependent); scalatest checks the planted near-dups are
     * found. */
-  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    // the fingerprint RIDES the block rows (8 bytes × 8 rows/doc), so the
-    // pair generation below emits (a_id, b_id, ha, hb) directly and the
-    // old two verify joins back to the signature table disappear. Bucket
-    // stats come from ONE window over (blk, blkval) instead of a groupBy +
-    // join-back, and — the dfcap pattern — the cache preserves the
-    // window's hash partitioning, so the same-keys self-join underneath
-    // zips the two cached sides with no further exchange. Net: the
-    // candidate stage runs in one shuffle where the earlier form paid
-    // four (stats agg, join-back, self-join re-shuffle ×2) plus two
-    // verify-join stages — measured A/B before/after in BASELINE.md.
-    val blocks = simhash(Tables.documents(s, dir))
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhash(Tables.documents(s, dir)))
+
+  /** Block-bucket candidate generation + hamming verification over a
+    * (doc_id, simhash) fingerprint table — shared by the xxhash hot path
+    * ([[simhashNearDup]]) and the md5 oracle twin ([[simhashMd5]]).
+    *
+    * The fingerprint RIDES the block rows (8 bytes × 8 rows/doc), so the
+    * pair generation below emits (a_id, b_id, ha, hb) directly and the
+    * old two verify joins back to the signature table disappear. Bucket
+    * stats come from ONE window over (blk, blkval) instead of a groupBy +
+    * join-back, and — the dfcap pattern — the cache preserves the
+    * window's hash partitioning, so the same-keys self-join underneath
+    * zips the two cached sides with no further exchange. Net: the
+    * candidate stage runs in one shuffle where the earlier form paid
+    * four (stats agg, join-back, self-join re-shuffle ×2) plus two
+    * verify-join stages — measured A/B before/after in BASELINE.md. */
+  private def simhashPairs(sims: DataFrame): DataFrame = {
+    val blocks = sims
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(SimBlocks - 1))).as("blk"))
       .withColumn("blkval",
@@ -725,6 +732,75 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
       .distinct()
       .orderBy("a_id", "b_id")
+  }
+
+  /** SimHash with the CROSS-ENGINE-REPRODUCIBLE hash — the oracle-proof
+    * twin of [[simhashNearDup]], completing the md5-twin program
+    * ([[minhashMd5]], [[winnowNearDup]]): per-shingle hashes are the
+    * md5-derived 60-bit longs both engines compute identically, so the
+    * per-bit majority votes (strict majority: ties clear the bit, the
+    * [[graft.functions.SimHashAggregate]] rule), the 8×8-bit block
+    * buckets, the [[MaxBucket]] star fallback AND the hamming ≤ 12
+    * verification are ALL reproduced in the DuckDB oracle and hash-gated.
+    * Bits 60–63 of every hash are 0, so their majority votes are
+    * deterministically 0 — the fingerprint is effectively 60-bit and the
+    * blocking is unchanged (the top block simply carries 4 fewer live
+    * bits). xxhash64 stays the hot path (~10× cheaper per shingle, same
+    * plan shape); this twin exists to PROVE the voting/blocking/verify
+    * machinery against an independent engine. */
+  def simhashMd5(s: SparkSession, dir: String): DataFrame = {
+    val toks = shingleArrays(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h",
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+    simhashPairs(toks.groupBy("doc_id")
+      .agg(graft.functions.SimHashAggregate.simhashAgg(col("h")).as("simhash")))
+  }
+
+  /** DuckDB mirror of [[simhashMd5]]: 60 per-bit strict-majority votes as
+    * wide aggregate CASEs (sum of ±1 per bit — the exact
+    * [[graft.functions.SimHashAggregate]] tie rule), block explode, the
+    * [[MaxBucket]] star fallback, hamming via bit_count(xor). */
+  val simhashMd5Sql: String = {
+    val bits = (0 until 60).map { k =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN (1::BIGINT << $k) ELSE 0::BIGINT END)"
+    }.mkString("\n      |         + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |h AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM sh),
+      |sim AS (
+      |  SELECT doc_id,
+      |         $bits AS sim
+      |  FROM h GROUP BY doc_id
+      |),
+      |blocks AS (
+      |  SELECT doc_id, sim, blk, (sim >> (blk * 8)) & 255 AS blkval
+      |  FROM sim, LATERAL (SELECT unnest(generate_series(0, 7)) AS blk) g
+      |),
+      |bstats AS (
+      |  SELECT blk, blkval, count(*) AS bsz, min(doc_id) AS bmin,
+      |         arg_min(sim, doc_id) AS bminsim
+      |  FROM blocks GROUP BY 1, 2 HAVING count(*) >= 2
+      |),
+      |joined AS (SELECT b.doc_id, b.sim, b.blk, b.blkval, s.bsz, s.bmin, s.bminsim
+      |           FROM blocks b JOIN bstats s USING (blk, blkval)),
+      |cand AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sim AS ha, b.sim AS hb
+      |  FROM joined a JOIN joined b
+      |    ON a.blk = b.blk AND a.blkval = b.blkval AND a.doc_id < b.doc_id
+      |  WHERE a.bsz <= $MaxBucket
+      |  UNION ALL
+      |  SELECT bmin, doc_id, bminsim, sim
+      |  FROM joined WHERE bsz > $MaxBucket AND doc_id <> bmin
+      |)
+      |SELECT DISTINCT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 12
+      |ORDER BY a_id, b_id""".stripMargin
   }
 
   // ----------------------------------------------- near-dup cluster collapse
@@ -1044,6 +1120,7 @@ object Dedup {
     "neardup_minhash_md5"   -> (minhashMd5 _),
     "neardup_winnow"        -> (winnowNearDup _),
     "neardup_simhash"       -> (simhashNearDup _),
+    "neardup_simhash_md5"   -> (simhashMd5 _),
     "neardup_clusters"      -> (nearDupClusters _),
     "dedup_incremental"     -> (incrementalDedup _)
   )
@@ -1060,6 +1137,7 @@ object Dedup {
     // the md5 twin makes the full LSH pipeline (signatures, bands, star
     // cap, verify) cross-engine reproducible → hash-gated
     "neardup_minhash_md5"   -> minhashMd5Sql,
+    "neardup_simhash_md5"   -> simhashMd5Sql,
     "neardup_winnow"        -> winnowNearDupSql
     // xxhash64 minhash / simhash: hash-internal-dependent → rows-only gate
   )

@@ -210,6 +210,18 @@ class DedupSpec extends GraftSpec {
     assert(win == exact, s"missed pairs: ${exact.diff(win)}")
   }
 
+  test("md5-SimHash twin matches the xxhash variant's blocking guarantees") {
+    val exact = Dedup.jaccardNearDup(spark, sf0001)
+      .filter("jac >= 0.8").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashMd5(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same generic bound as the xxhash form: high-similarity planted pairs
+    // have near-equal fingerprints under ANY decent hash, and the 8-block
+    // pigeonhole must surface them
+    assert(exact.intersect(sim).size >= math.ceil(exact.size * 0.8).toInt,
+      s"md5 simhash missed planted pairs: found ${exact.intersect(sim).size}/${exact.size}")
+  }
+
   test("SimHash blocking finds the high-similarity planted pairs") {
     val exact = Dedup.jaccardNearDup(spark, sf0001)
       .filter("jac >= 0.8").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
