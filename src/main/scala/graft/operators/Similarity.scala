@@ -491,21 +491,63 @@ object Similarity {
       val tag = StandingIndex.tagOf(dir); annBuilt.put(k, tag); tag
     } else {
       val tag = StandingIndex.tagOf(dir)
-      val e = embeddings(s, dir)
-      val cent = e.filter(col("vec_id") % 200 === 0)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_score").desc, col("c_id"))
-      val assigned = e.join(broadcast(cent), lit(true))
-        .withColumn("c_score", cosine(col("v"), col("cv")))
-        .withColumn("c_rnk", row_number().over(wAssign))
-        .filter(col("c_rnk") === 1)
-        .select(col("vec_id"), col("v"), col("c_id"))
-      StandingIndex.save(cent, tag, "annc", "c_id", "overwrite")
-      StandingIndex.save(assigned, tag, "anna", "c_id", "overwrite")
+      buildAnnFor(embeddings(s, dir), tag)
       annBuilt.put(k, tag)
       tag
     }
+  }
+
+  /** Assign each vector of `e` to its nearest centroid in `cent` — the
+    * one rule shared by build, append and the per-query ivf plans (ties
+    * to the lowest c_id). */
+  private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_score").desc, col("c_id"))
+    e.join(broadcast(cent), lit(true))
+      .withColumn("c_score", cosine(col("v"), col("cv")))
+      .withColumn("c_rnk", row_number().over(wAssign))
+      .filter(col("c_rnk") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+  }
+
+  /** Write the centroid + inverted-list tables for `corpus` under `tag`
+    * (overwrite). Exposed within the package so specs can index
+    * arbitrary corpora — the [[StandingIndex.buildFor]] pattern. */
+  private[graft] def buildAnnFor(corpus: DataFrame, tag: String): Unit = {
+    val cent = corpus.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    StandingIndex.save(cent, tag, "annc", "c_id", "overwrite")
+    StandingIndex.save(assignToCentroids(corpus, cent), tag, "anna", "c_id",
+      "overwrite")
+  }
+
+  /** Append newly-embedded vectors to a standing IVF index — the
+    * maintenance path [[ivfIndexedTopK]]'s scaladoc names: assign each
+    * arrival to its nearest STORED centroid (the tiny annc table
+    * broadcasts; one narrow pass over the batch) and append the
+    * assignments to the bucketed inverted-list table — bucket specs
+    * match, so probe joins stay exchange-free over the union corpus.
+    * Centroids are FROZEN at build time: the coarse quantizer is a
+    * trained artifact, and admitting arrivals as new centroids would
+    * re-route EXISTING list members (a rebuild, not maintenance — the
+    * standard IVF deployment semantics). `SimilaritySpec` asserts a
+    * probe over build(A)+append(B) equals a fresh index whose centroid
+    * set is identical. */
+  private[graft] def appendAnnFor(s: SparkSession, tag: String,
+                                  vecs: DataFrame): Unit =
+    annBuilt.synchronized {
+      val cent = s.table(s"graft_idx_annc_$tag")
+      StandingIndex.save(assignToCentroids(vecs, cent), tag, "anna", "c_id",
+        "append")
+    }
+
+  /** Dir-keyed convenience over [[appendAnnFor]] — the index must
+    * already exist in this session. */
+  def appendAnnIndex(s: SparkSession, dir: String, vecs: DataFrame): Unit = {
+    val tag = annBuilt.get((s, dir))
+    require(tag != null,
+      s"ANN index for $dir not built in this session — ensureAnnIndex first")
+    appendAnnFor(s, tag, vecs)
   }
 
   /** [[ivfTopK]] served from the standing index: identical output (the
@@ -517,10 +559,18 @@ object Similarity {
     * (same bucket-append mechanics as [[StandingIndex.appendAccepted]]). */
   def ivfIndexedTopK(s: SparkSession, dir: String): DataFrame = {
     val tag = ensureAnnIndex(s, dir)
-    val cent = s.table(s"graft_idx_annc_$tag")
-    val assigned = s.table(s"graft_idx_anna_$tag")
     val q = embeddings(s, dir).filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfProbe(s, tag, q)
+  }
+
+  /** The probe itself over an existing index `tag` with an arbitrary
+    * (q_id, qv) query frame — split out so the append-maintenance spec
+    * can probe build+append and fresh indexes over the same queries. */
+  private[graft] def ivfProbe(s: SparkSession, tag: String,
+                              q: DataFrame): DataFrame = {
+    val cent = s.table(s"graft_idx_annc_$tag")
+    val assigned = s.table(s"graft_idx_anna_$tag")
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("p_score").desc, col("c_id"))
     val probes = q.join(broadcast(cent), lit(true))

@@ -311,4 +311,33 @@ class SimilaritySpec extends GraftSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }
   }
+
+  test("IVF index append: probe over build(A)+append(B) equals a fresh index") {
+    // maintenance path: new arrivals join their nearest FROZEN centroid's
+    // list; a fresh rebuild over A∪B has the identical centroid set (B
+    // deliberately contains no vec_id % 200 == 0), so the probes must be
+    // byte-equal — and the arrivals must actually be findable
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(8)(rnd.nextInt(10).toDouble)
+    val a = (Seq(0L, 200L, 400L) ++ (1L to 149L)).map(id => (id, vec()))
+    val b = (301L to 330L).map(id => (id, vec()))
+    def df(rows: Seq[(Long, Seq[Double])]) =
+      rows.toDF("vec_id", "v")
+    Similarity.buildAnnFor(df(a), "spec_annappend")
+    Similarity.appendAnnFor(spark, "spec_annappend", df(b))
+    Similarity.buildAnnFor(df(a ++ b), "spec_annfresh")
+    val q = df(a.take(5) ++ b.take(5))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def probe(tag: String) = Similarity.ivfProbe(spark, tag, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSeq
+    val appended = probe("spec_annappend")
+    val fresh = probe("spec_annfresh")
+    assert(appended.nonEmpty && appended == fresh,
+      s"appended-index probe diverges from fresh rebuild: " +
+        s"${appended.diff(fresh).take(3)} vs ${fresh.diff(appended).take(3)}")
+    assert(appended.exists(_._2 >= 301L),
+      "appended vectors must be findable as neighbors")
+  }
 }
