@@ -81,21 +81,32 @@ object StreamingCurate {
                    t: Double = 0.5)
                   (sink: (Seq[CurateVerdict], Long) => Unit)
       : DataStreamWriter[Row] = {
-    val gi = new StreamingDedup.GreedyGrowingIndex(t)
-    // the benchmark frame is re-joined every batch: pin it once
-    val bench = benchShingles.withColumn("hit", lit(1)).localCheckpoint()
-    // Same-run retry guard: Structured Streaming may re-invoke
-    // foreachBatch with the SAME batchId after a transient sink failure;
-    // unconditionally re-growing the greedy index would double-absorb the
-    // batch and flip later verdicts. Re-emit the cached verdicts instead
-    // — the growing index already reflects them. (Cross-RESTART replay is
-    // out of scope for this session-state form; that is
-    // [[trainingSetStreamDurable]]'s contract.)
-    var lastBatch = -1L
-    var lastVerdicts: Seq[CurateVerdict] = Nil
+    val proc = new CurateProcessor(benchShingles, t, sink)
+    stream.toDF().writeStream.foreachBatch(proc.process _)
+  }
 
-    stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
-      if (batchId == lastBatch) sink(lastVerdicts, batchId) else {
+  /** The per-micro-batch body of [[curateStream]], a named class so the
+    * retry spec can invoke `process` directly with a repeated batchId —
+    * the one foreachBatch behavior a MemoryStream run cannot force.
+    *
+    * Same-run retry guard: Structured Streaming may re-invoke
+    * foreachBatch with the SAME batchId after a transient sink failure;
+    * unconditionally re-growing the greedy index would double-absorb the
+    * batch and flip later verdicts. A repeated batchId re-emits the
+    * cached verdicts instead — the growing index already reflects them.
+    * (Cross-RESTART replay is out of scope for this session-state form;
+    * that is [[trainingSetStreamDurable]]'s contract.) */
+  private[graft] final class CurateProcessor(
+      benchShingles: DataFrame, t: Double,
+      sink: (Seq[CurateVerdict], Long) => Unit) {
+    private val gi = new StreamingDedup.GreedyGrowingIndex(t)
+    // the benchmark frame is re-joined every batch: pin it once
+    private val bench = benchShingles.withColumn("hit", lit(1)).localCheckpoint()
+    private var lastBatch = -1L
+    private var lastVerdicts: Seq[CurateVerdict] = Nil
+
+    def process(mb0: DataFrame, batchId: Long): Unit = {
+      if (batchId == lastBatch) { sink(lastVerdicts, batchId); return }
       val mb = mb0.select("doc_id", "text").localCheckpoint()
 
       // ---- stage 1: greedy dedup, all docs participate (flags come later)
@@ -121,7 +132,6 @@ object StreamingCurate {
       org.apache.spark.sql.GraftShims.unpersistCheckpoint(mb)
       lastBatch = batchId; lastVerdicts = verdicts
       sink(verdicts, batchId)
-      }
     }
   }
 
@@ -183,16 +193,24 @@ object StreamingCurate {
                         t: Double = 0.5)
                        (sink: (Seq[TrainingRow], Long) => Unit)
       : DataStreamWriter[Row] = {
-    val gi = new StreamingDedup.GreedyGrowingIndex(t)
-    val bench = benchShingles.withColumn("hit", lit(1)).localCheckpoint()
-    val offsets = scala.collection.mutable.Map.empty[String, Long]
-    // same-run retry guard, see [[curateStream]]: a re-invoked batchId
-    // must not double-advance the offsets or double-grow the index
-    var lastBatch = -1L
-    var lastRows: Seq[TrainingRow] = Nil
+    val proc = new TrainingSetProcessor(benchShingles, t, sink)
+    stream.toDF().writeStream.foreachBatch(proc.process _)
+  }
 
-    stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
-      if (batchId == lastBatch) sink(lastRows, batchId) else {
+  /** Per-micro-batch body of [[trainingSetStream]] — named class for the
+    * same retry-spec reason as [[CurateProcessor]]: a re-invoked batchId
+    * must not double-advance the offsets or double-grow the index. */
+  private[graft] final class TrainingSetProcessor(
+      benchShingles: DataFrame, t: Double,
+      sink: (Seq[TrainingRow], Long) => Unit) {
+    private val gi = new StreamingDedup.GreedyGrowingIndex(t)
+    private val bench = benchShingles.withColumn("hit", lit(1)).localCheckpoint()
+    private val offsets = scala.collection.mutable.Map.empty[String, Long]
+    private var lastBatch = -1L
+    private var lastRows: Seq[TrainingRow] = Nil
+
+    def process(mb0: DataFrame, batchId: Long): Unit = {
+      if (batchId == lastBatch) { sink(lastRows, batchId); return }
       val mb = mb0.select("doc_id", "text").localCheckpoint()
       val dedup = gi.decideAndGrow(mb)
       val (rep, cont) = statelessFlags(mb, bench)
@@ -220,7 +238,6 @@ object StreamingCurate {
       org.apache.spark.sql.GraftShims.unpersistCheckpoint(mb)
       lastBatch = batchId; lastRows = rows.result()
       sink(lastRows, batchId)
-      }
     }
   }
 

@@ -221,4 +221,55 @@ class StreamingCurateSpec extends GraftSpec {
     assert((r0 ++ r1 ++ r2) == sessionRows.synchronized(sessionRows.toSeq),
       "durable and session training rows diverge")
   }
+
+  test("same-run batchId retry re-emits cached results without mutating state") {
+    // Structured Streaming may re-invoke foreachBatch with the SAME
+    // batchId after a transient sink failure (at-least-once sinks). The
+    // processors must re-emit the cached output and must NOT double-grow
+    // the greedy index or double-advance the chunk offsets — a MemoryStream
+    // run cannot force this path, so the spec drives the processor classes
+    // directly.
+    import graft.streaming.StreamingCurate.{CurateVerdict, TrainingRow}
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val corpus = base.filter(_._1 % 10 != 0)
+    val benchSh = StreamingCurate.benchmarkShingles(
+      Tables.documents(spark, sf0001).filter(col("doc_id") % 10 === 0))
+    val half = corpus.length / 2
+    val b0 = corpus.take(half); val b1 = corpus.drop(half)
+
+    // ---- curate processor
+    val verdicts = scala.collection.mutable.ArrayBuffer[(Long, Seq[CurateVerdict])]()
+    val cp = new StreamingCurate.CurateProcessor(benchSh, 0.5,
+      (vs, id) => { verdicts += ((id, vs)); () })
+    cp.process(b0.map(c => (c._1, c._2)).toSeq.toDF("doc_id", "text"), 0L)
+    cp.process(b0.map(c => (c._1, c._2)).toSeq.toDF("doc_id", "text"), 0L) // retry
+    cp.process(b1.map(c => (c._1, c._2)).toSeq.toDF("doc_id", "text"), 1L)
+    assert(verdicts.map(_._1) == Seq(0L, 0L, 1L))
+    assert(verdicts(0)._2 == verdicts(1)._2, "retry must re-emit batch 0 verbatim")
+    // batch-1 verdicts must equal a run that never saw the retry — if the
+    // retry had double-grown the index, later near-dup decisions could
+    // flip keeper ids
+    val cleanVerdicts = scala.collection.mutable.ArrayBuffer[Seq[CurateVerdict]]()
+    val cpClean = new StreamingCurate.CurateProcessor(benchSh, 0.5,
+      (vs, _) => { cleanVerdicts += vs; () })
+    cpClean.process(b0.map(c => (c._1, c._2)).toSeq.toDF("doc_id", "text"), 0L)
+    cpClean.process(b1.map(c => (c._1, c._2)).toSeq.toDF("doc_id", "text"), 1L)
+    assert(verdicts(2)._2 == cleanVerdicts(1),
+      "a retried batch must not perturb later batches' verdicts")
+
+    // ---- training-set processor (adds offset state to the same contract)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Seq[TrainingRow])]()
+    val tp = new StreamingCurate.TrainingSetProcessor(benchSh, 0.5,
+      (rs, id) => { rows += ((id, rs)); () })
+    def df3(c: scala.collection.immutable.Seq[(Long, String, String)]) = c.toDF("doc_id", "text", "source")
+    tp.process(df3(b0.toSeq), 0L); tp.process(df3(b0.toSeq), 0L); tp.process(df3(b1.toSeq), 1L)
+    val cleanRows = scala.collection.mutable.ArrayBuffer[Seq[TrainingRow]]()
+    val tpClean = new StreamingCurate.TrainingSetProcessor(benchSh, 0.5,
+      (rs, _) => { cleanRows += rs; () })
+    tpClean.process(df3(b0.toSeq), 0L); tpClean.process(df3(b1.toSeq), 1L)
+    assert(rows(0)._2 == rows(1)._2, "retry must re-emit batch 0 rows verbatim")
+    assert(rows(2)._2 == cleanRows(1),
+      "a retried batch must not advance chunk offsets — batch-1 chunk_ids moved")
+  }
 }
