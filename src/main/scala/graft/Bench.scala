@@ -30,7 +30,7 @@ object Bench {
     * can — on a quiet host it reads ~0 regardless of how hard the bench
     * itself runs, and any sustained co-tenant burn shows up directly.
     * -1 when /proc/stat or process CPU time is unavailable. */
-  private def otherCpuFrac(stat0: (Long, Long), stat1: (Long, Long),
+  private[graft] def otherCpuFrac(stat0: (Long, Long), stat1: (Long, Long),
                            cpuNs0: Long, cpuNs1: Long): Double = {
     if (stat0._1 < 0 || stat1._1 < 0 || cpuNs0 < 0 || cpuNs1 < 0) return -1.0
     val totalD = (stat1._1 - stat0._1).toDouble
