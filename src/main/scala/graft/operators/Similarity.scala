@@ -127,6 +127,24 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
+  /** md5 twin of [[srpBucket]] — CROSS-ENGINE-REPRODUCIBLE random
+    * hyperplanes: coefficient (p, d) is ±1 by the first md5 hex digit of
+    * "p,d" (< 8 → +1). ±1 multiplication and the left-to-right fold are
+    * EXACT double ops, and DuckDB's `list_dot_product` against the same
+    * ±1 plane vector walks the identical order — so both engines compute
+    * bit-identical projections and therefore identical sign bits. Rademacher
+    * (±1) hyperplanes are themselves standard for SRP (Achlioptas'01
+    * database-friendly random projections), not a test-only concession. */
+  private def srpMd5Bucket(v: Column): Column =
+    (0 until Planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(63)), (x, d) =>
+          x * when(conv(substring(md5(concat_ws(",", lit(p), d)), 1, 1), 16, 10)
+                     .cast("int") < 8, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
   /** ANN top-k: candidates restricted to the query's SRP bucket, with
     * single-bit multi-probe (the query also probes the 8 buckets one
     * hyperplane-flip away — near-boundary neighbors land there). Recall is
@@ -215,8 +233,14 @@ object Similarity {
     * scale with bucket occupancy, not n². Recall is probabilistic
     * (hash-dependent bucketing) → rows-only gate; scalatest checks the
     * output is a subset of the exact query with bounded recall. */
-  def cosineNearDupLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).withColumn("bucket", srpBucket(col("v"))).cache()
+  def cosineNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    srpNearDupPairs(embeddings(s, dir).withColumn("bucket", srpBucket(col("v"))))
+
+  /** Multi-probe candidate generation + exact verification over a frame
+    * carrying (vec_id, v, bucket) — shared by the xxhash hot path and the
+    * md5 oracle twin. */
+  private def srpNearDupPairs(withBuckets: DataFrame): DataFrame = {
+    val e = withBuckets.cache()
     val probes = e.select(col("vec_id").as("a_id"), col("bucket"))
       .withColumn("bucket",
         explode(array(col("bucket") +:
@@ -232,6 +256,54 @@ object Similarity {
       .filter(col("score") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score_r"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** [[cosineNearDupLsh]] with the md5 Rademacher planes — the
+    * oracle-proof twin that puts the SRP machinery itself (±-weighted
+    * projections, sign-bit buckets, single-bit multi-probe, exact
+    * verification) under the DuckDB hash gate, the way the sign-grid
+    * query gates the axis-aligned case. The xxhash planes stay the hot
+    * path (one hash vs an md5 digest per (plane, dim) product). */
+  def cosineNearDupSrpMd5(s: SparkSession, dir: String): DataFrame =
+    srpNearDupPairs(embeddings(s, dir).withColumn("bucket", srpMd5Bucket(col("v"))))
+
+  /** DuckDB mirror of [[cosineNearDupSrpMd5]]: the ±1 plane vectors are
+    * materialized per plane and dotted with `list_dot_product` — the same
+    * left-to-right order as Spark's fold, on exactly-representable ±1
+    * products, so projections (and their signs) match bit-for-bit. */
+  val cosineNearDupSrpMd5Sql: String = {
+    val probeList = (Seq("bucket") ++
+      (0 until Planes).map(p => s"xor(bucket, ${1L << p})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |pv AS (
+      |  SELECT p, array_agg(CASE WHEN ('0x' || substring(md5(p::VARCHAR || ',' || d::VARCHAR), 1, 1))::INT < 8
+      |                           THEN 1.0 ELSE -1.0 END ORDER BY d) AS pvec
+      |  FROM (SELECT unnest(generate_series(0, ${Planes - 1})) AS p),
+      |       (SELECT unnest(generate_series(0, 63)) AS d)
+      |  GROUP BY p
+      |),
+      |buckets AS (
+      |  SELECT e.vec_id, e.v,
+      |         CAST(sum(CASE WHEN list_dot_product(e.v, pv.pvec) >= 0
+      |                       THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM e CROSS JOIN pv GROUP BY e.vec_id, e.v
+      |),
+      |probes AS (
+      |  SELECT vec_id AS a_id, unnest([$probeList]) AS bucket FROM buckets
+      |),
+      |cand AS (
+      |  SELECT DISTINCT p.a_id, b.vec_id AS b_id
+      |  FROM probes p JOIN buckets b USING (bucket)
+      |  WHERE p.a_id < b.vec_id
+      |)
+      |SELECT c.a_id, c.b_id,
+      |       round(list_dot_product(a.v, b.v) /
+      |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      |         AS score_r
+      |FROM cand c JOIN e a ON c.a_id = a.vec_id JOIN e b ON c.b_id = b.vec_id
+      |WHERE list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin
   }
 
   // ------------------------------------------------- sign-grid near-dup
@@ -1154,6 +1226,7 @@ object Similarity {
     "emb_kmeans_fit"  -> (kmeansFit _),
     "emb_neardup_cosine" -> (cosineNearDup _),
     "emb_neardup_cosine_lsh" -> (cosineNearDupLsh _),
+    "emb_neardup_srp_md5" -> (cosineNearDupSrpMd5 _),
     "emb_neardup_signgrid" -> (cosineNearDupSignGrid _),
     "semantic_dedup"       -> (semanticDedup _),
     "emb_quantize_int8"    -> (quantizeInt8 _)
@@ -1175,6 +1248,7 @@ object Similarity {
     "emb_label_centroids" -> labelCentroidsSql,
     "emb_neardup_cosine" -> cosineNearDupSql,
     "emb_neardup_signgrid" -> cosineNearDupSignGridSql,
+    "emb_neardup_srp_md5"  -> cosineNearDupSrpMd5Sql,
     "semantic_dedup"       -> semanticDedupSql,
     "emb_quantize_int8"    -> quantizeInt8Sql
     // lsh variants: hash-dependent bucketing → rows-only gate

@@ -231,6 +231,19 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.3, f"LSH recall $recall%.2f below floor")
   }
 
+  test("md5-SRP near-dup twin: exact subset of O(n^2), matches the xxhash variant's shape") {
+    val exact = Similarity.cosineNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srp = Similarity.cosineNearDupSrpMd5(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(srp.nonEmpty, "md5-SRP must surface near-dup pairs on the fixture")
+    assert(srp.subsetOf(exact), "exact verification must kill all false positives")
+    // Rademacher planes are real SRP — the bucketing must retain a
+    // meaningful share of the true pairs (multi-probe, 4 planes)
+    assert(srp.size >= math.ceil(exact.size * 0.3).toInt,
+      s"md5-SRP recall too low: ${srp.size}/${exact.size}")
+  }
+
   test("sign-grid near-dup: exact subset of O(n^2), deterministic across runs") {
     val exact = Similarity.cosineNearDup(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
