@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, CboStats, DataPrep, Dedup, Layout, Modern,
   Multimodal, PiiScrub, Pipeline, QualityFilters, Reference, Relational,
   RelationalExt, RelationalMore, Similarity, SourcesSinks, StandingIndex,
-  TextAnalysis, TimeWindows, TpchFull, TypedOps}
+  SubstringDedup, TextAnalysis, TimeWindows, TpchFull, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,7 @@ object SparkEntry {
       (PiiScrub.queries, PiiScrub.oracles),
       (Pipeline.queries, Pipeline.oracles),
       (Dedup.queries, Dedup.oracles),
+      (SubstringDedup.queries, SubstringDedup.oracles),
       (StandingIndex.queries, StandingIndex.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Similarity.queries, Similarity.oracles),

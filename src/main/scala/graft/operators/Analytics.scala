@@ -150,6 +150,76 @@ object Analytics {
       |SELECT doc_id, CAST(rk AS INT) AS rk, tok, score FROM ranked
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // --------------------------------------------------------------- BM25
+  /** Fixed query-term set for the BM25 ranking query — drawn from the
+    * corpus vocabulary so document frequencies are non-degenerate. */
+  val Bm25Terms: Seq[String] = Seq("spark", "shuffle", "window")
+  /** Okapi BM25 free parameters (the standard defaults from Robertson &
+    * Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and
+    * Beyond"). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Top-20 documents by Okapi BM25 against [[Bm25Terms]] — the ranking
+    * function behind quality-aware retrieval over a training corpus
+    * (surfacing docs about a topic, scoring query overlap for curation).
+    * idf uses the +1-inside-the-log form (`ln((N−df+0.5)/(df+0.5) + 1)`,
+    * Lucene's variant) so scores stay positive for common terms. Cost
+    * profile at 100 TB: one corpus-wide tf groupBy (the same shuffle as
+    * the flagship token count); the query-term df table is |terms| rows
+    * and the corpus stats one row — both broadcast; only docs containing
+    * ≥ 1 query term survive the semi-selective tf⋈terms join, so the
+    * scoring aggregate is output-sized, not corpus-sized. Scores are
+    * rounded to 6 decimals (tfidf precedent: engine ulp differences in
+    * `ln` sit ~9 orders below the rounding grid) → hash-gated. Top-20 is
+    * a fused sort+limit (`TakeOrderedAndProject`), never a global sort. */
+  def bm25Search(s: SparkSession, dir: String): DataFrame =
+    bm25From(s, Tables.documents(s, dir))
+
+  /** [[bm25Search]] parametrized by the document set. */
+  private[graft] def bm25From(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // cached: doc lengths, query-term dfs and the scoring join all read tf
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).cache()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
+    val terms = Bm25Terms.toDF("term")
+    val dfreq = tf.join(broadcast(terms), col("tok") === col("term"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("part",
+        col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum(col("part")), 6).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  val bm25SearchSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+       |q AS (SELECT unnest([${Bm25Terms.map("'" + _ + "'").mkString(", ")}]) AS term),
+       |dfreq AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  WHERE tok IN (SELECT term FROM q) GROUP BY tok
+       |)
+       |SELECT tf.doc_id,
+       |       round(sum(ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+       |         * tf.tf * ${Bm25K1 + 1.0}
+       |         / (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl / stats.avgdl))), 6) AS score
+       |FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+       |JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+       |GROUP BY tf.doc_id
+       |ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin
+
   // ------------------------------------------------- domain mixing weights
   /** Per-source sampling weights to reach a UNIFORM token mixture — the
     * data-recipe computation behind "upweight small domains": weight =
@@ -858,6 +928,7 @@ object Analytics {
     "funnel_stages"      -> (funnelStages _),
     "scd2_history"       -> (scd2History _),
     "tfidf_top_terms"    -> (tfidfTopTerms _),
+    "text_bm25_search"   -> (bm25Search _),
     "mix_domain_weights" -> (mixDomainWeights _),
     "kl_lang_drift"      -> (klLangDrift _),
     "mad_outliers"       -> (madOutliers _),
@@ -876,6 +947,7 @@ object Analytics {
     "funnel_stages"      -> funnelStagesSql,
     "scd2_history"       -> scd2HistorySql,
     "tfidf_top_terms"    -> tfidfTopTermsSql,
+    "text_bm25_search"   -> bm25SearchSql,
     "mix_domain_weights" -> mixDomainWeightsSql,
     "kl_lang_drift"      -> klLangDriftSql,
     "mad_outliers"       -> madOutliersSql,

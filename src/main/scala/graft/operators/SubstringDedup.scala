@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Substring-level deduplication — the missing granularity between the
+  * document-level near-dup family ([[Dedup]]) and exact dedup: two
+  * documents that share a long VERBATIM token run are near-dups even when
+  * their overall shingle-set Jaccard is low (a boilerplate header pasted
+  * into otherwise-different pages, a quoted paragraph, a mirrored lead
+  * section). The published treatment (Lee et al., ACL 2022, "Deduplicating
+  * Training Data Makes Language Models Better") builds one suffix array
+  * over the concatenated corpus and reports duplicated substrings ≥ 50
+  * tokens; a monolithic suffix array does not distribute, so the
+  * Spark-first shape here is the classic k-gram anchor + diagonal
+  * run-merge from sequence alignment (the seed-and-extend idea behind
+  * BLAST, and the same diagonal bookkeeping MOSS-style winnowing uses):
+  *
+  *   1. anchor k-grams WITH their token position — a map-side
+  *      tokenize + transform + posexplode, no shuffle;
+  *   2. occurrence cap: k-grams appearing more than [[SubstringDedup.OccCap]]
+  *      times corpus-wide are dropped BEFORE the join (a stop-boilerplate
+  *      gram generates O(occ²) anchor matches and carries no locality
+  *      information a rarer overlapping gram doesn't also carry —
+  *      identical role to the df-cap in [[Dedup.jaccardNearDupDfCap]]);
+  *      the cap bounds per-key join fan-out at OccCap² outright, so a
+  *      viral boilerplate gram can never become a hot shuffle key at
+  *      100 TB;
+  *   3. inverted-index self-join on the gram (only position pairs whose
+  *      k tokens match verbatim ever meet — never the O(n²) doc cross
+  *      product);
+  *   4. diagonal gaps-and-islands: a shared run of length s contributes
+  *      s−k+1 anchor matches on ONE diagonal d = pos_a − pos_b with
+  *      CONSECUTIVE a-positions, so `pos_a − row_number()` over
+  *      (pair, diagonal) is constant exactly along each maximal run —
+  *      one window + one aggregate turns anchors into maximal spans.
+  *
+  * Output spans are integer positions/lengths — hash-safe across engines;
+  * the DuckDB oracle reproduces every stage including the cap, so the
+  * capped semantics (not a weaker uncapped cousin) are what the driver
+  * hash-gates. k = [[SubstringDedup.GramK]] = 8 anchors runs ≥
+  * [[SubstringDedup.MinSpan]] = 12 tokens (the harness corpus' planted
+  * near-dups share multi-line prefixes; production corpora use 50 per the
+  * paper — both are the same plan, only constants differ).
+  */
+object SubstringDedup {
+
+  /** Anchor k-gram width: a span is detected iff it contains at least one
+    * verbatim k-token run, so k must be ≤ the minimum interesting span. */
+  val GramK = 8
+
+  /** Minimum reported span length, in tokens. */
+  val MinSpan = 12
+
+  /** Corpus-wide occurrence cap on anchor grams (step 2 above). */
+  val OccCap = 20
+
+  /** (doc_id, pos, g): every k-token gram with its 1-based start position.
+    * Map-side only — tokenize, transform to (pos, gram) structs, explode. */
+  private[graft] def positionalGrams(docs: DataFrame, k: Int = GramK): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(tk) - $k), " +
+          s"i -> struct(CAST(i + 1 AS BIGINT) AS pos, concat_ws(' ', slice(tk, i + 1, $k)) AS g))"))
+          .as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+
+  /** Maximal duplicated token runs ≥ [[MinSpan]] across document pairs:
+    * (a_id, b_id, a_start, b_start, span_len), one row per maximal shared
+    * run occurrence. See the object scaladoc for the plan shape. */
+  def substringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpansFrom(Tables.documents(s, dir))
+
+  /** [[substringSpans]] parametrized by the document set — the reusable
+    * form specs drive with planted fixtures. */
+  private[graft] def substringSpansFrom(docs: DataFrame): DataFrame = {
+    // occurrence cap via a window over the gram, not groupBy + join-back:
+    // one shuffle hash-partitions the anchors by g, the cap filter rides
+    // it, and the cached result feeds both sides of the self-join with no
+    // further exchange — the same measured win as the df-cap Jaccard path
+    // (Dedup.jaccardNearDupDfCap)
+    val grams = positionalGrams(docs)
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("occ") <= OccCap).drop("occ")
+      .cache()
+    val anchors = grams.select(col("doc_id").as("a_id"), col("pos").as("pa"), col("g"))
+      .join(grams.select(col("doc_id").as("b_id"), col("pos").as("pb"), col("g")), "g")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("d"))
+    // within one (pair, diagonal), anchor a-positions are distinct and a
+    // maximal run is a maximal consecutive block → pos − row_number() is
+    // the standard gaps-and-islands group key
+    val runs = anchors.withColumn("grp",
+      col("pa") - row_number().over(
+        Window.partitionBy(col("a_id"), col("b_id"), col("d")).orderBy(col("pa"))))
+    runs.groupBy("a_id", "b_id", "d", "grp")
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (max(col("pa")) - min(col("pa")) + lit(GramK.toLong)).as("span_len"))
+      .filter(col("span_len") >= MinSpan)
+      .select("a_id", "b_id", "a_start", "b_start", "span_len")
+      .orderBy("a_id", "b_id", "a_start", "b_start")
+  }
+
+  val substringSpansSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i AS pos, array_to_string(tk[i:i+${GramK - 1}], ' ') AS g
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - ${GramK - 1})) AS i) s
+       |  WHERE len(tk) >= $GramK
+       |),
+       |keep AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= $OccCap),
+       |m AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa, b.pos AS pb,
+       |         a.pos - b.pos AS d
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  WHERE a.g IN (SELECT g FROM keep)
+       |),
+       |runs AS (
+       |  SELECT a_id, b_id, d, pa, pb,
+       |         pa - row_number() OVER (PARTITION BY a_id, b_id, d ORDER BY pa) AS grp
+       |  FROM m
+       |)
+       |SELECT a_id, b_id, min(pa) AS a_start, min(pb) AS b_start,
+       |       CAST(max(pa) - min(pa) + $GramK AS BIGINT) AS span_len
+       |FROM runs GROUP BY a_id, b_id, d, grp
+       |HAVING max(pa) - min(pa) + $GramK >= $MinSpan
+       |ORDER BY a_id, b_id, a_start, b_start""".stripMargin
+
+  // ----------------------------------------------------------- containment
+  /** Containment threshold — pairs with |A∩B| / min(|A|,|B|) at or above
+    * this are reported. */
+  val ContainmentT = 0.6
+
+  /** Asymmetric near-dup: shingle-set CONTAINMENT |A∩B| / min(|A|,|B|)
+    * (Broder 1997's second resemblance measure, "On the resemblance and
+    * containment of documents"). Jaccard is blind to doc-inside-doc
+    * duplication — a 40-shingle page pasted verbatim into a 400-shingle
+    * page scores jac ≈ 0.1 but containment = 1.0; a curation pipeline that
+    * drops only symmetric near-dups keeps every such embedded copy.
+    * Same inverted-index candidate generation as [[Dedup.jaccardNearDup]]
+    * (only docs sharing ≥ 1 shingle ever meet; one partial-agg shuffle
+    * counts intersections), same exact-integer-ratio scoring discipline —
+    * both the containment and the companion Jaccard column are ratios of
+    * longs in double, bit-identical across engines, so the pair is
+    * hash-gated. At 100 TB this inherits the family's df-cap refinement
+    * verbatim (a capped variant composes exactly as jaccardNearDupDfCap
+    * does; kept uncapped here so the oracle is the exact definition). */
+  def containmentNearDup(s: SparkSession, dir: String): DataFrame =
+    containmentFrom(Tables.documents(s, dir))
+
+  /** [[containmentNearDup]] parametrized by the document set. */
+  private[graft] def containmentFrom(docs: DataFrame): DataFrame = {
+    val docsArr = Dedup.shingleArrays(docs).cache()
+    val sh = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = docsArr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val common = sh.select(col("doc_id").as("a_id"), col("s"))
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), "s")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("containment", col("c").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= ContainmentT)
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .select("a_id", "b_id", "containment", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  val containmentNearDupSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+       |  WHERE len(tk) >= 3
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a_id, b_id,
+       |       c * 1.0 / least(sa.n, sb.n) AS containment,
+       |       c * 1.0 / (sa.n + sb.n - c) AS jac
+       |FROM common JOIN sizes sa ON sa.doc_id = a_id
+       |            JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE c * 1.0 / least(sa.n, sb.n) >= $ContainmentT
+       |ORDER BY a_id, b_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "neardup_substring_spans" -> (substringSpans _),
+    "neardup_containment"     -> (containmentNearDup _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "neardup_substring_spans" -> substringSpansSql,
+    "neardup_containment"     -> containmentNearDupSql
+  )
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Analytics, SubstringDedup}
+
+/** Fixture-driven proofs for the substring-level dedup family and BM25 —
+  * each test plants the one behavior the harness corpus cannot witness
+  * (the driver oracle hash-gates the corpus-level results; these pin the
+  * semantics the oracle merely reproduces). */
+class SubstringDedupSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // 26 distinct filler tokens so no accidental 8-gram repeats
+  private def filler(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("substring spans: a planted shared run is found once, maximal, with exact positions") {
+    val run = (0 until 15).map(i => s"run$i").mkString(" ") // 15-token shared run
+    val a = filler("a", 10) + " " + run + " " + filler("z", 5)  // run at pos 11
+    val b = run + " " + filler("q", 20)                          // run at pos 1
+    val out = SubstringDedup.substringSpansFrom(docs(1L -> a, 2L -> b))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ONE maximal span — the gaps-and-islands merge must not emit the
+    // 15−8+1 = 8 constituent anchor matches as separate rows
+    assert(out.toSeq == Seq((1L, 2L, 11L, 1L, 15L)), out.toSeq.toString)
+  }
+
+  test("substring spans: runs shorter than MinSpan or gram width are not reported") {
+    val run = (0 until SubstringDedup.MinSpan - 1).map(i => s"r$i").mkString(" ")
+    val out = SubstringDedup.substringSpansFrom(docs(
+      1L -> (run + " " + filler("a", 10)),
+      2L -> (run + " " + filler("b", 10)))).collect()
+    assert(out.isEmpty, s"an ${SubstringDedup.MinSpan - 1}-token run is below the threshold")
+  }
+
+  test("substring spans: two separate shared runs in one pair stay two spans") {
+    val r1 = (0 until 12).map(i => s"x$i").mkString(" ")
+    val r2 = (0 until 13).map(i => s"y$i").mkString(" ")
+    val out = SubstringDedup.substringSpansFrom(docs(
+      1L -> (r1 + " " + filler("a", 9) + " " + r2),
+      2L -> (r1 + " " + filler("b", 4) + " " + r2)))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // r1 at (1,1) len 12; r2 at a-pos 12+9+1=22, b-pos 12+4+1=17, len 13
+    assert(out == Set((1L, 1L, 12L), (22L, 17L, 13L)), out.toString)
+  }
+
+  test("substring spans: the occurrence cap silences corpus-wide boilerplate grams") {
+    val boiler = (0 until 12).map(i => s"bp$i").mkString(" ")
+    // OccCap+1 docs all carrying the same 12-token boilerplate run: every
+    // anchor gram inside it exceeds the corpus-wide occurrence cap, so the
+    // run generates NO candidates at all — the 100 TB hot-key guard
+    val many = (1L to (SubstringDedup.OccCap + 1).toLong).map(i =>
+      i -> (boiler + " " + filler(s"u${i}_", 10)))
+    val out = SubstringDedup.substringSpansFrom(docs(many: _*)).collect()
+    assert(out.isEmpty, "boilerplate over the cap must not fan out candidates")
+  }
+
+  test("containment separates doc-inside-doc from symmetric similarity where Jaccard cannot") {
+    val small = (0 until 20).map(i => s"c$i").mkString(" ")
+    val big = small + " " + filler("w", 80)
+    val out = SubstringDedup.containmentFrom(docs(1L -> small, 2L -> big))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 1)
+    val (_, _, cont, jac) = out.head
+    assert(cont == 1.0, s"the small doc's shingles are all in the big doc: $cont")
+    assert(jac < 0.5, s"Jaccard must miss this embedded copy: $jac")
+  }
+
+  test("bm25: more query-term occurrences rank higher at equal length; absent docs don't appear") {
+    val d1 = 1L -> ("spark spark spark " + filler("a", 27))
+    val d2 = 2L -> ("spark " + filler("b", 29))
+    val d3 = 3L -> filler("c", 30)
+    val out = Analytics.bm25From(spark, docs(d1, d2, d3))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L), out.toSeq.toString)
+    assert(out(0)._2 > out(1)._2, "tf saturation still orders 3 hits above 1")
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    val short = 1L -> ("shuffle " + filler("a", 9))
+    val long  = 2L -> ("shuffle " + filler("b", 59))
+    val out = Analytics.bm25From(spark, docs(short, long))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L),
+      s"b=0.75 must penalize the longer doc: ${out.toSeq}")
+  }
+}
