@@ -413,21 +413,70 @@ object MediaCodecs {
     out
   }
 
+  /** Wrap bytes in a structurally-true GIF89a: signature, Logical Screen
+    * Descriptor with LITTLE-endian dims (GIF is the one LE format in this
+    * sniffer — an endianness slip that happens to pass PNG/JPEG breaks
+    * here), no global color table, `data` as opaque blocks, 0x3B trailer.
+    * Total size = 14 + data.length. */
+  def toGif(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(14 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes(StandardCharsets.US_ASCII))
+    b.putShort(w.toShort).putShort(h.toShort)       // LSD dims, LE
+    b.put(0.toByte).put(0.toByte).put(0.toByte)     // no GCT, bg 0, aspect 0
+    b.put(data)
+    b.put(0x3B.toByte)                              // trailer
+    b.array()
+  }
+
+  /** Wrap bytes in a structurally-true FLAC: "fLaC" signature + mandatory
+    * first STREAMINFO metadata block (34 bytes) carrying the given sample
+    * rate (20 bits), stereo (3-bit channels−1), 16-bit samples (5-bit
+    * bps−1) and total sample count (36 bits) — the exact bit packing the
+    * spec mandates, so the sniffer must do sub-byte math to read it back.
+    * Total size = 42 + data.length. */
+  def toFlac(data: Array[Byte], sampleRate: Int, totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), s"sample rate $sampleRate")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), s"total samples $totalSamples")
+    val b = ByteBuffer.allocate(42 + data.length).order(ByteOrder.BIG_ENDIAN)
+    b.put("fLaC".getBytes(StandardCharsets.US_ASCII))
+    b.put(0x80.toByte)                              // last-block | type 0
+    b.put(0.toByte).put(0.toByte).put(34.toByte)    // block length 34, u24 BE
+    b.putShort(4096.toShort).putShort(4096.toShort) // min/max blocksize
+    b.put(0.toByte).put(0.toByte).put(0.toByte)     // min framesize (unknown)
+    b.put(0.toByte).put(0.toByte).put(0.toByte)     // max framesize (unknown)
+    // 20-bit sample rate | 3-bit channels-1 (stereo=001) | 5-bit bps-1
+    // (16→01111) | 36-bit total samples, packed MSB-first across 8 bytes
+    b.put((sampleRate >> 12).toByte)
+    b.put((sampleRate >> 4).toByte)
+    b.put((((sampleRate & 0xF) << 4) | (1 << 1) | ((16 - 1) >> 4)).toByte)
+    b.put(((((16 - 1) & 0xF) << 4) | ((totalSamples >> 32).toInt & 0xF)).toByte)
+    b.putInt((totalSamples & 0xFFFFFFFFL).toInt)
+    b.put(new Array[Byte](16))                      // MD5 of raw audio: zeros
+    b.put(data)
+    b.array()
+  }
+
   /** Header-only metadata sniff: dispatch on real-world signatures and
     * read the metadata fields out of the headers — PNG IHDR dims (IHDR is
     * mandated first chunk), JPEG SOFn dims via a marker-segment walk
     * (APPn/anything skipped by declared length until SOF0/1/2; stop at
-    * SOS), MP3 frame-header bitrate/sample-rate with duration estimated
-    * as bytes·8/bitrate the way every tag-less MP3 probe does. Unknown
-    * signatures → format "unknown", zeros — route to quarantine
-    * downstream. Malformed KNOWN formats (truncated header, bad
-    * reserved bits) throw like the full decoders do. */
+    * SOS), GIF Logical-Screen-Descriptor dims (little-endian), FLAC
+    * STREAMINFO sample rate / duration via the spec's sub-byte packing
+    * (20-bit rate, 36-bit sample count), MP3 frame-header
+    * bitrate/sample-rate with duration estimated as bytes·8/bitrate the
+    * way every tag-less MP3 probe does. Unknown signatures → format
+    * "unknown", zeros — route to quarantine downstream. Malformed KNOWN
+    * formats (truncated header, bad reserved bits) throw like the full
+    * decoders do. */
   def sniff(bytes: Array[Byte]): SniffedMeta = {
     val n = bytes.length.toLong
     def be16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
     def be32(i: Int): Int =
       ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
         ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    def le16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def ascii(i: Int, len: Int): String =
+      if (bytes.length >= i + len) new String(bytes, i, len, StandardCharsets.US_ASCII) else ""
     if (bytes.length >= 8 && bytes.take(8).sameElements(PngSig)) {
       require(bytes.length >= 33, s"PNG truncated before IHDR ($n bytes)")
       require(new String(bytes, 12, 4, StandardCharsets.US_ASCII) == "IHDR",
@@ -460,6 +509,18 @@ object MediaCodecs {
       require(si <= 2, s"invalid MP3 sample-rate index $si")
       val kbps = Mp3Bitrates(bi)
       SniffedMeta("mp3", 0, 0, Mp3SampleRates(si), kbps, n * 8 / kbps, n)
+    } else if (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a") {
+      require(bytes.length >= 13, s"GIF truncated before screen descriptor ($n bytes)")
+      SniffedMeta("gif", le16(6), le16(8), 0, 0, 0L, n)
+    } else if (ascii(0, 4) == "fLaC") {
+      require(bytes.length >= 42, s"FLAC truncated before STREAMINFO ($n bytes)")
+      require((bytes(4) & 0x7f) == 0, "FLAC first metadata block is not STREAMINFO")
+      val sr = ((bytes(18) & 0xff) << 12) | ((bytes(19) & 0xff) << 4) |
+        ((bytes(20) & 0xff) >> 4)
+      require(sr > 0, "FLAC sample rate 0 is invalid in STREAMINFO")
+      val totalSamples = ((bytes(21) & 0xF).toLong << 32) |
+        ((be32(22).toLong) & 0xFFFFFFFFL)
+      SniffedMeta("flac", 0, 0, sr, 0, totalSamples * 1000L / sr, n)
     } else SniffedMeta("unknown", 0, 0, 0, 0, 0L, n)
   }
 }

@@ -420,23 +420,26 @@ object Multimodal {
                       sample_rate: Int, bitrate_kbps: Int, duration_ms: Long,
                       n_bytes: Long)
 
-  /** Real-world-format metadata sniffing — JPEG / PNG / MP3 header parsing
-    * with NO decode ([[graft.functions.MediaCodecs.sniff]]): the triage
-    * pass a production ingest runs over arriving objects to route, filter
-    * and budget them (dimensions, sample rate, duration) before any
-    * expensive decode. Payloads are synthesized with structurally true
-    * headers (real signatures, chunk/segment walks, planted dims/bitrates
-    * derived from doc arithmetic) and a quarter of docs carry NO known
-    * signature — sniff reports those as `unknown` (the quarantine route)
-    * rather than throwing, because unknown formats are data, not bugs.
+  /** Real-world-format metadata sniffing — JPEG / PNG / MP3 / GIF / FLAC
+    * header parsing with NO decode ([[graft.functions.MediaCodecs.sniff]]):
+    * the triage pass a production ingest runs over arriving objects to
+    * route, filter and budget them (dimensions, sample rate, duration)
+    * before any expensive decode. Payloads are synthesized with
+    * structurally true headers (real signatures, chunk/segment walks,
+    * planted dims/bitrates derived from doc arithmetic) and a sixth of
+    * docs carry NO known signature — sniff reports those as `unknown`
+    * (the quarantine route) rather than throwing, because unknown formats
+    * are data, not bugs.
     *
     * The oracle recomputes every header field from the same doc
     * arithmetic, so the hash gate proves the byte packing AND the parse:
-    * a single endianness slip, a swapped JPEG height/width, or an
-    * off-by-one in the MP3 bitrate table breaks the match. Header-only
-    * cost at 100 TB: this reads each payload's first bytes and never
-    * touches sample data — with payloads columnar in parquet the scan is
-    * still payload-column-wide, but the per-row work is O(header). */
+    * a single endianness slip (GIF dims are the one little-endian field),
+    * a swapped JPEG height/width, an off-by-one in the MP3 bitrate table,
+    * or a mis-shifted bit in FLAC's 20-bit sample-rate packing breaks the
+    * match. Header-only cost at 100 TB: this reads each payload's first
+    * bytes and never touches sample data — with payloads columnar in
+    * parquet the scan is still payload-column-wide, but the per-row work
+    * is O(header). */
   def sniffMetadata(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.MediaCodecs
     val enc = org.apache.spark.sql.Encoders.product[SniffRow]
@@ -445,10 +448,13 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0); val data = r.getAs[Array[Byte]](1)
-          val payload = (id % 4) match {
+          val payload = (id % 6) match {
             case 0 => MediaCodecs.toPng(data, data.length % 640 + 1, (id % 480).toInt + 1)
             case 1 => MediaCodecs.toJpeg(data, data.length % 640 + 1, (id % 480).toInt + 1)
             case 2 => MediaCodecs.toMp3(data, (id % 14).toInt + 1, (id % 3).toInt)
+            case 3 => MediaCodecs.toGif(data, data.length % 640 + 1, (id % 480).toInt + 1)
+            case 4 => MediaCodecs.toFlac(data, Array(44100, 48000, 32000)((id % 3).toInt),
+              data.length.toLong * 100)
             case _ => data // raw utf-8: no known signature → unknown
           }
           val m = MediaCodecs.sniff(payload)
@@ -463,21 +469,24 @@ object Multimodal {
   val sniffMetadataSql: String =
     """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
       |SELECT doc_id,
-      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-      |                  WHEN 2 THEN 'mp3' ELSE 'unknown' END AS format,
-      |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN len % 640 + 1 ELSE 0 END AS INT) AS width,
-      |  CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN doc_id % 480 + 1 ELSE 0 END AS INT) AS height,
-      |  CAST(CASE WHEN doc_id % 4 = 2
+      |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'mp3'
+      |                  WHEN 3 THEN 'gif' WHEN 4 THEN 'flac' ELSE 'unknown' END AS format,
+      |  CAST(CASE WHEN doc_id % 6 IN (0, 1, 3) THEN len % 640 + 1 ELSE 0 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 6 IN (0, 1, 3) THEN doc_id % 480 + 1 ELSE 0 END AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 6 IN (2, 4)
       |            THEN ([44100, 48000, 32000])[CAST(doc_id % 3 AS INT) + 1]
       |            ELSE 0 END AS INT) AS sample_rate,
-      |  CAST(CASE WHEN doc_id % 4 = 2
+      |  CAST(CASE WHEN doc_id % 6 = 2
       |            THEN ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(doc_id % 14 AS INT) + 2]
       |            ELSE 0 END AS INT) AS bitrate_kbps,
-      |  CAST(CASE WHEN doc_id % 4 = 2
+      |  CAST(CASE WHEN doc_id % 6 = 2
       |            THEN ((len + 4) * 8) // ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(doc_id % 14 AS INT) + 2]
+      |            WHEN doc_id % 6 = 4
+      |            THEN (len * 100 * 1000) // ([44100, 48000, 32000])[CAST(doc_id % 3 AS INT) + 1]
       |            ELSE 0 END AS BIGINT) AS duration_ms,
-      |  CAST(CASE doc_id % 4 WHEN 0 THEN len + 57 WHEN 1 THEN len + 55
-      |                       WHEN 2 THEN len + 4 ELSE len END AS BIGINT) AS n_bytes
+      |  CAST(CASE doc_id % 6 WHEN 0 THEN len + 57 WHEN 1 THEN len + 55
+      |                       WHEN 2 THEN len + 4 WHEN 3 THEN len + 14
+      |                       WHEN 4 THEN len + 42 ELSE len END AS BIGINT) AS n_bytes
       |FROM d ORDER BY doc_id""".stripMargin
 
   /** Payload-size distribution per mime: exact p50/p90/p99 of byte sizes —

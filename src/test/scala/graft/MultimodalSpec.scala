@@ -166,6 +166,30 @@ class MultimodalSpec extends GraftSpec {
       (data.length + 4L) * 8 / 128, data.length + 4L))
   }
 
+  test("sniff: GIF dims are little-endian; FLAC sample rate survives the 20-bit packing") {
+    val data = "payload".getBytes("UTF-8")
+    // 640 = 0x0280: an endianness slip reads 0x8002 = 32770 — unmissable
+    val gif = MediaCodecs.sniff(MediaCodecs.toGif(data, 640, 480))
+    assert(gif == MediaCodecs.SniffedMeta("gif", 640, 480, 0, 0, 0L, data.length + 14L))
+    // 44100 = 0xAC44 straddles all three packed bytes; 90000 samples
+    val flac = MediaCodecs.sniff(MediaCodecs.toFlac(data, 44100, 90000L))
+    assert(flac == MediaCodecs.SniffedMeta("flac", 0, 0, 44100, 0,
+      90000L * 1000 / 44100, data.length + 42L))
+    // a >32-bit total-sample count exercises the 36-bit split across the
+    // nibble byte and the following u32
+    val big = MediaCodecs.sniff(MediaCodecs.toFlac(data, 48000, (1L << 33) + 5))
+    assert(big.sampleRate == 48000 && big.durationMs == ((1L << 33) + 5) * 1000 / 48000)
+  }
+
+  test("sniff: truncated GIF/FLAC throw; FLAC without leading STREAMINFO throws") {
+    val gif = MediaCodecs.toGif("abc".getBytes("UTF-8"), 2, 2)
+    intercept[IllegalArgumentException](MediaCodecs.sniff(gif.take(10)))
+    val flac = MediaCodecs.toFlac("abc".getBytes("UTF-8"), 44100, 10L)
+    intercept[IllegalArgumentException](MediaCodecs.sniff(flac.take(30)))
+    val wrongFirst = flac.clone(); wrongFirst(4) = 0x84.toByte // type 4 first
+    intercept[IllegalArgumentException](MediaCodecs.sniff(wrongFirst))
+  }
+
   test("sniff: JPEG walk skips foreign APP segments and reads SOF height-first") {
     // splice an extra APP1 (Exif-style) segment between SOI and the rest;
     // the marker walk must skip it by declared length and still find SOF0
