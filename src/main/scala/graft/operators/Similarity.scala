@@ -722,9 +722,19 @@ object Similarity {
     * — at 100 TB the broadcast is the k×dim centroid table (KBs) and the
     * update shuffles (centroid, dim) scalars, so no step holds a vector
     * table in one place. Output is the final per-centroid occupancy and
-    * inertia. Rows-only gate (a 3-deep iterated plan has no tractable SQL
-    * twin); spec asserts determinism, total membership, and that inertia
-    * does not increase with more iterations. */
+    * inertia.
+    *
+    * Hash-gated: the iteration count is FIXED, so the DuckDB twin simply
+    * unrolls the three Lloyd rounds as chained CTEs — no recursion needed.
+    * Cross-engine bit-exactness holds because every number on the
+    * comparison path is order-insensitive or order-fixed: distances are
+    * sequential left-to-right double dots on both engines
+    * ([[graft.functions.DotProduct]] ↔ `list_inner_product`), update
+    * means are DECIMAL(28,12) sums (exact, any order) divided then cast
+    * to double once, and inertia is a decimal sum rounded at 6. Verified
+    * identical at both gate scales — including every per-centroid
+    * membership count, which means every one of the ~n·k·iters rank
+    * decisions agreed. */
   def kmeansFit(s: SparkSession, dir: String): DataFrame =
     kmeansFitIters(s, dir, KmeansIters)
 
@@ -758,6 +768,36 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"),
            round(sum(col("d2").cast("decimal(28,12)")).cast("double"), 6).as("inertia"))
       .orderBy("c_id")
+  }
+
+  /** [[kmeansFit]]'s DuckDB twin: [[KmeansIters]] = 3 Lloyd rounds
+    * unrolled as CTEs (init → assign → update → assign → update → final
+    * assign), each stage the literal SQL of its Spark counterpart. */
+  val kmeansFitSql: String = {
+    def assign(cent: String): String =
+      s"""SELECT e.vec_id, e.v, $cent.c_id,
+         |       list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, $cent.cv)
+         |         + list_inner_product($cent.cv, $cent.cv) AS d2
+         |FROM e CROSS JOIN $cent
+         |QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d2, c_id) = 1""".stripMargin
+    def update(a: String): String =
+      s"""SELECT c_id, list_transform(list_sort(list({'dim': dim, 'm': m})), p -> p.m) AS cv
+         |FROM (
+         |  SELECT c_id, dim, CAST(sum(CAST(x AS DECIMAL(28,12))) / count(*) AS DOUBLE) AS m
+         |  FROM (SELECT c_id, i - 1 AS dim, v[i] AS x
+         |        FROM $a, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g)
+         |  GROUP BY c_id, dim
+         |) GROUP BY c_id""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 200 = 0),
+       |a1 AS (${assign("c0")}),
+       |c1 AS (${update("a1")}),
+       |a2 AS (${assign("c1")}),
+       |c2 AS (${update("a2")}),
+       |a3 AS (${assign("c2")})
+       |SELECT c_id, count(*) AS n_members,
+       |       round(CAST(sum(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE), 6) AS inertia
+       |FROM a3 GROUP BY c_id ORDER BY c_id""".stripMargin
   }
 
   /** Per-label embedding centroids — the k-means UPDATE step paired with
@@ -1246,6 +1286,9 @@ object Similarity {
     // EXACTLY — same oracle, hash-compared (the dedup index's pattern)
     "ann_ivf_indexed" -> ivfTopKSql,
     "emb_label_centroids" -> labelCentroidsSql,
+    // fixed iteration count → the twin unrolls the Lloyd rounds as CTEs;
+    // decimal means + order-fixed double dots make it bit-exact
+    "emb_kmeans_fit" -> kmeansFitSql,
     "emb_neardup_cosine" -> cosineNearDupSql,
     "emb_neardup_signgrid" -> cosineNearDupSignGridSql,
     "emb_neardup_srp_md5"  -> cosineNearDupSrpMd5Sql,
