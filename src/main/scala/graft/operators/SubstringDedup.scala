@@ -106,8 +106,12 @@ object SubstringDedup {
       .orderBy("a_id", "b_id", "a_start", "b_start")
   }
 
-  val substringSpansSql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** Shared WITH-clause body: the span pipeline's stages as named CTEs
+    * ending in `spans` — the spans query selects from it directly and the
+    * excision oracle builds on it, so one SQL definition serves both
+    * (desync between the find and the remove steps is impossible). */
+  private val spansCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |grams AS (
        |  SELECT doc_id, i AS pos, array_to_string(tk[i:i+${GramK - 1}], ' ') AS g
        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - ${GramK - 1})) AS i) s
@@ -124,12 +128,72 @@ object SubstringDedup {
        |  SELECT a_id, b_id, d, pa, pb,
        |         pa - row_number() OVER (PARTITION BY a_id, b_id, d ORDER BY pa) AS grp
        |  FROM m
-       |)
-       |SELECT a_id, b_id, min(pa) AS a_start, min(pb) AS b_start,
-       |       CAST(max(pa) - min(pa) + $GramK AS BIGINT) AS span_len
-       |FROM runs GROUP BY a_id, b_id, d, grp
-       |HAVING max(pa) - min(pa) + $GramK >= $MinSpan
-       |ORDER BY a_id, b_id, a_start, b_start""".stripMargin
+       |),
+       |spans AS (
+       |  SELECT a_id, b_id, min(pa) AS a_start, min(pb) AS b_start,
+       |         CAST(max(pa) - min(pa) + $GramK AS BIGINT) AS span_len
+       |  FROM runs GROUP BY a_id, b_id, d, grp
+       |  HAVING max(pa) - min(pa) + $GramK >= $MinSpan
+       |)""".stripMargin
+
+  val substringSpansSql: String =
+    s"""WITH $spansCtes
+       |SELECT a_id, b_id, a_start, b_start, span_len
+       |FROM spans ORDER BY a_id, b_id, a_start, b_start""".stripMargin
+
+  // ------------------------------------------------------- span excision
+  /** The curation ACTION on top of [[substringSpans]]: remove each
+    * duplicated run from the LATER document of its pair (the `a_id <
+    * b_id` orientation makes the earlier doc the canonical copy — the
+    * same keep-first convention as [[Dedup.exactDedup]]), per the removal
+    * step of Lee et al., ACL 2022 (their ExactSubstr deletes every later
+    * repetition of a duplicated substring). Output: only the affected
+    * docs, with before/removed token counts and the cleaned text.
+    *
+    * Overlapping spans need no interval merge: a token is dropped iff ANY
+    * span covers its position (`exists` over the doc's interval array),
+    * which is order- and overlap-insensitive — so the nondeterministic
+    * `collect_list` order never reaches the output. Per-row cost is
+    * O(tokens × intervals) with intervals a handful per doc; the interval
+    * table is span-output-sized (tiny vs the corpus), so the join adds
+    * one broadcast-or-small shuffle beyond the span query itself. A doc
+    * can be fully excised (every token covered) — clean_text is then the
+    * empty string, a row the curation layer downstream drops as a full
+    * duplicate. */
+  def spanExcise(s: SparkSession, dir: String): DataFrame =
+    spanExciseFrom(Tables.documents(s, dir))
+
+  private[graft] def spanExciseFrom(docs: DataFrame): DataFrame = {
+    val ivs = substringSpansFrom(docs)
+      .select(col("b_id").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("span_len") - 1).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .join(ivs, "doc_id")
+      .withColumn("kept", expr(
+        """filter(transform(tk, (t, i) -> struct(t AS t, CAST(i + 1 AS BIGINT) AS p)),
+          |       x -> NOT exists(ivs, iv -> iv.s <= x.p AND x.p <= iv.e))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_before"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", expr("transform(kept, x -> x.t)")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val spanExciseSql: String =
+    s"""WITH $spansCtes,
+       |ivs AS (SELECT b_id AS doc_id, b_start AS s, b_start + span_len - 1 AS e FROM spans),
+       |iva AS (SELECT doc_id, list({'s': s, 'e': e}) AS ivs FROM ivs GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(tk) AS BIGINT) AS n_before,
+       |       CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+       |       coalesce(array_to_string(kept, ' '), '') AS clean_text
+       |FROM (SELECT doc_id, tk FROM toks) d JOIN iva ON d.doc_id = iva.doc_id,
+       |LATERAL (SELECT list_transform(
+       |           list_filter(list_transform(generate_series(1, len(tk)), i -> {'t': tk[i], 'p': i}),
+       |             x -> len(list_filter(ivs, iv -> iv.s <= x.p AND x.p <= iv.e)) = 0),
+       |           x -> x.t) AS kept) k
+       |ORDER BY d.doc_id""".stripMargin
 
   // ----------------------------------------------------------- containment
   /** Containment threshold — pairs with |A∩B| / min(|A|,|B|) at or above
@@ -195,11 +259,13 @@ object SubstringDedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "neardup_substring_spans" -> (substringSpans _),
+    "dedup_span_excise"       -> (spanExcise _),
     "neardup_containment"     -> (containmentNearDup _)
   )
 
   def oracles: Map[String, String] = Map(
     "neardup_substring_spans" -> substringSpansSql,
+    "dedup_span_excise"       -> spanExciseSql,
     "neardup_containment"     -> containmentNearDupSql
   )
 }

@@ -58,6 +58,31 @@ class SubstringDedupSpec extends GraftSpec {
     assert(out.isEmpty, "boilerplate over the cap must not fan out candidates")
   }
 
+  test("span excision removes the duplicated run from the later doc only, keeps the earlier intact") {
+    val run = (0 until 15).map(i => s"run$i").mkString(" ")
+    val tail = filler("q", 20)
+    val out = SubstringDedup.spanExciseFrom(docs(
+      1L -> (run + " " + filler("a", 10)),
+      2L -> (run + " " + tail)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1 is canonical (a_id side) — untouched, so absent from output;
+    // doc 2 loses exactly the 15 run tokens and keeps its own tail
+    assert(out.toSeq == Seq((2L, 35L, 15L, tail)), out.toSeq.toString)
+  }
+
+  test("span excision: overlapping spans never double-count; full duplicates excise to empty") {
+    val run = (0 until 20).map(i => s"v$i").mkString(" ")
+    // doc 3 duplicates doc 1 AND doc 2's overlapping halves of the same
+    // run — two spans covering overlapping position ranges of doc 3
+    val out = SubstringDedup.spanExciseFrom(docs(
+      1L -> (run + " " + filler("a", 10)),
+      2L -> run,
+      3L -> run))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(2L) == ((20L, 20L, "")), s"doc 2 is a full duplicate of doc 1's prefix: ${out(2L)}")
+    assert(out(3L) == ((20L, 20L, "")), s"overlapping spans on doc 3 must not over- or under-count: ${out(3L)}")
+  }
+
   test("containment separates doc-inside-doc from symmetric similarity where Jaccard cannot") {
     val small = (0 until 20).map(i => s"c$i").mkString(" ")
     val big = small + " " + filler("w", 80)
