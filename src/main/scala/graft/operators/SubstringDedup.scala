@@ -195,6 +195,161 @@ object SubstringDedup {
        |           x -> x.t) AS kept) k
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------- incremental probe + standing index
+  /** Anchors → maximal spans between two positional-gram sides — the
+    * shared tail of the batch-vs-corpus probes (the self-join family
+    * above inlines the same window+aggregate with `a_id < b_id`). */
+  private def spansBetween(bg: DataFrame, cg: DataFrame): DataFrame = {
+    val anchors = bg.join(cg, "g")
+      .select(col("batch_id"), col("corpus_id"), col("pb"), col("pc"),
+        (col("pb") - col("pc")).as("d"))
+    val runs = anchors.withColumn("grp",
+      col("pb") - row_number().over(
+        Window.partitionBy(col("batch_id"), col("corpus_id"), col("d")).orderBy(col("pb"))))
+    runs.groupBy("batch_id", "corpus_id", "d", "grp")
+      .agg(min(col("pb")).as("b_start"), min(col("pc")).as("c_start"),
+        (max(col("pb")) - min(col("pb")) + lit(GramK.toLong)).as("span_len"))
+      .filter(col("span_len") >= MinSpan)
+      .select("batch_id", "corpus_id", "b_start", "c_start", "span_len")
+      .orderBy("batch_id", "corpus_id", "b_start", "c_start")
+  }
+
+  /** Batch-vs-corpus substring probe (the [[Dedup.incrementalDedup]]
+    * split: doc_id % 7 == 0 is today's batch, the rest the standing
+    * corpus): every duplicated run ≥ [[MinSpan]] between a batch doc and
+    * a corpus doc. The occurrence cap counts CORPUS occurrences only —
+    * the stop-gram set is a property of the corpus, so the indexed form
+    * below can freeze it at build time without a daily batch reordering
+    * anything (the same frozen-global-order discipline as
+    * [[StandingIndex]]'s dfreq table). Per-run rebuild form; hash-gated
+    * against the same oracle as the indexed probe. */
+  def incrementalSubstring(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cg0 = positionalGrams(docs.filter(col("doc_id") % 7 =!= 0))
+    val cg = cg0
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("occ") <= OccCap)
+      .select(col("doc_id").as("corpus_id"), col("pos").as("pc"), col("g"))
+    val bg = positionalGrams(docs.filter(col("doc_id") % 7 === 0))
+      .select(col("doc_id").as("batch_id"), col("pos").as("pb"), col("g"))
+    spansBetween(bg, cg)
+  }
+
+  /** Gram-index builds done this session, keyed by (session, corpus dir)
+    * — same memo discipline as [[StandingIndex.ensureBuilt]]. */
+  private val gramBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  private def gramTableNames(tag: String): Seq[String] =
+    Seq("grams", "gstop").map(n => s"graft_idx_${n}_$tag")
+
+  /** Build (once per session+dir) the standing gram index, or adopt one
+    * an earlier session left in the catalog. Two bucketed tables:
+    *
+    *   grams (corpus_id, pos, g)  bucketed by g — PRE-CAPPED: stop grams
+    *         (corpus occurrence > [[OccCap]]) are excluded at build, so
+    *         probes need no occurrence filter at all and a viral
+    *         boilerplate gram is simply absent from the index;
+    *   gstop (g)                  bucketed by g — the FROZEN stop set,
+    *         read only by [[appendGrams]] so appended docs drop exactly
+    *         the grams the original build dropped (re-counting over the
+    *         grown corpus would grow the stop set and silently delete
+    *         index entries a rebuild would keep — the same reason
+    *         [[StandingIndex]] never appends to dfreq).
+    */
+  def ensureGramIndex(s: SparkSession, dir: String): String = gramBuilt.synchronized {
+    val k = (s, dir)
+    val existing = gramBuilt.get(k)
+    if (existing != null) existing
+    else {
+      val tag = StandingIndex.tagOf(dir)
+      if (!gramTableNames(tag).forall(s.catalog.tableExists)) {
+        buildGramsFor(s, Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0), tag)
+      }
+      gramBuilt.put(k, tag)
+      tag
+    }
+  }
+
+  /** Write the two gram-index tables for `corpus` under `tag` (overwrite).
+    * Package-visible so specs can index arbitrary corpora. */
+  private[graft] def buildGramsFor(s: SparkSession, corpus: DataFrame, tag: String): Unit = {
+    val g = positionalGrams(corpus)
+      .select(col("doc_id").as("corpus_id"), col("pos"), col("g"))
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .cache()
+    StandingIndex.save(g.filter(col("occ") <= OccCap).drop("occ"),
+      tag, "grams", "g", "overwrite")
+    StandingIndex.save(g.filter(col("occ") > OccCap).select("g").distinct(),
+      tag, "gstop", "g", "overwrite")
+  }
+
+  /** Append newly admitted corpus docs to an existing gram index: their
+    * grams minus the FROZEN stop set, as new bucketed files in the same
+    * table (bucket spec matches → probe joins stay exchange-free). The
+    * probe over the appended index equals a fresh build over the unioned
+    * corpus UNDER THE ORIGINAL STOP SET — the exact analogue of the
+    * frozen-dfreq contract, and what the spec asserts. */
+  private[graft] def appendGrams(s: SparkSession, tag: String, docs: DataFrame): Unit =
+    gramBuilt.synchronized {
+      StandingIndex.save(
+        positionalGrams(docs)
+          .select(col("doc_id").as("corpus_id"), col("pos"), col("g"))
+          .join(s.table(s"graft_idx_gstop_$tag"), Seq("g"), "left_anti"),
+        tag, "grams", "g", "append")
+    }
+
+  /** [[incrementalSubstring]] answered from the standing gram index: the
+    * corpus side is never rescanned, re-exploded or reshuffled — the
+    * probe's one join lands on the bucketed gram table's own key, so only
+    * the batch sliver moves. Output hash-identical to the per-run rebuild
+    * (same DuckDB oracle, driver-compared) — the [[StandingIndex]]
+    * pattern applied to the substring family. At 100 TB the gram table is
+    * large (one row per kept gram occurrence) but append-only and
+    * bucketed; the alternative the rebuild form pays — re-exploding the
+    * corpus into that same row count EVERY batch — is the cost this
+    * module deletes. */
+  def incrementalSubstringIndexed(s: SparkSession, dir: String): DataFrame =
+    probeGrams(s, ensureGramIndex(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 7 === 0))
+
+  /** Probe an already-built gram index with an arbitrary batch — the
+    * reusable form [[incrementalSubstringIndexed]] and the append spec
+    * drive. */
+  private[graft] def probeGrams(s: SparkSession, tag: String, batch: DataFrame): DataFrame = {
+    val bg = positionalGrams(batch)
+      .select(col("doc_id").as("batch_id"), col("pos").as("pb"), col("g"))
+    val cg = s.table(s"graft_idx_grams_$tag")
+      .select(col("corpus_id"), col("pos").as("pc"), col("g"))
+    spansBetween(bg, cg)
+  }
+
+  val incrementalSubstringSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |pg AS (
+       |  SELECT doc_id, i AS pos, array_to_string(tk[i:i+${GramK - 1}], ' ') AS g
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - ${GramK - 1})) AS i) s
+       |  WHERE len(tk) >= $GramK
+       |),
+       |cg AS (SELECT doc_id AS corpus_id, pos, g FROM pg WHERE doc_id % 7 <> 0),
+       |bg AS (SELECT doc_id AS batch_id, pos, g FROM pg WHERE doc_id % 7 = 0),
+       |keep AS (SELECT g FROM cg GROUP BY g HAVING count(*) <= $OccCap),
+       |m AS (
+       |  SELECT b.batch_id, c.corpus_id, b.pos AS pb, c.pos AS pc, b.pos - c.pos AS d
+       |  FROM bg b JOIN cg c ON b.g = c.g
+       |  WHERE b.g IN (SELECT g FROM keep)
+       |),
+       |runs AS (
+       |  SELECT batch_id, corpus_id, d, pb, pc,
+       |         pb - row_number() OVER (PARTITION BY batch_id, corpus_id, d ORDER BY pb) AS grp
+       |  FROM m
+       |)
+       |SELECT batch_id, corpus_id, min(pb) AS b_start, min(pc) AS c_start,
+       |       CAST(max(pb) - min(pb) + $GramK AS BIGINT) AS span_len
+       |FROM runs GROUP BY batch_id, corpus_id, d, grp
+       |HAVING max(pb) - min(pb) + $GramK >= $MinSpan
+       |ORDER BY batch_id, corpus_id, b_start, c_start""".stripMargin
+
   // ----------------------------------------------------------- containment
   /** Containment threshold — pairs with |A∩B| / min(|A|,|B|) at or above
     * this are reported. */
@@ -260,12 +415,18 @@ object SubstringDedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "neardup_substring_spans" -> (substringSpans _),
     "dedup_span_excise"       -> (spanExcise _),
+    "dedup_incremental_substring" -> (incrementalSubstring _),
+    "dedup_incremental_substring_indexed" -> (incrementalSubstringIndexed _),
     "neardup_containment"     -> (containmentNearDup _)
   )
 
   def oracles: Map[String, String] = Map(
     "neardup_substring_spans" -> substringSpansSql,
     "dedup_span_excise"       -> spanExciseSql,
+    "dedup_incremental_substring" -> incrementalSubstringSql,
+    // the standing-index probe must reproduce the per-run rebuild EXACTLY
+    // — same oracle, hash-compared (the StandingIndex pattern)
+    "dedup_incremental_substring_indexed" -> incrementalSubstringSql,
     "neardup_containment"     -> containmentNearDupSql
   )
 }

@@ -94,6 +94,39 @@ class SubstringDedupSpec extends GraftSpec {
     assert(jac < 0.5, s"Jaccard must miss this embedded copy: $jac")
   }
 
+  test("incremental substring: indexed probe equals the per-run rebuild on the harness corpus") {
+    val plain = SubstringDedup.incrementalSubstring(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val indexed = SubstringDedup.incrementalSubstringIndexed(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == plain,
+      s"lost ${(plain -- indexed).take(3)} / invented ${(indexed -- plain).take(3)}")
+    assert(plain.nonEmpty, "fixture corpus must contain batch-vs-corpus spans")
+  }
+
+  test("gram-index append: probe equals a fresh build over the union UNDER THE FROZEN stop set") {
+    val run = (0 until 15).map(i => s"ap$i").mkString(" ")
+    val corpusA = docs(10L -> (run + " " + filler("a", 8)), 11L -> filler("b", 30))
+    val corpusB = docs(20L -> (filler("c", 5) + " " + run))      // appended later
+    val batch = docs(30L -> (run + " " + filler("z", 6)))
+    val tag = "specgrams_append"
+    SubstringDedup.buildGramsFor(spark, corpusA, tag)
+    SubstringDedup.appendGrams(spark, tag, corpusB)
+    val probed = SubstringDedup.probeGrams(spark, tag, batch)
+      .collect().map(_.toSeq).toSet
+    // the batch doc shares the run with BOTH the original corpus doc and
+    // the appended one — appends must be probe-visible
+    val partners = probed.map(_(1))
+    assert(partners == Set(10L, 20L), s"got partners $partners")
+    // reference: fresh build over the union, stop set frozen from A (all
+    // of A's grams are under the cap here, so a plain rebuild agrees)
+    val tag2 = "specgrams_union"
+    SubstringDedup.buildGramsFor(spark, corpusA.union(corpusB), tag2)
+    val fresh = SubstringDedup.probeGrams(spark, tag2, batch)
+      .collect().map(_.toSeq).toSet
+    assert(probed == fresh, s"append diverged from rebuild: ${probed.diff(fresh)} / ${fresh.diff(probed)}")
+  }
+
   test("bm25: more query-term occurrences rank higher at equal length; absent docs don't appear") {
     val d1 = 1L -> ("spark spark spark " + filler("a", 27))
     val d2 = 2L -> ("spark " + filler("b", 29))
