@@ -316,12 +316,18 @@ object SubstringDedup {
   /** Probe an already-built gram index with an arbitrary batch — the
     * reusable form [[incrementalSubstringIndexed]] and the append spec
     * drive. */
-  private[graft] def probeGrams(s: SparkSession, tag: String, batch: DataFrame): DataFrame = {
+  private[graft] def probeGrams(s: SparkSession, tag: String, batch: DataFrame): DataFrame =
+    probeGramsWith(batch,
+      s.table(s"graft_idx_grams_$tag").select(col("corpus_id"), col("pos"), col("g")))
+
+  /** Probe with the gram index supplied as a (corpus_id, pos, g) frame —
+    * bucketed table or cached plan interchangeably; the continuous twin
+    * ([[graft.streaming.StreamingDedup.substringSpanStream]]) feeds
+    * micro-batches through this. */
+  private[graft] def probeGramsWith(batch: DataFrame, gramIndex: DataFrame): DataFrame = {
     val bg = positionalGrams(batch)
       .select(col("doc_id").as("batch_id"), col("pos").as("pb"), col("g"))
-    val cg = s.table(s"graft_idx_grams_$tag")
-      .select(col("corpus_id"), col("pos").as("pc"), col("g"))
-    spansBetween(bg, cg)
+    spansBetween(bg, gramIndex.select(col("corpus_id"), col("pos").as("pc"), col("g")))
   }
 
   val incrementalSubstringSql: String =

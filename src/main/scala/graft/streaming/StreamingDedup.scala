@@ -192,6 +192,42 @@ object StreamingDedup {
       threshold = graft.operators.StandingIndex.Threshold)
   }
 
+  // --------------------------------------- continuous substring-span probe
+  /** One duplicated-run finding: batch doc × corpus doc × positions. */
+  case class SpanFinding(batch_id: Long, corpus_id: Long,
+                         b_start: Long, c_start: Long, span_len: Long)
+
+  /** Continuous twin of
+    * [[graft.operators.SubstringDedup.incrementalSubstringIndexed]]: each
+    * micro-batch of arriving docs is probed against the standing gram
+    * index for duplicated token runs ≥ MinSpan. Same stream-static shape
+    * as [[incrementalDedupStream]] — the index is built once (pre-capped,
+    * frozen stop set) and only READ per batch, because at 100 TB the
+    * positional gram table is a many-TB bucketed artifact, not state-store
+    * state. Split invariance is immediate here: a doc's spans depend only
+    * on (doc, corpus index) — no cross-batch interaction of any kind, so
+    * ANY slicing emits the same findings (spec-checked over random
+    * shuffles and split points). Append semantics: a finding, once
+    * emitted, never changes (the index is immutable within the stream;
+    * maintenance appends via
+    * [[graft.operators.SubstringDedup.appendGrams]] happen between
+    * streaming queries, exactly like the daily index-append cadence). */
+  def substringSpanStream(stream: Dataset[DocEvent], gramIndex: DataFrame)
+                         (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.toDF().writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        sink(graft.operators.SubstringDedup.probeGramsWith(mb, gramIndex), batchId)
+      }
+
+  /** Deployment wiring for [[substringSpanStream]]: the on-disk bucketed
+    * gram table (built once per session if absent). */
+  def gramIndexFromTables(s: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    val tag = graft.operators.SubstringDedup.ensureGramIndex(s, dir)
+    s.table(s"graft_idx_grams_$tag")
+  }
+
   // ------------------------------------------------- within-stream exact
   case class DigestDoc(digest: String, doc_id: Long)
   case class KeeperDecision(doc_id: Long, keeper_id: Long)

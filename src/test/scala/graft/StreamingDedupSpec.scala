@@ -89,6 +89,34 @@ class StreamingDedupSpec extends GraftSpec {
       s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
   }
 
+  test("continuous substring-span probe == batch operator for arbitrary micro-batch splits") {
+    val expected = graft.operators.SubstringDedup.incrementalSubstring(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(expected.nonEmpty, "harness corpus must contain batch-vs-corpus spans")
+    val gramIdx = StreamingDedup.gramIndexFromTables(spark, sf0001)
+    for ((seed, msId) <- Seq((3, 311), (13, 312))) {
+      val rnd = new scala.util.Random(seed)
+      val chunks = splitChunks(rnd.shuffle(newDocs.toSeq), 3 + rnd.nextInt(3), rnd)
+      val ms = MemoryStream[DocEvent](msId, spark, None)
+      val sink = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_spanstream").toString
+      val q = StreamingDedup.substringSpanStream(ms.toDS(), gramIdx) { (df, _) =>
+        val rows = df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        sink.synchronized { sink ++= rows }
+        ()
+      }.option("checkpointLocation", ckpt).start()
+      try chunks.foreach { c =>
+        if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = sink.synchronized(sink.toSet)
+      assert(got == expected,
+        s"seed=$seed: streamed spans diverge from the batch operator " +
+        s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
+    }
+  }
+
   test("standing index is READ per micro-batch, never recomputed from the corpus") {
     // the 100 TB contract: per-batch cost is proportional to the batch,
     // not the corpus — the decision plan must source every corpus subtree
