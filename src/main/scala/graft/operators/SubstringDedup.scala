@@ -107,11 +107,13 @@ object SubstringDedup {
   }
 
   /** Shared WITH-clause body: the span pipeline's stages as named CTEs
-    * ending in `spans` — the spans query selects from it directly and the
-    * excision oracle builds on it, so one SQL definition serves both
-    * (desync between the find and the remove steps is impossible). */
-  private val spansCtes: String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    * ending in `spans` — the spans query selects from it directly, and
+    * the excision and curation oracles build on it, so one SQL definition
+    * serves all (desync between the find and the remove steps is
+    * impossible). Parametrized by the source relation so compositions can
+    * run it over an upstream survivor CTE instead of the raw table. */
+  private def spansCtesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
        |grams AS (
        |  SELECT doc_id, i AS pos, array_to_string(tk[i:i+${GramK - 1}], ' ') AS g
        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - ${GramK - 1})) AS i) s
@@ -137,7 +139,7 @@ object SubstringDedup {
        |)""".stripMargin
 
   val substringSpansSql: String =
-    s"""WITH $spansCtes
+    s"""WITH ${spansCtesFrom("documents")}
        |SELECT a_id, b_id, a_start, b_start, span_len
        |FROM spans ORDER BY a_id, b_id, a_start, b_start""".stripMargin
 
@@ -182,7 +184,7 @@ object SubstringDedup {
   }
 
   val spanExciseSql: String =
-    s"""WITH $spansCtes,
+    s"""WITH ${spansCtesFrom("documents")},
        |ivs AS (SELECT b_id AS doc_id, b_start AS s, b_start + span_len - 1 AS e FROM spans),
        |iva AS (SELECT doc_id, list({'s': s, 'e': e}) AS ivs FROM ivs GROUP BY doc_id)
        |SELECT d.doc_id, CAST(len(tk) AS BIGINT) AS n_before,
@@ -193,6 +195,70 @@ object SubstringDedup {
        |           list_filter(list_transform(generate_series(1, len(tk)), i -> {'t': tk[i], 'p': i}),
        |             x -> len(list_filter(ivs, iv -> iv.s <= x.p AND x.p <= iv.e)) = 0),
        |           x -> x.t) AS kept) k
+       |ORDER BY d.doc_id""".stripMargin
+
+  // -------------------------------------------------- curation composition
+  /** Minimum tokens a doc must retain after excision to stay in the set. */
+  val MinKeepTokens = 10
+
+  /** The substring-curation chain as ONE dataflow: exact dedup (keep
+    * lowest doc_id per identical text) → span excision among the
+    * survivors ([[spanExcise]]'s any-span-covers rule, docs without spans
+    * pass through whole) → drop docs left with fewer than
+    * [[MinKeepTokens]] tokens (a husk that was mostly duplicated content
+    * carries no training value — the length gate every published curation
+    * recipe applies after dedup). One row per surviving doc: token counts
+    * before/removed and the md5 of the cleaned text — the digest makes
+    * the whole chain's OUTPUT BYTES hash-gated, not just its counts, so a
+    * single token dropped or kept wrongly anywhere in the three stages
+    * breaks the driver compare. Scale shape: stage 1 is one
+    * digest-keyed window, stage 2 the span machinery (capped, see object
+    * scaladoc), stage 3 row-local — no new shuffles beyond the standalone
+    * operators'. */
+  def substringCurate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")), length(col("text")))
+    val exact = Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val ivs = substringSpansFrom(exact)
+      .select(col("b_id").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("span_len") - 1).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    exact.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .join(ivs, Seq("doc_id"), "left")
+      .withColumn("ivs", coalesce(col("ivs"),
+        expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")))
+      .withColumn("kept", expr(
+        """filter(transform(tk, (t, i) -> struct(t AS t, CAST(i + 1 AS BIGINT) AS p)),
+          |       x -> NOT exists(ivs, iv -> iv.s <= x.p AND x.p <= iv.e))""".stripMargin))
+      .filter(size(col("kept")) >= MinKeepTokens)
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_before"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", expr("transform(kept, x -> x.t)"))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val substringCurateSql: String =
+    s"""WITH exact AS (
+       |  SELECT * FROM documents
+       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+       |),
+       |${spansCtesFrom("exact")},
+       |ivs AS (SELECT b_id AS doc_id, b_start AS s, b_start + span_len - 1 AS e FROM spans),
+       |iva AS (SELECT doc_id, list({'s': s, 'e': e}) AS ivs FROM ivs GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(tk) AS BIGINT) AS n_before,
+       |       CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+       |       md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+       |FROM (SELECT doc_id, tk FROM toks) d
+       |LEFT JOIN iva ON d.doc_id = iva.doc_id,
+       |LATERAL (SELECT coalesce(iva.ivs, []) AS civs) c,
+       |LATERAL (SELECT list_transform(
+       |           list_filter(list_transform(generate_series(1, len(tk)), i -> {'t': tk[i], 'p': i}),
+       |             x -> len(list_filter(civs, iv -> iv.s <= x.p AND x.p <= iv.e)) = 0),
+       |           x -> x.t) AS kept) k
+       |WHERE len(kept) >= $MinKeepTokens
        |ORDER BY d.doc_id""".stripMargin
 
   // ------------------------------------- incremental probe + standing index
@@ -421,6 +487,7 @@ object SubstringDedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "neardup_substring_spans" -> (substringSpans _),
     "dedup_span_excise"       -> (spanExcise _),
+    "pipeline_substring_curate" -> (substringCurate _),
     "dedup_incremental_substring" -> (incrementalSubstring _),
     "dedup_incremental_substring_indexed" -> (incrementalSubstringIndexed _),
     "neardup_containment"     -> (containmentNearDup _)
@@ -429,6 +496,7 @@ object SubstringDedup {
   def oracles: Map[String, String] = Map(
     "neardup_substring_spans" -> substringSpansSql,
     "dedup_span_excise"       -> spanExciseSql,
+    "pipeline_substring_curate" -> substringCurateSql,
     "dedup_incremental_substring" -> incrementalSubstringSql,
     // the standing-index probe must reproduce the per-run rebuild EXACTLY
     // — same oracle, hash-compared (the StandingIndex pattern)
