@@ -87,6 +87,44 @@ class LayoutSpec extends GraftSpec {
     }
   }
 
+  test("hilbert index is a bijection and consecutive indices are ALWAYS adjacent cells") {
+    import spark.implicits._
+    // full 16×16 grid at bits=4: the curve must visit every cell exactly
+    // once (bijection onto 0..255) and each step must move exactly one
+    // cell in Manhattan distance — the locality guarantee Morton lacks
+    // (the Z-curve jumps at every power-of-two boundary)
+    val probe = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = probe.toDF("x", "y")
+      .withColumn("h", Layout.hilbert(col("x"), col("y"), bits = 4))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+    assert(got.map(_._1).sorted.toSeq == (0L until 256L).toSeq, "bijection onto 0..255")
+    val byD = got.sortBy(_._1).map(_._2)
+    byD.toSeq.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve step ($x1,$y1)→($x2,$y2) is not unit-adjacent")
+    }
+    // reference impl agreement at bits=8 on asymmetric probes (catches a
+    // transposed x/y convention a symmetric grid cannot)
+    def refRot(n: Long, x0: Long, y0: Long, rx: Long, ry: Long): (Long, Long) =
+      if (ry == 0) { val (x, y) = if (rx == 1) (n - 1 - x0, n - 1 - y0) else (x0, y0); (y, x) }
+      else (x0, y0)
+    def ref(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      for (i <- 7 to 0 by -1) {
+        val s = 1L << i
+        val rx = (x >> i) & 1L; val ry = (y >> i) & 1L
+        d += s * s * ((3 * rx) ^ ry)
+        val (nx, ny) = refRot(256L, x, y, rx, ry); x = nx; y = ny
+      }
+      d
+    }
+    val asym = Seq((255L, 0L), (0L, 255L), (170L, 85L), (1L, 254L))
+    val got8 = asym.toDF("x", "y")
+      .withColumn("h", Layout.hilbert(col("x"), col("y")))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    asym.foreach { case (x, y) => assert(got8((x, y)) == ref(x, y), s"hilbert($x,$y)") }
+  }
+
   test("z-order layout bounds BOTH key dims per file; single-key sort does not") {
     val base = java.nio.file.Files.createTempDirectory("graft_z").toString
     val df = Tables.lineitem(spark, sf0001)
