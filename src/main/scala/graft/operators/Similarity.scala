@@ -738,7 +738,17 @@ object Similarity {
   def kmeansFit(s: SparkSession, dir: String): DataFrame =
     kmeansFitIters(s, dir, KmeansIters)
 
-  private[graft] def kmeansFitIters(s: SparkSession, dir: String, iters: Int): DataFrame = {
+  private[graft] def kmeansFitIters(s: SparkSession, dir: String, iters: Int): DataFrame =
+    kmeansAssignments(s, dir, iters)
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_members"),
+           round(sum(col("d2").cast("decimal(28,12)")).cast("double"), 6).as("inertia"))
+      .orderBy("c_id")
+
+  /** The fit's final per-vector assignment (vec_id, v, c_id, d2) — the
+    * shared tail [[kmeansFitIters]] aggregates and
+    * [[pruneGroupPrototypes]] ranks within. */
+  private[graft] def kmeansAssignments(s: SparkSession, dir: String, iters: Int): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val e = embeddings(s, dir).select(col("vec_id"), col("v")).cache()
     def assign(cent: DataFrame): DataFrame = {
@@ -764,16 +774,41 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("cv"))
     }
     assign(cent)
-      .groupBy("c_id")
-      .agg(count(lit(1)).as("n_members"),
-           round(sum(col("d2").cast("decimal(28,12)")).cast("double"), 6).as("inertia"))
-      .orderBy("c_id")
   }
 
-  /** [[kmeansFit]]'s DuckDB twin: [[KmeansIters]] = 3 Lloyd rounds
-    * unrolled as CTEs (init → assign → update → assign → update → final
-    * assign), each stage the literal SQL of its Spark counterpart. */
-  val kmeansFitSql: String = {
+  /** Cluster-aware data pruning after Sorscher et al., NeurIPS 2022
+    * ("Beyond neural scaling laws: beating power law scaling via data
+    * pruning") — their SSL-prototypes metric: cluster the embeddings with
+    * k-means, score each example by distance to its cluster centroid, and
+    * for a LARGE source corpus keep the HARDEST examples (farthest from
+    * the prototype; easy near-centroid examples are the redundant mass).
+    * Here: the [[kmeansFit]] assignment ranked per cluster by d2 desc
+    * (ties to vec_id), keep the top half per cluster — the 50% pruning
+    * point of the paper's figures. Emits EVERY vector with its cluster,
+    * rounded distance, rank and keep verdict, so downstream mixture
+    * tooling can re-threshold without re-clustering.
+    *
+    * Hash-gated end to end on top of the kmeans twin: ranking happens on
+    * the bit-identical d2 doubles (proven by the fit's gate), the keep
+    * rule is integer (`2·rank ≤ cluster size + 1` — no 0.5 double), and
+    * the emitted d2 is rounded at 6. One extra window over the final
+    * assignment — no new corpus scan. */
+  def pruneGroupPrototypes(s: SparkSession, dir: String): DataFrame = {
+    val wC = Window.partitionBy(col("c_id"))
+    kmeansAssignments(s, dir, KmeansIters)
+      .withColumn("rk", row_number().over(
+        wC.orderBy(col("d2").desc, col("vec_id"))))
+      .withColumn("csz", count(lit(1)).over(wC))
+      .select(col("vec_id"), col("c_id"), round(col("d2"), 6).as("d2"),
+        col("rk").cast("long").as("rk"),
+        (col("rk") * 2 <= col("csz") + 1).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** The unrolled-Lloyd WITH chain ending in the final assignment `a3` —
+    * shared by [[kmeansFitSql]] and [[pruneGroupPrototypesSql]] so both
+    * gates prove the SAME fit. */
+  private val kmeansCtes: String = {
     def assign(cent: String): String =
       s"""SELECT e.vec_id, e.v, $cent.c_id,
          |       list_inner_product(e.v, e.v) - 2.0 * list_inner_product(e.v, $cent.cv)
@@ -794,11 +829,30 @@ object Similarity {
        |c1 AS (${update("a1")}),
        |a2 AS (${assign("c1")}),
        |c2 AS (${update("a2")}),
-       |a3 AS (${assign("c2")})
+       |a3 AS (${assign("c2")})""".stripMargin
+  }
+
+  /** [[kmeansFit]]'s DuckDB twin: [[KmeansIters]] = 3 Lloyd rounds
+    * unrolled as CTEs (init → assign → update → assign → update → final
+    * assign), each stage the literal SQL of its Spark counterpart. */
+  val kmeansFitSql: String =
+    s"""$kmeansCtes
        |SELECT c_id, count(*) AS n_members,
        |       round(CAST(sum(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE), 6) AS inertia
        |FROM a3 GROUP BY c_id ORDER BY c_id""".stripMargin
-  }
+
+  /** [[pruneGroupPrototypes]]'s twin: the same fit chain + one ranked
+    * window and the integer keep rule. */
+  val pruneGroupPrototypesSql: String =
+    s"""$kmeansCtes
+       |SELECT vec_id, c_id, round(d2, 6) AS d2, rk, (rk * 2 <= csz + 1) AS kept
+       |FROM (
+       |  SELECT vec_id, c_id, d2,
+       |         row_number() OVER (PARTITION BY c_id ORDER BY d2 DESC, vec_id) AS rk,
+       |         count(*) OVER (PARTITION BY c_id) AS csz
+       |  FROM a3
+       |)
+       |ORDER BY vec_id""".stripMargin
 
   /** Per-label embedding centroids — the k-means UPDATE step paired with
     * [[ivfTopK]]'s assignment step (alternate the two and you have Lloyd's
@@ -1264,6 +1318,7 @@ object Similarity {
     "ann_ivf_indexed" -> (ivfIndexedTopK _),
     "emb_label_centroids" -> (labelCentroids _),
     "emb_kmeans_fit"  -> (kmeansFit _),
+    "emb_prune_prototypes" -> (pruneGroupPrototypes _),
     "emb_neardup_cosine" -> (cosineNearDup _),
     "emb_neardup_cosine_lsh" -> (cosineNearDupLsh _),
     "emb_neardup_srp_md5" -> (cosineNearDupSrpMd5 _),
@@ -1289,6 +1344,7 @@ object Similarity {
     // fixed iteration count → the twin unrolls the Lloyd rounds as CTEs;
     // decimal means + order-fixed double dots make it bit-exact
     "emb_kmeans_fit" -> kmeansFitSql,
+    "emb_prune_prototypes" -> pruneGroupPrototypesSql,
     "emb_neardup_cosine" -> cosineNearDupSql,
     "emb_neardup_signgrid" -> cosineNearDupSignGridSql,
     "emb_neardup_srp_md5"  -> cosineNearDupSrpMd5Sql,

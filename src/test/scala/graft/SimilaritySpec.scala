@@ -221,6 +221,24 @@ class SimilaritySpec extends GraftSpec {
       s"inertia increased: iters=3 ${three.map(_._3).sum} vs iters=1 ${one.map(_._3).sum}")
   }
 
+  test("prototype pruning: per-cluster keep count is ceil(half), hardest example always kept") {
+    val rows = Similarity.pruneGroupPrototypes(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(rows.length == corpus, "one verdict per vector, none dropped from the report")
+    rows.groupBy(_._2).foreach { case (cId, members) =>
+      val kept = members.filter(_._5)
+      assert(kept.length == (members.length + 1) / 2,
+        s"cluster $cId keeps ${kept.length} of ${members.length}")
+      // SSL-prototypes keeps the HARD examples: the max-distance member
+      // must be kept, the min-distance member dropped (clusters > 1)
+      val byD = members.sortBy(m => (-m._3, m._1))
+      assert(byD.head._5, s"cluster $cId hardest example was pruned")
+      if (members.length > 1)
+        assert(!byD.last._5, s"cluster $cId easiest example was kept")
+    }
+  }
+
   test("LSH top-k recall vs brute force >= 30% (single-bit multi-probe, 8 planes)") {
     val brute = Similarity.bruteForceTopK(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
