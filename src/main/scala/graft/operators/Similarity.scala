@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -854,6 +854,113 @@ object Similarity {
        |)
        |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------ k-center coreset
+  /** Coreset size for [[kcenterCoreset]]. */
+  val KcenterK = 10
+
+  /** Greedy k-center (farthest-point traversal, Gonzalez 1985) coreset
+    * selection — the classic diversity-maximizing subset behind
+    * active-learning coresets (Sener & Savarese, ICLR 2018): start from
+    * the lowest vec_id, then repeatedly add the point FARTHEST from the
+    * selected set (max over candidates of min distance to any selected;
+    * ties to lowest vec_id). The canonical counterpart to
+    * [[pruneGroupPrototypes]]: pruning removes redundant mass around
+    * cluster centers, k-center picks a spread that 2-approximates the
+    * optimal cover radius.
+    *
+    * K is FIXED, so the DuckDB twin unrolls the K−1 greedy steps as CTE
+    * levels (DuckDB materializes multiply-referenced CTEs). The Spark
+    * side CANNOT stay one lazy plan: level i references level i−1 three
+    * times (union, cross join, anti join), so an unmaterialized chain
+    * grows the LOGICAL tree ~3× per level — 3^K ≈ 59 k subtrees by
+    * K = 10, which dies in analysis (measured: heap exhaustion at
+    * sf0.01), and caching doesn't help because cache dedupes at
+    * execution, not analysis. Each selection level (≤ K tiny rows) is
+    * therefore `localCheckpoint()`ed — the same sanctioned eager-job
+    * escape hatch as the CC fixpoint, run under the SAME
+    * [[Dedup.CcFixpointTag]] so the one-action-per-query spec continues
+    * to police every other build-time job. Greedy k-center is inherently
+    * sequential (each pick depends on all prior picks); K bounded eager
+    * laps of K-row snapshots is its honest cost.
+    *
+    * Distances are the same order-fixed double dots the k-means gate
+    * proved bit-identical; min/argmax are exact comparisons →
+    * hash-gated, with the seed row's undefined distance as NULL in both
+    * engines. Scale: each step shuffles (corpus × ≤K) scalars; K steps
+    * total — the same cost family as one k-means iteration. */
+  def kcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    val sc = s.sparkContext
+    val prevTag = sc.getLocalProperty(Dedup.CcFixpointTag)
+    sc.setLocalProperty(Dedup.CcFixpointTag, "1")
+    try kcenterInner(s, dir)
+    finally sc.setLocalProperty(Dedup.CcFixpointTag, prevTag)
+  }
+
+  private def kcenterInner(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val e = embeddings(s, dir).select(col("vec_id"), col("v")).cache()
+    var sel = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("v"), lit(1L).as("s_rank"),
+        lit(null).cast("double").as("dmin"))
+      .localCheckpoint()
+    for (i <- 2 to KcenterK) {
+      val next = e
+        .join(sel.select(col("vec_id").as("s_id"), col("v").as("sv")), lit(true))
+        .filter(col("vec_id") =!= col("s_id"))
+        .withColumn("d2",
+          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("sv")) +
+            dot(col("sv"), col("sv")))
+        .groupBy(col("vec_id"))
+        .agg(min(col("d2")).as("dmin"))
+        // already-selected candidates kept a nonzero min above (their
+        // zero self-pair was filtered) — remove them entirely here
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .orderBy(col("dmin").desc, col("vec_id"))
+        .limit(1)
+        .join(e, "vec_id") // re-attach the vector for the next level's joins
+        .select(col("vec_id"), col("v"), lit(i.toLong).as("s_rank"), col("dmin"))
+      val prev = sel
+      sel = sel.unionByName(next).localCheckpoint()
+      GraftShims.unpersistCheckpoint(prev)
+    }
+    sel.select(col("s_rank"), col("vec_id"), round(col("dmin"), 6).as("dmin"))
+      .orderBy("s_rank")
+  }
+
+  /** [[kcenterCoreset]]'s twin: the K−1 greedy steps unrolled as CTE
+    * levels generated from the same loop bounds. */
+  val kcenterCoresetSql: String = {
+    def d2(a: String, b: String): String =
+      s"list_inner_product($a, $a) - 2.0 * list_inner_product($a, $b) + list_inner_product($b, $b)"
+    // every CTE is MATERIALIZED: u_{i-1} is referenced three times per
+    // level, and an inlining engine would re-evaluate the whole prior
+    // chain per reference (3^K scans — observed as fd exhaustion on the
+    // repeated parquet opens); materialization is the same once-per-level
+    // evaluation the Spark side gets from its checkpoints
+    val steps = (2 to KcenterK).map { i =>
+      s"""dm$i AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v, min(${d2("e.v", "u.v")}) AS dmin
+         |  FROM e CROSS JOIN u${i - 1} u
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM u${i - 1})
+         |  GROUP BY e.vec_id, e.v
+         |),
+         |s$i AS MATERIALIZED (
+         |  SELECT vec_id, v, CAST($i AS BIGINT) AS s_rank, dmin
+         |  FROM dm$i ORDER BY dmin DESC, vec_id LIMIT 1
+         |),
+         |u$i AS MATERIALIZED (SELECT * FROM u${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s1 AS MATERIALIZED (
+       |  SELECT vec_id, v, CAST(1 AS BIGINT) AS s_rank, CAST(NULL AS DOUBLE) AS dmin
+       |  FROM e ORDER BY vec_id LIMIT 1
+       |),
+       |u1 AS MATERIALIZED (SELECT * FROM s1),
+       |$steps
+       |SELECT s_rank, vec_id, round(dmin, 6) AS dmin
+       |FROM u$KcenterK ORDER BY s_rank""".stripMargin
+  }
+
   /** Per-label embedding centroids — the k-means UPDATE step paired with
     * [[ivfTopK]]'s assignment step (alternate the two and you have Lloyd's
     * algorithm; one iteration per query keeps each driver-gated run
@@ -1319,6 +1426,7 @@ object Similarity {
     "emb_label_centroids" -> (labelCentroids _),
     "emb_kmeans_fit"  -> (kmeansFit _),
     "emb_prune_prototypes" -> (pruneGroupPrototypes _),
+    "ann_kcenter_coreset" -> (kcenterCoreset _),
     "emb_neardup_cosine" -> (cosineNearDup _),
     "emb_neardup_cosine_lsh" -> (cosineNearDupLsh _),
     "emb_neardup_srp_md5" -> (cosineNearDupSrpMd5 _),
@@ -1345,6 +1453,7 @@ object Similarity {
     // decimal means + order-fixed double dots make it bit-exact
     "emb_kmeans_fit" -> kmeansFitSql,
     "emb_prune_prototypes" -> pruneGroupPrototypesSql,
+    "ann_kcenter_coreset" -> kcenterCoresetSql,
     "emb_neardup_cosine" -> cosineNearDupSql,
     "emb_neardup_signgrid" -> cosineNearDupSignGridSql,
     "emb_neardup_srp_md5"  -> cosineNearDupSrpMd5Sql,

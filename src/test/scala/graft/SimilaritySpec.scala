@@ -239,6 +239,35 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("k-center coreset equals an independent greedy farthest-point reference") {
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      // the same expansion the operator computes: |a|² − 2a·b + |b|²
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      while (i < a.length) { aa += a(i) * a(i); ab += a(i) * b(i); bb += b(i) * b(i); i += 1 }
+      s = aa - 2.0 * ab + bb; s
+    }
+    var selected = Vector(vecs.head._1)
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Long)]((1L, vecs.head._1))
+    for (rank <- 2 to Similarity.KcenterK) {
+      val selVecs = selected.map(id => vecs.find(_._1 == id).get._2)
+      val cand = vecs.filterNot(v => selected.contains(v._1))
+        .map { case (id, v) => (id, selVecs.map(sv => d2(v, sv)).min) }
+      val pick = cand.minBy { case (id, dm) => (-dm, id) }
+      selected :+= pick._1
+      expect += ((rank.toLong, pick._1))
+    }
+    val got = Similarity.kcenterCoreset(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expect.toSeq,
+      s"greedy trace diverged: got ${got.toSeq}, want ${expect.toSeq}")
+  }
+
   test("LSH top-k recall vs brute force >= 30% (single-bit multi-probe, 8 planes)") {
     val brute = Similarity.bruteForceTopK(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
