@@ -441,7 +441,110 @@ object QualityFilters {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // --------------------------------------------- in-engine LR classifier
+  /** Gradient-descent steps and learning rate for [[qualityLrFit]]. */
+  val LrSteps = 5
+  val LrRate = 0.5
+
+  /** Train a logistic-regression language/quality classifier IN the
+    * engine — the miniature of the fastText-style quality filters every
+    * published curation pipeline trains (CCNet, LLaMA's Wikipedia-ref
+    * classifier): features are cheap per-doc statistics (token count,
+    * average word length, stopword ratio, bias), the label is is-English,
+    * and the fit is [[LrSteps]] full-batch gradient-descent steps
+    * unrolled — the same fixed-iteration gating template as the k-means
+    * fit. Emits the learned weights and the training accuracy.
+    *
+    * Cross-engine bit-exactness needs one trick beyond the k-means
+    * recipe: the sigmoid's `exp` may differ by an ulp between libm and
+    * the JVM, and iterated steps would COMPOUND that. So each step (a)
+    * sums its gradient terms in DECIMAL(38,20) (order-exact, absorbing
+    * the per-term ulp into digits far below the quantum) and (b) ROUNDS
+    * the updated weights to 9 decimals in both engines — re-synchronizing
+    * the trajectories every step, so divergence can never accumulate.
+    * Verified bit-identical against an independent fsum reference and
+    * the DuckDB twin at both scales. Scale: each step is one
+    * broadcast-join (the 1-row weight table) + one partial-agg shuffle of
+    * 4 decimals — T passes over the corpus, embarrassingly parallel. */
+  def qualityLrFit(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val f = Tables.documents(s, dir).select(
+      (nTok.cast("double") / 100).as("x1"),
+      ((length(col("text")) - (nTok - 1)).cast("double") / nTok / 10).as("x2"),
+      expr("CAST(size(filter(split(text, ' '), t -> t IN ('the','a','of'))) AS DOUBLE)" +
+        " / size(split(text, ' '))").as("x3"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      .cache()
+    var w = s.range(1).select(lit(0.0).as("w1"), lit(0.0).as("w2"),
+      lit(0.0).as("w3"), lit(0.0).as("w4"))
+    def score(pre: String = ""): org.apache.spark.sql.Column =
+      col(pre + "x1") * col("w1") + col(pre + "x2") * col("w2") +
+        col(pre + "x3") * col("w3") + col("w4")
+    for (_ <- 1 to LrSteps) {
+      val sig = lit(1.0) / (lit(1.0) + exp(-score()))
+      def grad(xj: org.apache.spark.sql.Column, as: String) =
+        (sum(((sig - col("y")) * xj).cast("decimal(38,20)")).cast("double") /
+          count(lit(1))).as(as)
+      val g = f.crossJoin(broadcast(w))
+        .agg(grad(col("x1"), "g1"), grad(col("x2"), "g2"),
+             grad(col("x3"), "g3"), grad(lit(1.0), "g4"))
+      w = w.crossJoin(g).select(
+        round(col("w1") - lit(LrRate) * col("g1"), 9).as("w1"),
+        round(col("w2") - lit(LrRate) * col("g2"), 9).as("w2"),
+        round(col("w3") - lit(LrRate) * col("g3"), 9).as("w3"),
+        round(col("w4") - lit(LrRate) * col("g4"), 9).as("w4"))
+    }
+    val acc = f.crossJoin(broadcast(w))
+      .agg(count(when((score() >= 0) === (col("y") === 1.0), 1)).cast("double").as("value"))
+      .select(lit("train_acc").as("metric"), col("value"))
+    val weights = w.select(expr(
+      "stack(4, 'w1', w1, 'w2', w2, 'w3', w3, 'w4', w4) AS (metric, value)"))
+    weights.unionByName(acc).orderBy("metric")
+  }
+
+  val qualityLrFitSql: String = {
+    val feat =
+      """SELECT
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) / 100 AS x1,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) / 10 AS x2,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS x3,
+        |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+        |FROM documents""".stripMargin
+    def step(i: Int): String = {
+      val z = "(f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 + w.w4)"
+      val sig = s"(1.0/(1.0+exp(-$z)))"
+      val gs = Seq("f.x1", "f.x2", "f.x3", "CAST(1 AS DOUBLE)").zipWithIndex.map {
+        case (xj, j) =>
+          s"CAST(sum(CAST(($sig - f.y) * $xj AS DECIMAL(38,20))) AS DOUBLE)" +
+            s" / (SELECT count(*) FROM f) AS g${j + 1}"
+      }.mkString(",\n       ")
+      s"""g$i AS (SELECT $gs FROM f CROSS JOIN w${i - 1} w),
+         |w$i AS (
+         |  SELECT round(w.w1 - $LrRate*g.g1, 9) AS w1, round(w.w2 - $LrRate*g.g2, 9) AS w2,
+         |         round(w.w3 - $LrRate*g.g3, 9) AS w3, round(w.w4 - $LrRate*g.g4, 9) AS w4
+         |  FROM w${i - 1} w CROSS JOIN g$i g
+         |)""".stripMargin
+    }
+    s"""WITH f AS MATERIALIZED ($feat),
+       |w0 AS (SELECT CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2,
+       |              CAST(0 AS DOUBLE) AS w3, CAST(0 AS DOUBLE) AS w4),
+       |${(1 to LrSteps).map(step).mkString(",\n")}
+       |SELECT metric, value FROM (
+       |  SELECT 'w1' AS metric, w1 AS value FROM w$LrSteps
+       |  UNION ALL SELECT 'w2', w2 FROM w$LrSteps
+       |  UNION ALL SELECT 'w3', w3 FROM w$LrSteps
+       |  UNION ALL SELECT 'w4', w4 FROM w$LrSteps
+       |  UNION ALL SELECT 'train_acc',
+       |    CAST((SELECT count(*) FROM f, w$LrSteps w
+       |          WHERE (f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 + w.w4 >= 0) = (f.y = 1.0))
+       |         AS DOUBLE)
+       |) ORDER BY metric""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_lr_fit"       -> (qualityLrFit _),
     "text_scrub_stoptokens" -> (scrubStopTokens _),
     "text_repetition"       -> (repetitionFilter _),
     "text_repetition_ngrams" -> (repetitionNgramProfile _),
@@ -453,6 +556,7 @@ object QualityFilters {
   )
 
   def oracles: Map[String, String] = Map(
+    "quality_lr_fit"       -> qualityLrFitSql,
     "text_scrub_stoptokens" -> scrubStopTokensSql,
     "text_repetition"       -> repetitionFilterSql,
     "text_repetition_ngrams" -> repetitionNgramProfileSql,

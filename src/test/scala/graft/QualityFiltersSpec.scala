@@ -6,6 +6,43 @@ import org.apache.spark.sql.functions._
 /** Invariants for the quality-filter operators (values are oracle-gated). */
 class QualityFiltersSpec extends GraftSpec {
 
+  test("LR fit replays an independent exact-sum gradient-descent reference, and learns") {
+    import graft.operators.QualityFilters
+    val feats = graft.Tables.documents(spark, sf0001)
+      .select("text", "lang").collect().map { r =>
+        val toks = r.getString(0).split(" ", -1)
+        val x1 = toks.length.toDouble / 100
+        val x2 = (r.getString(0).length - (toks.length - 1)).toDouble / toks.length / 10
+        val x3 = toks.count(t => t == "the" || t == "a" || t == "of").toDouble / toks.length
+        val y = if (r.getString(1) == "en") 1.0 else 0.0
+        (Array(x1, x2, x3, 1.0), y)
+      }
+    val n = feats.length
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to QualityFilters.LrSteps) {
+      val sig = feats.map { case (x, _) =>
+        1.0 / (1.0 + math.exp(-(x(0) * w(0) + x(1) * w(1) + x(2) * w(2) + w(3)))) }
+      // exact-sum gradient: BigDecimal accumulation stands in for the
+      // engines' DECIMAL(38,20) partial sums (order-insensitive)
+      val g = (0 until 4).map { j =>
+        feats.indices.map(i => BigDecimal((sig(i) - feats(i)._2) * feats(i)._1(j))
+          .setScale(20, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n
+      }
+      w = (0 until 4).map(j =>
+        BigDecimal(w(j) - QualityFilters.LrRate * g(j))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+    }
+    val out = QualityFilters.qualityLrFit(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((name, j) <- Seq("w1" -> 0, "w2" -> 1, "w3" -> 2, "w4" -> 3))
+      assert(math.abs(out(name) - w(j)) < 1e-9, s"$name: ${out(name)} vs ${w(j)}")
+    // the classifier must beat the majority-class baseline on its own
+    // training set — otherwise the descent silently did nothing
+    val majority = feats.map(_._2).groupBy(identity).values.map(_.length).max
+    assert(out("train_acc") >= majority,
+      s"acc ${out("train_acc")} below majority baseline $majority / $n")
+  }
+
   test("scrub accounting matches a direct token count of 'a'/'the'") {
     val direct = graft.Tables.documents(spark, sf0001)
       .select(sum(size(filter(split(col("text"), " "),
