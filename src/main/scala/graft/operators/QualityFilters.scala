@@ -466,22 +466,30 @@ object QualityFilters {
     * the DuckDB twin at both scales. Scale: each step is one
     * broadcast-join (the 1-row weight table) + one partial-agg shuffle of
     * 4 decimals — T passes over the corpus, embarrassingly parallel. */
-  def qualityLrFit(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, x1..x3, y) feature frame shared by the fit and the scorer. */
+  private def lrFeatures(s: SparkSession, dir: String): DataFrame = {
     val nTok = size(split(col("text"), " "))
-    val f = Tables.documents(s, dir).select(
+    Tables.documents(s, dir).select(
+      col("doc_id"),
       (nTok.cast("double") / 100).as("x1"),
       ((length(col("text")) - (nTok - 1)).cast("double") / nTok / 10).as("x2"),
       expr("CAST(size(filter(split(text, ' '), t -> t IN ('the','a','of'))) AS DOUBLE)" +
         " / size(split(text, ' '))").as("x3"),
       when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      .cache()
+  }
+
+  /** The linear score w·x against the current 1-row weight columns. */
+  private def lrScore: org.apache.spark.sql.Column =
+    col("x1") * col("w1") + col("x2") * col("w2") +
+      col("x3") * col("w3") + col("w4")
+
+  /** Run the [[LrSteps]] descent over `f`, returning the 1-row final
+    * weight frame — shared by [[qualityLrFit]] and [[qualityLrScores]]. */
+  private def lrWeights(s: SparkSession, f: DataFrame): DataFrame = {
     var w = s.range(1).select(lit(0.0).as("w1"), lit(0.0).as("w2"),
       lit(0.0).as("w3"), lit(0.0).as("w4"))
-    def score(pre: String = ""): org.apache.spark.sql.Column =
-      col(pre + "x1") * col("w1") + col(pre + "x2") * col("w2") +
-        col(pre + "x3") * col("w3") + col("w4")
     for (_ <- 1 to LrSteps) {
-      val sig = lit(1.0) / (lit(1.0) + exp(-score()))
+      val sig = lit(1.0) / (lit(1.0) + exp(-lrScore))
       def grad(xj: org.apache.spark.sql.Column, as: String) =
         (sum(((sig - col("y")) * xj).cast("decimal(38,20)")).cast("double") /
           count(lit(1))).as(as)
@@ -494,17 +502,41 @@ object QualityFilters {
         round(col("w3") - lit(LrRate) * col("g3"), 9).as("w3"),
         round(col("w4") - lit(LrRate) * col("g4"), 9).as("w4"))
     }
+    w
+  }
+
+  def qualityLrFit(s: SparkSession, dir: String): DataFrame = {
+    val f = lrFeatures(s, dir).cache()
+    val w = lrWeights(s, f)
     val acc = f.crossJoin(broadcast(w))
-      .agg(count(when((score() >= 0) === (col("y") === 1.0), 1)).cast("double").as("value"))
+      .agg(count(when((lrScore >= 0) === (col("y") === 1.0), 1)).cast("double").as("value"))
       .select(lit("train_acc").as("metric"), col("value"))
     val weights = w.select(expr(
       "stack(4, 'w1', w1, 'w2', w2, 'w3', w3, 'w4', w4) AS (metric, value)"))
     weights.unionByName(acc).orderBy("metric")
   }
 
-  val qualityLrFitSql: String = {
+  /** Apply the trained classifier as a per-document FILTER — the stage a
+    * curation pipeline actually runs with the fastText-style model: score
+    * every doc with the fitted weights, keep at σ(w·x) ≥ 0.5 ⟺ w·x ≥ 0
+    * (the keep decision is a sign test on exact arithmetic — the sigmoid
+    * value itself, rounded at 6, is emitted for thresholding downstream;
+    * its single un-iterated exp sits ~10 orders below that grid). One
+    * broadcast join of the 1-row weight table against the feature scan. */
+  def qualityLrScores(s: SparkSession, dir: String): DataFrame = {
+    val f = lrFeatures(s, dir).cache()
+    f.crossJoin(broadcast(lrWeights(s, f)))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-lrScore)), 6).as("score"),
+        (lrScore >= 0).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** The descent WITH chain ending in `w{LrSteps}` — shared by the fit
+    * and scorer oracles so both gates prove the SAME training run. */
+  private val lrCtes: String = {
     val feat =
-      """SELECT
+      """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS DOUBLE) / 100 AS x1,
         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |    / len(string_split(text, ' ')) / 10 AS x2,
@@ -530,7 +562,11 @@ object QualityFilters {
     s"""WITH f AS MATERIALIZED ($feat),
        |w0 AS (SELECT CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2,
        |              CAST(0 AS DOUBLE) AS w3, CAST(0 AS DOUBLE) AS w4),
-       |${(1 to LrSteps).map(step).mkString(",\n")}
+       |${(1 to LrSteps).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  val qualityLrFitSql: String =
+    s"""$lrCtes
        |SELECT metric, value FROM (
        |  SELECT 'w1' AS metric, w1 AS value FROM w$LrSteps
        |  UNION ALL SELECT 'w2', w2 FROM w$LrSteps
@@ -541,10 +577,18 @@ object QualityFilters {
        |          WHERE (f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 + w.w4 >= 0) = (f.y = 1.0))
        |         AS DOUBLE)
        |) ORDER BY metric""".stripMargin
-  }
+
+  val qualityLrScoresSql: String =
+    s"""$lrCtes
+       |SELECT f.doc_id,
+       |       round(1.0/(1.0+exp(-(f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 + w.w4))), 6) AS score,
+       |       (f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 + w.w4 >= 0) AS kept
+       |FROM f CROSS JOIN w$LrSteps w
+       |ORDER BY f.doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_lr_fit"       -> (qualityLrFit _),
+    "quality_lr_scores"    -> (qualityLrScores _),
     "text_scrub_stoptokens" -> (scrubStopTokens _),
     "text_repetition"       -> (repetitionFilter _),
     "text_repetition_ngrams" -> (repetitionNgramProfile _),
@@ -557,6 +601,7 @@ object QualityFilters {
 
   def oracles: Map[String, String] = Map(
     "quality_lr_fit"       -> qualityLrFitSql,
+    "quality_lr_scores"    -> qualityLrScoresSql,
     "text_scrub_stoptokens" -> scrubStopTokensSql,
     "text_repetition"       -> repetitionFilterSql,
     "text_repetition_ngrams" -> repetitionNgramProfileSql,
