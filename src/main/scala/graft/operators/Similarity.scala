@@ -961,6 +961,129 @@ object Similarity {
        |FROM u$KcenterK ORDER BY s_rank""".stripMargin
   }
 
+  // ------------------------------------------------ MMR diverse re-rank
+  /** MMR pool size (top-N relevance candidates) and picks per query. */
+  val MmrPool = 20
+  val MmrK = 5
+  val MmrLambda = 0.7
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — diversity-aware retrieval: from each query's top-
+    * [[MmrPool]] relevance pool, greedily pick [[MmrK]] results
+    * maximizing λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s) — near-
+    * duplicate results are suppressed in favor of coverage, the re-rank
+    * every RAG/few-shot selector runs over its candidate list. The
+    * per-QUERY greedy is the grouped sibling of [[kcenterCoreset]]'s
+    * global one: each of the K−1 unrolled steps joins the pool against
+    * the per-query selected set (≤ K rows/query), aggregates the max
+    * similarity, and takes rank-1 per query — with the same per-level
+    * localCheckpoint treatment (and the same sanctioned eager-job tag),
+    * since the selection chain re-references each level.
+    *
+    * The pool here is the exact top-N (guarded like every exact
+    * baseline — at corpus scale the pool source swaps to the IVF probe,
+    * which changes candidates, not the re-rank); cosines are the
+    * order-fixed double dots + correctly-rounded sqrt both engines
+    * compute identically → hash-gated, first pick's diversity term
+    * pinned to 0 in both engines. */
+  def mmrTopK(s: SparkSession, dir: String): DataFrame = {
+    val sc = s.sparkContext
+    val prevTag = sc.getLocalProperty(Dedup.CcFixpointTag)
+    sc.setLocalProperty(Dedup.CcFixpointTag, "1")
+    try mmrInner(s, dir)
+    finally sc.setLocalProperty(Dedup.CcFixpointTag, prevTag)
+  }
+
+  private def mmrInner(s: SparkSession, dir: String): DataFrame = {
+    val cosine = graft.functions.VectorFunctions.cosine _
+    guardExactBaseline(s, dir, "ann_mmr_topk", "ann_ivf_topk (as pool source)")
+    val e = embeddings(s, dir).select(col("vec_id"), col("v")).cache()
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))
+    val pool = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("rel", cosine(col("qv"), col("v")))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("v"), col("rel"))
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= MmrPool).drop("rk")
+      .localCheckpoint()
+    // first pick: pure relevance (empty selected set → diversity term 0)
+    var sel = pool
+      .withColumn("mmr", lit(MmrLambda) * col("rel"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("mmr").desc, col("n_id"))))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("n_id"), col("v"), lit(1L).as("rnk"), col("mmr"))
+      .localCheckpoint()
+    for (r <- 2 to MmrK) {
+      val selV = sel.select(col("q_id"), col("n_id").as("s_id"), col("v").as("sv"))
+      val next = pool
+        .join(sel.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_anti")
+        .join(selV, "q_id")
+        .withColumn("sim", cosine(col("v"), col("sv")))
+        .groupBy(col("q_id"), col("n_id"))
+        .agg(max(col("sim")).as("maxsim"), min(col("rel")).as("rel"))
+        .withColumn("mmr",
+          lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("maxsim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("mmr").desc, col("n_id"))))
+        .filter(col("rk") === 1)
+        .join(e.select(col("vec_id").as("n_id"), col("v")), "n_id")
+        .select(col("q_id"), col("n_id"), col("v"), lit(r.toLong).as("rnk"), col("mmr"))
+      val prev = sel
+      sel = sel.unionByName(next).localCheckpoint()
+      GraftShims.unpersistCheckpoint(prev)
+    }
+    sel.select(col("q_id"), col("rnk"), col("n_id"), round(col("mmr"), 6).as("mmr"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** [[mmrTopK]]'s twin — pool + K−1 greedy levels as MATERIALIZED CTEs
+    * (kcenter's once-per-level evaluation discipline), generated from the
+    * same constants. `first(rel)` is safe to mirror with any-value
+    * semantics because rel is functionally determined by (q_id, n_id). */
+  val mmrTopKSql: String = {
+    def cos(a: String, b: String): String =
+      s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
+    val steps = (2 to MmrK).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT p.q_id, p.n_id, p.v, max(${cos("p.v", "u.v")}) AS maxsim, min(p.rel) AS rel
+         |  FROM pool p JOIN u${i - 1} u USING (q_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM u${i - 1} x
+         |                    WHERE x.q_id = p.q_id AND x.n_id = p.n_id)
+         |  GROUP BY p.q_id, p.n_id, p.v
+         |),
+         |s$i AS MATERIALIZED (
+         |  SELECT q_id, n_id, v, CAST($i AS BIGINT) AS rnk,
+         |         $MmrLambda * rel - ${1.0 - MmrLambda} * maxsim AS mmr
+         |  FROM c$i
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |            ORDER BY $MmrLambda * rel - ${1.0 - MmrLambda} * maxsim DESC, n_id) = 1
+         |),
+         |u$i AS MATERIALIZED (SELECT * FROM u${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |pool AS MATERIALIZED (
+       |  SELECT q_id, n_id, v, rel FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id, e.v, ${cos("e.v", "q.qv")} AS rel,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${cos("e.v", "q.qv")} DESC, e.vec_id) AS rk
+       |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
+       |  ) WHERE rk <= $MmrPool
+       |),
+       |s1 AS MATERIALIZED (
+       |  SELECT q_id, n_id, v, CAST(1 AS BIGINT) AS rnk, $MmrLambda * rel AS mmr
+       |  FROM pool
+       |  QUALIFY row_number() OVER (PARTITION BY q_id
+       |            ORDER BY $MmrLambda * rel DESC, n_id) = 1
+       |),
+       |u1 AS MATERIALIZED (SELECT * FROM s1),
+       |$steps
+       |SELECT q_id, rnk, n_id, round(mmr, 6) AS mmr
+       |FROM u$MmrK ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** Per-label embedding centroids — the k-means UPDATE step paired with
     * [[ivfTopK]]'s assignment step (alternate the two and you have Lloyd's
     * algorithm; one iteration per query keeps each driver-gated run
@@ -1427,6 +1550,7 @@ object Similarity {
     "emb_kmeans_fit"  -> (kmeansFit _),
     "emb_prune_prototypes" -> (pruneGroupPrototypes _),
     "ann_kcenter_coreset" -> (kcenterCoreset _),
+    "ann_mmr_topk"    -> (mmrTopK _),
     "emb_neardup_cosine" -> (cosineNearDup _),
     "emb_neardup_cosine_lsh" -> (cosineNearDupLsh _),
     "emb_neardup_srp_md5" -> (cosineNearDupSrpMd5 _),
@@ -1454,6 +1578,7 @@ object Similarity {
     "emb_kmeans_fit" -> kmeansFitSql,
     "emb_prune_prototypes" -> pruneGroupPrototypesSql,
     "ann_kcenter_coreset" -> kcenterCoresetSql,
+    "ann_mmr_topk"    -> mmrTopKSql,
     "emb_neardup_cosine" -> cosineNearDupSql,
     "emb_neardup_signgrid" -> cosineNearDupSignGridSql,
     "emb_neardup_srp_md5"  -> cosineNearDupSrpMd5Sql,

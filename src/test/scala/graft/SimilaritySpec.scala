@@ -268,6 +268,39 @@ class SimilaritySpec extends GraftSpec {
       s"greedy trace diverged: got ${got.toSeq}, want ${expect.toSeq}")
   }
 
+  test("MMR re-rank replays an independent greedy reference over the same pool") {
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val lam = Similarity.MmrLambda
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    for (qId <- vecs.keys.filter(_ % 100 == 0).toSeq.sorted) {
+      val pool = vecs.toSeq.filter(_._1 != qId)
+        .map { case (id, v) => (id, cos(v, vecs(qId))) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(Similarity.MmrPool)
+      var sel = Vector.empty[Long]
+      for (r <- 1 to Similarity.MmrK) {
+        val cand = pool.filterNot(p => sel.contains(p._1)).map { case (id, rel) =>
+          val maxsim = if (sel.isEmpty) 0.0
+            else sel.map(sid => cos(vecs(id), vecs(sid))).max
+          (id, lam * rel - (1 - lam) * maxsim)
+        }
+        val pick = cand.minBy { case (id, m) => (-m, id) }
+        sel :+= pick._1
+        expect += ((qId, r.toLong, pick._1))
+      }
+    }
+    val got = Similarity.mmrTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq,
+      s"greedy trace diverged (first diff: ${got.zip(expect).find(p => p._1 != p._2)})")
+  }
+
   test("LSH top-k recall vs brute force >= 30% (single-bit multi-probe, 8 planes)") {
     val brute = Similarity.bruteForceTopK(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
