@@ -287,7 +287,115 @@ object DataPrep {
       |       md5(array_to_string(tk[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens], ' ')) AS chunk_md5
       |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ------------------------------------------------------------ BPE train
+  /** Number of BPE merge rounds for [[bpeTrain]]. */
+  val BpeMerges = 8
+
+  /** Train a byte-pair-encoding merge table IN the engine (Sennrich et
+    * al., ACL 2016 — the subword algorithm behind every GPT/LLaMA-family
+    * tokenizer): start from characters, repeat "count adjacent symbol
+    * pairs weighted by word frequency → merge the most frequent pair
+    * everywhere" for [[BpeMerges]] rounds. Output is the ordered merge
+    * table (step, left, right, pair count) — the `merges.txt` artifact a
+    * tokenizer ships.
+    *
+    * Entirely integer/string arithmetic — no float anywhere — so the gate
+    * needs no rounding discipline at all; ties break lexicographically on
+    * (left, right) in both engines. The per-word rewrite is an `aggregate`
+    * fold (greedy left-to-right non-overlapping, the reference semantics):
+    * plan-constant like the Hilbert fold. The cross-round dependency is
+    * the k-center shape — each round re-references the previous word
+    * table — so each round's word table (VOCABULARY-sized: distinct words,
+    * not corpus-sized — the one big shuffle is the initial word count)
+    * is localCheckpoint'ed under the sanctioned eager-job tag. At 100 TB
+    * the word-frequency table is token-type-bounded (millions of rows,
+    * not billions); every merge round then costs a vocabulary-sized
+    * explode + aggregate — exactly how production BPE trainers run. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val sc = s.sparkContext
+    val prevTag = sc.getLocalProperty(Dedup.CcFixpointTag)
+    sc.setLocalProperty(Dedup.CcFixpointTag, "1")
+    try bpeTrainInner(s, dir)
+    finally sc.setLocalProperty(Dedup.CcFixpointTag, prevTag)
+  }
+
+  private def bpeTrainInner(s: SparkSession, dir: String): DataFrame = {
+    var words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (i <- 1 to BpeMerges) {
+      val bp = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          // Spark array access is 0-based (the DuckDB twin's is 1-based)
+          "transform(sequence(0, size(syms) - 2), j -> struct(syms[j] AS l, syms[j+1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .select(lit(i.toLong).as("step"), col("l"), col("r"), col("cnt"))
+        .localCheckpoint()
+      merges = if (merges == null) bp else merges.unionByName(bp)
+      val prev = words
+      words = words.crossJoin(broadcast(bp))
+        .select(col("freq"), expr(
+          """aggregate(syms, CAST(array() AS ARRAY<STRING>),
+            |  (acc, c) -> IF(size(acc) > 0 AND element_at(acc, -1) = l AND c = r,
+            |                 concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))),
+            |                 concat(acc, array(c))))""".stripMargin).as("syms"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(prev)
+    }
+    merges.select(col("step"), col("l").as("left_sym"), col("r").as("right_sym"), col("cnt"))
+      .orderBy("step")
+  }
+
+  /** [[bpeTrain]]'s twin — rounds unrolled as MATERIALIZED CTEs, the
+    * rewrite as a `list_reduce` with a list accumulator (DuckDB's
+    * init-less fold over singleton-wrapped symbols). */
+  val bpeTrainSql: String = {
+    def step(i: Int): String =
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT p.l, p.r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM words${i - 1} w, LATERAL (
+         |    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+         |      j -> {'l': syms[j], 'r': syms[j+1]})) AS p) x
+         |  WHERE len(syms) >= 2
+         |  GROUP BY p.l, p.r
+         |),
+         |bp$i AS MATERIALIZED (
+         |  SELECT CAST($i AS BIGINT) AS step, l, r, cnt FROM pc$i
+         |  ORDER BY cnt DESC, l, r LIMIT 1
+         |),
+         |words$i AS MATERIALIZED (
+         |  SELECT freq,
+         |    list_reduce(list_transform(syms, s -> [s]),
+         |      (a, x) -> CASE WHEN len(a) > 0 AND a[-1] = bp.l AND x[1] = bp.r
+         |                THEN list_append(a[1:len(a)-1], bp.l || bp.r)
+         |                ELSE list_concat(a, x) END) AS syms
+         |  FROM words${i - 1} w CROSS JOIN bp$i bp
+         |)""".stripMargin
+    s"""WITH words0 AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |         list_transform(generate_series(1, length(w)), i -> w[i:i]) AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0
+       |  GROUP BY w
+       |),
+       |${(1 to BpeMerges).map(step).mkString(",\n")}
+       |SELECT step, l AS left_sym, r AS right_sym, cnt
+       |FROM (${(1 to BpeMerges).map(i => s"SELECT * FROM bp$i").mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_bpe_train" -> (bpeTrain _),
     "prep_vocab_encode" -> (vocabEncode _),
     "prep_seq_pack"     -> (seqPack _),
     "prep_split_assign" -> (splitAssign _),
@@ -296,6 +404,7 @@ object DataPrep {
   )
 
   def oracles: Map[String, String] = Map(
+    "prep_bpe_train" -> bpeTrainSql,
     "prep_vocab_encode" -> vocabEncodeSql,
     "prep_seq_pack"     -> seqPackSql,
     "prep_split_assign" -> splitAssignSql,

@@ -6,6 +6,41 @@ import org.apache.spark.sql.functions._
 /** Invariants for the dataset-prep operators (values are oracle-gated). */
 class DataPrepSpec extends GraftSpec {
 
+  test("BPE training replays an independent reference (counts, ties, greedy non-overlap rewrite)") {
+    import graft.operators.DataPrep
+    // independent reference over the same corpus
+    val words = graft.Tables.documents(spark, sf0001)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var vocab: Map[String, List[String]] = words.keys.map(w => w -> w.map(_.toString).toList).toMap
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (step <- 1 to DataPrep.BpeMerges) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, syms) <- vocab; j <- 0 until syms.length - 1)
+        pc((syms(j), syms(j + 1))) = pc.getOrElse((syms(j), syms(j + 1)), 0L) + words(w)
+      val ((l, r), cnt) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+      expect += ((step.toLong, l, r, cnt))
+      vocab = vocab.map { case (w, syms) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        for (c <- syms)
+          if (out.nonEmpty && out.last == l && c == r) out(out.length - 1) = l + r
+          else out += c
+        w -> out.toList
+      }
+    }
+    val got = DataPrep.bpeTrain(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expect.toSeq,
+      s"merge table diverged (first diff: ${got.zip(expect).find(p => p._1 != p._2)})")
+    // the reference's greedy non-overlap rule on a repeated-symbol word:
+    // pair (a,a) over "aaaa" merges to [aa, aa], never [aa, a, a] or [aaa, a]
+    val fold = List("a", "a", "a", "a").foldLeft(List.empty[String]) { (acc, c) =>
+      if (acc.nonEmpty && acc.last == "a" && c == "a") acc.init :+ "aa" else acc :+ c
+    }
+    assert(fold == List("aa", "aa"), fold.toString)
+  }
+
   test("vocab encode: id sequence length matches token count; ids bounded") {
     val rows = DataPrep.vocabEncode(spark, sf0001)
       .select("ids", "n_tokens", "n_oov").collect()
