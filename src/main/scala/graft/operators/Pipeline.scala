@@ -345,15 +345,70 @@ object Pipeline {
       |FROM lpairs JOIN sp pa ON a_id = pa.doc_id JOIN sp pb ON b_id = pb.doc_id
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** The curation FUNNEL: survivor counts after each stage of the
+    * [[keptDocs]] chain, applied cumulatively in stage order — the
+    * one-table report every published pipeline paper prints (raw →
+    * exact dedup → near-dup collapse → repetition gate → benchmark
+    * decontamination). Each stage reuses the standalone operator's
+    * exact drop set, and the oracle reads its counts straight out of
+    * the SHARED kept-CTE chain, so a funnel row disagreeing with the
+    * curate output is impossible by construction — the final row's
+    * count IS `count(kept)`. One dataflow: five single-row aggregates
+    * unioned, so the whole report is one action. */
+  def funnelReport(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+    val w = Window.partitionBy(md5(col("text")), length(col("text")))
+      .orderBy(col("doc_id"))
+    val exact = corpus.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn").cache()
+    val nonReps = Dedup.ccLabels(
+        Dedup.jaccardPairsFrom(exact).select("a_id", "b_id"))
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"))
+    val afterNear = exact.join(nonReps, Seq("doc_id"), "left_anti").cache()
+    val afterRep = afterNear.join(
+      QualityFilters.repetitionFilter(s, dir).select("doc_id"),
+      Seq("doc_id"), "left_anti").cache()
+    val afterDecon = afterRep.join(
+      QualityFilters.decontaminate(s, dir).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    def row(ord: Int, stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(ord.toLong).as("stage_ord"), lit(stage).as("stage"), col("n_docs"))
+    row(1, "raw", corpus)
+      .unionByName(row(2, "exact_dedup", exact))
+      .unionByName(row(3, "near_dedup", afterNear))
+      .unionByName(row(4, "repetition", afterRep))
+      .unionByName(row(5, "decontaminated", afterDecon))
+      .orderBy("stage_ord")
+  }
+
+  val funnelReportSql: String = keptCtes + "\n" +
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage,
+      |         (SELECT count(*) FROM corpus) AS n_docs
+      |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM exact)
+      |  UNION ALL SELECT 3, 'near_dedup',
+      |    (SELECT count(*) FROM exact e
+      |     WHERE NOT EXISTS (SELECT 1 FROM nonreps d WHERE d.doc_id = e.doc_id))
+      |  UNION ALL SELECT 4, 'repetition',
+      |    (SELECT count(*) FROM exact e
+      |     WHERE NOT EXISTS (SELECT 1 FROM nonreps d WHERE d.doc_id = e.doc_id)
+      |       AND NOT EXISTS (SELECT 1 FROM repflag r WHERE r.doc_id = e.doc_id))
+      |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM kept)
+      |) ORDER BY stage_ord""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate"       -> (curate _),
     "pipeline_training_set" -> (trainingSet _),
+    "pipeline_funnel_report" -> (funnelReport _),
     "split_leakage_audit"   -> (splitLeakageAudit _)
   )
 
   def oracles: Map[String, String] = Map(
     "pipeline_curate"       -> curateSql,
     "pipeline_training_set" -> trainingSetSql,
+    "pipeline_funnel_report" -> funnelReportSql,
     "split_leakage_audit"   -> splitLeakageAuditSql
   )
 }
