@@ -441,6 +441,56 @@ object QualityFilters {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ------------------------------------------ CCNet perplexity buckets
+  /** CCNet's head/middle/tail selection (Wenzek et al., LREC 2020):
+    * rank documents by LM negative log-likelihood, cut into terciles,
+    * keep the head outright, keep a content-stable 50% sample of the
+    * middle, drop the tail. Composes the gated [[perplexityScore]] with
+    * an `ntile` tercile (ordered by (avg_nll, doc_id) — the tiebreak
+    * makes tercile membership deterministic) and the md5-bucket sampling
+    * discipline of [[DataPrep]] (digest chars 9–12, DISJOINT from the
+    * split and mix bucket ranges, so a doc's perplexity fate never
+    * correlates with its other placement decisions). Per-doc verdict
+    * table, hash-gated.
+    *
+    * Scale note: the tercile is a GLOBAL ntile — a single-task sort by
+    * construction, acceptable here because the ranked input is one row
+    * per document of three scalars (not corpus text). At 100 TB the
+    * production form replaces it with fixed nll cutoffs fit on a sample
+    * (exactly what CCNet does — per-language cutoff tables), turning the
+    * window into a stateless per-row CASE; the bucket/keep semantics
+    * downstream are unchanged. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val t = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_nll"), col("doc_id"))
+    perplexityScore(s, dir)
+      .withColumn("tercile", ntile(3).over(t))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+      .withColumn("samp",
+        conv(substring(md5(col("doc_id").cast("string")), 9, 4), 16, 10)
+          .cast("int") % 2)
+      .withColumn("kept",
+        col("bucket") === "head" || (col("bucket") === "middle" && col("samp") === 0))
+      .select(col("doc_id"), col("ppl"), col("bucket"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  val pplBucketsSql: String = {
+    // the gated perplexity query as a CTE body — strip ONLY its trailing
+    // result sort (window-internal ORDER BYs must survive)
+    val ppl = perplexityScoreSql.replace("GROUP BY 1 ORDER BY 1", "GROUP BY 1")
+    s"""WITH ppl_q AS ($ppl)
+       |SELECT doc_id, ppl,
+       |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |       (t = 1 OR (t = 2 AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 4) AS INTEGER) % 2 = 0)) AS kept
+       |FROM (SELECT doc_id, ppl, avg_nll,
+       |             ntile(3) OVER (ORDER BY avg_nll, doc_id) AS t
+       |      FROM ppl_q)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------- in-engine LR classifier
   /** Gradient-descent steps and learning rate for [[qualityLrFit]]. */
   val LrSteps = 5
@@ -588,6 +638,7 @@ object QualityFilters {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_lr_fit"       -> (qualityLrFit _),
+    "quality_ppl_buckets"  -> (pplBuckets _),
     "quality_lr_scores"    -> (qualityLrScores _),
     "text_scrub_stoptokens" -> (scrubStopTokens _),
     "text_repetition"       -> (repetitionFilter _),
@@ -601,6 +652,7 @@ object QualityFilters {
 
   def oracles: Map[String, String] = Map(
     "quality_lr_fit"       -> qualityLrFitSql,
+    "quality_ppl_buckets"  -> pplBucketsSql,
     "quality_lr_scores"    -> qualityLrScoresSql,
     "text_scrub_stoptokens" -> scrubStopTokensSql,
     "text_repetition"       -> repetitionFilterSql,

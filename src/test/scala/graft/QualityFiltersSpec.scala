@@ -43,6 +43,20 @@ class QualityFiltersSpec extends GraftSpec {
       s"acc ${out("train_acc")} below majority baseline $majority / $n")
   }
 
+  test("ppl buckets: balanced terciles, head kept whole, tail dropped whole, middle sampled") {
+    import graft.operators.QualityFilters
+    val rows = QualityFilters.pplBuckets(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+    val byBucket = rows.groupBy(_._2)
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    val sizes = byBucket.view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1, s"ntile imbalance: $sizes")
+    assert(byBucket("head").forall(_._3), "head must be kept in full")
+    assert(byBucket("tail").forall(!_._3), "tail must be dropped in full")
+    val midKept = byBucket("middle").count(_._3).toDouble / byBucket("middle").length
+    assert(midKept > 0.3 && midKept < 0.7, s"middle sample rate $midKept far from 1/2")
+  }
+
   test("scrub accounting matches a direct token count of 'a'/'the'") {
     val direct = graft.Tables.documents(spark, sf0001)
       .select(sum(size(filter(split(col("text"), " "),
