@@ -197,6 +197,53 @@ object SubstringDedup {
        |           x -> x.t) AS kept) k
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------ corpus-level stats
+  /** The headline number substring dedup reports (Lee et al.'s Table 1
+    * shape): what FRACTION of corpus tokens sits inside a duplicated run,
+    * plus affected-document counts. Token coverage is counted on the
+    * b-side (the copies excision would remove) via the same
+    * any-span-covers position filter as [[spanExcise]], so this metric
+    * and the removal act on byte-identical sets. Integer counts and one
+    * exact ratio → hash-gated. */
+  def spanStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ivs = substringSpansFrom(docs)
+      .select(col("b_id").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("span_len") - 1).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val covered = toks.join(ivs, "doc_id")
+      .select(size(col("tk")).cast("long").as("n_tok"),
+        expr(
+          """size(filter(sequence(CAST(1 AS BIGINT), CAST(size(tk) AS BIGINT)),
+            |            p -> exists(ivs, iv -> iv.s <= p AND p <= iv.e)))""".stripMargin)
+          .cast("long").as("n_dup"))
+    val totals = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("tk")).cast("long")).as("n_tokens"))
+    covered.agg(count(lit(1)).as("n_dup_docs"), sum(col("n_dup")).as("n_dup_tokens"))
+      .crossJoin(totals)
+      .select(col("n_docs"), col("n_tokens"), col("n_dup_docs"), col("n_dup_tokens"),
+        (col("n_dup_tokens").cast("double") / col("n_tokens")).as("dup_token_frac"))
+  }
+
+  val spanStatsSql: String =
+    s"""WITH ${spansCtesFrom("documents")},
+       |ivs AS (SELECT b_id AS doc_id, b_start AS s, b_start + span_len - 1 AS e FROM spans),
+       |iva AS (SELECT doc_id, list({'s': s, 'e': e}) AS ivs FROM ivs GROUP BY doc_id),
+       |cov AS (
+       |  SELECT len(tk) AS n_tok,
+       |         len(list_filter(generate_series(1, len(tk)),
+       |             p -> len(list_filter(ivs, iv -> iv.s <= p AND p <= iv.e)) > 0)) AS n_dup
+       |  FROM toks JOIN iva USING (doc_id)
+       |),
+       |tot AS (SELECT count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS n_tokens FROM toks)
+       |SELECT tot.n_docs, tot.n_tokens,
+       |       (SELECT count(*) FROM cov) AS n_dup_docs,
+       |       (SELECT CAST(sum(n_dup) AS BIGINT) FROM cov) AS n_dup_tokens,
+       |       (SELECT CAST(sum(n_dup) AS BIGINT) FROM cov) * 1.0 / tot.n_tokens AS dup_token_frac
+       |FROM tot""".stripMargin
+
   // -------------------------------------------------- curation composition
   /** Minimum tokens a doc must retain after excision to stay in the set. */
   val MinKeepTokens = 10
@@ -486,6 +533,7 @@ object SubstringDedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "neardup_substring_spans" -> (substringSpans _),
+    "dedup_span_stats"        -> (spanStats _),
     "dedup_span_excise"       -> (spanExcise _),
     "pipeline_substring_curate" -> (substringCurate _),
     "dedup_incremental_substring" -> (incrementalSubstring _),
@@ -495,6 +543,7 @@ object SubstringDedup {
 
   def oracles: Map[String, String] = Map(
     "neardup_substring_spans" -> substringSpansSql,
+    "dedup_span_stats"        -> spanStatsSql,
     "dedup_span_excise"       -> spanExciseSql,
     "pipeline_substring_curate" -> substringCurateSql,
     "dedup_incremental_substring" -> incrementalSubstringSql,
