@@ -590,6 +590,91 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** HyperLogLog parameters for the cross-engine twin: 2^12 registers. */
+  private val HllP = 12
+  private val HllM = 1 << HllP
+
+  /** The md5-twin of [[approxDistinct]] — the sketch-family extension of
+    * the program that gated MinHash/winnowing/SimHash/SRP: the ENTIRE
+    * HyperLogLog pipeline (Flajolet et al. 2007) built from md5-derived
+    * 60-bit hashes so BOTH engines compute identical registers — bucket =
+    * low [[HllP]] bits, rank = leading-zero count of the remaining 48-bit
+    * word + 1 (taken EXACTLY via the binary-string length, never
+    * floor(log2) — a float log at a power-of-two boundary is an
+    * off-by-one on one engine), per-bucket max, then the harmonic-mean
+    * estimate with the small-range linear-counting correction. The
+    * indicator sum Σ2^−M is scaled by 2^49 into an exact INTEGER sum
+    * (order-insensitive — a double Σ would depend on shuffle order);
+    * alpha·m²·2^49/S and m·ln(m/V) are then single float expressions both
+    * engines evaluate identically, rounded at 6. The two gate scales
+    * exercise BOTH branches: sf0.01 (2 k distinct ≪ 2.5 m) takes linear
+    * counting, sf0.1 (20 k distinct) the harmonic path. Scale shape:
+    * per-value hashing is map-side; the register table is m rows — the
+    * same fixed-size-sketch, map-side-mergeable story as the builtin,
+    * with the builtin staying the hot path (one xxhash vs an md5 per
+    * value) exactly like the other md5 twins. */
+  def approxDistinctMd5(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val h = li.select(col("l_partkey")).distinct()
+      .select(conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val regs = h
+      .select(pmod(col("h"), lit(HllM.toLong)).as("b"),
+        (col("h") / HllM).cast("long").as("w"))
+      .select(col("b"),
+        when(col("w") > 0, lit(49) - length(bin(col("w")))).otherwise(lit(49))
+          .cast("int").as("rank"))
+      .groupBy("b").agg(max(col("rank")).as("m"))
+    val allB = s.range(HllM).select(col("id").as("b"))
+      .join(regs, Seq("b"), "left")
+      .select(coalesce(col("m"), lit(0)).as("m"))
+    val agg = allB.agg(
+      sum(expr("CAST(1 AS BIGINT) << (49 - m)")).as("s"),
+      sum(when(col("m") === 0, 1L).otherwise(0L)).as("v"))
+    val alpha = 0.7213 / (1 + 1.079 / HllM)
+    val exact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
+    agg.crossJoin(exact)
+      .withColumn("e_raw",
+        lit(alpha) * HllM * HllM * lit((1L << 49).toDouble) / col("s"))
+      .select(col("n_exact"),
+        round(when(col("e_raw") <= lit(2.5 * HllM) && col("v") > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
+          .otherwise(col("e_raw")), 6).as("hll_estimate"),
+        col("v").as("n_empty_buckets"))
+  }
+
+  val approxDistinctMd5Sql: String =
+    s"""WITH h AS (
+       |  SELECT CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT DISTINCT l_partkey FROM lineitem)
+       |),
+       |r AS (
+       |  SELECT h % $HllM AS b,
+       |         CASE WHEN h // $HllM > 0 THEN 49 - length(bin(h // $HllM)) ELSE 49 END AS rank
+       |  FROM h
+       |),
+       |regs AS (SELECT b, max(rank) AS m FROM r GROUP BY b),
+       |allb AS (
+       |  SELECT g.b, coalesce(regs.m, 0) AS m
+       |  FROM (SELECT unnest(generate_series(0, ${HllM - 1})) AS b) g
+       |  LEFT JOIN regs USING (b)
+       |),
+       |agg AS (
+       |  SELECT CAST(sum(CAST(1 AS BIGINT) << (49 - m)) AS BIGINT) AS s,
+       |         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+       |  FROM allb
+       |),
+       |est AS (
+       |  SELECT (0.7213 / (1 + 1.079 / $HllM)) * $HllM * $HllM
+       |           * CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE) / s AS e_raw, v
+       |  FROM agg
+       |)
+       |SELECT (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS n_exact,
+       |       round(CASE WHEN e_raw <= 2.5 * $HllM AND v > 0
+       |                  THEN $HllM * ln($HllM * 1.0 / v) ELSE e_raw END, 6) AS hll_estimate,
+       |       v AS n_empty_buckets
+       |FROM est""".stripMargin
+
   // ------------------------------------------------------ analytic windows
   /** row_number/rank/dense_rank: top-3 orders per customer by price. */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
@@ -854,6 +939,7 @@ object Relational {
     "grouping_sets"       -> (groupingSets _),
     "distinct_aggs"       -> (distinctAggs _),
     "approx_distinct"     -> (approxDistinct _),
+    "approx_distinct_md5" -> (approxDistinctMd5 _),
     "window_rank"         -> (windowRank _),
     "window_lag"          -> (windowLag _),
     "window_moving_sum"   -> (windowMovingSum _),
@@ -889,7 +975,9 @@ object Relational {
     "cube_agg"            -> cubeAggSql,
     "grouping_sets"       -> groupingSetsSql,
     "distinct_aggs"       -> distinctAggsSql,
-    // approx_distinct: intentionally no oracle (sketch-dependent)
+    // approx_distinct: intentionally no oracle (sketch-dependent); the
+    // md5 twin puts the full HLL pipeline under the gate instead
+    "approx_distinct_md5" -> approxDistinctMd5Sql,
     "window_rank"         -> windowRankSql,
     "window_lag"          -> windowLagSql,
     "window_moving_sum"   -> windowMovingSumSql,

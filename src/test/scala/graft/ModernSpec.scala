@@ -10,6 +10,28 @@ import org.apache.spark.sql.functions._
   * run-stable. */
 class ModernSpec extends GraftSpec {
 
+  test("md5-HLL twin: estimate within the sketch's standard-error envelope of the exact count") {
+    val r = graft.operators.Relational.approxDistinctMd5(spark, sf0001).collect().head
+    val (exact, est, empty) = (r.getLong(0), r.getDouble(1), r.getLong(2))
+    assert(exact > 0 && empty > 0)
+    // p=12 registers: standard error 1.04/sqrt(4096) ≈ 1.6%; allow 4σ —
+    // md5 is a fixed "random" draw, so this is a deterministic check, not
+    // a flaky statistical one (the harness corpus either passes or it
+    // doesn't, forever)
+    val relErr = math.abs(est - exact) / exact
+    assert(relErr < 0.065, f"HLL rel err $relErr%.4f vs exact $exact (est $est%.1f)")
+    // the rank extraction must be the exact bit-length form: pin it on
+    // known words (w=1 → 48 leading zeros → rank 49 − 1; high bit set →
+    // rank 1)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ranks = Seq(1L, 1L << 47, 3L).toDF("w")
+      .select(when(col("w") > 0, lit(49) - length(bin(col("w")))).otherwise(lit(49))
+        .cast("int").as("rank"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(ranks == Seq(48, 1, 47), ranks.toString)
+  }
+
   test("approx_top_k estimates equal exact token counts below sketch capacity") {
     // vocabulary << maxItemsTracked=1000, so the sketch holds every item
     // exactly and the estimate must be the true count — the same
