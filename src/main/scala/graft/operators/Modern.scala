@@ -134,6 +134,65 @@ object Modern {
         |ORDER BY est_cnt DESC, tok""".stripMargin)
   }
 
+  /** Count-min sketch depth (hash rows) and width (counters per row). */
+  private val CmD = 4
+  private val CmW = 1024
+
+  /** The md5-twin of [[approxTopKTokens]] — count-min sketch (Cormode &
+    * Muthukrishnan 2005) heavy hitters with every stage cross-engine
+    * reproducible: [[CmD]] independent hash rows derive their buckets from
+    * md5(row ‖ token), counters are exact integer sums (order-free by
+    * construction), the point estimate is the min over rows, and the
+    * top-10 ranks (estimate desc, token). The exact per-token count rides
+    * along, exhibiting the sketch's one-sided guarantee: est ≥ exact
+    * always, with overestimates only from bucket collisions — the spec
+    * asserts the inequality, the driver gate pins every value. Scale
+    * shape: the sketch table is d·w counters from ONE partial-agg shuffle
+    * of (row, bucket) pairs — fixed size regardless of corpus; the
+    * candidate estimate join probes d rows per distinct token. The
+    * builtin `approx_top_k` stays the hot path (one sketch, native);
+    * this twin is the auditable form. */
+  def approxTopKMd5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok")).cache()
+    val rows = (0 until CmD).toDF("r")
+    val keyed = toks.crossJoin(broadcast(rows))
+      .select(col("tok"), col("r"),
+        pmod(conv(substring(md5(concat(col("r").cast("string"), lit("|"), col("tok"))), 1, 15), 16, 10)
+          .cast("long"), lit(CmW.toLong)).as("b"))
+    val cm = keyed.groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val est = exact.crossJoin(broadcast(rows))
+      .select(col("tok"), col("exact_cnt"), col("r"),
+        pmod(conv(substring(md5(concat(col("r").cast("string"), lit("|"), col("tok"))), 1, 15), 16, 10)
+          .cast("long"), lit(CmW.toLong)).as("b"))
+      .join(cm, Seq("r", "b"))
+      .groupBy("tok", "exact_cnt").agg(min(col("c")).as("est_cnt"))
+    est.orderBy(col("est_cnt").desc, col("tok")).limit(10)
+      .select("tok", "est_cnt", "exact_cnt")
+  }
+
+  val approxTopKMd5Sql: String =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |rows_ AS (SELECT unnest(generate_series(0, ${CmD - 1})) AS r),
+       |keyed AS (
+       |  SELECT tok, r,
+       |         CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 15) AS BIGINT) % $CmW AS b
+       |  FROM toks CROSS JOIN rows_
+       |),
+       |cm AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM keyed GROUP BY r, b),
+       |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok),
+       |est AS (
+       |  SELECT e.tok, e.exact_cnt, min(cm.c) AS est_cnt
+       |  FROM exact e CROSS JOIN rows_
+       |  JOIN cm ON cm.r = rows_.r
+       |         AND cm.b = CAST('0x' || substring(md5(CAST(rows_.r AS VARCHAR) || '|' || e.tok), 1, 15) AS BIGINT) % $CmW
+       |  GROUP BY e.tok, e.exact_cnt
+       |)
+       |SELECT tok, est_cnt, exact_cnt FROM est
+       |ORDER BY est_cnt DESC, tok LIMIT 10""".stripMargin
+
   // -------------------------------------------------- histogram_numeric
   /** Streaming-mergeable equi-height histogram of lineitem prices — the
     * NDV/distribution profile an optimizer or data-quality monitor keeps
@@ -316,6 +375,7 @@ object Modern {
     "listagg_nations"    -> (listaggNations _),
     "sql_recursive_cte"  -> (recursiveChain _),
     "approx_topk_tokens" -> (approxTopKTokens _),
+    "approx_topk_md5"    -> (approxTopKMd5 _),
     "histogram_prices"   -> (histogramPrices _),
     "sql_pipe_syntax"    -> (pipeSyntax _),
     "lateral_top_spender" -> (lateralTopSpender _),
@@ -334,7 +394,9 @@ object Modern {
     "null_semantics"    -> nullSemanticsSql,
     "hof_array_funcs"   -> hofArrayFuncsSql,
     "collation_groups"  -> collationGroupsSql,
-    "error_safe_funcs"  -> errorSafeFuncsSql
+    "error_safe_funcs"  -> errorSafeFuncsSql,
+    // the count-min md5 twin puts heavy-hitter estimation under the gate
+    "approx_topk_md5"   -> approxTopKMd5Sql
     // approx_topk_tokens / histogram_prices: sketch-internal-dependent →
     // rows-only gate + spec invariants (see Scaladoc)
   )

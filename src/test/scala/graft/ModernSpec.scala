@@ -32,6 +32,25 @@ class ModernSpec extends GraftSpec {
     assert(ranks == Seq(48, 1, 47), ranks.toString)
   }
 
+  test("md5-CM twin: estimates never undercount, and heavy hitters match exact top-10") {
+    val rows = graft.operators.Modern.approxTopKMd5(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10)
+    rows.foreach { case (tok, est, exact) =>
+      assert(est >= exact, s"CM one-sided guarantee violated for '$tok': $est < $exact")
+    }
+    // at this vocabulary (~31 tokens in 4096 counters) collisions are
+    // rare enough that the estimated top-10 set equals the exact top-10
+    val exactTop = graft.Tables.documents(spark, sf0001)
+      .selectExpr("explode(split(text, ' ')) AS tok")
+      .groupBy("tok").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("tok"))
+      .limit(10).collect().map(_.getString(0)).toSet
+    assert(rows.map(_._1).toSet == exactTop,
+      s"CM top-10 ${rows.map(_._1).toSet} vs exact $exactTop")
+  }
+
   test("approx_top_k estimates equal exact token counts below sketch capacity") {
     // vocabulary << maxItemsTracked=1000, so the sketch holds every item
     // exactly and the estimate must be the true count — the same
