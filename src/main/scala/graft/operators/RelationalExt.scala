@@ -280,6 +280,101 @@ object RelationalExt {
       .orderBy("n_regionkey")
   }
 
+  /** md5-HLL estimate (one double row, aliased `as`) over a single
+    * string-column frame — the same recipe as
+    * [[Relational.approxDistinctMd5]] (exact bit-length ranks,
+    * integer-scaled indicator sum, linear-counting correction); kept
+    * small here so [[hllIntersectMd5]] can run it over three sets. */
+  private def hllMd5Est(s: SparkSession, values: DataFrame, as: String): DataFrame = {
+    val m = 4096L
+    val regs = values.toDF("x").distinct()
+      .select(conv(substring(md5(col("x")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(pmod(col("h"), lit(m)).as("b"), (col("h") / m).cast("long").as("w"))
+      .select(col("b"),
+        when(col("w") > 0, lit(49) - length(bin(col("w")))).otherwise(lit(49))
+          .cast("int").as("rank"))
+      .groupBy("b").agg(max(col("rank")).as("m"))
+    val agg = s.range(m).select(col("id").as("b"))
+      .join(regs, Seq("b"), "left")
+      .select(coalesce(col("m"), lit(0)).as("m"))
+      .agg(sum(expr("CAST(1 AS BIGINT) << (49 - m)")).as("s"),
+           sum(when(col("m") === 0, 1L).otherwise(0L)).as("v"))
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    agg.withColumn("e_raw", lit(alpha) * m * m * lit((1L << 49).toDouble) / col("s"))
+      .select(when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+        .otherwise(col("e_raw")).as(as))
+  }
+
+  /** The ANSI-SQL body of [[hllMd5Est]] over `src` (one column `x`),
+    * CTE names prefixed to stay collision-free when chained 3×. */
+  private def hllMd5EstSql(src: String, pfx: String, as: String): String =
+    s"""${pfx}h AS (
+       |  SELECT CAST('0x' || substring(md5(x), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT DISTINCT x FROM $src)
+       |),
+       |${pfx}r AS (
+       |  SELECT h % 4096 AS b,
+       |         CASE WHEN h // 4096 > 0 THEN 49 - length(bin(h // 4096)) ELSE 49 END AS rank
+       |  FROM ${pfx}h
+       |),
+       |${pfx}regs AS (SELECT b, max(rank) AS m FROM ${pfx}r GROUP BY b),
+       |${pfx}agg AS (
+       |  SELECT CAST(sum(CAST(1 AS BIGINT) << (49 - coalesce(${pfx}regs.m, 0))) AS BIGINT) AS s,
+       |         CAST(sum(CASE WHEN coalesce(${pfx}regs.m, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+       |  FROM (SELECT unnest(generate_series(0, 4095)) AS b) g
+       |  LEFT JOIN ${pfx}regs USING (b)
+       |),
+       |${pfx}est AS (
+       |  SELECT CASE WHEN e_raw <= 2.5 * 4096 AND v > 0
+       |              THEN 4096 * ln(4096.0 / v) ELSE e_raw END AS $as
+       |  FROM (SELECT (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096
+       |               * CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE) / s AS e_raw, v
+       |        FROM ${pfx}agg)
+       |)""".stripMargin
+
+  /** [[hllIntersect]]'s md5 twin: the inclusion–exclusion overlap
+    * estimate |A∩B| ≈ |A| + |B| − |A∪B| with all three cardinalities
+    * from the cross-engine md5-HLL — the union estimate comes from
+    * hashing the unioned value set, which yields exactly the
+    * element-wise register max a sketch union computes. The exact
+    * intersection rides along; everything is hash-gated at round 6. */
+  def hllIntersectMd5(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id").cast("string"), col("event_type"))
+      .toDF("uid", "event_type")
+    val clicks = ev.filter(col("event_type") === "click").select("uid")
+    val purch = ev.filter(col("event_type") === "purchase").select("uid")
+    val estA = hllMd5Est(s, clicks, "approx_click")
+    val estB = hllMd5Est(s, purch, "approx_purchase")
+    val estU = hllMd5Est(s, clicks.union(purch), "approx_union")
+    val exactBoth = clicks.distinct().intersect(purch.distinct())
+      .agg(count(lit(1)).as("exact_both"))
+    estA.crossJoin(estB).crossJoin(estU).crossJoin(exactBoth)
+      .select(
+        round(col("approx_click") + col("approx_purchase") - col("approx_union"), 6)
+          .as("approx_both"),
+        col("exact_both"),
+        round(col("approx_click"), 6).as("approx_click"),
+        round(col("approx_purchase"), 6).as("approx_purchase"))
+  }
+
+  val hllIntersectMd5Sql: String =
+    s"""WITH clicks AS (SELECT CAST(user_id AS VARCHAR) AS x FROM events WHERE event_type = 'click'),
+       |purch AS (SELECT CAST(user_id AS VARCHAR) AS x FROM events WHERE event_type = 'purchase'),
+       |uni AS (SELECT x FROM clicks UNION ALL SELECT x FROM purch),
+       |${hllMd5EstSql("clicks", "a", "approx_click")},
+       |${hllMd5EstSql("purch", "b", "approx_purchase")},
+       |${hllMd5EstSql("uni", "u", "approx_union")},
+       |eb AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS exact_both FROM (
+       |    SELECT DISTINCT x FROM clicks INTERSECT SELECT DISTINCT x FROM purch)
+       |)
+       |SELECT round(approx_click + approx_purchase - approx_union, 6) AS approx_both,
+       |       exact_both,
+       |       round(approx_click, 6) AS approx_click,
+       |       round(approx_purchase, 6) AS approx_purchase
+       |FROM aest CROSS JOIN best CROSS JOIN uest CROSS JOIN eb""".stripMargin
+
   /** HLL set ALGEBRA — sketch-based overlap estimation: distinct users
     * who both clicked AND purchased, from two sketches and their union
     * via inclusion–exclusion (|A∩B| ≈ |A| + |B| − |A∪B|). This is how
@@ -406,10 +501,12 @@ object RelationalExt {
     "join_salted"      -> (saltedJoin _),
     "hll_sketch_merge" -> (hllSketchMerge _),
     "hll_intersect"    -> (hllIntersect _),
+    "hll_intersect_md5" -> (hllIntersectMd5 _),
     "sql_lateral_view" -> (sqlLateralView _)
   )
 
   def oracles: Map[String, String] = Map(
+    "hll_intersect_md5" -> hllIntersectMd5Sql,
     "scalar_misc"     -> scalarMiscSql,
     "date_arithmetic" -> dateArithmeticSql,
     "pivot_status"    -> pivotStatusSql,

@@ -51,6 +51,16 @@ class ModernSpec extends GraftSpec {
       s"CM top-10 ${rows.map(_._1).toSet} vs exact $exactTop")
   }
 
+  test("md5-HLL inclusion-exclusion overlap lands near the exact intersection") {
+    val r = graft.operators.RelationalExt.hllIntersectMd5(spark, sf0001).collect().head
+    val (approxBoth, exactBoth) = (r.getDouble(0), r.getLong(1))
+    assert(exactBoth > 0, "fixture must have click∩purchase users")
+    // inclusion-exclusion compounds three ±1.6%-σ estimates scaled by the
+    // set sizes; 25% is a deliberately loose deterministic envelope
+    val relErr = math.abs(approxBoth - exactBoth) / exactBoth
+    assert(relErr < 0.25, f"I-E overlap rel err $relErr%.4f ($approxBoth%.1f vs $exactBoth)")
+  }
+
   test("approx_top_k estimates equal exact token counts below sketch capacity") {
     // vocabulary << maxItemsTracked=1000, so the sketch holds every item
     // exactly and the estimate must be the true count — the same
