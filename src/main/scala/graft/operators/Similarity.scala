@@ -171,6 +171,71 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** [[lshTopK]]'s md5 twin — the ANN SEARCH path itself under the hash
+    * gate: [[srpMd5Bucket]] planes make bucketing, single-bit multi-probe
+    * AND the exact-cosine re-rank cross-engine reproducible, so the
+    * driver pins the search's every candidate and rank (the near-dup twin
+    * `emb_neardup_srp_md5` proved the PAIR path; this proves per-query
+    * retrieval with its top-k tie-breaks). xxhash [[lshTopK]] stays the
+    * hot path. */
+  def lshMd5TopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).withColumn("bucket", srpMd5Bucket(col("v"))).cache()
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      .withColumn("bucket",
+        explode(array(col("bucket") +:
+          (0 until Planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id"), col("v")).distinct()
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
+              round(col("score"), 6).as("score_r"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val lshMd5TopKSql: String = {
+    val probeList = (Seq("bucket") ++
+      (0 until Planes).map(p => s"xor(bucket, ${1L << p})")).mkString(", ")
+    def cos(a: String, b: String): String =
+      s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pv AS (
+       |  SELECT p, array_agg(CASE WHEN ('0x' || substring(md5(p::VARCHAR || ',' || d::VARCHAR), 1, 1))::INT < 8
+       |                           THEN 1.0 ELSE -1.0 END ORDER BY d) AS pvec
+       |  FROM (SELECT unnest(generate_series(0, ${Planes - 1})) AS p),
+       |       (SELECT unnest(generate_series(0, 63)) AS d)
+       |  GROUP BY p
+       |),
+       |buckets AS (
+       |  SELECT e.vec_id, e.v,
+       |         CAST(sum(CASE WHEN list_dot_product(e.v, pv.pvec) >= 0
+       |                       THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN pv GROUP BY e.vec_id, e.v
+       |),
+       |probes AS (
+       |  SELECT vec_id AS q_id, v AS qv, unnest([$probeList]) AS bucket
+       |  FROM buckets WHERE vec_id % 100 = 0
+       |),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, p.qv, b.vec_id AS n_id, b.v
+       |  FROM probes p JOIN buckets b USING (bucket)
+       |  WHERE b.vec_id <> p.q_id
+       |),
+       |ranked AS (
+       |  SELECT q_id, n_id, ${cos("qv", "v")} AS score,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY ${cos("qv", "v")} DESC, n_id) AS rnk
+       |  FROM cand
+       |)
+       |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk, round(score, 6) AS score_r
+       |FROM ranked WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** Brute-force top-k via the bounded-heap `TopKByScore`
     * TypedImperativeAggregate instead of a rank window. Result-identical to
     * `bruteForceTopK` (same score, same tie-break) and shares its oracle —
@@ -1543,6 +1608,7 @@ object Similarity {
     "ts_dtw_topk"     -> (tsDtwTopK _),
     "ann_heap_topk"   -> (heapTopK _),
     "ann_lsh_topk"    -> (lshTopK _),
+    "ann_lsh_md5_topk" -> (lshMd5TopK _),
     "ann_bucket_stats" -> (bucketStats _),
     "ann_ivf_topk"    -> (ivfTopK _),
     "ann_ivf_indexed" -> (ivfIndexedTopK _),
@@ -1582,6 +1648,7 @@ object Similarity {
     "emb_neardup_cosine" -> cosineNearDupSql,
     "emb_neardup_signgrid" -> cosineNearDupSignGridSql,
     "emb_neardup_srp_md5"  -> cosineNearDupSrpMd5Sql,
+    "ann_lsh_md5_topk"     -> lshMd5TopKSql,
     "semantic_dedup"       -> semanticDedupSql,
     "emb_quantize_int8"    -> quantizeInt8Sql
     // lsh variants: hash-dependent bucketing → rows-only gate

@@ -301,6 +301,16 @@ class SimilaritySpec extends GraftSpec {
       s"greedy trace diverged (first diff: ${got.zip(expect).find(p => p._1 != p._2)})")
   }
 
+  test("md5-LSH search twin: recall vs brute force >= 30%, same envelope as the xxhash path") {
+    val brute = Similarity.bruteForceTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshMd5TopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "md5-LSH result must not be empty")
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, f"md5-LSH recall $recall%.2f below floor")
+  }
+
   test("LSH top-k recall vs brute force >= 30% (single-bit multi-probe, 8 planes)") {
     val brute = Similarity.bruteForceTopK(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
