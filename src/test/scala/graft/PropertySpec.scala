@@ -28,6 +28,48 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("substring spans == an independent anchor/diagonal reference on random tiny-alphabet corpora") {
+    import graft.operators.SubstringDedup
+    val (k, cap, minSpan) = (SubstringDedup.GramK, SubstringDedup.OccCap, SubstringDedup.MinSpan)
+    // a 3-token alphabet makes long shared runs and over-cap grams both
+    // common — the two interacting behaviors the property must pin
+    val docGen = Gen.listOfN(8,
+      Gen.chooseNum(15, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf("x", "y", "z"))))
+    def refSpans(docs: Seq[(Long, Vector[String])]): Set[(Long, Long, Long, Long, Long)] = {
+      val grams = docs.flatMap { case (id, tk) =>
+        (0 to tk.length - k).map(i => (id, (i + 1).toLong, tk.slice(i, i + k).mkString(" "))) }
+      val occ = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val byGram = grams.filter(g => occ(g._3) <= cap).groupBy(_._3)
+      val anchors = for {
+        (_, rows) <- byGram.toSeq
+        (a, pa, _) <- rows; (b, pb, _) <- rows if a < b
+      } yield (a, b, pa, pb)
+      anchors.groupBy { case (a, b, pa, pb) => (a, b, pa - pb) }.toSeq.flatMap {
+        case ((a, b, d), as) =>
+          val pas = as.map(_._3).distinct.sorted
+          val runs = pas.foldLeft(List.empty[List[Long]]) {
+            case (acc @ (h :: rest), p) if h.head == p - 1 => (p :: h) :: rest
+            case (acc, p) => List(p) :: acc
+          }
+          runs.map(r => (a, b, r.min, r.min - d, r.max - r.min + k))
+            .filter(_._5 >= minSpan)
+      }.toSet
+    }
+    samples(docGen, 5).foreach { toks =>
+      val docs = toks.zipWithIndex.map { case (tk, i) => (i.toLong, tk.toVector) }
+      val df = docs.map { case (id, tk) =>
+        (id, tk.mkString(" "), "en", "s0", tk.mkString(" ").length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = SubstringDedup.substringSpansFrom(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val want = refSpans(docs)
+      assert(got == want,
+        s"spans diverged: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)} " +
+        s"docs=${docs.map(_._2.mkString(" "))}")
+    }
+  }
+
   test("explode-pushthrough rule is result-invariant on random corpora and prefixes") {
     // random texts over a tiny alphabet (so prefixes hit often), random
     // 1-2 char prefix, sometimes with an extra conjunct — rule-on vs
