@@ -319,8 +319,14 @@ object DataPrep {
     finally sc.setLocalProperty(Dedup.CcFixpointTag, prevTag)
   }
 
-  private def bpeTrainInner(s: SparkSession, dir: String): DataFrame = {
-    var words = Tables.documents(s, dir)
+  private def bpeTrainInner(s: SparkSession, dir: String): DataFrame =
+    bpeTrainFrom(Tables.documents(s, dir))
+
+  /** [[bpeTrain]] parametrized by the document set — the form the
+    * randomized property spec drives (caller must hold the sanctioned
+    * eager-job tag; the public query does). */
+  private[graft] def bpeTrainFrom(docs: DataFrame): DataFrame = {
+    var words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))

@@ -70,6 +70,49 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("BPE merge table == reference on random corpora (pair ties and overlap rewrites)") {
+    import graft.operators.{DataPrep, Dedup}
+    // words over {a, b} of length 2-6: identical pair counts (forcing the
+    // lexicographic tie-break) and runs like "aaaa" (forcing the greedy
+    // non-overlap rule) both occur constantly
+    val docGen = Gen.listOfN(6, Gen.chooseNum(5, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(2, 6).flatMap(l => Gen.listOfN(l, Gen.oneOf("a", "b")).map(_.mkString)))))
+    def ref(words: Map[String, Long]): Seq[(Long, String, String, Long)] = {
+      var vocab: Map[String, List[String]] = words.keys.map(w => w -> w.map(_.toString).toList).toMap
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      for (step <- 1 to DataPrep.BpeMerges) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        for ((w, syms) <- vocab; j <- 0 until syms.length - 1)
+          pc((syms(j), syms(j + 1))) = pc.getOrElse((syms(j), syms(j + 1)), 0L) + words(w)
+        if (pc.nonEmpty) {
+          val ((l, r), cnt) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((step.toLong, l, r, cnt))
+          vocab = vocab.map { case (w, syms) =>
+            val o = scala.collection.mutable.ListBuffer[String]()
+            for (c <- syms)
+              if (o.nonEmpty && o.last == l && c == r) o(o.length - 1) = l + r else o += c
+            w -> o.toList
+          }
+        }
+      }
+      out.toSeq
+    }
+    val sc = spark.sparkContext
+    samples(docGen, 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "), "en", "s0", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val words = docs.flatten.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      val prev = sc.getLocalProperty(Dedup.CcFixpointTag)
+      sc.setLocalProperty(Dedup.CcFixpointTag, "1")
+      val got = try DataPrep.bpeTrainFrom(df)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      finally sc.setLocalProperty(Dedup.CcFixpointTag, prev)
+      val want = ref(words)
+      assert(got == want, s"merge tables diverged: got=$got want=$want words=$words")
+    }
+  }
+
   test("explode-pushthrough rule is result-invariant on random corpora and prefixes") {
     // random texts over a tiny alphabet (so prefixes hit often), random
     // 1-2 char prefix, sometimes with an extra conjunct — rule-on vs
