@@ -517,9 +517,14 @@ object QualityFilters {
     * broadcast-join (the 1-row weight table) + one partial-agg shuffle of
     * 4 decimals — T passes over the corpus, embarrassingly parallel. */
   /** (doc_id, x1..x3, y) feature frame shared by the fit and the scorer. */
-  private def lrFeatures(s: SparkSession, dir: String): DataFrame = {
+  private def lrFeatures(s: SparkSession, dir: String): DataFrame =
+    lrFeaturesOf(Tables.documents(s, dir))
+
+  /** Feature columns over an arbitrary (doc_id, text, lang, …) frame —
+    * the form the continuous scorer feeds micro-batches through. */
+  private[graft] def lrFeaturesOf(docs: DataFrame): DataFrame = {
     val nTok = size(split(col("text"), " "))
-    Tables.documents(s, dir).select(
+    docs.select(
       col("doc_id"),
       (nTok.cast("double") / 100).as("x1"),
       ((length(col("text")) - (nTok - 1)).cast("double") / nTok / 10).as("x2"),
@@ -529,13 +534,13 @@ object QualityFilters {
   }
 
   /** The linear score w·x against the current 1-row weight columns. */
-  private def lrScore: org.apache.spark.sql.Column =
+  private[graft] def lrScore: org.apache.spark.sql.Column =
     col("x1") * col("w1") + col("x2") * col("w2") +
       col("x3") * col("w3") + col("w4")
 
   /** Run the [[LrSteps]] descent over `f`, returning the 1-row final
     * weight frame — shared by [[qualityLrFit]] and [[qualityLrScores]]. */
-  private def lrWeights(s: SparkSession, f: DataFrame): DataFrame = {
+  private[graft] def lrWeights(s: SparkSession, f: DataFrame): DataFrame = {
     var w = s.range(1).select(lit(0.0).as("w1"), lit(0.0).as("w2"),
       lit(0.0).as("w3"), lit(0.0).as("w4"))
     for (_ <- 1 to LrSteps) {

@@ -330,4 +330,41 @@ object StreamingCurate {
         batchId)
     }
   }
+
+  // ----------------------------------------- continuous quality scoring
+  /** Deploy the trained LR quality filter ONLINE: weights are fit once
+    * on the standing corpus ([[graft.operators.QualityFilters]]'s descent,
+    * frozen exactly like the standing dedup index's df order), then every
+    * micro-batch of arriving docs is scored stream-static — one broadcast
+    * join of the 1-row weight table per batch, no state store. Split
+    * invariance is structural (a doc's score depends only on the doc and
+    * the frozen weights); a decision, once emitted, never changes. The
+    * batch twin is `quality_lr_scores`; spec-equal over random slicings.
+    * Model REFRESH is a new streaming query over refit weights — weights
+    * must never drift mid-stream, or replays after a crash would score
+    * differently (the same reason the curation streams freeze their
+    * index). */
+  def qualityScoreStream(stream: Dataset[StreamingDedup.DocEvent],
+                         weights: DataFrame)
+                        (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.QualityFilters
+    stream.toDF().writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        val scored = QualityFilters
+          .lrFeaturesOf(mb.withColumn("lang", lit("")))  // label unused at scoring
+          .crossJoin(broadcast(weights))
+          .select(col("doc_id"),
+            round(lit(1.0) / (lit(1.0) + exp(-QualityFilters.lrScore)), 6).as("score"),
+            (QualityFilters.lrScore >= 0).as("kept"))
+        sink(scored, batchId)
+      }
+  }
+
+  /** The frozen weights for [[qualityScoreStream]], fit on the corpus at
+    * `dir` — the deployment wiring. */
+  def lrWeightsFor(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityFilters
+    QualityFilters.lrWeights(s,
+      QualityFilters.lrFeaturesOf(graft.Tables.documents(s, dir)).cache())
+  }
 }

@@ -117,6 +117,33 @@ class StreamingDedupSpec extends GraftSpec {
     }
   }
 
+  test("continuous LR quality scoring == batch scorer for arbitrary micro-batch splits") {
+    val expected = graft.operators.QualityFilters.qualityLrScores(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val weights = graft.streaming.StreamingCurate.lrWeightsFor(spark, sf0001)
+      .localCheckpoint() // freeze: a mid-stream refit would re-score replays
+    val allDocs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => DocEvent(r.getLong(0), r.getString(1))).toSeq
+    val rnd = new scala.util.Random(17)
+    val chunks = splitChunks(rnd.shuffle(allDocs), 4, rnd)
+    val ms = MemoryStream[DocEvent](321, spark, None)
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lrstream").toString
+    val q = graft.streaming.StreamingCurate.qualityScoreStream(ms.toDS(), weights) { (df, _) =>
+      val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      sink.synchronized { sink ++= rows }
+      ()
+    }.option("checkpointLocation", ckpt).start()
+    try chunks.foreach { c =>
+      if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = sink.synchronized(sink.toSet)
+    assert(got == expected,
+      s"streamed scores diverge from the batch scorer " +
+      s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
+  }
+
   test("standing index is READ per micro-batch, never recomputed from the corpus") {
     // the 100 TB contract: per-batch cost is proportional to the batch,
     // not the corpus — the decision plan must source every corpus subtree
