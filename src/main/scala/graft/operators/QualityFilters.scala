@@ -641,10 +641,62 @@ object QualityFilters {
        |FROM f CROSS JOIN w$LrSteps w
        |ORDER BY f.doc_id""".stripMargin
 
+  /** The classifier's evaluation card — confusion counts and
+    * precision/recall/F1/accuracy of [[qualityLrFit]]'s weights on their
+    * training set (the in-engine version of the table every model card
+    * prints; a held-out variant is the same query over a split filter).
+    * All metrics are ratios of exact integer counts computed in double,
+    * rounded at 6 — fully hash-gated through the shared descent chain. */
+  def qualityLrEval(s: SparkSession, dir: String): DataFrame = {
+    val f = lrFeatures(s, dir).cache()
+    f.crossJoin(broadcast(lrWeights(s, f)))
+      .select(col("y"), (lrScore >= 0).as("pred"))
+      .agg(
+        sum(when(col("pred") && col("y") === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && col("y") === 0.0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("y") === 1.0, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && col("y") === 0.0, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        // the fitted filter can be all-negative on a corpus (it is on the
+        // harness: 5 GD steps from zero push every score below 0), making
+        // precision 0/0 — an explicit NULL in BOTH engines, not an ANSI
+        // divide error on one of them
+        when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("prec"),
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("recall"),
+        round(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")), 6).as("f1"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"))
+  }
+
+  val qualityLrEvalSql: String =
+    s"""$lrCtes,
+       |pred AS (
+       |  SELECT f.y, (f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 + w.w4 >= 0) AS pred
+       |  FROM f CROSS JOIN w$LrSteps w
+       |),
+       |cm AS (
+       |  SELECT CAST(sum(CASE WHEN pred AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN pred AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN NOT pred AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |         CAST(sum(CASE WHEN NOT pred AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM pred
+       |)
+       |SELECT tp, fp, fn, tn,
+       |       CASE WHEN tp + fp = 0 THEN NULL
+       |            ELSE round(tp * 1.0 / (tp + fp), 6) END AS prec,
+       |       round(tp * 1.0 / (tp + fn), 6) AS recall,
+       |       round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+       |       round((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy
+       |FROM cm""".stripMargin
+
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_lr_fit"       -> (qualityLrFit _),
     "quality_ppl_buckets"  -> (pplBuckets _),
     "quality_lr_scores"    -> (qualityLrScores _),
+    "quality_lr_eval"      -> (qualityLrEval _),
     "text_scrub_stoptokens" -> (scrubStopTokens _),
     "text_repetition"       -> (repetitionFilter _),
     "text_repetition_ngrams" -> (repetitionNgramProfile _),
@@ -659,6 +711,7 @@ object QualityFilters {
     "quality_lr_fit"       -> qualityLrFitSql,
     "quality_ppl_buckets"  -> pplBucketsSql,
     "quality_lr_scores"    -> qualityLrScoresSql,
+    "quality_lr_eval"      -> qualityLrEvalSql,
     "text_scrub_stoptokens" -> scrubStopTokensSql,
     "text_repetition"       -> repetitionFilterSql,
     "text_repetition_ngrams" -> repetitionNgramProfileSql,
