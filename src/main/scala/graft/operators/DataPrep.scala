@@ -362,10 +362,11 @@ object DataPrep {
       .orderBy("step")
   }
 
-  /** [[bpeTrain]]'s twin — rounds unrolled as MATERIALIZED CTEs, the
-    * rewrite as a `list_reduce` with a list accumulator (DuckDB's
-    * init-less fold over singleton-wrapped symbols). */
-  val bpeTrainSql: String = {
+  /** Shared WITH-prefix for the BPE twins: the words0 seed plus the
+    * per-round pair-count / best-pair / rewrite CTEs, unrolled for
+    * [[BpeMerges]] rounds (MATERIALIZED so DuckDB evaluates each round
+    * once, mirroring the Spark side's localCheckpoint per round). */
+  private val bpeCtes: String = {
     def step(i: Int): String =
       s"""pc$i AS MATERIALIZED (
          |  SELECT p.l, p.r, CAST(sum(freq) AS BIGINT) AS cnt
@@ -394,14 +395,84 @@ object DataPrep {
        |  WHERE length(w) > 0
        |  GROUP BY w
        |),
-       |${(1 to BpeMerges).map(step).mkString(",\n")}
+       |${(1 to BpeMerges).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  /** APPLY the trained merges — the encode half of the tokenizer: every
+    * word starts as characters and replays the [[BpeMerges]] merge rules
+    * in training order (the standard BPE encode; ties/overlaps behave
+    * exactly as in training because it is the same fold). Output per doc:
+    * symbol counts before/after and an md5 of the full encoded symbol
+    * string, so the gate pins every merge application on every word.
+    * The merge table rides in as ONE broadcast array column; the whole
+    * encode is a per-row triple-nested fold (words → merges → symbols) —
+    * plan-constant, no shuffle before the final sort. On the DuckDB side
+    * the init-less list_reduce gets its accumulator by PREPENDING the
+    * char list to the merge list (both list<varchar>, merges as [l, r]
+    * pairs) — the same singleton-wrap family of tricks as the trainer. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val sc = s.sparkContext
+    val prevTag = sc.getLocalProperty(Dedup.CcFixpointTag)
+    sc.setLocalProperty(Dedup.CcFixpointTag, "1")
+    try {
+      val ms = bpeTrainFrom(Tables.documents(s, dir))
+        .agg(expr("transform(array_sort(collect_list(struct(step, left_sym AS l, right_sym AS r))), " +
+          "x -> struct(x.l AS l, x.r AS r))").as("ms"))
+      Tables.documents(s, dir)
+        .crossJoin(broadcast(ms))
+        .withColumn("enc", expr(
+          """transform(filter(split(text, ' '), w -> length(w) > 0), w ->
+            |  aggregate(ms,
+            |    transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+            |    (syms, m) -> aggregate(syms, CAST(array() AS ARRAY<STRING>),
+            |      (acc, c) -> IF(size(acc) > 0 AND element_at(acc, -1) = m.l AND c = m.r,
+            |                     concat(slice(acc, 1, size(acc) - 1), array(concat(m.l, m.r))),
+            |                     concat(acc, array(c))))))""".stripMargin))
+        .select(col("doc_id"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("n_sym_before"),
+          size(flatten(col("enc"))).cast("long").as("n_sym_after"),
+          md5(concat_ws("|", expr("transform(enc, ws -> concat_ws(' ', ws))"))).as("enc_md5"))
+        .orderBy("doc_id")
+    } finally sc.setLocalProperty(Dedup.CcFixpointTag, prevTag)
+  }
+
+  val bpeEncodeSql: String =
+    s"""$bpeCtes,
+       |ms AS (
+       |  SELECT list([l, r] ORDER BY step) AS ms
+       |  FROM (${(1 to BpeMerges).map(i => s"SELECT * FROM bp$i").mkString(" UNION ALL ")})
+       |)
+       |SELECT doc_id,
+       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_sym_before,
+       |  CAST(len(flatten(enc)) AS BIGINT) AS n_sym_after,
+       |  md5(array_to_string(list_transform(enc, ws -> array_to_string(ws, ' ')), '|')) AS enc_md5
+       |FROM (
+       |  SELECT doc_id, text,
+       |    list_transform(list_filter(string_split(text, ' '), w -> length(w) > 0), w ->
+       |      list_reduce(
+       |        list_concat([list_transform(generate_series(1, length(w)), i -> w[i:i])],
+       |                    list_transform(ms.ms, m -> m)),
+       |        (acc, x) -> list_reduce(
+       |          list_transform(acc, s -> [s]),
+       |          (a, c) -> CASE WHEN len(a) > 0 AND a[-1] = x[1] AND c[1] = x[2]
+       |                    THEN list_append(a[1:len(a)-1], x[1] || x[2])
+       |                    ELSE list_concat(a, c) END))) AS enc
+       |  FROM documents CROSS JOIN ms
+       |)
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[bpeTrain]]'s twin — rounds unrolled as MATERIALIZED CTEs, the
+    * rewrite as a `list_reduce` with a list accumulator (DuckDB's
+    * init-less fold over singleton-wrapped symbols). */
+  val bpeTrainSql: String =
+    s"""$bpeCtes
        |SELECT step, l AS left_sym, r AS right_sym, cnt
        |FROM (${(1 to BpeMerges).map(i => s"SELECT * FROM bp$i").mkString(" UNION ALL ")})
        |ORDER BY step""".stripMargin
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prep_bpe_train" -> (bpeTrain _),
+    "prep_bpe_encode" -> (bpeEncode _),
     "prep_vocab_encode" -> (vocabEncode _),
     "prep_seq_pack"     -> (seqPack _),
     "prep_split_assign" -> (splitAssign _),
@@ -411,6 +482,7 @@ object DataPrep {
 
   def oracles: Map[String, String] = Map(
     "prep_bpe_train" -> bpeTrainSql,
+    "prep_bpe_encode" -> bpeEncodeSql,
     "prep_vocab_encode" -> vocabEncodeSql,
     "prep_seq_pack"     -> seqPackSql,
     "prep_split_assign" -> splitAssignSql,

@@ -41,6 +41,38 @@ class DataPrepSpec extends GraftSpec {
     assert(fold == List("aa", "aa"), fold.toString)
   }
 
+  test("BPE encode replays the merge table like an independent encoder (md5 per doc)") {
+    val merges = DataPrep.bpeTrain(spark, sf0001)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def encodeWord(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList) { case (syms, (l, r)) =>
+        syms.foldLeft(List.empty[String]) { (acc, c) =>
+          if (acc.nonEmpty && acc.last == l && c == r) acc.init :+ (l + r) else acc :+ c
+        }
+      }
+    val expect = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect().map { r =>
+        val ws = r.getString(1).split(" ").filter(_.nonEmpty).map(encodeWord)
+        (r.getLong(0),
+         r.getString(1).count(_ != ' ').toLong,
+         ws.map(_.length.toLong).sum,
+         md5hex(ws.map(_.mkString(" ")).mkString("|")))
+      }.sortBy(_._1)
+    val got = DataPrep.bpeEncode(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == expect.toSeq,
+      s"encode diverged (first diff: ${got.zip(expect).find(p => p._1 != p._2)})")
+    // merging only ever shrinks: n_sym_after <= n_sym_before, strict for
+    // any doc containing at least one trained pair
+    got.foreach { case (id, before, after, _) =>
+      assert(after <= before, s"doc $id grew under merges")
+    }
+    assert(got.exists { case (_, b, a, _) => a < b }, "no merge ever applied")
+  }
+
   test("vocab encode: id sequence length matches token count; ids bounded") {
     val rows = DataPrep.vocabEncode(spark, sf0001)
       .select("ids", "n_tokens", "n_oov").collect()
