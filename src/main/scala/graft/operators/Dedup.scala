@@ -1111,8 +1111,79 @@ object Dedup {
       |UNION ALL SELECT batch_id, corpus_id, kind, jac FROM near
       |ORDER BY batch_id""".stripMargin
 
+  // --------------------------------------------------- bloom prefilter
+  /** Bloom-filter bits (2^16) — at sf0.1's ~4.3k-doc corpus × k=4 the fill
+    * is ~24% → FPR ≈ 0.3%; at 100 TB m scales to ~10 bits/key as usual. */
+  val BloomBits = 65536
+  /** Bloom hash count. */
+  val BloomHashes = 4
+
+  /** k md5-derived bit positions for one key — hash i is the first 8 hex
+    * chars of md5("i:" || text) mod [[BloomBits]] (the established
+    * cross-engine md5 idiom, cf. [[DataPrep.md5Bucket]]). */
+  private def bloomPositions(text: Column): Column =
+    array((1 to BloomHashes).map(i =>
+      conv(substring(md5(concat(lit(s"$i:"), text)), 1, 8), 16, 10)
+        .cast("long") % BloomBits): _*)
+
+  /** Bloom-filter membership prefilter — the stage that runs BEFORE
+    * [[incrementalDedup]]'s digest join at deployment scale: a bit array
+    * built once over the standing corpus answers "definitely new" for most
+    * of each incoming batch, so only the maybe-dup slice (bounded by the
+    * true-dup rate + FPR) ever pays the corpus-sized shuffle join.
+    *
+    * Cross-engine form: k=[[BloomHashes]] positions per key via md5 (above),
+    * so the filter's exact bit pattern — hence every maybe/no verdict AND
+    * every false positive — is hash-gated, which Spark's native bloom
+    * sketch (`DataFrameStatFunctions.bloomFilter`, xxhash-based, opaque
+    * layout) can't be; the spec proves the native twin agrees on the only
+    * property Bloom guarantees, no false negatives. The built filter is one sorted distinct-position
+    * array (≤ [[BloomBits]] longs) broadcast as a single column; the probe
+    * is plan-constant per row — no join, no shuffle before the final sort.
+    * `is_dup` (the exact verdict, via a broadcast digest join over the
+    * whole batch) rides along so the output itself certifies zero false
+    * negatives and exhibits the FPR; in production that join takes only
+    * the `maybe_dup` survivors. Same batch/corpus split as
+    * [[incrementalDedup]] (doc_id % 7). */
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch  = docs.filter(col("doc_id") % 7 === 0)
+    val bloom = corpus
+      .select(explode(bloomPositions(col("text"))).as("pos"))
+      .agg(array_sort(collect_set(col("pos"))).as("bits"))
+    val digests = corpus.select(md5(col("text")).as("h")).distinct()
+    batch
+      .crossJoin(broadcast(bloom))
+      .withColumn("ps", bloomPositions(col("text")))
+      .withColumn("maybe_dup", expr("forall(ps, p -> array_contains(bits, p))"))
+      .join(broadcast(digests), md5(col("text")) === col("h"), "left")
+      .select(col("doc_id"), col("maybe_dup"), col("h").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val bloomPrefilterSql: String = {
+    def poss(t: String): String =
+      (1 to BloomHashes).map(i =>
+        s"CAST('0x' || substring(md5('$i:' || $t), 1, 8) AS BIGINT) % $BloomBits")
+        .mkString("[", ", ", "]")
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+       |batch  AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+       |bloom AS (
+       |  SELECT list_sort(list(DISTINCT pos)) AS bits
+       |  FROM (SELECT unnest(${poss("text")}) AS pos FROM corpus)
+       |),
+       |hs AS (SELECT DISTINCT md5(text) AS h FROM corpus)
+       |SELECT b.doc_id,
+       |       list_has_all(bloom.bits, ${poss("b.text")}) AS maybe_dup,
+       |       (hs.h IS NOT NULL) AS is_dup
+       |FROM batch b CROSS JOIN bloom LEFT JOIN hs ON md5(b.text) = hs.h
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"           -> (exactDedup _),
+    "dedup_bloom_prefilter" -> (bloomPrefilter _),
     "neardup_jaccard"       -> (jaccardNearDup _),
     "neardup_jaccard_dfcap" -> (jaccardNearDupDfCap _),
     "neardup_jaccard_prefix" -> (jaccardPrefixNearDup _),
@@ -1127,6 +1198,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "dedup_exact"           -> exactDedupSql,
+    "dedup_bloom_prefilter" -> bloomPrefilterSql,
     "neardup_jaccard"       -> jaccardNearDupSql,
     "neardup_jaccard_dfcap" -> jaccardNearDupDfCapSql,
     // lossless by construction: the prefix filter must reproduce the

@@ -601,6 +601,79 @@ object Similarity {
        |SELECT q_id, n_id, rnk, round(score, 6) AS score_r
        |FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
 
+  // --------------------------------------------------- ANN recall report
+  /** In-engine index-quality evaluation: recall@[[K]] of [[ivfTopK]]
+    * against the exact [[bruteForceTopK]] baseline, per query — the
+    * acceptance metric every ANN deployment tracks before trusting an
+    * index (and re-checks after each reindex / NProbe change). Both inputs
+    * are deterministic (fixed tie-breaks), so the report itself is exact
+    * and hash-gated — n_hits is an integer set intersection, recall an
+    * exact multiple of 1/[[K]]. Inherits [[bruteForceTopK]]'s corpus-size
+    * guard BY DESIGN: at 100 TB the exact side is only computable on a
+    * sample, which is precisely how production recall evals run (ground
+    * truth over a drawn query/corpus sample, index side at full scale). */
+  def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val truth  = bruteForceTopK(s, dir).select(col("q_id"), col("n_id"))
+    val approx = ivfTopK(s, dir).select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits") / lit(K.toDouble), 6).as("recall_at_k"))
+      .orderBy("q_id")
+  }
+
+  val annRecallReportSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             list_dot_product(q.qv, e.v) /
+       |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+       |             DESC, e.vec_id) AS rnk
+       |    FROM q JOIN e ON e.vec_id <> q.q_id
+       |  ) WHERE rnk <= $K
+       |),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 200 = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, c_id FROM (
+       |    SELECT e.vec_id, e.v, cent.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_dot_product(e.v, cent.cv) /
+       |               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+       |             DESC, cent.c_id) AS c_rnk
+       |    FROM e CROSS JOIN cent
+       |  ) WHERE c_rnk = 1
+       |),
+       |probes AS (
+       |  SELECT q_id, qv, c_id FROM (
+       |    SELECT q.q_id, q.qv, cent.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             list_dot_product(q.qv, cent.cv) /
+       |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+       |             DESC, cent.c_id) AS p_rnk
+       |    FROM q CROSS JOIN cent
+       |  ) WHERE p_rnk <= $NProbe
+       |),
+       |approx AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT p.q_id, a.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |             list_dot_product(p.qv, a.v) /
+       |               (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))
+       |             DESC, a.vec_id) AS rnk
+       |    FROM probes p JOIN assigned a USING (c_id)
+       |    WHERE a.vec_id <> p.q_id
+       |  ) WHERE rnk <= $K
+       |)
+       |SELECT t.q_id,
+       |       CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       round(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) / $K.0, 6) AS recall_at_k
+       |FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.n_id = t.n_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+
   // -------------------------------------------------- standing IVF index
   /** ANN index builds already done, keyed by (session, dir) — same memo
     * discipline as [[StandingIndex.ensureBuilt]]. */
@@ -1612,6 +1685,7 @@ object Similarity {
     "ann_bucket_stats" -> (bucketStats _),
     "ann_ivf_topk"    -> (ivfTopK _),
     "ann_ivf_indexed" -> (ivfIndexedTopK _),
+    "ann_recall_report" -> (annRecallReport _),
     "emb_label_centroids" -> (labelCentroids _),
     "emb_kmeans_fit"  -> (kmeansFit _),
     "emb_prune_prototypes" -> (pruneGroupPrototypes _),
@@ -1635,6 +1709,7 @@ object Similarity {
     // construction — it shares the same oracle
     "ann_heap_topk"  -> bruteForceTopKSql,
     "ann_ivf_topk"   -> ivfTopKSql,
+    "ann_recall_report" -> annRecallReportSql,
     // the standing-index probe must reproduce the per-query plan's output
     // EXACTLY — same oracle, hash-compared (the dedup index's pattern)
     "ann_ivf_indexed" -> ivfTopKSql,

@@ -163,6 +163,33 @@ class DedupSpec extends GraftSpec {
       s"expected 79 star spokes + 1 pair, got ${cand.size}")
   }
 
+  test("bloom prefilter: zero false negatives, bounded FPR, and the native bloom sketch agrees") {
+    val rows = Dedup.bloomPrefilter(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // the one property Bloom guarantees: every true dup is flagged maybe
+    rows.foreach { case (id, maybe, isDup) =>
+      assert(!isDup || maybe, s"false negative on doc $id")
+    }
+    // the filter must actually filter: at sf0.001's ~3% fill the FPR is
+    // ~1e-6, so the maybe set should all but equal the true-dup set
+    val fp = rows.count { case (_, m, d) => m && !d }
+    assert(fp <= math.max(1, rows.length / 20), s"FPR too high: $fp/${rows.length}")
+    // the production hot path — Spark's native bloom sketch
+    // (DataFrameStatFunctions.bloomFilter) — agrees on no-false-negatives
+    // over the same corpus/batch split
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val bf = docs.filter(col("doc_id") % 7 =!= 0)
+      .stat.bloomFilter("text", 5000L, Dedup.BloomBits.toLong)
+    val probes = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> bf.mightContainString(r.getString(1))).toMap
+    rows.foreach { case (id, _, isDup) =>
+      assert(!isDup || probes(id), s"native bloom false negative on doc $id")
+    }
+  }
+
   test("MinHash-LSH candidates, exact-verified, recover >=80% of true Jaccard pairs") {
     val exact = Dedup.jaccardNearDup(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
