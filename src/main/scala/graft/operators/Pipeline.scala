@@ -398,8 +398,108 @@ object Pipeline {
       |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM kept)
       |) ORDER BY stage_ord""".stripMargin
 
+  // ------------------------------------------------------------ data card
+  /** Dataset datasheet (Gebru et al., "Datasheets for Datasets", CACM'21)
+    * as ONE query: the (metric, value) card a curation run publishes next
+    * to the corpus it ships — sizes, token mass, exact-dup fraction,
+    * language-distribution entropy, hash-split balance, type/token ratio.
+    * Everything derives from two scans: a per-doc pre-aggregation (the
+    * 100 TB shape — the card's doc-level branches read the SMALL per-doc
+    * frame, never re-scan text) and one token-level aggregate for the
+    * vocabulary metrics. Every value is a single aggregate-over-aggregate
+    * division (or a Σ p·log2 p with the [[Analytics.klLangDrift]] round(6)
+    * discipline), so the whole card is hash-gated. Split buckets reuse the
+    * shared [[DataPrep.splitBucketCol]]/[[DataPrep.splitLabelOf]] columns —
+    * the card's split_*_frac rows are pinned to the SAME md5 ranges the
+    * split/mix/training-set queries use. */
+  def dataCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        split(col("text"), " ").as("toks"), md5(col("text")).as("h"))
+    val perDoc = docs.select(col("source"), col("lang"), col("h"),
+      size(col("toks")).cast("long").as("n_toks"),
+      DataPrep.splitLabelOf(DataPrep.splitBucketCol).as("split"))
+      .cache() // read by four card branches; vocabulary branch aside, text is scanned once
+    val totals = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_toks")).as("total_tokens"),
+      countDistinct(col("h")).as("n_uniq"))
+    val base = totals.select(explode(map(
+      lit("n_docs"), col("n_docs").cast("double"),
+      lit("n_sources"), col("n_sources").cast("double"),
+      lit("n_langs"), col("n_langs").cast("double"),
+      lit("total_tokens"), col("total_tokens").cast("double"),
+      lit("mean_doc_tokens"), round(col("total_tokens") / col("n_docs"), 6),
+      lit("exact_dup_fraction"), round(lit(1.0) - col("n_uniq") / col("n_docs"), 6)
+    )).as(Seq("metric", "value")))
+    val nDocs = totals.select(col("n_docs"))
+    val entropy = perDoc.groupBy("lang").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(nDocs))
+      .agg(round(-sum((col("c") / col("n_docs")) * log2(col("c") / col("n_docs"))), 6)
+        .as("value"))
+      .select(lit("lang_entropy_bits").as("metric"), col("value"))
+    val splits = perDoc.groupBy("split").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(nDocs))
+      .select(concat(lit("split_"), col("split"), lit("_frac")).as("metric"),
+        round(col("c") / col("n_docs"), 6).as("value"))
+    val vocab = docs.select(explode(col("toks")).as("tok"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("tok")).as("nd"),
+        sum(length(col("tok"))).as("chars"))
+      .select(explode(map(
+        lit("type_token_ratio"), round(col("nd") / col("n"), 6),
+        lit("mean_token_len"), round(col("chars") / col("n"), 6)
+      )).as(Seq("metric", "value")))
+    base.unionByName(entropy).unionByName(splits).unionByName(vocab)
+      .orderBy("metric")
+  }
+
+  val dataCardSql: String =
+    """WITH per_doc AS (
+      |  SELECT source, lang, md5(text) AS h,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90 THEN 'train'
+      |              WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 95 THEN 'valid'
+      |              ELSE 'test' END AS split
+      |  FROM documents
+      |),
+      |totals AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+      |         CAST(count(DISTINCT h) AS BIGINT) AS n_uniq
+      |  FROM per_doc
+      |),
+      |toks AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(count(DISTINCT tok) AS BIGINT) AS nd,
+      |         CAST(sum(length(tok)) AS BIGINT) AS chars
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_docs' AS metric, n_docs * 1.0 AS value FROM totals
+      |  UNION ALL SELECT 'n_sources', n_sources * 1.0 FROM totals
+      |  UNION ALL SELECT 'n_langs', n_langs * 1.0 FROM totals
+      |  UNION ALL SELECT 'total_tokens', total_tokens * 1.0 FROM totals
+      |  UNION ALL SELECT 'mean_doc_tokens', round(total_tokens * 1.0 / n_docs, 6) FROM totals
+      |  UNION ALL SELECT 'exact_dup_fraction', round(1.0 - n_uniq * 1.0 / n_docs, 6) FROM totals
+      |  UNION ALL
+      |  SELECT 'lang_entropy_bits',
+      |         round(-sum((c * 1.0 / n_docs) * log2(c * 1.0 / n_docs)), 6)
+      |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM per_doc GROUP BY lang), totals
+      |  GROUP BY ALL
+      |  UNION ALL
+      |  SELECT 'split_' || split || '_frac', round(c * 1.0 / n_docs, 6)
+      |  FROM (SELECT split, CAST(count(*) AS BIGINT) AS c FROM per_doc GROUP BY split), totals
+      |  UNION ALL SELECT 'type_token_ratio', round(nd * 1.0 / n, 6) FROM toks
+      |  UNION ALL SELECT 'mean_token_len', round(chars * 1.0 / n, 6) FROM toks
+      |) ORDER BY metric""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate"       -> (curate _),
+    "pipeline_data_card"    -> (dataCard _),
     "pipeline_training_set" -> (trainingSet _),
     "pipeline_funnel_report" -> (funnelReport _),
     "split_leakage_audit"   -> (splitLeakageAudit _)
@@ -407,6 +507,7 @@ object Pipeline {
 
   def oracles: Map[String, String] = Map(
     "pipeline_curate"       -> curateSql,
+    "pipeline_data_card"    -> dataCardSql,
     "pipeline_training_set" -> trainingSetSql,
     "pipeline_funnel_report" -> funnelReportSql,
     "split_leakage_audit"   -> splitLeakageAuditSql

@@ -167,6 +167,28 @@ class PipelineSpec extends GraftSpec {
       s"curation must close every J>=0.3 pair among survivors, got: ${curated.toSeq}")
   }
 
+  test("data card: coherent datasheet invariants (fractions, entropy bound, token identities)") {
+    val card = Pipeline.dataCard(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val splitSum = Seq("split_train_frac", "split_valid_frac", "split_test_frac")
+      .map(card).sum
+    assert(math.abs(splitSum - 1.0) < 1e-5, s"split fractions sum to $splitSum")
+    assert(card("lang_entropy_bits") >= 0 &&
+           card("lang_entropy_bits") <= math.log(card("n_langs")) / math.log(2) + 1e-9,
+      "entropy within [0, log2(n_langs)]")
+    assert(card("exact_dup_fraction") >= 0 && card("exact_dup_fraction") < 1)
+    assert(card("type_token_ratio") > 0 && card("type_token_ratio") <= 1)
+    assert(math.abs(card("mean_doc_tokens") * card("n_docs") - card("total_tokens"))
+      < card("n_docs") * 1e-5, "mean * count recovers total token mass")
+    // card values agree with independent recomputation over the raw table
+    val docs = graft.Tables.documents(spark, sf0001).select("text").collect().map(_.getString(0))
+    assert(card("n_docs").toLong == docs.length)
+    assert(card("total_tokens").toLong == docs.map(_.split(" ", -1).length.toLong).sum)
+    assert(card("exact_dup_fraction") ==
+      BigDecimal(1.0 - docs.distinct.length.toDouble / docs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("drop-set anti-join broadcasts only under the corpus-size guard") {
     // under the guard (default 10M): a forced broadcast anti-join
     val key = "spark.graft.dropSetBroadcast.maxCorpusRows"
