@@ -1145,8 +1145,12 @@ object Dedup {
     * negatives and exhibits the FPR; in production that join takes only
     * the `maybe_dup` survivors. Same batch/corpus split as
     * [[incrementalDedup]] (doc_id % 7). */
-  def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame =
+    bloomPrefilterFrom(Tables.documents(s, dir))
+
+  /** [[bloomPrefilter]] parametrized by the document set — the form the
+    * randomized property spec drives. */
+  private[graft] def bloomPrefilterFrom(docs: DataFrame): DataFrame = {
     val corpus = docs.filter(col("doc_id") % 7 =!= 0)
     val batch  = docs.filter(col("doc_id") % 7 === 0)
     val bloom = corpus

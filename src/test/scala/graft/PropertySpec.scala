@@ -3,6 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.apache.spark.sql.functions._
+import graft.operators.Dedup
 
 /** Property-based invariants (SURVEY.md §5.3) — randomized inputs through
   * the REAL Spark expressions/aggregates, not reimplementations. Uses
@@ -110,6 +111,29 @@ class PropertySpec extends GraftSpec {
       finally sc.setLocalProperty(Dedup.CcFixpointTag, prev)
       val want = ref(words)
       assert(got == want, s"merge tables diverged: got=$got want=$want words=$words")
+    }
+  }
+
+  test("bloom prefilter never yields a false negative on random corpora with planted dups") {
+    // random short texts over a tiny vocabulary (so cross-split exact dups
+    // occur often), plus explicit planted duplicates straddling the
+    // doc_id % 7 batch/corpus boundary
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "e")
+    val text = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.listOfN(40, text)
+    samples(corpus, 5).foreach { texts =>
+      // plant: doc 7 (batch) duplicates doc 1 (corpus)
+      val planted = texts.zipWithIndex.map { case (t, i) => if (i == 7) texts(1) else t }
+      val df = planted.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s0", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val rows = Dedup.bloomPrefilterFrom(df)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+      val corpusTexts = planted.zipWithIndex.filter(_._2 % 7 != 0).map(_._1).toSet
+      rows.foreach { case (id, maybe, isDup) =>
+        assert(isDup == corpusTexts.contains(planted(id.toInt)), s"is_dup wrong for doc $id")
+        assert(!isDup || maybe, s"false negative on doc $id")
+      }
+      assert(rows.find(_._1 == 7L).exists(_._3), "planted dup not detected")
     }
   }
 
