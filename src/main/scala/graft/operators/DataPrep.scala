@@ -287,6 +287,54 @@ object DataPrep {
       |       md5(array_to_string(tk[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens], ' ')) AS chunk_md5
       |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ------------------------------------------------------- shard manifest
+  /** Number of output shards for [[shardManifest]]. */
+  val ShardCount = 8
+
+  /** Writer-side shard manifest over [[seqPack]]'s packed sequences — the
+    * artifact a training job reads to schedule its data loaders: each
+    * sequence is assigned to one of [[ShardCount]] shards by a
+    * content-stable md5 of its (source, seq_id) key (no RNG; a sequence
+    * never migrates when the corpus grows), and each shard row carries its
+    * sequence/doc/token counts plus an ORDER-INSENSITIVE integer checksum
+    * (sum of per-sequence md5-derived 32-bit signatures over the full
+    * manifest payload — commutative, so partition order can't perturb it,
+    * and each term < 2^32 keeps the ANSI sum far from overflow). A loader
+    * can re-derive any shard's membership and verify its checksum without
+    * reading the others — the manifest IS the integrity contract. Scale:
+    * one extra hash + one [[ShardCount]]-key aggregate over the already
+    * vocabulary-sized sequence table. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame =
+    seqPack(s, dir)
+      .withColumn("skey", concat_ws(":", col("source"), col("seq_id")))
+      .withColumn("shard",
+        conv(substring(md5(col("skey")), 1, 4), 16, 10).cast("long") % ShardCount)
+      .withColumn("seq_sig",
+        conv(substring(md5(concat_ws("|", col("skey"), col("n_docs"),
+          col("seq_tokens"), col("first_doc"), col("last_doc"))), 1, 8), 16, 10)
+          .cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("seq_tokens")).as("n_tokens"), sum(col("seq_sig")).as("checksum"))
+      .orderBy("shard")
+
+  val shardManifestSql: String =
+    s"""WITH seqs AS ($seqPackSql),
+       |keyed AS (
+       |  SELECT source || ':' || CAST(seq_id AS VARCHAR) AS skey,
+       |         n_docs, seq_tokens, first_doc, last_doc
+       |  FROM seqs
+       |)
+       |SELECT CAST('0x' || substring(md5(skey), 1, 4) AS BIGINT) % $ShardCount AS shard,
+       |       CAST(count(*) AS BIGINT) AS n_seqs,
+       |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(sum(seq_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CAST('0x' || substring(md5(
+       |         skey || '|' || CAST(n_docs AS VARCHAR) || '|' || CAST(seq_tokens AS VARCHAR)
+       |              || '|' || CAST(first_doc AS VARCHAR) || '|' || CAST(last_doc AS VARCHAR)
+       |       ), 1, 8) AS BIGINT)) AS BIGINT) AS checksum
+       |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ BPE train
   /** Number of BPE merge rounds for [[bpeTrain]]. */
   val BpeMerges = 8
@@ -475,6 +523,7 @@ object DataPrep {
     "prep_bpe_encode" -> (bpeEncode _),
     "prep_vocab_encode" -> (vocabEncode _),
     "prep_seq_pack"     -> (seqPack _),
+    "prep_shard_manifest" -> (shardManifest _),
     "prep_split_assign" -> (splitAssign _),
     "prep_mix_weighted" -> (mixWeightedSample _),
     "prep_chunk_windows" -> (chunkWindows _)
@@ -485,6 +534,7 @@ object DataPrep {
     "prep_bpe_encode" -> bpeEncodeSql,
     "prep_vocab_encode" -> vocabEncodeSql,
     "prep_seq_pack"     -> seqPackSql,
+    "prep_shard_manifest" -> shardManifestSql,
     "prep_split_assign" -> splitAssignSql,
     "prep_mix_weighted" -> mixWeightedSampleSql,
     "prep_chunk_windows" -> chunkWindowsSql

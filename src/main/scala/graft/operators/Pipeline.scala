@@ -497,9 +497,52 @@ object Pipeline {
       |  UNION ALL SELECT 'mean_token_len', round(chars * 1.0 / n, 6) FROM toks
       |) ORDER BY metric""".stripMargin
 
+  // ----------------------------------------------------------- curriculum
+  /** Curriculum phases over the LR quality scores — the ordering step a
+    * curriculum-trained run applies after scoring (easy/high-quality
+    * first): documents sorted by score (ties → doc_id), ntile'd into 4
+    * phases, per-phase counts, token mass and score envelope. Ordering is
+    * on the ROUNDED 6-dp score, whose cross-engine agreement the
+    * `quality_lr_scores` gate already proves, so the sort — and hence
+    * every phase boundary — is deterministic in both engines. The global
+    * ntile is a single total-order sort (one skew-free range exchange at
+    * 100 TB — the same shape as the global-sort queries); everything
+    * after it is a 4-group aggregate. */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val scores = QualityFilters.qualityLrScores(s, dir).select("doc_id", "score")
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scores.join(toks, "doc_id")
+      .withColumn("phase", ntile(4).over(w).cast("long"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        round(avg(col("score")), 6).as("mean_score"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy("phase")
+  }
+
+  val curriculumSql: String =
+    s"""WITH scores AS (${QualityFilters.qualityLrScoresSql}),
+       |tk AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents
+       |),
+       |phased AS (
+       |  SELECT s.score, tk.n_toks,
+       |         CAST(ntile(4) OVER (ORDER BY s.score DESC, s.doc_id) AS BIGINT) AS phase
+       |  FROM scores s JOIN tk ON s.doc_id = tk.doc_id
+       |)
+       |SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |       round(avg(score), 6) AS mean_score,
+       |       min(score) AS min_score, max(score) AS max_score
+       |FROM phased GROUP BY phase ORDER BY phase""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate"       -> (curate _),
     "pipeline_data_card"    -> (dataCard _),
+    "prep_curriculum"       -> (curriculum _),
     "pipeline_training_set" -> (trainingSet _),
     "pipeline_funnel_report" -> (funnelReport _),
     "split_leakage_audit"   -> (splitLeakageAudit _)
@@ -508,6 +551,7 @@ object Pipeline {
   def oracles: Map[String, String] = Map(
     "pipeline_curate"       -> curateSql,
     "pipeline_data_card"    -> dataCardSql,
+    "prep_curriculum"       -> curriculumSql,
     "pipeline_training_set" -> trainingSetSql,
     "pipeline_funnel_report" -> funnelReportSql,
     "split_leakage_audit"   -> splitLeakageAuditSql

@@ -73,6 +73,28 @@ class DataPrepSpec extends GraftSpec {
     assert(got.exists { case (_, b, a, _) => a < b }, "no merge ever applied")
   }
 
+  test("shard manifest: conservation vs seq pack and driver-side checksum replay") {
+    val seqs = DataPrep.seqPack(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val manifest = DataPrep.shardManifest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(manifest.map(_._2).sum == seqs.length, "every sequence lands in exactly one shard")
+    assert(manifest.map(_._4).sum == seqs.map(_._4).sum, "token-mass conservation")
+    // independent replay of the shard assignment + commutative checksum
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = seqs.map { case (src, seq, nd, st, fd, ld) =>
+      val skey = s"$src:$seq"
+      val shard = java.lang.Long.parseLong(md5hex(skey).take(4), 16) % DataPrep.ShardCount
+      val sig = java.lang.Long.parseLong(md5hex(s"$skey|$nd|$st|$fd|$ld").take(8), 16)
+      shard -> sig
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    manifest.foreach { case (shard, _, _, _, checksum) =>
+      assert(expect(shard) == checksum, s"checksum mismatch on shard $shard")
+    }
+  }
+
   test("vocab encode: id sequence length matches token count; ids bounded") {
     val rows = DataPrep.vocabEncode(spark, sf0001)
       .select("ids", "n_tokens", "n_oov").collect()

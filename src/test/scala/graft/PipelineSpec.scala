@@ -189,6 +189,23 @@ class PipelineSpec extends GraftSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("curriculum: phases partition the corpus, balanced, scores monotone across phases") {
+    val phases = Pipeline.curriculum(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(phases.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(phases.map(_._2).sum == nDocs, "phases partition the corpus")
+    assert(phases.map(_._2).max - phases.map(_._2).min <= 1, "ntile balance within 1")
+    // phase k's worst score >= phase k+1's best score (sorted desc)
+    phases.sliding(2).foreach {
+      case Array((_, _, _, minK, _), (_, _, _, _, maxK1)) =>
+        assert(minK >= maxK1, "score envelopes ordered across phases")
+      case _ =>
+    }
+    // mean scores non-increasing
+    assert(phases.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("drop-set anti-join broadcasts only under the corpus-size guard") {
     // under the guard (default 10M): a forced broadcast anti-join
     val key = "spark.graft.dropSetBroadcast.maxCorpusRows"
