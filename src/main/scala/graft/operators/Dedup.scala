@@ -1153,18 +1153,30 @@ object Dedup {
   private[graft] def bloomPrefilterFrom(docs: DataFrame): DataFrame = {
     val corpus = docs.filter(col("doc_id") % 7 =!= 0)
     val batch  = docs.filter(col("doc_id") % 7 === 0)
-    val bloom = corpus
-      .select(explode(bloomPositions(col("text"))).as("pos"))
+    bloomProbe(batch, bloomBitsOf(corpus), bloomDigestsOf(corpus))
+      .orderBy("doc_id")
+  }
+
+  /** The built filter: ONE row holding the sorted distinct bit positions. */
+  private[graft] def bloomBitsOf(corpus: DataFrame): DataFrame =
+    corpus.select(explode(bloomPositions(col("text"))).as("pos"))
       .agg(array_sort(collect_set(col("pos"))).as("bits"))
-    val digests = corpus.select(md5(col("text")).as("h")).distinct()
+
+  /** The exact side: distinct corpus digests (broadcast at probe time). */
+  private[graft] def bloomDigestsOf(corpus: DataFrame): DataFrame =
+    corpus.select(md5(col("text")).as("h")).distinct()
+
+  /** Probe `batch` against a built filter + digest set — per-row
+    * plan-constant on the bloom side; shared by the batch query and the
+    * continuous twin ([[graft.streaming.StreamingDedup.bloomProbeStream]]). */
+  private[graft] def bloomProbe(batch: DataFrame, bits: DataFrame,
+                                digests: DataFrame): DataFrame =
     batch
-      .crossJoin(broadcast(bloom))
+      .crossJoin(broadcast(bits))
       .withColumn("ps", bloomPositions(col("text")))
       .withColumn("maybe_dup", expr("forall(ps, p -> array_contains(bits, p))"))
       .join(broadcast(digests), md5(col("text")) === col("h"), "left")
       .select(col("doc_id"), col("maybe_dup"), col("h").isNotNull.as("is_dup"))
-      .orderBy("doc_id")
-  }
 
   val bloomPrefilterSql: String = {
     def poss(t: String): String =

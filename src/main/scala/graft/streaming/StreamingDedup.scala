@@ -228,6 +228,36 @@ object StreamingDedup {
     s.table(s"graft_idx_grams_$tag")
   }
 
+  // ------------------------------------------------ continuous bloom probe
+  /** Build the bloom prefilter index once from the standing corpus:
+    * (bits, digests), both cached — the filter is ONE row (a sorted
+    * positions array), the digest set one narrow column; both broadcast
+    * at probe time, so each micro-batch costs zero corpus-side work. */
+  def bloomIndexOf(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val bits = graft.operators.Dedup.bloomBitsOf(corpus).cache()
+    val digests = graft.operators.Dedup.bloomDigestsOf(corpus).cache()
+    (bits, digests)
+  }
+
+  /** Continuous twin of [[graft.operators.Dedup.bloomPrefilter]]: each
+    * arriving micro-batch is probed against the static bloom bit array
+    * (plan-constant per row — no join, no shuffle, no state) plus the
+    * broadcast digest join for the exact verdict. The ideal first stage
+    * of a streaming ingest pipeline at 100 TB: most arrivals are
+    * "definitely new" after ~k array probes and never touch the standing
+    * index the [[incrementalDedupStream]] stage reads. Split invariance
+    * is immediate (verdicts depend on (doc, corpus) only); append
+    * semantics as with the sibling streams — the corpus side is immutable
+    * within a streaming query, maintenance rebuilds run between them. */
+  def bloomProbeStream(stream: Dataset[DocEvent],
+                       bits: DataFrame, digests: DataFrame)
+                      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.toDF().writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        sink(graft.operators.Dedup.bloomProbe(mb, bits, digests), batchId)
+      }
+
   // ------------------------------------------------- within-stream exact
   case class DigestDoc(digest: String, doc_id: Long)
   case class KeeperDecision(doc_id: Long, keeper_id: Long)

@@ -89,6 +89,33 @@ class StreamingDedupSpec extends GraftSpec {
       s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
   }
 
+  test("continuous bloom probe == batch prefilter for arbitrary micro-batch splits") {
+    val expected = Dedup.bloomPrefilter(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    val (bits, digests) = StreamingDedup.bloomIndexOf(corpusDf)
+    try {
+      val docs = newDocs.toSeq
+      for ((seed, msId) <- Seq((3, 341), (11, 342))) {
+        val rnd = new scala.util.Random(seed)
+        val chunks = splitChunks(rnd.shuffle(docs), 3 + rnd.nextInt(3), rnd)
+        val ms = MemoryStream[DocEvent](msId, spark, None)
+        val sink = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Boolean)]()
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+        val q = StreamingDedup.bloomProbeStream(ms.toDS(), bits, digests) { (df, _) =>
+          val rows = df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+          sink.synchronized { sink ++= rows }
+          ()
+        }.option("checkpointLocation", ckpt).start()
+        try chunks.foreach { c =>
+          if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+        } finally q.stop()
+        val got = sink.synchronized(sink.toSet)
+        assert(got == expected,
+          s"seed=$seed: streamed bloom verdicts diverge from the batch prefilter")
+      }
+    } finally { bits.unpersist(blocking = false); digests.unpersist(blocking = false) }
+  }
+
   test("continuous substring-span probe == batch operator for arbitrary micro-batch splits") {
     val expected = graft.operators.SubstringDedup.incrementalSubstring(spark, sf0001)
       .collect().map(r =>
