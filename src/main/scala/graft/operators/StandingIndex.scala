@@ -216,6 +216,67 @@ object StandingIndex {
     appendFor(s, tag, docs)
   }
 
+  /** Right-to-be-forgotten maintenance — the delete half of the index's
+    * lifecycle ([[appendFor]] is the other): remove `ids` (a `doc_id`
+    * column) from the standing index given the post-delete corpus
+    * `remaining` (the caller owns the corpus table; the index never
+    * stores raw text). Per table:
+    *  - `arrays` / `prefix`: anti-join out the deleted corpus ids —
+    *    bucket-local filters (at 100 TB: partition-overwrite MERGEs
+    *    touching only buckets that contain the ids).
+    *  - `digests`: rows owned by a deleted id are dropped, and fallback
+    *    min-rows are re-aggregated for JUST the affected contents (one
+    *    corpus scan + a broadcast join sliver, zero shuffle beyond the
+    *    tiny agg; a deployment additionally keeps the corpus bucketed by
+    *    digest so the sliver reads only affected buckets) — a residual
+    *    copy of deleted content keeps answering exact probes. Extra rows
+    *    per digest are harmless: the probe min-aggregates, the same
+    *    duplicate-neutral algebra the append path leans on.
+    *  - `dfreq`: FROZEN, exactly like appends: PPJoin losslessness needs
+    *    only that probe-side and index-side prefixes share ONE global
+    *    order — the stored one; frequencies only shrink under deletion,
+    *    and the exact-verify stage makes candidate-set differences
+    *    invisible in results. The spec proves delete-then-probe equals a
+    *    fresh rebuild over the surviving corpus, decision for decision.
+    * Each rewritten table is localCheckpoint'ed before the overwrite so
+    * the write never reads the files it is replacing. */
+  private[graft] def deleteFor(s: SparkSession, tag: String,
+                               ids: DataFrame,
+                               remaining: DataFrame): Unit = built.synchronized {
+    val del = ids.select(col("doc_id").as("corpus_id"))
+    def tbl(name: String): DataFrame = s.table(s"graft_idx_${name}_$tag")
+    def rewrite(name: String, df: DataFrame, bucketCol: String): Unit = {
+      val snap = df.localCheckpoint()
+      save(snap, tag, name, bucketCol, "overwrite")
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(snap)
+    }
+    val affected = tbl("digests")
+      .join(broadcast(del), "corpus_id").select("h", "len").localCheckpoint()
+    val fallback = remaining
+      .select(md5(col("text")).as("h"), length(col("text")).as("len"),
+        col("doc_id").as("corpus_id"))
+      .join(broadcast(affected), Seq("h", "len"))
+      .groupBy("h", "len").agg(min("corpus_id").as("corpus_id"))
+    rewrite("digests",
+      tbl("digests").join(broadcast(del), Seq("corpus_id"), "left_anti")
+        .unionByName(fallback), "h")
+    rewrite("arrays",
+      tbl("arrays").join(broadcast(del), Seq("corpus_id"), "left_anti"),
+      "corpus_id")
+    rewrite("prefix",
+      tbl("prefix").join(broadcast(del), Seq("corpus_id"), "left_anti"), "s")
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(affected)
+  }
+
+  /** [[deleteFor]] against the session-built index over `dir`'s corpus. */
+  def delete(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val tag = built.get((s, dir))
+    require(tag != null,
+      s"standing index for $dir not built in this session — ensureBuilt first")
+    deleteFor(s, tag, ids, corpusOf(s, dir)
+      .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
+  }
+
   /** Probe the standing index with the batch sliver (doc_id % 7 == 0) —
     * output identical to [[Dedup.incrementalDedup]], but the corpus is
     * never rescanned or reshuffled: all four index-side joins read

@@ -375,7 +375,7 @@ class PropertySpec extends GraftSpec {
     }
   }
 
-  test("standing-index append: random append/probe schedules equal fresh rebuilds") {
+  test("standing-index maintenance: random append/delete/probe schedules equal fresh rebuilds") {
     // The append test in StandingIndexSpec asserts build+append == fresh
     // ONCE; this drives RANDOM schedules — corpus split into 2-4 append
     // segments with a probe after every segment — the way a daily-ingest
@@ -425,10 +425,21 @@ class PropertySpec extends GraftSpec {
         } finally fresh.release()
       }
       probeAndCheck(0)
+      val rnd = new scala.util.Random(77L + si)
       segments.tail.zipWithIndex.foreach { case (seg, step) =>
         StandingIndex.appendFor(spark, tag, seg.toDF("doc_id", "text"))
         soFar = soFar ++ seg
         probeAndCheck(step + 1)
+        // interleave a DELETE after some appends: drop a random admitted
+        // slice (possibly including the planted twin's original) and the
+        // invariants must still hold against a fresh survivor rebuild
+        if (rnd.nextBoolean() && soFar.size > 4) {
+          val delIds = rnd.shuffle(soFar.map(_._1)).take(1 + rnd.nextInt(3))
+          soFar = soFar.filterNot(d => delIds.contains(d._1))
+          StandingIndex.deleteFor(spark, tag, delIds.toDF("doc_id"),
+            soFar.toDF("doc_id", "text"))
+          probeAndCheck(100 + step)
+        }
       }
     }
   }

@@ -67,6 +67,51 @@ class StandingIndexSpec extends GraftSpec {
     }
   }
 
+  test("deleted-from index decides identically to a fresh index over the survivors") {
+    // the delete half of maintenance: build on A ∪ B, delete a random
+    // subset (including a doc with a surviving twin, forcing the digest
+    // fallback re-aggregation), probe — must equal a fresh index over the
+    // survivors. Small vocab → dense Jaccard boundary cases.
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (seed <- Seq(5, 21)) {
+      val rnd = new scala.util.Random(seed)
+      def mkDoc(): String =
+        (0 until rnd.nextInt(13)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // doc 69 duplicates doc 0; deleting doc 0 must leave 69 as the
+      // digest owner for that content
+      val corpus = (0L until 69L).map(i => (i, mkDoc())) :+ (69L, "")
+      val full = corpus.updated(69, (69L, corpus.head._2))
+      val delIds = (rnd.shuffle((1L until 69L).toList).take(12) :+ 0L).distinct
+      val survivors = full.filterNot(d => delIds.contains(d._1))
+      val batch = ((100L until 130L).map(i => (i, mkDoc())) :+ (131L, full.head._2))
+      val tag = s"spec_delete_$seed"
+      StandingIndex.buildFor(spark, full.toDF("doc_id", "text"), tag)
+      StandingIndex.deleteFor(spark, tag, delIds.toDF("doc_id"),
+        survivors.toDF("doc_id", "text"))
+      def tbl(n: String) = spark.table(s"graft_idx_${n}_$tag")
+      val diskIdx = StreamingDedup.StandingIndex(
+        digests = tbl("digests"), arrays = tbl("arrays"), dfreq = tbl("dfreq"),
+        prefix = tbl("prefix").withColumnRenamed("cn", "nc"), threshold = 0.5)
+      def decisions(idx: StreamingDedup.StandingIndex) =
+        StreamingDedup.decideBatch(batch.toDF("doc_id", "text"), idx).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+          .toSet
+      val got = decisions(diskIdx)
+      val fresh = StreamingDedup.buildStandingIndex(survivors.toDF("doc_id", "text"))
+      try {
+        val expected = decisions(fresh)
+        assert(got == expected, s"seed=$seed: deleted-from index diverges " +
+          s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
+        assert(got.exists(d => d._1 == 131L && d._2 == 69L && d._3 == "exact"),
+          "digest fallback must hand the deleted owner's content to its surviving twin")
+        // no deleted id may ever be cited as a corpus twin again
+        assert(got.forall(d => !delIds.contains(d._2)), "deleted id resurfaced in a decision")
+      } finally fresh.release()
+    }
+  }
+
   test("durable-path knob: builds land under spark.graft.standingIndex.path") {
     import spark.implicits._
     val customRoot = java.nio.file.Files.createTempDirectory("graft_custom_idx")
