@@ -760,6 +760,36 @@ object Similarity {
     appendAnnFor(s, tag, vecs)
   }
 
+  /** Delete vectors from the standing IVF index — the
+    * right-to-be-forgotten half of [[appendAnnFor]]'s maintenance
+    * lifecycle: anti-join the ids out of the bucketed inverted lists
+    * (bucket-local — at 100 TB a partition-overwrite MERGE touching only
+    * lists that contain the ids). A deleted vector stops being
+    * retrievable immediately. Centroids stay FROZEN, as on append: the
+    * coarse quantizer is a trained artifact, so if the quantizer itself
+    * must forget a vector it was trained ON, that is a retrain =
+    * [[buildAnnFor]] rebuild — the standard IVF lifecycle, stated here so
+    * the privacy boundary of list-deletion is explicit. The spec proves
+    * delete-then-probe equals a fresh same-centroid index over the
+    * survivors, and that deleted ids never resurface as neighbors. */
+  private[graft] def deleteAnnFor(s: SparkSession, tag: String,
+                                  ids: DataFrame): Unit =
+    annBuilt.synchronized {
+      val kept = s.table(s"graft_idx_anna_$tag")
+        .join(broadcast(ids.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      StandingIndex.save(kept, tag, "anna", "c_id", "overwrite")
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(kept)
+    }
+
+  /** Dir-keyed convenience over [[deleteAnnFor]]. */
+  def deleteAnnIndex(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val tag = annBuilt.get((s, dir))
+    require(tag != null,
+      s"ANN index for $dir not built in this session — ensureAnnIndex first")
+    deleteAnnFor(s, tag, ids)
+  }
+
   /** [[ivfTopK]] served from the standing index: identical output (the
     * driver gate runs BOTH against [[ivfTopKSql]]), but the per-query
     * work is only the probe — queries broadcast against the tiny stored

@@ -443,4 +443,34 @@ class SimilaritySpec extends GraftSpec {
     assert(appended.exists(_._2 >= 301L),
       "appended vectors must be findable as neighbors")
   }
+
+  test("IVF index delete: probe equals a fresh same-centroid index over the survivors") {
+    // the forget path: deleted vectors leave the inverted lists (and stop
+    // being retrievable) while centroids stay frozen — so a fresh rebuild
+    // over the survivors with the identical centroid set must probe
+    // byte-equal. Deleted ids are chosen from the densest neighborhoods
+    // (low ids) so their absence is actually visible in top-k results.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def vec() = Seq.fill(8)(rnd.nextInt(10).toDouble)
+    val all = (Seq(0L, 200L, 400L) ++ (1L to 179L)).map(id => (id, vec()))
+    val delIds = (1L to 179L).filter(_ % 5 == 1)
+    val survivors = all.filterNot(v => delIds.contains(v._1))
+    def df(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "v")
+    Similarity.buildAnnFor(df(all), "spec_anndel")
+    Similarity.deleteAnnFor(spark, "spec_anndel", delIds.toDF("vec_id"))
+    Similarity.buildAnnFor(df(survivors), "spec_anndelfresh")
+    val q = df(survivors.take(8))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def probe(tag: String) = Similarity.ivfProbe(spark, tag, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSeq
+    val deleted = probe("spec_anndel")
+    val fresh = probe("spec_anndelfresh")
+    assert(deleted.nonEmpty && deleted == fresh,
+      s"deleted-from probe diverges from fresh survivor rebuild: " +
+        s"${deleted.diff(fresh).take(3)} vs ${fresh.diff(deleted).take(3)}")
+    assert(deleted.forall(r => !delIds.contains(r._2)),
+      "a deleted vector resurfaced as a neighbor")
+  }
 }
