@@ -497,6 +497,42 @@ object Pipeline {
       |  UNION ALL SELECT 'mean_token_len', round(chars * 1.0 / n, 6) FROM toks
       |) ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------- corpus fingerprint
+  /** Dataset version fingerprint — the reproducibility contract a corpus
+    * snapshot ships with (and a training run records): per source, doc and
+    * token counts plus an ORDER-INSENSITIVE content checksum (commutative
+    * sum of per-doc md5 signatures over (doc_id, content digest)). Two
+    * snapshots are byte-identical in content iff their fingerprints match,
+    * regardless of file layout, partitioning or row order — the checksum
+    * is invariant by ALGEBRA (commutative integer sum, each term < 2^32 so
+    * an ANSI BIGINT sum never nears overflow), not by sorting, which is
+    * what makes it checkable at 100 TB for the cost of one scan + one
+    * sources-sized aggregate. The sibling of [[DataPrep.shardManifest]]'s
+    * per-shard checksums one level up: manifest verifies a shard, this
+    * verifies the corpus. */
+  def corpusFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        conv(substring(md5(concat_ws(":", col("doc_id"), md5(col("text")))), 1, 8),
+          16, 10).cast("long").as("sig"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("sig")).as("checksum"))
+      .orderBy("source")
+
+  val corpusFingerprintSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |       CAST(sum(sig) AS BIGINT) AS checksum
+      |FROM (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 8)
+      |              AS BIGINT) AS sig
+      |  FROM documents
+      |)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------- curriculum
   /** Curriculum phases over the LR quality scores — the ordering step a
     * curriculum-trained run applies after scoring (easy/high-quality
@@ -543,6 +579,7 @@ object Pipeline {
     "pipeline_curate"       -> (curate _),
     "pipeline_data_card"    -> (dataCard _),
     "prep_curriculum"       -> (curriculum _),
+    "corpus_fingerprint"    -> (corpusFingerprint _),
     "pipeline_training_set" -> (trainingSet _),
     "pipeline_funnel_report" -> (funnelReport _),
     "split_leakage_audit"   -> (splitLeakageAudit _)
@@ -552,6 +589,7 @@ object Pipeline {
     "pipeline_curate"       -> curateSql,
     "pipeline_data_card"    -> dataCardSql,
     "prep_curriculum"       -> curriculumSql,
+    "corpus_fingerprint"    -> corpusFingerprintSql,
     "pipeline_training_set" -> trainingSetSql,
     "pipeline_funnel_report" -> funnelReportSql,
     "split_leakage_audit"   -> splitLeakageAuditSql

@@ -206,6 +206,36 @@ class PipelineSpec extends GraftSpec {
     assert(phases.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("corpus fingerprint: layout-invariant, content-sensitive") {
+    import org.apache.spark.sql.functions._
+    val base = Pipeline.corpusFingerprint(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(base.nonEmpty)
+    // same content, radically different layout → identical fingerprint
+    val docs = Tables.documents(spark, sf0001)
+    val reshuffled = docs.repartition(13, col("lang")).sortWithinPartitions("n_chars")
+    def fpOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        conv(substring(md5(concat_ws(":", col("doc_id"), md5(col("text")))), 1, 8), 16, 10)
+          .cast("long").as("sig"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("sig")).as("checksum"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fpOf(reshuffled).sameElements(base), "fingerprint must ignore layout")
+    // one flipped character in one doc → that source's checksum moves
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 1L, concat(col("text"), lit("x"))).otherwise(col("text")))
+    val t = fpOf(tampered)
+    val victim = docs.filter(col("doc_id") === 1L).select("source").collect()(0).getString(0)
+    assert(t.find(_._1 == victim).get._4 != base.find(_._1 == victim).get._4,
+      "fingerprint must catch a single-character content change")
+    assert(t.filter(_._1 != victim).sameElements(base.filter(_._1 != victim)),
+      "untouched sources keep their checksums")
+  }
+
   test("drop-set anti-join broadcasts only under the corpus-size guard") {
     // under the guard (default 10M): a forced broadcast anti-join
     val key = "spark.graft.dropSetBroadcast.maxCorpusRows"
