@@ -475,6 +475,74 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------- semantic decontamination
+  /** Embedding-level benchmark decontamination — the semantic sibling of
+    * the n-gram rules ([[QualityFilters.decontaminate]] /
+    * `decontaminate_13gram`): a paraphrased benchmark item shares no
+    * 13-gram with its source but sits next to it in embedding space, so
+    * LLM pipelines additionally flag training vectors within cosine ≥ τ
+    * of any held-out item (the practice the SemDeDup line of work and
+    * current model cards describe). Benchmark set here: `label = 0`
+    * vectors; corpus: the rest. Blocking is the deterministic sign-grid
+    * with single-bit multi-probe — the benchmark side is TINY and keeps
+    * its exact cell, each corpus vector probes its cell ± one sign flip,
+    * so candidates are benchmark-occupancy-bounded, never n² — and the
+    * benchmark side broadcasts. The approximation is deterministic, so
+    * the WHOLE path (cells, probes, verify, best-match tie-breaks) is
+    * hash-gated, as with [[cosineNearDupSignGrid]]. Output: one row per
+    * contaminated corpus vector with its best-matching benchmark item
+    * (score desc, ties → lowest bench_id). */
+  def semanticDecontaminate(s: SparkSession, dir: String): DataFrame =
+    semanticDecontaminateFrom(embeddings(s, dir))
+
+  /** [[semanticDecontaminate]] parametrized by the (vec_id, v, label)
+    * frame — the form the planted-contamination spec drives. */
+  private[graft] def semanticDecontaminateFrom(vecs: DataFrame): DataFrame = {
+    val e = vecs.withColumn("bucket", signGridBucket(col("v")))
+    val bench = e.filter(col("label") === 0)
+      .select(col("vec_id").as("bench_id"), col("v").as("vb"), col("bucket"))
+    val probes = e.filter(col("label") =!= 0)
+      .select(col("vec_id"), col("v"), col("bucket"))
+      .withColumn("bucket",
+        explode(array(col("bucket") +:
+          (0 until GridDims).map(d => col("bucket").bitwiseXOR(lit(1L << d))): _*)))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("bench_id"))
+    probes.join(broadcast(bench), Seq("bucket"))
+      .withColumn("score", cosine(col("v"), col("vb")))
+      .filter(col("score") >= 0.4)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bench_id"), round(col("score"), 6).as("score_r"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDecontaminateSql: String = {
+    val bucket = (0 until GridDims)
+      .map(d => s"(CASE WHEN v[${d + 1}] >= 0 THEN ${1L << d} ELSE 0 END)")
+      .mkString(" + ")
+    val probeList = ("bucket" +:
+      (0 until GridDims).map(d => s"xor(bucket, ${1L << d})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |b AS (SELECT vec_id, v, label, $bucket AS bucket FROM e),
+       |bench AS (SELECT vec_id AS bench_id, v AS vb, bucket FROM b WHERE label = 0),
+       |probes AS (
+       |  SELECT vec_id, v, unnest([$probeList]) AS bucket FROM b WHERE label <> 0
+       |),
+       |scored AS (
+       |  SELECT p.vec_id, bench.bench_id,
+       |         list_dot_product(p.v, bench.vb) /
+       |           (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(bench.vb, bench.vb)))
+       |           AS score
+       |  FROM probes p JOIN bench USING (bucket)
+       |)
+       |SELECT vec_id, bench_id, round(score, 6) AS score_r FROM (
+       |  SELECT vec_id, bench_id, score,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, bench_id) AS rn
+       |  FROM scored WHERE score >= 0.4
+       |) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   val semanticDedupSql: String = {
     val bucket = (0 until GridDims)
       .map(d => s"(CASE WHEN v[${d + 1}] >= 0 THEN ${1L << d} ELSE 0 END)")
@@ -1726,6 +1794,7 @@ object Similarity {
     "emb_neardup_srp_md5" -> (cosineNearDupSrpMd5 _),
     "emb_neardup_signgrid" -> (cosineNearDupSignGrid _),
     "semantic_dedup"       -> (semanticDedup _),
+    "semantic_decontaminate" -> (semanticDecontaminate _),
     "emb_quantize_int8"    -> (quantizeInt8 _)
   )
 
@@ -1755,6 +1824,7 @@ object Similarity {
     "emb_neardup_srp_md5"  -> cosineNearDupSrpMd5Sql,
     "ann_lsh_md5_topk"     -> lshMd5TopKSql,
     "semantic_dedup"       -> semanticDedupSql,
+    "semantic_decontaminate" -> semanticDecontaminateSql,
     "emb_quantize_int8"    -> quantizeInt8Sql
     // lsh variants: hash-dependent bucketing → rows-only gate
   )

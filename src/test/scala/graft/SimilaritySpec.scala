@@ -444,6 +444,52 @@ class SimilaritySpec extends GraftSpec {
       "appended vectors must be findable as neighbors")
   }
 
+  test("semantic decontamination equals an independent blocked reference, planted cases included") {
+    import spark.implicits._
+    // harness vectors + planted contamination: 9001 is a near-copy of
+    // benchmark vector b0 (same cell), 9002 a noisy paraphrase one sign
+    // flip away (multi-probe must find it), 9003 orthogonal (must NOT flag)
+    val base = Tables.embeddings(spark, sf0001).collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      (r.getLong(0), v, r.getInt(2))
+    }
+    val b0 = base.find(_._3 == 0).get._2
+    val nearCopy = b0.map(_ * 0.9) // same signs → same cell; cosine 1.0
+    val flipped = b0.clone(); flipped(0) = -math.abs(flipped(0)) - 0.05
+    val ortho = Array.tabulate(b0.length)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val all = base ++ Seq((9001L, nearCopy, 3), (9002L, flipped, 3), (9003L, ortho, 3))
+    val vecs = all.toSeq.map { case (id, v, l) => (id, v.toSeq, l) }
+      .toDF("vec_id", "v", "label")
+    val got = Similarity.semanticDecontaminateFrom(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.exists(_._1 == 9001L), "planted near-copy must be flagged")
+    assert(got.exists(_._1 == 9002L), "one-flip paraphrase must be found via multi-probe")
+    assert(!got.exists(_._1 == 9003L), "orthogonal vector must not be flagged")
+    def bucket(v: Array[Double]): Long =
+      (0 until 8).map(d => if (v(d) >= 0) 1L << d else 0L).sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bench = all.filter(_._3 == 0)
+    val expected = all.filter(_._3 != 0).flatMap { case (id, v, _) =>
+      val bkt = bucket(v)
+      val hits = bench.filter { case (_, vb, _) =>
+        java.lang.Long.bitCount(bkt ^ bucket(vb)) <= 1 }
+        .map { case (bid, vb, _) => (bid, cos(v, vb)) }
+        .filter(_._2 >= 0.4)
+      if (hits.isEmpty) None
+      else {
+        val (bid, sc) = hits.minBy { case (b, s) => (-s, b) }
+        Some((id, bid,
+          BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.sortBy(_._1).toSeq
+    assert(got == expected,
+      s"flagged set diverges: got=${got.take(4)} want=${expected.take(4)}")
+  }
+
   test("IVF index delete: probe equals a fresh same-centroid index over the survivors") {
     // the forget path: deleted vectors leave the inverted lists (and stop
     // being retrievable) while centroids stay frozen — so a fresh rebuild
