@@ -102,6 +102,16 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("bloom prefilter probe side never sort-merge-joins: both index sides broadcast") {
+    val plan = planOf(graft.operators.Dedup.bloomPrefilter(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin"),
+      "probe must join only against broadcast sides\n" + plan.take(800))
+    // the 1-row bit array rides a broadcast nested loop; the digest set a
+    // broadcast hash join — the probe side itself is never shuffled for a join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("SQL join hints are honored: BROADCAST and SHUFFLE_MERGE pick their operators") {
     Tables.registerAll(spark, sf0001)
     val b = spark.sql(
