@@ -497,6 +497,70 @@ object Pipeline {
       |  UNION ALL SELECT 'mean_token_len', round(chars * 1.0 / n, 6) FROM toks
       |) ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------------- forget audit
+  /** Right-to-be-forgotten audit — the report a deletion request closes
+    * with, quantifying exactly what the standing-index delete paths
+    * ([[StandingIndex.delete]], [[Similarity.deleteAnnIndex]]) implement:
+    * deletion removes DOCUMENTS (ids), and content additionally vanishes
+    * only when no twin survives. Request set: doc_id % 41 == 3 (id-keyed,
+    * content-blind — the shape real requests have). Reported: corpus /
+    * deleted / retained doc counts, deleted token mass, and the split of
+    * the deleted docs into content-surviving (an exact twin remains among
+    * the retained docs — the digest-fallback case) vs content-erased
+    * (the text is gone from the corpus entirely). One scan + a broadcast
+    * semi-join of the request sliver against the retained digest set —
+    * the 100 TB cost is the digest scan, not a shuffle. All-integer →
+    * hash-gated with no rounding discipline. */
+  def forgetAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val del = docs.filter(col("doc_id") % 41 === 3)
+    val retained = docs.filter(col("doc_id") % 41 =!= 3)
+    val retainedH = retained.select("h").distinct()
+    val survivors = del.join(broadcast(retainedH), Seq("h"), "left_semi")
+    val counts = del.agg(count(lit(1)).as("n_deleted"),
+        sum(col("n_toks")).as("deleted_tokens"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_corpus")))
+      .crossJoin(retained.agg(count(lit(1)).as("n_retained")))
+      .crossJoin(survivors.agg(count(lit(1)).as("n_content_surviving")))
+    counts.select(explode(map(
+      lit("n_corpus"), col("n_corpus"),
+      lit("n_deleted"), col("n_deleted"),
+      lit("n_retained"), col("n_retained"),
+      lit("deleted_tokens"), col("deleted_tokens"),
+      lit("n_content_surviving"), col("n_content_surviving"),
+      lit("n_content_erased"), col("n_deleted") - col("n_content_surviving")
+    )).as(Seq("metric", "value")))
+      .orderBy("metric")
+  }
+
+  val forgetAuditSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |),
+      |del AS (SELECT * FROM d WHERE doc_id % 41 = 3),
+      |ret AS (SELECT * FROM d WHERE doc_id % 41 <> 3),
+      |counts AS (
+      |  SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_corpus,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM del) AS n_deleted,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM ret) AS n_retained,
+      |    (SELECT CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM del) AS deleted_tokens,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM del
+      |     WHERE EXISTS (SELECT 1 FROM ret WHERE ret.h = del.h)) AS n_content_surviving
+      |)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_corpus' AS metric, n_corpus AS value FROM counts
+      |  UNION ALL SELECT 'n_deleted', n_deleted FROM counts
+      |  UNION ALL SELECT 'n_retained', n_retained FROM counts
+      |  UNION ALL SELECT 'deleted_tokens', deleted_tokens FROM counts
+      |  UNION ALL SELECT 'n_content_surviving', n_content_surviving FROM counts
+      |  UNION ALL SELECT 'n_content_erased', n_deleted - n_content_surviving FROM counts
+      |) ORDER BY metric""".stripMargin
+
   // ---------------------------------------------------- corpus fingerprint
   /** Dataset version fingerprint — the reproducibility contract a corpus
     * snapshot ships with (and a training run records): per source, doc and
@@ -580,6 +644,7 @@ object Pipeline {
     "pipeline_data_card"    -> (dataCard _),
     "prep_curriculum"       -> (curriculum _),
     "corpus_fingerprint"    -> (corpusFingerprint _),
+    "forget_audit"          -> (forgetAudit _),
     "pipeline_training_set" -> (trainingSet _),
     "pipeline_funnel_report" -> (funnelReport _),
     "split_leakage_audit"   -> (splitLeakageAudit _)
@@ -590,6 +655,7 @@ object Pipeline {
     "pipeline_data_card"    -> dataCardSql,
     "prep_curriculum"       -> curriculumSql,
     "corpus_fingerprint"    -> corpusFingerprintSql,
+    "forget_audit"          -> forgetAuditSql,
     "pipeline_training_set" -> trainingSetSql,
     "pipeline_funnel_report" -> funnelReportSql,
     "split_leakage_audit"   -> splitLeakageAuditSql

@@ -206,6 +206,19 @@ class PipelineSpec extends GraftSpec {
     assert(phases.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("forget audit: partitions add up and content-survival matches a driver replay") {
+    val m = Pipeline.forgetAudit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(m("n_deleted") + m("n_retained") == m("n_corpus"))
+    assert(m("n_content_surviving") + m("n_content_erased") == m("n_deleted"))
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (del, ret) = docs.partition(_._1 % 41 == 3)
+    val retTexts = ret.map(_._2).toSet
+    assert(m("n_deleted") == del.length)
+    assert(m("n_content_surviving") == del.count(d => retTexts.contains(d._2)))
+  }
+
   test("corpus fingerprint: layout-invariant, content-sensitive") {
     import org.apache.spark.sql.functions._
     val base = Pipeline.corpusFingerprint(spark, sf0001).collect()
