@@ -265,6 +265,49 @@ object Analytics {
       |       round(total_tokens * 1.0 / (n_sources * n_tokens), 6) AS weight
       |FROM per_source, totals ORDER BY source""".stripMargin
 
+  // --------------------------------------------- temperature-scaled mix
+  /** Temperature-scaled source sampling shares — the α-smoothed rule
+    * multilingual/multi-source training mixes actually use (w_s ∝ n_s^α;
+    * α = 0.5 here, the mBERT/XLM exponent): big sources are damped, small
+    * sources boosted, but never to uniformity (α = 0) nor proportionality
+    * (α = 1). Output per source: token mass, its natural share, the
+    * temperature share, and the boost factor (temperature ÷ natural — the
+    * up/down-sampling multiplier a writer applies). Cross-engine float
+    * discipline: n^0.5 is one correctly-rounded IEEE sqrt per source, the
+    * share is one division against a sources-count-sized sum, and every
+    * published value rounds at 6 dp — the [[klLangDrift]] Σ-then-round
+    * precedent. One aggregate + a broadcast of the sources-sized frame. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy("source").agg(sum(col("n_toks")).as("n_tokens"))
+      .withColumn("w_raw", sqrt(col("n_tokens").cast("double")))
+    val totals = perSource.agg(sum(col("n_tokens")).as("total_tokens"),
+      sum(col("w_raw")).as("w_sum"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens") / col("total_tokens"), 6).as("natural_share"),
+        round(col("w_raw") / col("w_sum"), 6).as("temp_share"),
+        round((col("w_raw") / col("w_sum")) /
+              (col("n_tokens") / col("total_tokens")), 6).as("boost"))
+      .orderBy("source")
+  }
+
+  val mixTemperatureSql: String =
+    """WITH per_source AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |),
+      |w AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w_raw FROM per_source),
+      |totals AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, sum(w_raw) AS w_sum FROM w
+      |)
+      |SELECT source, n_tokens,
+      |       round(n_tokens * 1.0 / total_tokens, 6) AS natural_share,
+      |       round(w_raw / w_sum, 6) AS temp_share,
+      |       round((w_raw / w_sum) / (n_tokens * 1.0 / total_tokens), 6) AS boost
+      |FROM w, totals ORDER BY source""".stripMargin
+
   // ------------------------------------------------- weighted resampling
   /** Applies [[sourceWeights]] as an actual downsampling pass — the
     * recipe step that FOLLOWS the weight computation: each document keeps
@@ -930,6 +973,7 @@ object Analytics {
     "tfidf_top_terms"    -> (tfidfTopTerms _),
     "text_bm25_search"   -> (bm25Search _),
     "mix_domain_weights" -> (mixDomainWeights _),
+    "mix_temperature"    -> (mixTemperature _),
     "kl_lang_drift"      -> (klLangDrift _),
     "mad_outliers"       -> (madOutliers _),
     "cohort_retention"   -> (cohortRetention _),
@@ -949,6 +993,7 @@ object Analytics {
     "tfidf_top_terms"    -> tfidfTopTermsSql,
     "text_bm25_search"   -> bm25SearchSql,
     "mix_domain_weights" -> mixDomainWeightsSql,
+    "mix_temperature"    -> mixTemperatureSql,
     "kl_lang_drift"      -> klLangDriftSql,
     "mad_outliers"       -> madOutliersSql,
     "cohort_retention"   -> cohortRetentionSql,

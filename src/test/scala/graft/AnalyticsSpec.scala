@@ -233,6 +233,25 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("temperature mix: shares normalize, damping direction correct, alpha=0.5 replayed") {
+    val rows = graft.operators.Analytics.mixTemperature(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "natural shares sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "temperature shares sum to 1")
+    // α = 0.5 damps: the biggest source is down-sampled, the smallest boosted
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    assert(big._5 < 1.0, s"largest source must be damped, boost=${big._5}")
+    assert(small._5 > 1.0, s"smallest source must be boosted, boost=${small._5}")
+    // replay the formula independently
+    val wsum = rows.map(r => math.sqrt(r._2.toDouble)).sum
+    rows.foreach { case (_, n, _, temp, _) =>
+      val want = BigDecimal(math.sqrt(n.toDouble) / wsum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(temp - want) <= 1e-6, s"temp share $temp != $want")
+    }
+  }
+
   test("triangle count matches a brute-force recount of the same pair graph") {
     val edges = graft.operators.Dedup.jaccardNearDup(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
