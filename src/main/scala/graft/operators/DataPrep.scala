@@ -287,6 +287,84 @@ object DataPrep {
       |       md5(array_to_string(tk[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkTokens], ' ')) AS chunk_md5
       |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ----------------------------------------------------- first-fit packing
+  /** First-fit-decreasing bin packing of documents into [[SeqBudget]]-token
+    * training sequences — the padding-minimizing packing production
+    * trainers use (Krell et al. 2021, "Efficient Sequence Packing without
+    * Cross-contamination" runs exactly this shape) vs [[seqPack]]'s simple
+    * running-offset split. Classic FFD: sort docs desc by size, place each
+    * into the FIRST bin it fits, open a new bin otherwise (≤ 11/9·OPT +
+    * 6/9 bins). Distributable shape: packing is per SOURCE shard — groupBy
+    * source, one plan-constant `aggregate` fold per row over the sorted
+    * size array (accumulator = bin-load vector, first-fit index via
+    * `array_position` over a fit mask, update via the sequence-index idiom
+    * both engines share); at 100 TB sources shard finer and the same fold
+    * runs per shard, which is how packers actually deploy. Docs larger
+    * than the budget would open their own overflow bin (first-fit finds no
+    * fit) — the harness corpus has none, the semantics are still total.
+    * Output per source: docs, token mass, FFD bin count, the ⌈total/B⌉
+    * lower bound (gap = 0 is an optimality certificate), utilization, and
+    * an md5 over the full bin-load vector so every bin's mass — hence
+    * every placement decision — is hash-pinned. */
+  def packFfd(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        expr("transform(array_sort(collect_list(struct(-n_tok AS neg, doc_id))), x -> -x.neg)")
+          .as("sizes"))
+    val fitPos = s"array_position(transform(acc, b -> b + n <= $SeqBudget), true)"
+    perSource
+      .withColumn("loads", expr(
+        s"""aggregate(sizes, CAST(array() AS ARRAY<BIGINT>), (acc, n) ->
+           |  IF($fitPos = 0,
+           |     concat(acc, array(n)),
+           |     transform(sequence(1, size(acc)), i ->
+           |       IF(i = $fitPos, acc[i-1] + n, acc[i-1]))))""".stripMargin))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        size(col("loads")).cast("long").as("n_bins"),
+        ceil(col("total_tokens") / lit(SeqBudget.toDouble)).cast("long").as("lb_bins"),
+        (size(col("loads")).cast("long") -
+          ceil(col("total_tokens") / lit(SeqBudget.toDouble)).cast("long")).as("gap"),
+        round(col("total_tokens") / (size(col("loads")) * lit(SeqBudget.toDouble)), 6)
+          .as("utilization"),
+        md5(concat_ws(",", expr("transform(loads, b -> CAST(b AS STRING))")))
+          .as("loads_md5"))
+      .orderBy("source")
+  }
+
+  val packFfdSql: String = {
+    val fitPos = s"list_position(list_transform(acc, b -> b + x[1] <= $SeqBudget), true)"
+    s"""WITH per_source AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |         list(n_tok ORDER BY n_tok DESC, doc_id) AS sizes
+       |  FROM (SELECT source, doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |        FROM documents)
+       |  GROUP BY source
+       |),
+       |packed AS (
+       |  SELECT source, n_docs, total_tokens,
+       |    list_reduce(
+       |      list_concat([CAST([] AS BIGINT[])], list_transform(sizes, t -> [t])),
+       |      (acc, x) -> CASE WHEN coalesce($fitPos, 0) = 0
+       |        THEN list_append(acc, x[1])
+       |        ELSE list_transform(generate_series(1, len(acc)), i ->
+       |               CASE WHEN i = $fitPos THEN acc[i] + x[1] ELSE acc[i] END)
+       |        END) AS loads
+       |  FROM per_source
+       |)
+       |SELECT source, n_docs, total_tokens,
+       |       CAST(len(loads) AS BIGINT) AS n_bins,
+       |       CAST(ceil(total_tokens / $SeqBudget.0) AS BIGINT) AS lb_bins,
+       |       CAST(len(loads) - ceil(total_tokens / $SeqBudget.0) AS BIGINT) AS gap,
+       |       round(total_tokens / (len(loads) * $SeqBudget.0), 6) AS utilization,
+       |       md5(array_to_string(list_transform(loads, b -> CAST(b AS VARCHAR)), ',')) AS loads_md5
+       |FROM packed ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------- shard manifest
   /** Number of output shards for [[shardManifest]]. */
   val ShardCount = 8
@@ -524,6 +602,7 @@ object DataPrep {
     "prep_vocab_encode" -> (vocabEncode _),
     "prep_seq_pack"     -> (seqPack _),
     "prep_shard_manifest" -> (shardManifest _),
+    "prep_pack_ffd"     -> (packFfd _),
     "prep_split_assign" -> (splitAssign _),
     "prep_mix_weighted" -> (mixWeightedSample _),
     "prep_chunk_windows" -> (chunkWindows _)
@@ -535,6 +614,7 @@ object DataPrep {
     "prep_vocab_encode" -> vocabEncodeSql,
     "prep_seq_pack"     -> seqPackSql,
     "prep_shard_manifest" -> shardManifestSql,
+    "prep_pack_ffd"     -> packFfdSql,
     "prep_split_assign" -> splitAssignSql,
     "prep_mix_weighted" -> mixWeightedSampleSql,
     "prep_chunk_windows" -> chunkWindowsSql

@@ -73,6 +73,37 @@ class DataPrepSpec extends GraftSpec {
     assert(got.exists { case (_, b, a, _) => a < b }, "no merge ever applied")
   }
 
+  test("FFD packing equals an independent first-fit-decreasing replay; bins within budget") {
+    val got = DataPrep.packFfd(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(7)))
+    assert(got.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val bySource = graft.Tables.documents(spark, sf0001)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).length.toLong))
+      .groupBy(_._1)
+    got.foreach { case (src, nDocs, total, nBins, lb, gap, loadsMd5) =>
+      val docs = bySource(src)
+      assert(nDocs == docs.length && total == docs.map(_._3).sum)
+      // independent FFD: sort desc by size (ties asc doc_id), first fit
+      val loads = scala.collection.mutable.ArrayBuffer[Long]()
+      docs.sortBy(d => (-d._3, d._2)).foreach { case (_, _, n) =>
+        loads.indexWhere(_ + n <= 512) match {
+          case -1 => loads += n
+          case i  => loads(i) += n
+        }
+      }
+      assert(loads.forall(_ <= 512), "every bin within budget")
+      assert(loads.sum == total, "token conservation")
+      assert(nBins == loads.length, s"$src: bin count diverges")
+      assert(lb == math.ceil(total / 512.0).toLong && gap == nBins - lb && gap >= 0)
+      assert(loadsMd5 == md5hex(loads.mkString(",")), s"$src: load vector diverges")
+    }
+  }
+
   test("shard manifest: conservation vs seq pack and driver-side checksum replay") {
     val seqs = DataPrep.seqPack(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
