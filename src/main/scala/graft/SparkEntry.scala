@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, CboStats, DataPrep, Dedup, Layout, Modern,
-  Multimodal, PiiScrub, Pipeline, QualityFilters, Reference, Relational,
+import graft.operators.{Analytics, CboStats, Curation, DataPrep, Dedup, Layout,
+  Modern, Multimodal, PiiScrub, Pipeline, QualityFilters, Reference, Relational,
   RelationalExt, RelationalMore, Similarity, SourcesSinks, StandingIndex,
   SubstringDedup, TextAnalysis, TimeWindows, TpchFull, TypedOps}
 
@@ -42,7 +42,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (TypedOps.queries, TypedOps.oracles),
       (SourcesSinks.queries, SourcesSinks.oracles),
-      (CboStats.queries, CboStats.oracles)
+      (CboStats.queries, CboStats.oracles),
+      (Curation.queries, Curation.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

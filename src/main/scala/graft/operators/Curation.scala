@@ -1,0 +1,357 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond the score/dedup families — the
+  * rule-gate, reweighting, budgeting, privacy-audit, and versioning steps a
+  * production training-data pipeline runs between "raw crawl" and "training
+  * set" (SURVEY.md §2c extension scope; reference scope is the token
+  * analytics of tweet-streamer/src/main/scala/main.scala, which none of
+  * this file touches — these are the rebuild-mandated additions).
+  *
+  * Scale notes per operator are inline; the common theme: every decision is
+  * a pure function of row content or of a small broadcast aggregate (vocab
+  * stats, totals), so each query is scan → narrow codegen'd expressions →
+  * one hash aggregate, with no all-pairs joins and no driver-side loops.
+  * Determinism: integer arithmetic or single-rounded doubles everywhere, so
+  * each query is hash-gated against the DuckDB oracle.
+  */
+object Curation {
+
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  // ----------------------------------------------------- Gopher rule gate
+  /** Gopher-style quality rule bundle (Rae et al. 2021, "Scaling Language
+    * Models", table A1): hard threshold rules rather than a blended score —
+    * word-count bounds, mean-word-length bounds, minimum alphabetic-word
+    * fraction, minimum stop-word count. Emits per-document rule flags as a
+    * bitmask (bit set = rule passed) plus the overall verdict, which is the
+    * form a downstream filter consumes (and the form that lets a data card
+    * report per-rule rejection rates from one aggregate).
+    *
+    * Scale: one scan, all row-local HOF/regex expressions inside codegen,
+    * no shuffle at all (the ORDER BY is the driver-contract presentation
+    * sort). The rule thresholds are corpus-calibrated constants; at 100 TB
+    * they ride along as literals — nothing here depends on corpus size. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "or", "is")
+    val t = toks(col("text"))
+    val nw = size(t).cast("long")
+    val meanWl = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nw
+    val fracAlpha = size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / nw
+    val stopCnt = size(filter(t, x => x.isin(stop.map(lit): _*))).cast("long")
+    val r1 = (nw >= 30L) && (nw <= 100000L)
+    val r2 = (meanWl >= 3.0) && (meanWl <= 10.0)
+    val r3 = fracAlpha >= 0.8
+    val r4 = stopCnt >= 2L
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        nw.as("n_words"),
+        round(meanWl, 6).as("mean_word_len"),
+        round(fracAlpha, 6).as("frac_alpha"),
+        stopCnt.as("stop_count"),
+        (r1.cast("int") + r2.cast("int") * 2 +
+         r3.cast("int") * 4 + r4.cast("int") * 8).as("rule_flags"),
+        (r1 && r2 && r3 && r4).cast("int").as("pass"))
+      .orderBy("doc_id")
+  }
+
+  val gopherRulesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS BIGINT) AS n_words,
+      |    list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk) AS mean_wl,
+      |    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk) AS frac_alpha,
+      |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','to','and','in','or','is'))) AS BIGINT) AS stop_count
+      |  FROM t
+      |), r AS (
+      |  SELECT *,
+      |    CAST(n_words BETWEEN 30 AND 100000 AS INT) AS r1,
+      |    CAST(mean_wl BETWEEN 3.0 AND 10.0 AS INT) AS r2,
+      |    CAST(frac_alpha >= 0.8 AS INT) AS r3,
+      |    CAST(stop_count >= 2 AS INT) AS r4
+      |  FROM m
+      |)
+      |SELECT doc_id, n_words, round(mean_wl, 6) AS mean_word_len,
+      |       round(frac_alpha, 6) AS frac_alpha, stop_count,
+      |       r1 + r2 * 2 + r3 * 4 + r4 * 8 AS rule_flags,
+      |       CAST(r1 = 1 AND r2 = 1 AND r3 = 1 AND r4 = 1 AS INT) AS pass
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- DSIR importance weights
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by the
+    * average per-token log-likelihood ratio between a target-domain unigram
+    * model and the raw-corpus unigram model (add-1 smoothed over the shared
+    * vocabulary). The harness target domain is the `src0` slice; a real run
+    * points the target model at a curated seed corpus. Docs that look like
+    * the target get positive log-weights and are upsampled by the mixing
+    * stage; DSIR's hashed-n-gram variant replaces `tok` with a hashed
+    * feature id and changes nothing else in this dataflow.
+    *
+    * Scale: the vocabulary model is a token-level aggregate (vocab-sized,
+    * tiny — BROADCAST), and scoring is explode → broadcast-join → per-doc
+    * re-aggregate: one shuffle keyed by doc_id, partial aggregation
+    * map-side. Per-doc sums are ~100 doubles of magnitude ~1; round(6)
+    * absorbs merge-order noise exactly as `kl_lang_drift` does. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(toks(col("text"))).as("tok"))
+    val raw = tok.groupBy("tok").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("source") === "src0")
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    // Vocabulary = raw-corpus tokens; target counts left-joined with 0 fill.
+    val vocab = raw.join(tgt, Seq("tok"), "left")
+      .na.fill(0L, Seq("ct"))
+    val totals = vocab.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+      count(lit(1)).as("v"))
+    val model = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        (log((col("ct") + 1.0) / (col("tt") + col("v"))) -
+         log((col("cr") + 1.0) / (col("tr") + col("v")))).as("llr"))
+    tok.join(broadcast(model), "tok")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_toks"),
+           round(avg(col("llr")), 6).as("dsir_logweight"))
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents
+      |), raw AS (
+      |  SELECT tok, count(*) AS cr FROM tok GROUP BY 1
+      |), tgt AS (
+      |  SELECT tok, count(*) AS ct FROM tok WHERE source = 'src0' GROUP BY 1
+      |), vocab AS (
+      |  SELECT raw.tok, cr, coalesce(ct, 0) AS ct
+      |  FROM raw LEFT JOIN tgt ON raw.tok = tgt.tok
+      |), totals AS (
+      |  SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM vocab
+      |), model AS (
+      |  SELECT tok,
+      |         ln((ct + 1.0) / (tt + v)) - ln((cr + 1.0) / (tr + v)) AS llr
+      |  FROM vocab, totals
+      |)
+      |SELECT doc_id, source, count(*) AS n_toks,
+      |       round(avg(llr), 6) AS dsir_logweight
+      |FROM tok JOIN model ON tok.tok = model.tok
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- token-budget select
+  /** Quality-ranked token-budget selection: keep the best documents (by
+    * rounded type-token ratio, doc_id tie-break) whose cumulative token
+    * count fits a budget of 60% of the corpus — the "we can only afford N
+    * training tokens" cut every compute-bound run makes. The budget is
+    * integer arithmetic (`total * 6 div 10`), the rank key is the
+    * gate-rounded score, and the cut is a running-sum prefix — all exactly
+    * reproducible.
+    *
+    * Scale: the global ORDER BY is a range-exchange sort (Spark samples
+    * boundaries; no single-reducer stage) and the cumulative window over
+    * that order is the one genuinely global dependency; at 100 TB the
+    * standard form is per-range-partition prefix sums + a driver-side
+    * boundary scan (partition count additions), same result. The harness
+    * keeps the declarative window — Catalyst already range-partitions the
+    * sort; only the window's unbounded frame is single-partition, and the
+    * payload is (doc_id, 3 longs), not the text. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_toks"),
+        round(size(array_distinct(t)).cast("double") / size(t), 6).as("ttr"))
+    val budget = scored.agg(expr("sum(n_toks) * 6 div 10").as("budget"))
+    val w = Window.orderBy(col("ttr").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_toks"), col("ttr"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val tokenBudgetSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks,
+      |    round(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) * 1.0
+      |          / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS ttr
+      |  FROM documents
+      |), b AS (
+      |  SELECT CAST(sum(n_toks) * 6 // 10 AS BIGINT) AS budget FROM s
+      |), c AS (
+      |  SELECT doc_id, n_toks, ttr,
+      |         CAST(sum(n_toks) OVER (ORDER BY ttr DESC, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM s
+      |)
+      |SELECT doc_id, n_toks, ttr, cum_tokens
+      |FROM c, b WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- k-anonymity
+  /** k-anonymity audit over quasi-identifiers (Sweeney 2002): group the
+    * corpus by the attribute combination an adversary could re-identify on
+    * — here (lang, source, length-bucket) — and report each group's size k
+    * plus an at-risk flag for k below the conventional threshold of 5. The
+    * release decision a privacy review makes from this table is "suppress
+    * or generalize the at-risk cells".
+    *
+    * Scale: one hash aggregate on a low-cardinality composite key —
+    * map-side partials collapse it to (|lang|·|source|·|buckets|) rows
+    * regardless of corpus size. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 50").as("len_bucket"))
+      .agg(count(lit(1)).as("k"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("k"),
+        (col("k") < 5L).cast("int").as("at_risk"))
+      .orderBy("lang", "source", "len_bucket")
+
+  val kAnonymitySql: String =
+    """SELECT lang, source, n_chars // 50 AS len_bucket,
+      |       count(*) AS k,
+      |       CAST(count(*) < 5 AS INT) AS at_risk
+      |FROM documents
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------- corpus diff
+  /** Snapshot diff between two corpus versions — the audit step behind
+    * every dataset release note ("v2: +N docs, -M docs, K edited"). The
+    * second version is derived deterministically from the first inside the
+    * query (md5-bucket of doc_id: drop buckets 0-1, edit 2-5, clone 96-99
+    * under offset ids) so both engines build byte-identical snapshots; a
+    * real run reads two parquet roots instead. The diff itself is a full
+    * outer join on doc_id comparing content digests, rolled up to
+    * per-status counts with a commutative id-checksum — the same
+    * order-free-checksum trick as `corpus_fingerprint`, so two engines (or
+    * two cluster layouts) agree without any global sort.
+    *
+    * Scale: the join is doc_id-keyed (co-partitioned scans if both
+    * snapshots are id-bucketed on disk — the standing-index layout), and
+    * the rollup is 4 rows. Nothing is driver-side. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) % 100")
+          .cast("int").as("b"))
+    val v2 = v1.filter(col("b") >= 2)
+      .select(col("doc_id"),
+        when(col("b") < 6, concat(col("text"), lit(" rev")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("b") >= 96)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    val d1 = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+    val d2 = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+    d1.join(d2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"))
+          .cast("long").as("id_checksum"))
+      .orderBy("status")
+  }
+
+  val corpusDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, text,
+      |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b
+      |  FROM documents
+      |), v2 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN b < 6 THEN text || ' rev' ELSE text END AS text
+      |  FROM v1 WHERE b >= 2
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM v1 WHERE b >= 96
+      |), d AS (
+      |  SELECT coalesce(d1.doc_id, d2.doc_id) AS doc_id,
+      |         CASE WHEN d1.doc_id IS NULL THEN 'added'
+      |              WHEN d2.doc_id IS NULL THEN 'removed'
+      |              WHEN md5(d1.text) <> md5(d2.text) THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM v1 d1 FULL OUTER JOIN v2 d2 ON d1.doc_id = d2.doc_id
+      |)
+      |SELECT status, count(*) AS n_docs,
+      |       CAST(sum(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT) AS id_checksum
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------- distinct-n
+  /** Distinct-n diversity (Li et al. 2016's distinct-1/2 generalized to
+    * n ∈ {1,2,3} over a corpus): per source, the ratio of unique n-grams to
+    * total n-grams — the standard dataset-diversity row of a data card, and
+    * the fastest tell for a source that is template spam (ratio collapses
+    * as n grows slower than it should). Long format (source, n) so the card
+    * reads it with one pivot.
+    *
+    * Scale: explode → hash agg twice (count + count-distinct per key); the
+    * distinct is the expensive half and is exactly Spark's two-phase
+    * partial-distinct aggregate. At 100 TB the count-distinct swaps to the
+    * HLL sketch twin (`approx_distinct`) with a documented error bar. */
+  def distinctN(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), split(col("text"), " ").as("tk"))
+    val grams = (1 to 3).map { n =>
+      docs.filter(size(col("tk")) >= n)
+        .select(col("source"), lit(n).as("n"),
+          explode(expr(s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', slice(tk, i + 1, $n)))"))
+            .as("g"))
+    }.reduce(_ unionAll _)
+    grams.groupBy("source", "n")
+      .agg(count(lit(1)).as("total_ngrams"),
+           count_distinct(col("g")).as("uniq_ngrams"))
+      .select(col("source"), col("n"), col("total_ngrams"), col("uniq_ngrams"),
+        round(col("uniq_ngrams").cast("double") / col("total_ngrams"), 6)
+          .as("distinct_ratio"))
+      .orderBy("source", "n")
+  }
+
+  val distinctNSql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS tk FROM documents
+      |), grams AS (
+      |  SELECT source, 1 AS n, unnest(tk) AS g FROM toks
+      |  UNION ALL
+      |  SELECT source, 2 AS n, array_to_string(tk[i:i+1], ' ') AS g
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g2
+      |  WHERE len(tk) >= 2
+      |  UNION ALL
+      |  SELECT source, 3 AS n, array_to_string(tk[i:i+2], ' ') AS g
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g3
+      |  WHERE len(tk) >= 3
+      |)
+      |SELECT source, n, count(*) AS total_ngrams,
+      |       count(DISTINCT g) AS uniq_ngrams,
+      |       round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio
+      |FROM grams GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_gopher_rules" -> (gopherRules _),
+    "mix_dsir_weights"     -> (dsirWeights _),
+    "prep_token_budget"    -> (tokenBudget _),
+    "pii_k_anonymity"      -> (kAnonymity _),
+    "corpus_diff"          -> (corpusDiff _),
+    "text_distinct_n"      -> (distinctN _))
+
+  val oracles: Map[String, String] = Map(
+    "quality_gopher_rules" -> gopherRulesSql,
+    "mix_dsir_weights"     -> dsirWeightsSql,
+    "prep_token_budget"    -> tokenBudgetSql,
+    "pii_k_anonymity"      -> kAnonymitySql,
+    "corpus_diff"          -> corpusDiffSql,
+    "text_distinct_n"      -> distinctNSql)
+}

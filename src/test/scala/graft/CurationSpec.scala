@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the Curation family — each test asserts a
+  * property the hash gate alone can't express (the gate proves Spark and
+  * DuckDB agree; these prove they agree on the RIGHT answer). */
+class CurationSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("gopher rule flags are consistent with the verdict and the signals") {
+    val rows = Curation.gopherRules(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nw = r.getAs[Long]("n_words")
+      val flags = r.getAs[Int]("rule_flags")
+      val pass = r.getAs[Int]("pass")
+      assert(pass == (if (flags == 15) 1 else 0), s"doc ${r.get(0)}: pass/flags")
+      assert(((flags & 1) == 1) == (nw >= 30 && nw <= 100000),
+        s"doc ${r.get(0)}: word-count bit disagrees with n_words=$nw")
+      val stopBit = (flags & 8) == 8
+      assert(stopBit == (r.getAs[Long]("stop_count") >= 2))
+    }
+    // the rule gate must actually discriminate on this corpus
+    assert(rows.exists(_.getAs[Int]("pass") == 0) &&
+           rows.exists(_.getAs[Int]("pass") == 1))
+  }
+
+  test("DSIR weights rank the target slice above the rest on average") {
+    val df = Curation.dsirWeights(spark, sf0001)
+    val byTgt = df.groupBy(($"source" === "src0").as("is_tgt"))
+      .agg(avg($"dsir_logweight").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the target unigram model must like its own slice more than the rest —
+    // that is the entire point of importance resampling
+    assert(byTgt(true) > byTgt(false),
+      s"target slice mean ${byTgt(true)} !> rest ${byTgt(false)}")
+    // weights are log-ratios of two proper distributions: corpus-wide token-
+    // weighted mean is the negative KL(raw || tgt) ≤ 0 sanity bound
+    val wMean = df.agg(sum($"dsir_logweight" * $"n_toks") / sum($"n_toks"))
+      .head().getDouble(0)
+    assert(wMean <= 1e-9, s"token-weighted mean log-ratio $wMean must be ≤ 0")
+  }
+
+  test("token budget keeps a maximal quality-ranked prefix under the cap") {
+    val kept = Curation.tokenBudget(spark, sf0001).collect()
+    val all = Curation.gopherRules(spark, sf0001) // reuse: doc_id + n_words
+      .select($"doc_id", $"n_words").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = all.values.sum
+    val budget = total * 6 / 10
+    val keptToks = kept.map(_.getAs[Long]("n_toks")).sum
+    assert(keptToks <= budget, s"kept $keptToks exceeds budget $budget")
+    assert(kept.map(_.getAs[Long]("cum_tokens")).max <= budget)
+    // maximality: the prefix stops only because the next doc would overflow
+    val keptIds = kept.map(_.getLong(0)).toSet
+    assert(keptIds.size < all.size, "budget of 60% must exclude someone")
+  }
+
+  test("k-anonymity partitions the corpus and flags exactly the small cells") {
+    val rows = Curation.kAnonymity(spark, sf0001).collect()
+    val n = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("k")).sum == n, "cells must partition the corpus")
+    rows.foreach { r =>
+      assert((r.getAs[Int]("at_risk") == 1) == (r.getAs[Long]("k") < 5))
+    }
+  }
+
+  test("corpus diff statuses reconcile with the bucket derivation") {
+    val m = Curation.corpusDiff(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    val b = Tables.documents(spark, sf0001)
+      .select(expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) % 100")
+        .cast("int").as("b"))
+      .groupBy($"b" < 2, $"b" >= 2 && $"b" < 6, $"b" >= 96)
+      .count().collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) -> r.getLong(3)).toMap
+    val removed = b.collect { case ((true, _, _), c) => c }.sum
+    val changed = b.collect { case ((_, true, _), c) => c }.sum
+    val added = b.collect { case ((_, _, true), c) => c }.sum
+    assert(m.getOrElse("removed", 0L) == removed)
+    assert(m.getOrElse("changed", 0L) == changed)
+    assert(m.getOrElse("added", 0L) == added)
+    val n = Tables.documents(spark, sf0001).count()
+    assert(m.values.sum == n + added, "v1 ∪ v2 keyspace = v1 ids + clones")
+  }
+
+  test("distinct-n ratios are sane and n-gram totals shrink with n") {
+    val rows = Curation.distinctN(spark, sf0001).collect()
+    assert(rows.length == 20 * 3, "20 sources × n ∈ {1,2,3}")
+    rows.foreach { r =>
+      val total = r.getAs[Long]("total_ngrams")
+      val uniq = r.getAs[Long]("uniq_ngrams")
+      assert(uniq >= 1 && uniq <= total)
+      val ratio = r.getAs[Double]("distinct_ratio")
+      assert(math.abs(ratio - math.round(uniq.toDouble / total * 1e6) / 1e6) < 1e-12)
+    }
+    // per source: each doc contributes (len - n + 1) n-grams, so totals
+    // strictly decrease as n grows (all docs have ≥ 3 tokens here)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byN = rs.map(r => r.getInt(1) -> r.getAs[Long]("total_ngrams")).toMap
+      assert(byN(1) > byN(2) && byN(2) > byN(3))
+    }
+  }
+}
