@@ -1771,8 +1771,69 @@ object Similarity {
        |FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ------------------------------------------------- hard-negative mining
+  /** Contrastive-pair mining for embedding-model training (the hard-negative
+    * selection of DPR, Karpukhin et al. 2020, and the batch-mining in
+    * SimCSE): per query vector, the highest-cosine OTHER-label vector (the
+    * hard negative an encoder must learn to push away) and the lowest-cosine
+    * SAME-label vector (the hardest positive it must keep close). Exact
+    * mining is quadratic by design and sits behind the same tripwire as the
+    * other exact baselines; at 100 TB the pool comes from the standing IVF
+    * index shortlist (`ann_ivf_indexed`) and only the shortlist is exactly
+    * rescored — identical dataflow, bounded candidates.
+    *
+    * Shape: corpus scan × broadcast query set, then two rank-1 windows
+    * partitioned by query (different-label desc, same-label asc), joined on
+    * query id. One shuffle keyed by q_id; ties broken on vec_id. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    guardExactBaseline(s, dir, "emb_hard_negatives",
+      "ann_ivf_indexed (as the mining shortlist)")
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("label").as("q_label"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+    val wNeg = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val wPos = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").asc, col("vec_id"))
+    val neg = scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rnk", row_number().over(wNeg)).filter(col("rnk") === 1)
+      .select(col("q_id"), col("q_label"), col("vec_id").as("hard_neg_id"),
+        round(col("score"), 6).as("neg_cos"))
+    val pos = scored.filter(col("label") === col("q_label"))
+      .withColumn("rnk", row_number().over(wPos)).filter(col("rnk") === 1)
+      .select(col("q_id"), col("vec_id").as("hard_pos_id"),
+        round(col("score"), 6).as("pos_cos"))
+    neg.join(pos, "q_id").orderBy("q_id")
+  }
+
+  val hardNegativesSql: String = {
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id % 100 = 0),
+       |s AS (
+       |  SELECT q.q_id, q.q_label, e.vec_id, e.label, ${cos("q.qv", "e.v")} AS score
+       |  FROM q JOIN e ON e.vec_id <> q.q_id
+       |), neg AS (
+       |  SELECT q_id, q_label, vec_id AS hard_neg_id, round(score, 6) AS neg_cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+       |  FROM s WHERE label <> q_label
+       |), pos AS (
+       |  SELECT q_id, vec_id AS hard_pos_id, round(score, 6) AS pos_cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY score ASC, vec_id) AS rnk
+       |  FROM s WHERE label = q_label
+       |)
+       |SELECT neg.q_id, q_label, hard_neg_id, neg_cos, hard_pos_id, pos_cos
+       |FROM neg JOIN pos ON neg.q_id = pos.q_id
+       |WHERE neg.rnk = 1 AND pos.rnk = 1 ORDER BY neg.q_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk"  -> (bruteForceTopK _),
+    "emb_hard_negatives" -> (hardNegatives _),
     "ann_pq_topk"     -> (pqTopK _),
     "ann_ivfpq_topk"  -> (ivfPqTopK _),
     "ts_similarity"   -> (tsSimilarity _),
@@ -1800,6 +1861,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "ann_brute_topk" -> bruteForceTopKSql,
+    "emb_hard_negatives" -> hardNegativesSql,
     "ann_pq_topk"    -> pqTopKSql,
     "ann_ivfpq_topk" -> ivfPqTopKSql,
     "ts_similarity"  -> tsSimilaritySql,

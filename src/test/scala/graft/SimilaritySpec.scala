@@ -519,4 +519,36 @@ class SimilaritySpec extends GraftSpec {
     assert(deleted.forall(r => !delIds.contains(r._2)),
       "a deleted vector resurfaced as a neighbor")
   }
+
+  test("hard-negative mining matches an independent pure-Scala reference") {
+    val rows = Similarity.hardNegatives(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    val all = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = all.filter(_._1 % 100 == 0)
+    assert(queries.nonEmpty && rows.size == queries.length)
+    queries.foreach { case (qid, qv, qlab) =>
+      val others = all.filter(_._1 != qid)
+      val negs = others.filter(_._3 != qlab)
+        .map { case (id, v, _) => (id, cos(qv, v)) }
+      val poss = others.filter(_._3 == qlab)
+        .map { case (id, v, _) => (id, cos(qv, v)) }
+      val expNeg = negs.minBy { case (id, s) => (-s, id) }
+      val expPos = poss.minBy { case (id, s) => (s, id) }
+      val (gotLab, negId, negCos, posId, posCos) = rows(qid)
+      assert(gotLab == qlab)
+      assert(negId == expNeg._1 && math.abs(negCos - expNeg._2) < 1e-5,
+        s"q=$qid hard negative: got ($negId,$negCos) exp $expNeg")
+      assert(posId == expPos._1 && math.abs(posCos - expPos._2) < 1e-5,
+        s"q=$qid hardest positive: got ($posId,$posCos) exp $expPos")
+    }
+  }
 }
