@@ -129,6 +129,72 @@ object Dedup {
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ------------------------------------------------- threshold sweep report
+  /** Dedup-threshold sweep: the knob-tuning report a curator reads before
+    * picking the near-dup cutoff — for each candidate threshold t ∈
+    * {0.30 … 0.90}, how many pairs would match and how many documents they
+    * touch. One pair-scoring pass at the loosest threshold (reusing
+    * [[jaccardPairsFrom]], the same inverted-index join every other Jaccard
+    * query uses), then a broadcast threshold expansion and two rollups —
+    * the whole curve costs one extra narrow stage over the single-threshold
+    * query, instead of seven reruns.
+    *
+    * Thresholds are integer percent (`t_pct`) and the comparison is
+    * `jac >= t_pct / 100.0` — one IEEE division on each engine, so the
+    * boundary cases hash-match. Scale: the pair table at t=0.3 is the
+    * expensive part (same cost class as `split_leakage_audit`, which uses
+    * the same loose threshold); the sweep itself touches only (pair,
+    * threshold) rows. */
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairsFrom(Tables.documents(s, dir), 0.3)
+    val th = (30 to 90 by 10).toDF("t_pct")
+    val j = pairs.crossJoin(broadcast(th))
+      .filter(col("jac") >= col("t_pct").cast("double") / 100.0)
+    val pairCounts = j.groupBy("t_pct").agg(count(lit(1)).as("n_pairs"))
+    val docCounts = j
+      .select(col("t_pct"), explode(array(col("a_id"), col("b_id"))).as("d"))
+      .groupBy("t_pct").agg(count_distinct(col("d")).as("n_docs_affected"))
+    th.join(pairCounts, Seq("t_pct"), "left")
+      .join(docCounts, Seq("t_pct"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs_affected"))
+      .orderBy("t_pct")
+  }
+
+  val thresholdSweepSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT a_id, b_id, c * 1.0 / (sa.n + sb.n - c) AS jac
+      |  FROM common JOIN sizes sa ON a_id = sa.doc_id
+      |              JOIN sizes sb ON b_id = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.3
+      |),
+      |th AS (SELECT unnest(generate_series(30, 90, 10)) AS t_pct),
+      |j AS (SELECT t_pct, a_id, b_id FROM pairs, th WHERE jac >= t_pct / 100.0),
+      |pc AS (SELECT t_pct, count(*) AS n_pairs FROM j GROUP BY 1),
+      |dc AS (
+      |  SELECT t_pct, count(DISTINCT d) AS n_docs_affected
+      |  FROM (SELECT t_pct, a_id AS d FROM j UNION ALL SELECT t_pct, b_id FROM j)
+      |  GROUP BY 1
+      |)
+      |SELECT th.t_pct,
+      |       coalesce(n_pairs, 0) AS n_pairs,
+      |       coalesce(n_docs_affected, 0) AS n_docs_affected
+      |FROM th LEFT JOIN pc ON th.t_pct = pc.t_pct
+      |        LEFT JOIN dc ON th.t_pct = dc.t_pct
+      |ORDER BY th.t_pct""".stripMargin
+
   /** PPJoin-style prefix-filtered Jaccard join — same result set as
     * [[jaccardNearDup]] (the oracle hash-gate verifies equality at both
     * scales), but the inverted index holds only each document's PREFIX
@@ -1201,6 +1267,7 @@ object Dedup {
     "dedup_exact"           -> (exactDedup _),
     "dedup_bloom_prefilter" -> (bloomPrefilter _),
     "neardup_jaccard"       -> (jaccardNearDup _),
+    "neardup_threshold_sweep" -> (thresholdSweep _),
     "neardup_jaccard_dfcap" -> (jaccardNearDupDfCap _),
     "neardup_jaccard_prefix" -> (jaccardPrefixNearDup _),
     "neardup_minhash_lsh"   -> (minhashLsh _),
@@ -1216,6 +1283,7 @@ object Dedup {
     "dedup_exact"           -> exactDedupSql,
     "dedup_bloom_prefilter" -> bloomPrefilterSql,
     "neardup_jaccard"       -> jaccardNearDupSql,
+    "neardup_threshold_sweep" -> thresholdSweepSql,
     "neardup_jaccard_dfcap" -> jaccardNearDupDfCapSql,
     // lossless by construction: the prefix filter must reproduce the
     // all-shingle baseline's result EXACTLY — same oracle, hash-compared

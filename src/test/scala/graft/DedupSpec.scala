@@ -257,4 +257,19 @@ class DedupSpec extends GraftSpec {
     assert(exact.intersect(sim).size >= math.ceil(exact.size * 0.8).toInt,
       s"simhash missed planted pairs: found ${exact.intersect(sim).size}/${exact.size}")
   }
+
+  test("threshold sweep is monotone and its t=50 row equals the 0.5 query") {
+    val rows = Dedup.thresholdSweep(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(30, 40, 50, 60, 70, 80, 90))
+    rows.sliding(2).foreach { case Seq((_, p1, d1), (t2, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, s"sweep not monotone at t=$t2")
+    }
+    val at50 = rows.find(_._1 == 50).get
+    val exact = Dedup.jaccardNearDup(spark, sf0001).collect()
+    assert(at50._2 == exact.length.toLong,
+      s"t=50 pair count ${at50._2} != neardup_jaccard ${exact.length}")
+    val docs = exact.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length
+    assert(at50._3 == docs.toLong)
+  }
 }
