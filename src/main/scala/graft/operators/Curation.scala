@@ -101,27 +101,42 @@ object Curation {
     * map-side. Per-doc sums are ~100 doubles of magnitude ~1; round(6)
     * absorbs merge-order noise exactly as `kl_lang_drift` does. */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val tok = docs.select(col("doc_id"), col("source"),
-      explode(toks(col("text"))).as("tok"))
+    val tok = docTokens(Tables.documents(s, dir))
+    dsirScoreOf(tok, dsirModelOf(tok)).orderBy("doc_id")
+  }
+
+  /** (doc_id, source, tok) exploded tokens — the shared input shape of the
+    * DSIR model fit and scorer (and of [[graft.streaming.StreamingCurate]]'s
+    * online scorer, which must use these SAME column expressions so the
+    * stream twin can never drift from the batch query). */
+  private[graft] def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), explode(toks(col("text"))).as("tok"))
+
+  /** The frozen unigram log-likelihood-ratio model: (tok, llr), vocab-sized.
+    * Vocabulary = raw-corpus tokens; target counts left-joined with 0 fill. */
+  private[graft] def dsirModelOf(tok: DataFrame): DataFrame = {
     val raw = tok.groupBy("tok").agg(count(lit(1)).as("cr"))
     val tgt = tok.filter(col("source") === "src0")
       .groupBy("tok").agg(count(lit(1)).as("ct"))
-    // Vocabulary = raw-corpus tokens; target counts left-joined with 0 fill.
     val vocab = raw.join(tgt, Seq("tok"), "left")
       .na.fill(0L, Seq("ct"))
     val totals = vocab.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
       count(lit(1)).as("v"))
-    val model = vocab.crossJoin(broadcast(totals))
+    vocab.crossJoin(broadcast(totals))
       .select(col("tok"),
         (log((col("ct") + 1.0) / (col("tt") + col("v"))) -
          log((col("cr") + 1.0) / (col("tr") + col("v")))).as("llr"))
+  }
+
+  /** Score exploded tokens against a (frozen) model: per-doc token count +
+    * mean log-likelihood ratio. Tokens outside the model vocabulary drop at
+    * the join — a stream-time novelty contributes nothing until the model
+    * is refit (documented in the streaming twin). */
+  private[graft] def dsirScoreOf(tok: DataFrame, model: DataFrame): DataFrame =
     tok.join(broadcast(model), "tok")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_toks"),
            round(avg(col("llr")), 6).as("dsir_logweight"))
-      .orderBy("doc_id")
-  }
 
   val dsirWeightsSql: String =
     """WITH tok AS (

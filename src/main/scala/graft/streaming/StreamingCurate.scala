@@ -367,4 +367,31 @@ object StreamingCurate {
     QualityFilters.lrWeights(s,
       QualityFilters.lrFeaturesOf(graft.Tables.documents(s, dir)).cache())
   }
+
+  // ------------------------------------------- continuous DSIR scoring
+  /** Deploy the DSIR importance scorer ONLINE: the unigram log-likelihood-
+    * ratio model is fit once on the standing corpus and FROZEN (same
+    * refit-is-a-new-query contract as [[qualityScoreStream]]'s weights —
+    * a drifting model would re-score crash replays differently), then each
+    * arriving micro-batch is scored stream-static through the SAME
+    * [[graft.operators.Curation.dsirScoreOf]] column expressions as the
+    * batch query `mix_dsir_weights` — one broadcast join of the vocab-sized
+    * model per batch, no state store, split-invariant by construction.
+    * Stream-time tokens outside the frozen vocabulary contribute nothing
+    * until a refit (the model defines them as zero-information). */
+  def dsirScoreStream(stream: Dataset[CurateDoc], model: DataFrame)
+                     (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.operators.Curation
+    val frozen = model.localCheckpoint()
+    stream.toDF().writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        sink(Curation.dsirScoreOf(Curation.docTokens(mb), frozen), batchId)
+      }
+  }
+
+  /** The frozen model for [[dsirScoreStream]], fit on the corpus at `dir`. */
+  def dsirModelFor(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.dsirModelOf(Curation.docTokens(graft.Tables.documents(s, dir)))
+  }
 }

@@ -272,4 +272,37 @@ class StreamingCurateSpec extends GraftSpec {
     assert(rows(2)._2 == cleanRows(1),
       "a retried batch must not advance chunk offsets — batch-1 chunk_ids moved")
   }
+
+  test("continuous DSIR scoring == batch scorer for arbitrary micro-batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingCurate
+    import graft.streaming.StreamingCurate.CurateDoc
+    val expected = graft.operators.Curation.dsirWeights(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val model = StreamingCurate.dsirModelFor(spark, sf0001)
+    val allDocs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "source").collect()
+      .map(r => CurateDoc(r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    for ((seed, msId) <- Seq((11, 331), (53, 332))) {
+      val rnd = new scala.util.Random(seed)
+      val chunks = splitChunks(rnd.shuffle(allDocs), 2 + rnd.nextInt(4), rnd)
+      val ms = MemoryStream[CurateDoc](msId, spark, None)
+      val sink = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Double)]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+      val q = StreamingCurate.dsirScoreStream(ms.toDS(), model) { (df, _) =>
+        val rows = df.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        sink.synchronized { sink ++= rows }
+        ()
+      }.option("checkpointLocation", ckpt).start()
+      try chunks.foreach { c =>
+        if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = sink.synchronized(sink.toSet)
+      assert(got == expected,
+        s"seed=$seed: streamed DSIR scores diverge from the batch scorer " +
+        s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
+    }
+  }
 }
