@@ -353,6 +353,95 @@ object Curation {
       |       round(count(DISTINCT g) * 1.0 / count(*), 6) AS distinct_ratio
       |FROM grams GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- gated training-set capstone
+  /** The wrap-6 operators as ONE dataflow — the full selection recipe a
+    * target-domain training run uses: Gopher rule gate → exact dedup →
+    * DSIR importance ranking → token-budget cut (50% of surviving tokens)
+    * → per-source report. Every stage reuses the standalone operator's
+    * column expressions ([[gopherRules]]' rule predicates, [[dsirModelOf]]/
+    * [[dsirScoreOf]], the budget-window idiom of [[tokenBudget]]), so the
+    * composition can't drift from the pieces; the DuckDB oracle recomputes
+    * the same chain as CTEs from first principles.
+    *
+    * Scale shape: gate is narrow codegen; dedup shuffles 16-byte digests;
+    * the DSIR model is a vocab-sized broadcast; the budget sort is a
+    * range exchange over (weight, id) pairs — the text never moves after
+    * the scan. The final report is sources-sized with a commutative id
+    * checksum, so two layouts agree without a global sort. */
+  def gatedTrainingSet(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "or", "is")
+    val t = toks(col("text"))
+    val nw = size(t).cast("long")
+    val meanWl = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nw
+    val fracAlpha = size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / nw
+    val stopCnt = size(filter(t, x => x.isin(stop.map(lit): _*))).cast("long")
+    val gated = Tables.documents(s, dir)
+      .filter((nw >= 30L) && (nw <= 100000L) &&
+              (meanWl >= 3.0) && (meanWl <= 10.0) &&
+              (fracAlpha >= 0.8) && (stopCnt >= 2L))
+    val w = Window.partitionBy(md5(col("text")), length(col("text")))
+    val deduped = gated
+      .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text", "source")
+    val scored = dsirScoreOf(docTokens(deduped), dsirModelOf(docTokens(deduped)))
+    val budget = scored.agg(expr("sum(n_toks) div 2").as("budget"))
+    val cum = Window.orderBy(col("dsir_logweight").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_toks")).over(cum))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).as("n_tokens"),
+           sum(expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"))
+             .cast("long").as("id_checksum"))
+      .orderBy("source")
+  }
+
+  val gatedTrainingSetSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, source,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents
+      |), gated AS (
+      |  SELECT doc_id, text, source FROM t
+      |  WHERE len(tk) BETWEEN 30 AND 100000
+      |    AND list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk) BETWEEN 3.0 AND 10.0
+      |    AND len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk) >= 0.8
+      |    AND len(list_filter(tk, x -> x IN ('the','a','of','to','and','in','or','is'))) >= 2
+      |), deduped AS (
+      |  SELECT doc_id, text, source FROM gated
+      |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+      |), tok AS (
+      |  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM deduped
+      |), raw AS (SELECT tok, count(*) AS cr FROM tok GROUP BY 1),
+      |tgt AS (SELECT tok, count(*) AS ct FROM tok WHERE source = 'src0' GROUP BY 1),
+      |vocab AS (
+      |  SELECT raw.tok, cr, coalesce(ct, 0) AS ct
+      |  FROM raw LEFT JOIN tgt ON raw.tok = tgt.tok
+      |), totals AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM vocab),
+      |model AS (
+      |  SELECT tok, ln((ct + 1.0) / (tt + v)) - ln((cr + 1.0) / (tr + v)) AS llr
+      |  FROM vocab, totals
+      |), scored AS (
+      |  SELECT doc_id, source, count(*) AS n_toks, round(avg(llr), 6) AS w
+      |  FROM tok JOIN model ON tok.tok = model.tok GROUP BY 1, 2
+      |), b AS (SELECT CAST(sum(n_toks) // 2 AS BIGINT) AS budget FROM scored),
+      |cum AS (
+      |  SELECT doc_id, source, n_toks,
+      |         CAST(sum(n_toks) OVER (ORDER BY w DESC, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM scored
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT) AS id_checksum
+      |FROM cum, b WHERE cum_tokens <= budget
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_gopher_rules" -> (gopherRules _),
@@ -360,6 +449,7 @@ object Curation {
     "prep_token_budget"    -> (tokenBudget _),
     "pii_k_anonymity"      -> (kAnonymity _),
     "corpus_diff"          -> (corpusDiff _),
+    "pipeline_gated_set"   -> (gatedTrainingSet _),
     "text_distinct_n"      -> (distinctN _))
 
   val oracles: Map[String, String] = Map(
@@ -368,5 +458,6 @@ object Curation {
     "prep_token_budget"    -> tokenBudgetSql,
     "pii_k_anonymity"      -> kAnonymitySql,
     "corpus_diff"          -> corpusDiffSql,
+    "pipeline_gated_set"   -> gatedTrainingSetSql,
     "text_distinct_n"      -> distinctNSql)
 }

@@ -86,6 +86,57 @@ class CurationSpec extends GraftSpec {
     assert(m.values.sum == n + added, "v1 ∪ v2 keyspace = v1 ids + clones")
   }
 
+  test("gated training set replays an independent pure-Scala chain") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val stop = Set("the", "a", "of", "to", "and", "in", "or", "is")
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // stage 1: gopher gate
+    val gated = docs.filter { case (_, text, _) =>
+      val tk = text.split(" ").filter(_.nonEmpty)
+      val nw = tk.length
+      val meanWl = tk.map(_.length).sum.toDouble / nw
+      val fracAlpha = tk.count(_.exists(_.isLetter)).toDouble / nw
+      nw >= 30 && nw <= 100000 && meanWl >= 3.0 && meanWl <= 10.0 &&
+        fracAlpha >= 0.8 && tk.count(stop) >= 2
+    }
+    // stage 2: exact dedup, min doc_id per text
+    val deduped = gated.groupBy(_._2).map(_._2.minBy(_._1)).toSeq
+    // stage 3: DSIR model on the deduped slice + scoring
+    val allToks = deduped.flatMap { case (id, text, src) =>
+      text.split(" ").filter(_.nonEmpty).map(t => (id, src, t)) }
+    val cr = allToks.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = allToks.filter(_._2 == "src0").groupBy(_._3)
+      .view.mapValues(_.size.toLong).toMap
+    val tr = cr.values.sum; val tt = cr.keys.map(k => ct.getOrElse(k, 0L)).sum
+    val v = cr.size
+    val llr = cr.keys.map { k =>
+      k -> (math.log((ct.getOrElse(k, 0L) + 1.0) / (tt + v)) -
+            math.log((cr(k) + 1.0) / (tr + v)))
+    }.toMap
+    val scored = allToks.groupBy(_._1).map { case (id, ts) =>
+      val w = math.round(ts.map(t => llr(t._3)).sum / ts.size * 1e6) / 1e6
+      (id, ts.head._2, ts.size.toLong, w)
+    }.toSeq
+    // stage 4: token budget = half the surviving tokens
+    val budget = scored.map(_._3).sum / 2
+    val ranked = scored.sortBy { case (id, _, _, w) => (-w, id) }
+    val kept = ranked.scanLeft((0L, 0L, "", 0L)) { case ((cum, _, _, _), (id, src, n, _)) =>
+      (cum + n, id, src, n) }.drop(1).takeWhile(_._1 <= budget)
+    // stage 5: per-source rollup with commutative id checksum
+    val expected = kept.groupBy(_._3).map { case (src, rows) =>
+      (src, rows.size.toLong, rows.map(_._4).sum,
+        rows.map(r => java.lang.Long.parseLong(md5hex(r._2.toString).take(8), 16)).sum)
+    }.toSeq.sortBy(_._1)
+    val got = Curation.gatedTrainingSet(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"capstone diverges: got=${got.take(3)} exp=${expected.take(3)}")
+  }
+
   test("distinct-n ratios are sane and n-gram totals shrink with n") {
     val rows = Curation.distinctN(spark, sf0001).collect()
     assert(rows.length == 20 * 3, "20 sources × n ∈ {1,2,3}")
