@@ -113,13 +113,13 @@ object Curation {
     docs.select(col("doc_id"), col("source"), explode(toks(col("text"))).as("tok"))
 
   /** The frozen unigram log-likelihood-ratio model: (tok, llr), vocab-sized.
-    * Vocabulary = raw-corpus tokens; target counts left-joined with 0 fill. */
+    * Vocabulary = raw-corpus tokens. Raw and target counts come out of ONE
+    * conditional aggregation over the exploded tokens (ct is a count-if on
+    * the source) — not a raw-agg + target-agg + join, which costs two extra
+    * exchanges and a second corpus scan for identical counts. */
   private[graft] def dsirModelOf(tok: DataFrame): DataFrame = {
-    val raw = tok.groupBy("tok").agg(count(lit(1)).as("cr"))
-    val tgt = tok.filter(col("source") === "src0")
-      .groupBy("tok").agg(count(lit(1)).as("ct"))
-    val vocab = raw.join(tgt, Seq("tok"), "left")
-      .na.fill(0L, Seq("ct"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cr"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
     val totals = vocab.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
       count(lit(1)).as("v"))
     vocab.crossJoin(broadcast(totals))
@@ -380,10 +380,14 @@ object Curation {
               (meanWl >= 3.0) && (meanWl <= 10.0) &&
               (fracAlpha >= 0.8) && (stopCnt >= 2L))
     val w = Window.partitionBy(md5(col("text")), length(col("text")))
+    // cache: the survivor set feeds BOTH the model fit and the scoring pass
+    // (and through them four aggregate subtrees) — without it every stage
+    // re-runs the gate + dedup window from the scan
     val deduped = gated
       .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select("doc_id", "text", "source")
+      .cache()
     val scored = dsirScoreOf(docTokens(deduped), dsirModelOf(docTokens(deduped)))
     val budget = scored.agg(expr("sum(n_toks) div 2").as("budget"))
     val cum = Window.orderBy(col("dsir_logweight").desc, col("doc_id"))

@@ -222,7 +222,12 @@ class PlanSpec extends GraftSpec {
       "neardup_jaccard_prefix" -> 7, // measured 6: df agg + join-back + re-sort + verify diamond (windowed-df A/B measured slower: no downstream reuse of the s-partitioning)
       "dedup_incremental"   -> 13, // measured 12: digest join + side-tagged prefix index + exact verify + best-match window
       "asof_join_physical"  -> 5,  // custom exec: fan-out x2 + cluster x2 + final order
-      "asof_join_forward_physical" -> 5) // same shape, forward merge
+      "asof_join_forward_physical" -> 5, // same shape, forward merge
+      "quality_gopher_rules" -> 2,  // narrow rules + presentation sort
+      "mix_dsir_weights"     -> 8,  // measured 8: one conditional vocab agg + broadcast model + score agg (12 before the raw/tgt agg-join fusion)
+      "neardup_threshold_sweep" -> 8, // pair join reuses the cached shingle arrays; sweep adds rollups only
+      "prep_token_budget"    -> 4,  // score agg + budget broadcast + cumulative window + sort
+      "pipeline_gated_set"   -> 11) // measured 11: five stages over the cached survivor set (27 uncached)
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
