@@ -513,7 +513,163 @@ object Multimodal {
       |       round(quantile_cont(octet_length(encode(text)), 0.99), 6) AS p99_bytes
       |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin
 
+  // --------------------------------------------------- perceptual hashing
+  case class AHashRow(doc_id: Long, mime: String, n_px: Long,
+                      ahash_lo: Long, ahash_hi: Long)
+
+  /** Average-hash perceptual fingerprint (the aHash of the pHash family —
+    * the block-mean thresholding used for image near-dup in web-scale
+    * pipelines): decode the container (REAL parser — the decode path is
+    * what's under test), partition the sample sequence into 64
+    * position-contiguous blocks, and set bit b iff block b's mean sample
+    * is ≥ the global mean. The comparison is the exact integer
+    * cross-multiplication `blockSum·n ≥ total·blockLen` — no division, so
+    * both engines agree bit-for-bit — and the 64 bits ship as two 32-bit
+    * halves (`ahash_lo`/`ahash_hi`) because constructing a full signed
+    * 64-bit literal overflows DuckDB BIGINT arithmetic at bit 63.
+    *
+    * A real image pipeline downsamples 2-D luminance blocks; the harness
+    * containers are single-row gray images (one sample per source byte),
+    * so 1-D contiguous blocks ARE the 2-D grid — the dataflow (decode →
+    * fixed-size fingerprint → banded near-dup join) is the part that
+    * transfers. Scale: decode amortizes per partition, the fingerprint is
+    * 16 bytes/doc, and nothing shuffles but the presentation sort. */
+  private[graft] def imageHashes(s: SparkSession, dir: String): DataFrame =
+    imageHashesOf(Tables.documents(s, dir))
+
+  private[graft] def imageHashesOf(docs: DataFrame): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.product[AHashRow]
+    docs
+      .filter(col("doc_id") % 3 =!= 1 && length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val data = r.getAs[Array[Byte]](1)
+          val container =
+            if (id % 3 == 0) MediaCodecs.toBmp(data) else MediaCodecs.toPpm(data)
+          val d = MediaCodecs.decode(container)
+          val xs = d.samples; val n = xs.length
+          var total = 0L; var i = 0
+          while (i < n) { total += xs(i); i += 1 }
+          val bs = new Array[Long](64); val bl = new Array[Long](64)
+          i = 0
+          while (i < n) {
+            val b = ((i.toLong * 64L) / n).toInt
+            bs(b) += xs(i); bl(b) += 1; i += 1
+          }
+          var lo = 0L; var hi = 0L; var b = 0
+          while (b < 64) {
+            if (bl(b) > 0 && bs(b) * n >= total * bl(b)) {
+              if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+            }
+            b += 1
+          }
+          AHashRow(id, if (id % 3 == 0) "image/bmp" else "image/ppm",
+            n.toLong, lo, hi)
+        }
+      }(enc)
+      .toDF()
+  }
+
+  def imageAHash(s: SparkSession, dir: String): DataFrame =
+    imageHashes(s, dir).orderBy("doc_id")
+
+  val imageAHashSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 3 <> 1 AND octet_length(encode(text)) > 0
+      |), bytes AS (
+      |  SELECT doc_id, i - 1 AS pos, CAST('0x' || substring(h, 2 * i - 1, 2) AS INTEGER) AS v, n
+      |  FROM b, LATERAL (SELECT unnest(generate_series(1, n)) AS i) g
+      |), tot AS (
+      |  SELECT doc_id, sum(v) AS total, max(n) AS n FROM bytes GROUP BY 1
+      |), blocks AS (
+      |  SELECT doc_id, (pos * 64) // n AS blk, sum(v) AS bs, count(*) AS bl
+      |  FROM bytes GROUP BY 1, 2
+      |), bits AS (
+      |  SELECT bk.doc_id, blk,
+      |         CASE WHEN bs * t.n >= t.total * bl THEN 1 ELSE 0 END AS ind, t.n
+      |  FROM blocks bk JOIN tot t ON bk.doc_id = t.doc_id
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/bmp' ELSE 'image/ppm' END AS mime,
+      |  CAST(max(n) AS BIGINT) AS n_px,
+      |  CAST(coalesce(sum(CASE WHEN blk < 32 THEN ind * (1::BIGINT << blk) END), 0) AS BIGINT) AS ahash_lo,
+      |  CAST(coalesce(sum(CASE WHEN blk >= 32 THEN ind * (1::BIGINT << (blk - 32)) END), 0) AS BIGINT) AS ahash_hi
+      |FROM bits GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  /** Image near-dup pairs over the aHash fingerprints: 4 bands × 16 bits
+    * (pigeonhole: hamming ≤ 3 ⇒ at least one band identical, so banded
+    * candidate generation is LOSSLESS for the threshold), candidates via
+    * the dedup family's shared star-capped [[Dedup.bucketCandidates]] —
+    * the same MaxBucket=64 fallback every other fingerprint path uses,
+    * because a viral template image is a hot band key at corpus scale —
+    * then exact hamming verification on the joined-back fingerprints. The
+    * star cap is mirrored in the oracle (as `neardup_minhash_md5` does),
+    * so the capped semantics themselves are hash-gated. */
+  def imageNearDup(s: SparkSession, dir: String): DataFrame =
+    imageNearDupOf(Tables.documents(s, dir))
+
+  private[graft] def imageNearDupOf(docs: DataFrame): DataFrame = {
+    val hashes = imageHashesOf(docs).cache()
+    val bands = hashes.selectExpr("doc_id",
+      "stack(4, 0, ahash_lo % 65536, 1, ahash_lo div 65536, " +
+        "2, ahash_hi % 65536, 3, ahash_hi div 65536) AS (blk, blkval)")
+    Dedup.bucketCandidates(bands, "blk", "blkval")
+      .join(hashes.select(col("doc_id").as("a_id"),
+        col("ahash_lo").as("la"), col("ahash_hi").as("ha")), "a_id")
+      .join(hashes.select(col("doc_id").as("b_id"),
+        col("ahash_lo").as("lb"), col("ahash_hi").as("hb")), "b_id")
+      .withColumn("hamming",
+        (bit_count(col("la").bitwiseXOR(col("lb"))) +
+         bit_count(col("ha").bitwiseXOR(col("hb")))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  val imageNearDupSql: String = {
+    // everything up to (and incl.) the `bits` CTE is shared verbatim with
+    // the fingerprint oracle — splice it so the two oracles can't drift
+    val hashCte = imageAHashSql
+      .replaceFirst("(?s)SELECT doc_id,\\s*\\n\\s*CASE WHEN.*$", "").trim
+    s"""$hashCte,
+       |hashes AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(sum(CASE WHEN blk < 32 THEN ind * (1::BIGINT << blk) END), 0) AS BIGINT) AS lo,
+       |    CAST(coalesce(sum(CASE WHEN blk >= 32 THEN ind * (1::BIGINT << (blk - 32)) END), 0) AS BIGINT) AS hi
+       |  FROM bits GROUP BY 1
+       |), bands AS (
+       |  SELECT doc_id, blk, blkval FROM hashes, LATERAL (
+       |    SELECT unnest([0, 1, 2, 3]) AS blk,
+       |           unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS blkval) u
+       |), bstats AS (
+       |  SELECT blk, blkval, count(*) AS bsz, min(doc_id) AS bmin
+       |  FROM bands GROUP BY 1, 2 HAVING count(*) >= 2
+       |), joined AS (
+       |  SELECT bands.doc_id, bands.blk, bands.blkval, bsz, bmin
+       |  FROM bands JOIN bstats ON bands.blk = bstats.blk AND bands.blkval = bstats.blkval
+       |), cand AS (
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT x.doc_id AS a_id, y.doc_id AS b_id
+       |    FROM joined x JOIN joined y
+       |      ON x.blk = y.blk AND x.blkval = y.blkval AND x.doc_id < y.doc_id
+       |    WHERE x.bsz <= 64
+       |    UNION ALL
+       |    SELECT bmin AS a_id, doc_id AS b_id FROM joined
+       |    WHERE bsz > 64 AND doc_id <> bmin)
+       |)
+       |SELECT a_id, b_id,
+       |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+       |FROM cand JOIN hashes a ON a_id = a.doc_id JOIN hashes b ON b_id = b.doc_id
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_ahash" -> (imageAHash _),
+    "mm_image_neardup" -> (imageNearDup _),
     "mm_metadata"   -> (mediaMetadata _),
     "mm_by_mime"    -> (mediaByMime _),
     "mm_features"   -> (mediaFeatures _),
@@ -527,6 +683,8 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "mm_image_ahash"  -> imageAHashSql,
+    "mm_image_neardup" -> imageNearDupSql,
     "mm_metadata"     -> mediaMetadataSql,
     "mm_by_mime"      -> mediaByMimeSql,
     "mm_features"     -> mediaFeaturesSql,

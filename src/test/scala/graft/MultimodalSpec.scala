@@ -263,4 +263,37 @@ class MultimodalSpec extends GraftSpec {
       assert(n == (media(id) + 63) / 64, s"doc $id: $n frames for ${media(id)} bytes")
     }
   }
+
+  test("aHash: identical images collide, a 1-byte edit stays within hamming 3") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 != 1).take(6)
+    // plant: an exact payload copy and a 1-byte edit of base(0); ids chosen
+    // to stay in the image classes (% 3 != 1)
+    val (srcId, srcText) = base(0)
+    val edited = srcText.updated(srcText.length / 2, 'z')
+    val planted = base ++ Seq((90000L, srcText), (90002L, edited))
+    val docs = planted.toSeq.toDF("doc_id", "text")
+    val pairs = Multimodal.imageNearDupOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == srcId && p._2 == 90000L && p._3 == 0),
+      s"exact payload copy not found at hamming 0: ${pairs.toSeq}")
+    assert(pairs.exists(p => (p._1, p._2) == (srcId, 90002L) ||
+                             (p._1, p._2) == (90000L, 90002L)),
+      s"1-byte edit must land within hamming 3 of its source: ${pairs.toSeq}")
+    // losslessness at spec scale (every bucket under the star cap):
+    // banded candidates + verify == brute-force hamming <= 3 over all pairs
+    val hs = Multimodal.imageHashesOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val brute = (for {
+      (a, la, ha) <- hs; (b, lb, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (a, b, d)).toSet
+    assert(pairs.toSet == brute,
+      s"banded join diverges from brute force: ${pairs.toSet.diff(brute)} / ${brute.diff(pairs.toSet)}")
+  }
 }
