@@ -667,7 +667,72 @@ object Multimodal {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ------------------------------------------- content-addressed dedup
+  case class ContentDigestRow(doc_id: Long, mime: String, content_digest: String)
+
+  /** Cross-container content dedup: the container bytes of a BMP and a PPM
+    * wrapping the SAME pixels differ (headers, padding), so `md5(payload)`
+    * — what `mm_metadata` digests, and what a naive exact-dedup would key
+    * on — can never find the duplicate. The content-addressed form digests
+    * the DECODED sample sequence instead: decode through the real parsers,
+    * hash the samples, group by that digest. Emits one row per duplicate
+    * content group: keeper (min doc_id), copy count, distinct container
+    * formats, and whether the group crosses formats — the case the
+    * payload digest is structurally blind to.
+    *
+    * Scale: decode is per-partition, the shuffle key is a 16-byte digest
+    * (not pixels), and the aggregate collapses map-side — the same
+    * digest-on-the-exchange discipline as `dedup_exact`. */
+  def contentDedup(s: SparkSession, dir: String): DataFrame =
+    contentDedupOf(Tables.documents(s, dir))
+
+  private[graft] def contentDedupOf(docs: DataFrame): DataFrame = {
+    import graft.functions.MediaCodecs
+    val enc = org.apache.spark.sql.Encoders.product[ContentDigestRow]
+    docs
+      .filter(col("doc_id") % 3 =!= 1 && length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0); val data = r.getAs[Array[Byte]](1)
+          val container =
+            if (id % 3 == 0) MediaCodecs.toBmp(data) else MediaCodecs.toPpm(data)
+          val xs = MediaCodecs.decode(container).samples
+          val bytes = new Array[Byte](xs.length)
+          var i = 0
+          while (i < xs.length) { bytes(i) = xs(i).toByte; i += 1 }
+          md.reset()
+          val digest = md.digest(bytes).map("%02x".format(_)).mkString
+          ContentDigestRow(id, if (id % 3 == 0) "image/bmp" else "image/ppm",
+            digest)
+        }
+      }(enc)
+      .toDF()
+      .groupBy("content_digest")
+      .agg(min(col("doc_id")).as("keeper"),
+           count(lit(1)).as("n_copies"),
+           count_distinct(col("mime")).as("n_formats"))
+      .filter(col("n_copies") >= 2)
+      .select(col("keeper"), col("n_copies"), col("n_formats"),
+        (col("n_formats") > 1).cast("int").as("cross_format"))
+      .orderBy("keeper")
+  }
+
+  val contentDedupSql: String =
+    """SELECT min(doc_id) AS keeper,
+      |       count(*) AS n_copies,
+      |       count(DISTINCT CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+      |                           ELSE 'image/ppm' END) AS n_formats,
+      |       CAST(count(DISTINCT CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+      |                                ELSE 'image/ppm' END) > 1 AS INT) AS cross_format
+      |FROM documents
+      |WHERE doc_id % 3 <> 1 AND octet_length(encode(text)) > 0
+      |GROUP BY md5(text) HAVING count(*) >= 2
+      |ORDER BY keeper""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_content_dedup" -> (contentDedup _),
     "mm_image_ahash" -> (imageAHash _),
     "mm_image_neardup" -> (imageNearDup _),
     "mm_metadata"   -> (mediaMetadata _),
@@ -683,6 +748,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "mm_content_dedup" -> contentDedupSql,
     "mm_image_ahash"  -> imageAHashSql,
     "mm_image_neardup" -> imageNearDupSql,
     "mm_metadata"     -> mediaMetadataSql,

@@ -296,4 +296,23 @@ class MultimodalSpec extends GraftSpec {
     assert(pairs.toSet == brute,
       s"banded join diverges from brute force: ${pairs.toSet.diff(brute)} / ${brute.diff(pairs.toSet)}")
   }
+
+  test("content dedup sees through container formats; payload digest cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ids 90000 (% 3 = 0 → BMP) and 90002 (% 3 = 2 → PPM) wrap the SAME
+    // pixels in different containers; 90003 (% 3 = 0) is a control
+    val docs = Seq(
+      (90000L, "same pixels here"), (90002L, "same pixels here"),
+      (90003L, "entirely different content")).toDF("doc_id", "text")
+    val groups = Multimodal.contentDedupOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(groups.toSeq == Seq((90000L, 2L, 2L, 1)),
+      s"expected one cross-format group kept at 90000: ${groups.toSeq}")
+    // the structural claim: the CONTAINER digests of the pair differ, so
+    // payload-keyed exact dedup misses exactly what content dedup finds
+    val b = MediaCodecs.toBmp("same pixels here".getBytes("UTF-8"))
+    val p = MediaCodecs.toPpm("same pixels here".getBytes("UTF-8"))
+    assert(!java.util.Arrays.equals(b, p), "containers must differ on disk")
+  }
 }
