@@ -446,6 +446,95 @@ object Curation {
       |FROM cum, b WHERE cum_tokens <= budget
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------- water-fill budget
+  /** Max-min-fair token budget allocation across sources (water-filling —
+    * the classic fair-division rule, cf. Bertsekas & Gallager's network
+    * fair allocation): given a global budget of 60% of corpus tokens,
+    * every source gets min(its supply, waterline L), L chosen so the
+    * allocations sum exactly to the budget. Small sources keep everything;
+    * big sources are clipped to the same level — the budgeted counterpart
+    * of temperature mixing (no source starves, no source dominates).
+    *
+    * All integer: sort sources by supply ascending; a source is CAPPED
+    * (kept whole) iff its supply ≤ the running level
+    * `(budget − smaller-supplies-sum) div remaining-count` — the standard
+    * prefix argument makes that predicate monotone over the sort order —
+    * and the uncapped rest split the leftover evenly, with the mod-
+    * remainder going to the alphabetically first uncapped sources (a
+    * deterministic tie rule both engines replay). Σ alloc = budget
+    * exactly; spec-pinned. Scale: the whole computation happens on a
+    * sources-sized aggregate (20 rows here; thousands at worst) — the
+    * corpus contributes one token-count scan. */
+  def waterfillBudget(s: SparkSession, dir: String): DataFrame =
+    waterfillOf(Tables.documents(s, dir)
+      .select(col("source"), size(toks(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("supply")))
+
+  /** The allocation algebra over a (source, supply) table — factored so the
+    * property spec can drive random supply vectors through the SAME plan. */
+  private[graft] def waterfillOf(supply: DataFrame): DataFrame = {
+    val tot = supply.agg(expr("sum(supply) * 6 div 10").as("budget"),
+      count(lit(1)).as("m"))
+    val w = Window.orderBy(col("supply"), col("source"))
+    val ranked = supply.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("smaller", coalesce(sum(col("supply"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        (col("supply") <= (col("budget") - col("smaller"))
+          / (col("m") - col("rk") + 1)).cast("int"))
+    val caps = ranked.agg(
+      sum(when(col("capped") === 1, col("supply")).otherwise(0L)).as("cap_sum"),
+      sum(col("capped")).as("n_capped"))
+    val wu = Window.orderBy(col("source"))
+    ranked.crossJoin(broadcast(caps))
+      .withColumn("n_uncapped", col("m") - col("n_capped"))
+      .withColumn("leftover", col("budget") - col("cap_sum"))
+      .withColumn("urk", row_number().over(
+        Window.partitionBy(col("capped")).orderBy(col("source"))))
+      .select(col("source"), col("supply"),
+        when(col("capped") === 1, col("supply"))
+          .otherwise(expr("leftover div n_uncapped") +
+            when(col("urk") <= col("leftover") % col("n_uncapped"), 1L)
+              .otherwise(0L)).as("alloc"),
+        col("capped"))
+      .orderBy("source")
+  }
+
+  val waterfillBudgetSql: String =
+    """WITH supply AS (
+      |  SELECT source,
+      |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS supply
+      |  FROM documents GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(supply) * 6 // 10 AS BIGINT) AS budget, count(*) AS m FROM supply
+      |), ranked AS (
+      |  SELECT source, supply, budget, m,
+      |    row_number() OVER (ORDER BY supply, source) AS rk,
+      |    coalesce(sum(supply) OVER (ORDER BY supply, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS smaller
+      |  FROM supply, tot
+      |), flagged AS (
+      |  SELECT *, CAST(supply <= (budget - smaller) // (m - rk + 1) AS INT) AS capped
+      |  FROM ranked
+      |), caps AS (
+      |  SELECT sum(CASE WHEN capped = 1 THEN supply ELSE 0 END) AS cap_sum,
+      |         sum(capped) AS n_capped
+      |  FROM flagged
+      |), u AS (
+      |  SELECT f.*, cap_sum, n_capped, m - n_capped AS n_uncapped,
+      |         budget - cap_sum AS leftover,
+      |         row_number() OVER (PARTITION BY capped ORDER BY source) AS urk
+      |  FROM flagged f, caps
+      |)
+      |SELECT source, supply,
+      |       CAST(CASE WHEN capped = 1 THEN supply
+      |            ELSE leftover // n_uncapped +
+      |                 CASE WHEN urk <= leftover % n_uncapped THEN 1 ELSE 0 END
+      |            END AS BIGINT) AS alloc,
+      |       capped
+      |FROM u ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_gopher_rules" -> (gopherRules _),
@@ -454,6 +543,7 @@ object Curation {
     "pii_k_anonymity"      -> (kAnonymity _),
     "corpus_diff"          -> (corpusDiff _),
     "pipeline_gated_set"   -> (gatedTrainingSet _),
+    "mix_waterfill_budget" -> (waterfillBudget _),
     "text_distinct_n"      -> (distinctN _))
 
   val oracles: Map[String, String] = Map(
@@ -463,5 +553,6 @@ object Curation {
     "pii_k_anonymity"      -> kAnonymitySql,
     "corpus_diff"          -> corpusDiffSql,
     "pipeline_gated_set"   -> gatedTrainingSetSql,
+    "mix_waterfill_budget" -> waterfillBudgetSql,
     "text_distinct_n"      -> distinctNSql)
 }

@@ -137,6 +137,31 @@ class CurationSpec extends GraftSpec {
       s"capstone diverges: got=${got.take(3)} exp=${expected.take(3)}")
   }
 
+  test("water-fill budget is max-min fair and sums exactly to the budget") {
+    val rows = Curation.waterfillBudget(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val totalSupply = rows.map(_._2).sum
+    val budget = totalSupply * 6 / 10
+    assert(rows.map(_._3).sum == budget, "allocations must sum exactly to the budget")
+    rows.foreach { case (src, supply, alloc, capped) =>
+      assert(alloc <= supply, s"$src allocated past its supply")
+      assert((capped == 1) == (alloc == supply) || alloc == supply,
+        s"$src: capped flag inconsistent with alloc")
+    }
+    val uncapped = rows.filter(_._4 == 0)
+    if (uncapped.nonEmpty) {
+      // max-min fairness: uncapped allocations are level within the integer
+      // remainder, and every capped source's whole supply sits at or below
+      // the waterline (else it should have been uncapped)
+      assert(uncapped.map(_._3).max - uncapped.map(_._3).min <= 1,
+        s"uncapped allocations not level: ${uncapped.toSeq}")
+      val line = uncapped.map(_._3).min
+      rows.filter(_._4 == 1).foreach { case (src, supply, _, _) =>
+        assert(supply <= line + 1, s"capped $src supply $supply above waterline $line")
+      }
+    }
+  }
+
   test("distinct-n ratios are sane and n-gram totals shrink with n") {
     val rows = Curation.distinctN(spark, sf0001).collect()
     assert(rows.length == 20 * 3, "20 sources × n ∈ {1,2,3}")

@@ -29,6 +29,31 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("water-fill allocation == an independent reference on random supply vectors") {
+    import graft.operators.Curation
+    val gen = Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 500L)))
+    samples(gen, 8).foreach { supplies =>
+      val named = supplies.zipWithIndex.map { case (sp, i) => (f"s$i%02d", sp) }
+      val got = Curation.waterfillOf(named.toDF("source", "supply"))
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      // independent reference: raise the integer waterline until the next
+      // step would overshoot, then hand out the remainder alphabetically
+      val budget = supplies.sum * 6 / 10
+      val exp = {
+        var line = 0L
+        def allocAt(l: Long) = named.map { case (_, sp) => math.min(sp, l) }.sum
+        while (allocAt(line + 1) <= budget) line += 1
+        val base = named.map { case (n, sp) => n -> math.min(sp, line) }.toMap
+        var left = budget - base.values.sum
+        val un = named.filter(_._2 > line).map(_._1).sorted
+        base ++ un.take(left.toInt).map(n => n -> (base(n) + 1))
+      }
+      assert(got == exp,
+        s"supplies=$named budget=$budget got=$got exp=$exp")
+    }
+  }
+
   test("substring spans == an independent anchor/diagonal reference on random tiny-alphabet corpora") {
     import graft.operators.SubstringDedup
     val (k, cap, minSpan) = (SubstringDedup.GramK, SubstringDedup.OccCap, SubstringDedup.MinSpan)
