@@ -446,6 +446,117 @@ object Curation {
       |FROM cum, b WHERE cum_tokens <= budget
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------- DSIR resampling
+  /** The "resampling" half of DSIR: turn the importance log-weights into
+    * content-stable acceptance decisions — accept doc iff its md5 bucket
+    * (chars 13–16, disjoint from the split/mix/ppl ranges) falls under an
+    * acceptance permille derived from the GATE-ROUNDED weight by pure
+    * arithmetic (`500 + floor(w·1000)`, clamped to [0,1000]) — no
+    * transcendentals past the already-rounded weight, no RNG, so a doc's
+    * fate is a pure function of its content and never changes across
+    * reruns, engines, or partitionings (the same contract as
+    * `prep_mix_weighted`). Emits the full per-doc decision table; the
+    * mixing stage consumes `kept`.
+    *
+    * Scale: the scoring dataflow of [[dsirWeights]] plus three narrow
+    * row-local columns — nothing new shuffles. */
+  def dsirResample(s: SparkSession, dir: String): DataFrame = {
+    val tok = docTokens(Tables.documents(s, dir))
+    dsirScoreOf(tok, dsirModelOf(tok))
+      .withColumn("accept_permille",
+        least(lit(1000L), greatest(lit(0L),
+          lit(500L) + floor(col("dsir_logweight") * 1000).cast("long"))))
+      .withColumn("bucket",
+        expr("conv(substring(md5(cast(doc_id as string)), 13, 4), 16, 10)")
+          .cast("long") % 1000)
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("dsir_logweight"), col("accept_permille"),
+        (col("bucket") < col("accept_permille")).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val dsirResampleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents
+      |), raw AS (
+      |  SELECT tok, count(*) AS cr FROM tok GROUP BY 1
+      |), tgt AS (
+      |  SELECT tok, count(*) AS ct FROM tok WHERE source = 'src0' GROUP BY 1
+      |), vocab AS (
+      |  SELECT raw.tok, cr, coalesce(ct, 0) AS ct
+      |  FROM raw LEFT JOIN tgt ON raw.tok = tgt.tok
+      |), totals AS (
+      |  SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM vocab
+      |), model AS (
+      |  SELECT tok,
+      |         ln((ct + 1.0) / (tt + v)) - ln((cr + 1.0) / (tr + v)) AS llr
+      |  FROM vocab, totals
+      |), scored AS (
+      |  SELECT doc_id, source, count(*) AS n_toks,
+      |         round(avg(llr), 6) AS dsir_logweight
+      |  FROM tok JOIN model ON tok.tok = model.tok
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id, source, n_toks, dsir_logweight,
+      |  CAST(least(1000, greatest(0, 500 + floor(dsir_logweight * 1000))) AS BIGINT) AS accept_permille,
+      |  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 13, 4) AS INTEGER) % 1000
+      |       < least(1000, greatest(0, 500 + floor(dsir_logweight * 1000))) AS INT) AS kept
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- quality × duplication x-tab
+  /** Quality–duplication interaction report: the diagnostic a curator runs
+    * to learn whether duplicates CONCENTRATE in the low-quality slice (the
+    * usual web-crawl pathology — boilerplate is both duplicated and junk):
+    * cross-tabulate the Gopher verdict against exact-duplicate membership,
+    * with doc and token mass per cell. Composes the rule gate and the
+    * dedup window in one dataflow; the oracle recomputes both from first
+    * principles.
+    *
+    * Scale: the dedup window shuffles 16-byte digests (the `dedup_exact`
+    * discipline); the gate is row-local; the x-tab is a 4-row aggregate. */
+  def qualityDupXtab(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "or", "is")
+    val t = toks(col("text"))
+    val nw = size(t).cast("long")
+    val meanWl = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nw
+    val fracAlpha = size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / nw
+    val stopCnt = size(filter(t, x => x.isin(stop.map(lit): _*))).cast("long")
+    val pass = ((nw >= 30L) && (nw <= 100000L) &&
+                (meanWl >= 3.0) && (meanWl <= 10.0) &&
+                (fracAlpha >= 0.8) && (stopCnt >= 2L)).cast("int")
+    val w = Window.partitionBy(md5(col("text")), length(col("text")))
+    Tables.documents(s, dir)
+      .withColumn("pass", pass)
+      .withColumn("n_toks", nw)
+      .withColumn("dup", (count(lit(1)).over(w) > 1L).cast("int"))
+      .groupBy("pass", "dup")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy("pass", "dup")
+  }
+
+  val qualityDupXtabSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_toks,
+      |    CAST(len(tk) BETWEEN 30 AND 100000
+      |     AND list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk) BETWEEN 3.0 AND 10.0
+      |     AND len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk) >= 0.8
+      |     AND len(list_filter(tk, x -> x IN ('the','a','of','to','and','in','or','is'))) >= 2
+      |     AS INT) AS pass
+      |  FROM m
+      |), d AS (
+      |  SELECT pass, n_toks,
+      |         CAST(count(*) OVER (PARTITION BY text) > 1 AS INT) AS dup
+      |  FROM g
+      |)
+      |SELECT pass, dup, count(*) AS n_docs,
+      |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------- water-fill budget
   /** Max-min-fair token budget allocation across sources (water-filling —
     * the classic fair-division rule, cf. Bertsekas & Gallager's network
@@ -544,6 +655,8 @@ object Curation {
     "corpus_diff"          -> (corpusDiff _),
     "pipeline_gated_set"   -> (gatedTrainingSet _),
     "mix_waterfill_budget" -> (waterfillBudget _),
+    "mix_dsir_resample"    -> (dsirResample _),
+    "curate_quality_dup_xtab" -> (qualityDupXtab _),
     "text_distinct_n"      -> (distinctN _))
 
   val oracles: Map[String, String] = Map(
@@ -554,5 +667,7 @@ object Curation {
     "corpus_diff"          -> corpusDiffSql,
     "pipeline_gated_set"   -> gatedTrainingSetSql,
     "mix_waterfill_budget" -> waterfillBudgetSql,
+    "mix_dsir_resample"    -> dsirResampleSql,
+    "curate_quality_dup_xtab" -> qualityDupXtabSql,
     "text_distinct_n"      -> distinctNSql)
 }

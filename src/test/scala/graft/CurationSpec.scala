@@ -162,6 +162,40 @@ class CurationSpec extends GraftSpec {
     }
   }
 
+  test("DSIR resample decisions replay from the weights and the md5 bucket") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = Curation.dsirResample(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0); val w = r.getDouble(3)
+      val p = r.getAs[Long]("accept_permille"); val kept = r.getAs[Int]("kept")
+      assert(p == math.min(1000L, math.max(0L, 500L + math.floor(w * 1000).toLong)),
+        s"doc $id: permille $p inconsistent with weight $w")
+      val bucket = java.lang.Long.parseLong(md5hex(id.toString).slice(12, 16), 16) % 1000
+      assert(kept == (if (bucket < p) 1 else 0), s"doc $id: kept flag wrong")
+    }
+    // both outcomes must occur, or the operator demonstrates nothing
+    assert(rows.exists(_.getAs[Int]("kept") == 1) &&
+           rows.exists(_.getAs[Int]("kept") == 0))
+  }
+
+  test("quality x duplication cross-tab partitions the corpus both ways") {
+    val cells = Curation.qualityDupXtab(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val n = Tables.documents(spark, sf0001).count()
+    assert(cells.values.map(_._1).sum == n, "cells must partition the corpus")
+    // marginal check against the standalone operators
+    val passDocs = Curation.gopherRules(spark, sf0001)
+      .filter("pass = 1").count()
+    assert(cells.collect { case ((1, _), (c, _)) => c }.sum == passDocs)
+    val dupDocs = graft.operators.Dedup.exactDedup(spark, sf0001)
+      .filter("n_copies > 1").collect().map(_.getAs[Long]("n_copies")).sum
+    assert(cells.collect { case ((_, 1), (c, _)) => c }.sum == dupDocs,
+      "dup marginal must equal the exact-dedup group mass")
+  }
+
   test("distinct-n ratios are sane and n-gram totals shrink with n") {
     val rows = Curation.distinctN(spark, sf0001).collect()
     assert(rows.length == 20 * 3, "20 sources × n ∈ {1,2,3}")
