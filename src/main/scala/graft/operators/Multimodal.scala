@@ -731,6 +731,39 @@ object Multimodal {
       |GROUP BY md5(text) HAVING count(*) >= 2
       |ORDER BY keeper""".stripMargin
 
+  /** Band rows (blk, blkval) with the fingerprint riding along — the
+    * standing side of the serving probe, and the same 4×16-bit banding as
+    * [[imageNearDup]] (one shared decomposition; at deployment scale this
+    * is a table bucketed on (blk, blkval), maintained by appends like the
+    * other standing artifacts). */
+  private[graft] def imageBandsOf(hashes: DataFrame): DataFrame =
+    hashes.selectExpr("doc_id", "ahash_lo", "ahash_hi",
+      "stack(4, 0, ahash_lo % 65536, 1, ahash_lo div 65536, " +
+        "2, ahash_hi % 65536, 3, ahash_hi div 65536) AS (blk, blkval)")
+
+  /** Probe arriving image docs against a STANDING band table: hash the
+    * batch, join bands on their key, exact-hamming verify — per-batch cost
+    * follows the batch size plus only the index partitions its band keys
+    * touch; the corpus is never rescanned. No star cap on the probe side:
+    * a batch is bounded, and the standing side's hot keys are the
+    * operator's own [[imageNearDup]] concern at build time. */
+  private[graft] def imageProbe(mb: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val pb = imageBandsOf(imageHashesOf(mb))
+      .select(col("doc_id"), col("ahash_lo").as("la"),
+        col("ahash_hi").as("ha"), col("blk"), col("blkval"))
+    val cb = corpusBands
+      .select(col("doc_id").as("match_id"), col("ahash_lo").as("lb"),
+        col("ahash_hi").as("hb"), col("blk"), col("blkval"))
+    pb.join(cb, Seq("blk", "blkval"))
+      .filter(col("doc_id") =!= col("match_id"))
+      .withColumn("hamming",
+        (bit_count(col("la").bitwiseXOR(col("lb"))) +
+         bit_count(col("ha").bitwiseXOR(col("hb")))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("doc_id", "match_id", "hamming")
+      .distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_content_dedup" -> (contentDedup _),
     "mm_image_ahash" -> (imageAHash _),

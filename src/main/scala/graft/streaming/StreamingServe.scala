@@ -33,4 +33,32 @@ object StreamingServe {
         sink(graft.operators.Similarity.ivfProbe(mb.sparkSession, tag,
           mb.select(col("q_id"), col("qv"))), batchId)
       }
+
+  // ---------------------------------------------- media ingest dedup
+  /** Continuous perceptual image dedup: each micro-batch of arriving image
+    * docs is hashed (aHash through the real decode path) and probed
+    * against the FROZEN standing band table — the media-ingest mirror of
+    * the text streams above. Per-batch cost is batch-sized plus the index
+    * partitions the batch's band keys touch; split invariance is
+    * structural (a probe's matches depend on (doc, index) only) and
+    * spec-checked over random slicings against the batch probe. Index
+    * growth (newly admitted images) is an append between streaming
+    * queries, exactly as for the dedup/gram/bloom/IVF artifacts. */
+  def mediaProbeStream(stream: Dataset[StreamingDedup.DocEvent],
+                       corpusBands: DataFrame)
+                      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val frozen = corpusBands.localCheckpoint()
+    stream.toDF().writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        sink(graft.operators.Multimodal.imageProbe(mb, frozen), batchId)
+      }
+  }
+
+  /** The standing band table for [[mediaProbeStream]], built from the
+    * corpus at `dir`. */
+  def mediaBandsFor(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.imageBandsOf(Multimodal.imageHashes(s, dir))
+  }
 }
