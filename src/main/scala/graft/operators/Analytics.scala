@@ -480,6 +480,62 @@ object Analytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  // ------------------------------------------------ rolling z-score anomaly
+  /** Trailing-window z-score anomaly detection over the event stream — the
+    * ops-dashboard query behind every "traffic looks weird today" page: per
+    * event type, each day's count is scored against the mean/stddev of the
+    * 7 preceding OBSERVED days (ROWS frame — calendar gaps collapse, which
+    * is the right call for sparse types; a RANGE-frame calendar variant
+    * differs only in the frame spec). Rows without a full 7-day history or
+    * with zero variance are withheld rather than scored against garbage.
+    * |z| ≥ 2 flags the anomaly; the unrounded z decides the flag in both
+    * engines, so the boundary is IEEE-identical.
+    *
+    * Scale: one day-grain pre-aggregate (map-side combined), then a window
+    * over (type, day) — thousands of rows per year regardless of event
+    * volume; the corpus contributes a single scan. */
+  def tsAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+    val f = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n_prev", count(lit(1)).over(f))
+      .withColumn("mean7", avg(col("n_events")).over(f))
+      .withColumn("sd7", stddev_samp(col("n_events").cast("double")).over(f))
+      .filter(col("n_prev") === 7 && col("sd7") > 0)
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("mean7"), 6).as("mean7"),
+        round(col("sd7"), 6).as("sd7"),
+        round((col("n_events") - col("mean7")) / col("sd7"), 6).as("z"),
+        (abs((col("n_events") - col("mean7")) / col("sd7")) >= 2.0)
+          .cast("int").as("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val tsAnomalyZscoreSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT event_type, day, n_events,
+      |    count(*) OVER f AS n_prev,
+      |    avg(n_events) OVER f AS mean7,
+      |    stddev_samp(n_events) OVER f AS sd7
+      |  FROM daily
+      |  WINDOW f AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_type, day, n_events,
+      |       round(mean7, 6) AS mean7, round(sd7, 6) AS sd7,
+      |       round((n_events - mean7) / sd7, 6) AS z,
+      |       CAST(abs((n_events - mean7) / sd7) >= 2.0 AS INT) AS anomaly
+      |FROM w WHERE n_prev = 7 AND sd7 > 0
+      |ORDER BY event_type, day""".stripMargin
+
   val cohortRetentionSql: String =
     """WITH weeks AS (
       |  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week FROM events
@@ -977,6 +1033,7 @@ object Analytics {
     "kl_lang_drift"      -> (klLangDrift _),
     "mad_outliers"       -> (madOutliers _),
     "cohort_retention"   -> (cohortRetention _),
+    "ts_anomaly_zscore"  -> (tsAnomalyZscore _),
     "skew_profile"       -> (skewProfile _),
     "graph_pagerank"     -> (graphPagerank _),
     "mix_resample"       -> (mixResample _),
@@ -997,6 +1054,7 @@ object Analytics {
     "kl_lang_drift"      -> klLangDriftSql,
     "mad_outliers"       -> madOutliersSql,
     "cohort_retention"   -> cohortRetentionSql,
+    "ts_anomaly_zscore"  -> tsAnomalyZscoreSql,
     "skew_profile"       -> skewProfileSql,
     "graph_pagerank"     -> graphPagerankSql,
     "mix_resample"       -> mixResampleSql,

@@ -269,4 +269,26 @@ class AnalyticsSpec extends GraftSpec {
     assert(r.getLong(2) == bruteTriangles.toLong, "triangle count diverges")
     assert(bruteTriangles > 0, "fixture must contain triangles")
   }
+
+  test("rolling z-score replays from the daily counts; flags match the threshold") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.tsAnomalyZscore(spark, sf0001).collect()
+    assert(rows.nonEmpty, "fixture must span more than 8 days per type")
+    val daily = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+      .groupBy("event_type", "day").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val (et, day, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val prev = daily.keys.filter(k => k._1 == et && k._2 < day).toSeq
+        .sortBy(_._2).takeRight(7).map(daily)
+      assert(prev.length == 7, s"$et/$day emitted without 7 prior days")
+      val mean = prev.sum.toDouble / 7
+      val sd = math.sqrt(prev.map(v => (v - mean) * (v - mean)).sum / 6)
+      val z = (n - mean) / sd
+      assert(math.abs(r.getDouble(5) - z) < 1e-4, s"$et/$day z mismatch")
+      assert(r.getInt(6) == (if (math.abs(z) >= 2.0) 1 else 0))
+    }
+  }
 }
