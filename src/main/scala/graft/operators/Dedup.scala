@@ -502,6 +502,14 @@ object Dedup {
     * Same 4-shuffle, candidates-not-n² scale story as [[minhashLsh]]. */
   def minhashMd5(s: SparkSession, dir: String): DataFrame = {
     val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
+    verifyPairs(minhashMd5CandidatesFrom(docsArr), docsArr, 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The candidate stage of [[minhashMd5]] — factored so the recall report
+    * ([[minhashRecall]]) measures EXACTLY the pair set the production query
+    * verifies, not a reimplementation. */
+  private[graft] def minhashMd5CandidatesFrom(docsArr: DataFrame): DataFrame = {
     // min over shingles of the seeded md5-derived long, k wide agg columns
     // in one partial-agg shuffle (same shape as the xxhash64 variant)
     val mins = (0 until NumHashes).map { i =>
@@ -520,8 +528,37 @@ object Dedup {
     val buckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = bucketCandidates(buckets, "band", "bucket")
-    verifyPairs(cand, docsArr, 0.5).orderBy("a_id", "b_id")
+    bucketCandidates(buckets, "band", "bucket")
+  }
+
+  /** In-engine candidate-recall report for the minhash-LSH path (the dedup
+    * counterpart of `ann_recall_report`): the exact J ≥ 0.5 pair set vs the
+    * banded md5-minhash CANDIDATE set — recall says what fraction of true
+    * pairs LSH ever sees (the verify stage can only lose the rest), and
+    * candidate precision says how much exact-verification work the bands
+    * buy per true pair. Both sides are deterministic (md5 signatures, the
+    * star-capped candidate rule) so the whole evaluation is hash-gated —
+    * the report IS reproducible evidence, not a sampled estimate.
+    *
+    * Scale: the two pair sets are near-dup-sized (tiny vs the corpus); the
+    * expensive stages are the same inverted-index join and signature
+    * aggregation the standalone queries already run. */
+  def minhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
+    val cand = minhashMd5CandidatesFrom(docsArr)
+    val exact = jaccardPairsFrom(Tables.documents(s, dir))
+      .select(col("a_id"), col("b_id"), lit(1L).as("t"))
+    exact
+      .join(cand.withColumn("c", lit(1L)), Seq("a_id", "b_id"), "full_outer")
+      .agg(sum(coalesce(col("t"), lit(0L))).as("n_exact"),
+           sum(coalesce(col("c"), lit(0L))).as("n_candidates"),
+           sum(when(col("t") === 1L && col("c") === 1L, 1L).otherwise(0L))
+             .as("n_true_candidates"))
+      .select(col("n_exact"), col("n_candidates"), col("n_true_candidates"),
+        round(col("n_true_candidates").cast("double") / col("n_exact"), 6)
+          .as("recall"),
+        round(col("n_true_candidates").cast("double") / col("n_candidates"), 6)
+          .as("cand_precision"))
   }
 
   /** DuckDB mirror of [[minhashMd5]] — reproduces the md5-derived minhash
@@ -575,6 +612,36 @@ object Dedup {
       |            JOIN sizes sb ON b_id = sb.doc_id
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Oracle for [[minhashRecall]]: splices [[minhashMd5Sql]]'s CTE chain up
+    * to its `cand` set (so the measured candidate semantics — signatures,
+    * bands, star cap — can never drift from the gated query), adds the
+    * exact-pair chain over the same `sh`/`sizes` CTEs, and aggregates the
+    * full outer join. */
+  val minhashRecallSql: String = {
+    val candChain = minhashMd5Sql.substring(0, minhashMd5Sql.indexOf(",\ncommon AS ("))
+    s"""$candChain,
+       |ecommon AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT a_id, b_id FROM ecommon
+       |  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+       |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+       |), j AS (
+       |  SELECT CASE WHEN e.a_id IS NOT NULL THEN 1 ELSE 0 END AS t,
+       |         CASE WHEN c2.a_id IS NOT NULL THEN 1 ELSE 0 END AS c
+       |  FROM exact e FULL OUTER JOIN cand c2
+       |    ON e.a_id = c2.a_id AND e.b_id = c2.b_id
+       |)
+       |SELECT CAST(sum(t) AS BIGINT) AS n_exact,
+       |       CAST(sum(c) AS BIGINT) AS n_candidates,
+       |       CAST(sum(t * c) AS BIGINT) AS n_true_candidates,
+       |       round(sum(t * c) * 1.0 / sum(t), 6) AS recall,
+       |       round(sum(t * c) * 1.0 / sum(c), 6) AS cand_precision
+       |FROM j""".stripMargin
+  }
 
   // ------------------------------------------------------------- Winnowing
   private val WinnowK = 3 // k-gram size (tokens)
@@ -1272,6 +1339,7 @@ object Dedup {
     "neardup_jaccard_prefix" -> (jaccardPrefixNearDup _),
     "neardup_minhash_lsh"   -> (minhashLsh _),
     "neardup_minhash_md5"   -> (minhashMd5 _),
+    "dedup_minhash_recall"  -> (minhashRecall _),
     "neardup_winnow"        -> (winnowNearDup _),
     "neardup_simhash"       -> (simhashNearDup _),
     "neardup_simhash_md5"   -> (simhashMd5 _),
@@ -1293,6 +1361,7 @@ object Dedup {
     // the md5 twin makes the full LSH pipeline (signatures, bands, star
     // cap, verify) cross-engine reproducible → hash-gated
     "neardup_minhash_md5"   -> minhashMd5Sql,
+    "dedup_minhash_recall"  -> minhashRecallSql,
     "neardup_simhash_md5"   -> simhashMd5Sql,
     "neardup_winnow"        -> winnowNearDupSql
     // xxhash64 minhash / simhash: hash-internal-dependent → rows-only gate

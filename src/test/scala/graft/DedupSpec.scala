@@ -258,6 +258,19 @@ class DedupSpec extends GraftSpec {
       s"simhash missed planted pairs: found ${exact.intersect(sim).size}/${exact.size}")
   }
 
+  test("minhash recall report reconciles with the standalone pair queries") {
+    val r = Dedup.minhashRecall(spark, sf0001).head()
+    val (nExact, nCand, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tp <= nExact && tp <= nCand, "true candidates bound both margins")
+    val exact = Dedup.jaccardNearDup(spark, sf0001).count()
+    assert(nExact == exact, s"exact margin $nExact != neardup_jaccard $exact")
+    // every VERIFIED md5-minhash pair is a true candidate by construction
+    val verified = Dedup.minhashMd5(spark, sf0001).count()
+    assert(verified == tp,
+      s"verified pairs $verified must equal true candidates $tp (verify only filters)")
+    assert(r.getDouble(3) >= 0.5, s"candidate recall ${r.getDouble(3)} collapsed")
+  }
+
   test("threshold sweep is monotone and its t=50 row equals the 0.5 query") {
     val rows = Dedup.thresholdSweep(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
