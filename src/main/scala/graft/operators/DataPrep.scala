@@ -596,7 +596,67 @@ object DataPrep {
        |FROM (${(1 to BpeMerges).map(i => s"SELECT * FROM bp$i").mkString(" UNION ALL ")})
        |ORDER BY step""".stripMargin
 
+  // --------------------------------------------------- epoch shuffling
+  /** Deterministic per-epoch training order — the data-loader shuffle that
+    * must NOT be an RNG at scale: epoch e's order is `md5(doc_id # e)`,
+    * so the permutation is content-stable (resume mid-epoch on any
+    * machine, any partitioning, any engine — same order), different per
+    * epoch, and requires no materialized permutation table. Emits each
+    * epoch's first 10 loader positions plus a POSITION-WEIGHTED checksum
+    * over the whole permutation (Σ rank·(idhash mod 1e6) — order-
+    * sensitive, unlike the commutative manifest checksums, because here
+    * the ORDER is the artifact being certified).
+    *
+    * Scale: the per-epoch rank is a range-exchange sort on an 8-byte key;
+    * the checksum aggregate rides the same sorted exchange. The weighted
+    * sum fits a long to ~10^12 docs × 10^6 weight; past that the checksum
+    * moves to modular arithmetic per partition (documented swap). */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epochs = (0 until 3).map { e =>
+      Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("epoch", lit(e))
+        .withColumn("okey",
+          expr(s"conv(substring(md5(concat(cast(doc_id as string), '#', '$e')), 1, 15), 16, 10)")
+            .cast("long"))
+    }.reduce(_ unionAll _)
+    val w = Window.partitionBy(col("epoch")).orderBy(col("okey"), col("doc_id"))
+    val ranked = epochs
+      .withColumn("rank", row_number().over(w))
+      .withColumn("idh",
+        expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+          .cast("long") % 1000000L)
+    val checksums = ranked.groupBy("epoch")
+      .agg(sum(col("rank") * col("idh")).as("order_checksum"),
+           count(lit(1)).as("n_docs"))
+    ranked.filter(col("rank") <= 10)
+      .join(broadcast(checksums), "epoch")
+      .select(col("epoch"), col("rank"), col("doc_id"),
+        col("n_docs"), col("order_checksum"))
+      .orderBy("epoch", "rank")
+  }
+
+  val epochShuffleSql: String =
+    """WITH epochs AS (
+      |  SELECT doc_id, e AS epoch,
+      |    ('0x' || substring(md5(doc_id::VARCHAR || '#' || e), 1, 15))::BIGINT AS okey
+      |  FROM documents, LATERAL (SELECT unnest([0, 1, 2]) AS e) g
+      |), ranked AS (
+      |  SELECT doc_id, epoch,
+      |    row_number() OVER (PARTITION BY epoch ORDER BY okey, doc_id) AS rank,
+      |    CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 1000000 AS idh
+      |  FROM epochs
+      |), cs AS (
+      |  SELECT epoch, CAST(sum(rank * idh) AS BIGINT) AS order_checksum,
+      |         count(*) AS n_docs
+      |  FROM ranked GROUP BY 1
+      |)
+      |SELECT ranked.epoch, rank, doc_id, n_docs, order_checksum
+      |FROM ranked JOIN cs ON ranked.epoch = cs.epoch
+      |WHERE rank <= 10 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_epoch_shuffle" -> (epochShuffle _),
     "prep_bpe_train" -> (bpeTrain _),
     "prep_bpe_encode" -> (bpeEncode _),
     "prep_vocab_encode" -> (vocabEncode _),
@@ -609,6 +669,7 @@ object DataPrep {
   )
 
   def oracles: Map[String, String] = Map(
+    "prep_epoch_shuffle" -> epochShuffleSql,
     "prep_bpe_train" -> bpeTrainSql,
     "prep_bpe_encode" -> bpeEncodeSql,
     "prep_vocab_encode" -> vocabEncodeSql,

@@ -237,4 +237,30 @@ class DataPrepSpec extends GraftSpec {
     }
     assert(chunks.exists(_._2 > 0), "fixture must contain multi-chunk docs")
   }
+
+  test("epoch shuffle: distinct content-stable orders per epoch, checksums replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = DataPrep.epochShuffle(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0, 1, 2))
+    val ids = Tables.documents(spark, sf0001).select("doc_id").collect()
+      .map(_.getLong(0))
+    // independent replay: the full permutation + checksum per epoch
+    (0 until 3).foreach { e =>
+      val perm = ids.map { id =>
+        (java.lang.Long.parseLong(md5hex(s"$id#$e").take(15), 16), id)
+      }.sortBy(identity).map(_._2)
+      val head = rows.filter(_._1 == e).sortBy(_._2).map(_._3).toSeq
+      assert(head == perm.take(10).toSeq, s"epoch $e head order diverges")
+      val checksum = perm.zipWithIndex.map { case (id, i) =>
+        (i + 1).toLong * (java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 1000000L)
+      }.sum
+      assert(rows.find(_._1 == e).get._5 == checksum, s"epoch $e checksum diverges")
+    }
+    // epochs must actually produce different orders
+    val heads = (0 until 3).map(e => rows.filter(_._1 == e).sortBy(_._2).map(_._3).toSeq)
+    assert(heads.distinct.length == 3, "epoch permutations collide")
+  }
 }
