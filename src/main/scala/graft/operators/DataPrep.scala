@@ -613,13 +613,14 @@ object DataPrep {
     * moves to modular arithmetic per partition (documented swap). */
   def epochShuffle(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val epochs = (0 until 3).map { e =>
-      Tables.documents(s, dir).select(col("doc_id"))
-        .withColumn("epoch", lit(e))
-        .withColumn("okey",
-          expr(s"conv(substring(md5(concat(cast(doc_id as string), '#', '$e')), 1, 15), 16, 10)")
-            .cast("long"))
-    }.reduce(_ unionAll _)
+    // one scan + a 3-way generator — a per-epoch union re-reads the corpus
+    // once per epoch and splits every downstream aggregate into per-branch
+    // partials (measured 9 executed exchanges vs 6 for this shape)
+    val epochs = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("epoch", explode(array(lit(0), lit(1), lit(2))))
+      .withColumn("okey",
+        expr("conv(substring(md5(concat(cast(doc_id as string), '#', cast(epoch as string))), 1, 15), 16, 10)")
+          .cast("long"))
     val w = Window.partitionBy(col("epoch")).orderBy(col("okey"), col("doc_id"))
     val ranked = epochs
       .withColumn("rank", row_number().over(w))

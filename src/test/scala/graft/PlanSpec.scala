@@ -227,7 +227,11 @@ class PlanSpec extends GraftSpec {
       "mix_dsir_weights"     -> 8,  // measured 8: one conditional vocab agg + broadcast model + score agg (12 before the raw/tgt agg-join fusion)
       "neardup_threshold_sweep" -> 8, // pair join reuses the cached shingle arrays; sweep adds rollups only
       "prep_token_budget"    -> 4,  // score agg + budget broadcast + cumulative window + sort
-      "pipeline_gated_set"   -> 11) // measured 11: five stages over the cached survivor set (27 uncached)
+      "pipeline_gated_set"   -> 11, // measured 11: five stages over the cached survivor set (27 uncached)
+      "mm_image_neardup"     -> 4,  // hash scan + band-bucket stats + verify + sort
+      "dedup_minhash_recall" -> 7,  // two pair machineries + full-outer rollup
+      "ts_anomaly_zscore"    -> 4,  // day pre-agg + window + sort
+      "prep_epoch_shuffle"   -> 5)  // measured 5: one scan + generator (9 with a per-epoch union)
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

@@ -29,6 +29,33 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("aHash through the decode path == a pure-Scala block-mean reference on random texts") {
+    import graft.operators.Multimodal
+    val alpha = Gen.oneOf(('a' to 'z') ++ Seq(' ', ' '))
+    val gen = Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(40, 200).flatMap(len => Gen.listOfN(len, alpha).map(_.mkString))))
+    samples(gen, 6).foreach { texts =>
+      // ids in the image classes only (% 3 != 1); both BMP (0) and PPM (2)
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong * 3 + (if (i % 2 == 0) 0L else 2L), t) }
+      val got = Multimodal.imageHashesOf(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      docs.foreach { case (id, text) =>
+        val xs = text.getBytes("UTF-8").map(_ & 0xff)
+        val n = xs.length; val total = xs.map(_.toLong).sum
+        val bs = new Array[Long](64); val bl = new Array[Long](64)
+        xs.zipWithIndex.foreach { case (v, i) =>
+          val b = ((i.toLong * 64) / n).toInt; bs(b) += v; bl(b) += 1 }
+        var lo = 0L; var hi = 0L
+        (0 until 64).foreach { b =>
+          if (bl(b) > 0 && bs(b) * n >= total * bl(b)) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32) } }
+        assert(got(id) == (lo, hi),
+          s"id=$id: decode-path hash ${got(id)} != reference ($lo, $hi)")
+      }
+    }
+  }
+
   test("water-fill allocation == an independent reference on random supply vectors") {
     import graft.operators.Curation
     val gen = Gen.chooseNum(2, 12).flatMap(n =>
