@@ -1090,6 +1090,92 @@ object Dedup {
       |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_ids
       |FROM lbl GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin
 
+  // ------------------------------------------------- entity resolution
+  /** Multi-signal entity resolution: one entity table from THREE match
+    * signals — exact content (digest groups), near-duplicate text
+    * (Jaccard ≥ 0.7, tighter than the dedup threshold because ER asserts
+    * identity, not redundancy), and perceptual image similarity (aHash
+    * hamming ≤ 3 via [[Multimodal.imageNearDup]]'s banded join) — unioned
+    * into an edge set and collapsed by the shared connected-components
+    * fixpoint. The classic record-linkage shape (Fellegi–Sunter blocking +
+    * multi-evidence clustering) over this engine's own primitives.
+    *
+    * Scale notes: exact-match edges are STAR edges (group-min → member),
+    * linear in the group size where naive same-digest pairing is quadratic
+    * in a hot group — same CC result, viral-duplicate-proof; the other two
+    * signals arrive through their own star-capped candidate machinery. The
+    * oracle splices the image query's own CTE chain (as the recall report
+    * does) so the third signal can never drift from the gated query. */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = Window.partitionBy(md5(col("text")), length(col("text")))
+    val exact = docs
+      .withColumn("bmin", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a_id"), col("doc_id").as("b_id"))
+    val near = jaccardPairsFrom(docs, 0.7).select(col("a_id"), col("b_id"))
+    val media = Multimodal.imageNearDupOf(docs).select(col("a_id"), col("b_id"))
+    val pairs = exact.unionAll(near).unionAll(media).distinct()
+    connectedComponents(pairs)
+      .select(col("cluster_rep").as("entity_rep"),
+        col("cluster_size").as("entity_size"), col("member_ids"))
+      .orderBy("entity_rep")
+  }
+
+  val entityResolutionSql: String = {
+    val mediaChain = Multimodal.imageNearDupSql.stripPrefix("WITH ")
+    val cut = mediaChain.lastIndexOf("SELECT a_id, b_id,")
+    val mediaCtes = mediaChain.substring(0, cut).trim
+    s"""WITH RECURSIVE $mediaCtes,
+       |mpairs AS (
+       |  SELECT a_id, b_id
+       |  FROM cand JOIN hashes a ON a_id = a.doc_id JOIN hashes b ON b_id = b.doc_id
+       |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+       |),
+       |jtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |jsh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM jtoks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+       |  WHERE len(tk) >= 3
+       |),
+       |jsizes AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
+       |jcommon AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM jsh a JOIN jsh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |npairs AS (
+       |  SELECT a_id, b_id FROM jcommon
+       |  JOIN jsizes sa ON a_id = sa.doc_id JOIN jsizes sb ON b_id = sb.doc_id
+       |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+       |),
+       |epairs AS (
+       |  SELECT bmin AS a_id, doc_id AS b_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS bmin FROM documents)
+       |  WHERE doc_id <> bmin
+       |),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM mpairs
+       |  UNION SELECT b_id, a_id FROM mpairs
+       |  UNION SELECT a_id, b_id FROM npairs
+       |  UNION SELECT b_id, a_id FROM npairs
+       |  UNION SELECT a_id, b_id FROM epairs
+       |  UNION SELECT b_id, a_id FROM epairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |lbl AS (
+       |  SELECT src AS id, least(src, min(dst)) AS entity_rep
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT entity_rep, count(*) AS entity_size,
+       |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_ids
+       |FROM lbl GROUP BY entity_rep ORDER BY entity_rep""".stripMargin
+  }
+
   /** Incremental dedup probe — the shape continuous ingestion actually
     * runs: a small NEW BATCH (here doc_id % 7 == 0, ~14% of the corpus,
     * standing in for a day's crawl) is probed against the EXISTING corpus
@@ -1344,6 +1430,7 @@ object Dedup {
     "neardup_simhash"       -> (simhashNearDup _),
     "neardup_simhash_md5"   -> (simhashMd5 _),
     "neardup_clusters"      -> (nearDupClusters _),
+    "entity_resolution"     -> (entityResolution _),
     "dedup_incremental"     -> (incrementalDedup _)
   )
 
@@ -1357,6 +1444,7 @@ object Dedup {
     // all-shingle baseline's result EXACTLY — same oracle, hash-compared
     "neardup_jaccard_prefix" -> jaccardNearDupSql,
     "neardup_clusters"      -> nearDupClustersSql,
+    "entity_resolution"     -> entityResolutionSql,
     "dedup_incremental"     -> incrementalDedupSql,
     // the md5 twin makes the full LSH pipeline (signatures, bands, star
     // cap, verify) cross-engine reproducible → hash-gated

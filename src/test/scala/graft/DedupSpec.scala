@@ -258,6 +258,32 @@ class DedupSpec extends GraftSpec {
       s"simhash missed planted pairs: found ${exact.intersect(sim).size}/${exact.size}")
   }
 
+  test("entity resolution co-clusters every signal's pairs; reps are minima") {
+    val ents = Dedup.entityResolution(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).split(",").map(_.toLong).toSet))
+    val memberOf = ents.flatMap { case (rep, _, ms) => ms.map(_ -> rep) }.toMap
+    // disjoint clusters, rep = min member, size = member count
+    assert(memberOf.size == ents.map(_._3.size).sum, "entities overlap")
+    ents.foreach { case (rep, size, ms) =>
+      assert(ms.min == rep && ms.size == size)
+    }
+    // every signal pair lands in one entity
+    val exact = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.sliding(2).map(p => (p(0), p(1)))).toSeq
+    val near = Dedup.jaccardNearDup(spark, sf0001)
+      .filter("jac >= 0.7").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val media = graft.operators.Multimodal.imageNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val allPairs = exact ++ near ++ media
+    assert(allPairs.nonEmpty, "fixture must contain at least one signal pair")
+    allPairs.foreach { case (a, b) =>
+      assert(memberOf.get(a) == memberOf.get(b) && memberOf.contains(a),
+        s"signal pair ($a,$b) split across entities")
+    }
+  }
+
   test("minhash recall report reconciles with the standalone pair queries") {
     val r = Dedup.minhashRecall(spark, sf0001).head()
     val (nExact, nCand, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
