@@ -250,6 +250,32 @@ object Curation {
       |FROM documents
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------------- l-diversity
+  /** l-diversity audit (Machanavajjhala et al. 2006 — the k-anonymity
+    * refinement): a quasi-identifier cell can be large (k-anonymous) yet
+    * still leak if everyone in it shares the SENSITIVE value. Here the
+    * quasi-identifiers are (lang, length-bucket) and the sensitive
+    * attribute is `source`: report each cell's size k, its distinct
+    * sensitive count l, and flag cells below l = 3 — the cells a release
+    * must generalize even though k-anonymity passed them. Same
+    * cell-count-sized aggregate shape as [[kAnonymity]]. */
+  def lDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), expr("n_chars div 50").as("len_bucket"))
+      .agg(count(lit(1)).as("k"),
+           count_distinct(col("source")).as("l_distinct"))
+      .select(col("lang"), col("len_bucket"), col("k"), col("l_distinct"),
+        (col("l_distinct") < 3L).cast("int").as("at_risk"))
+      .orderBy("lang", "len_bucket")
+
+  val lDiversitySql: String =
+    """SELECT lang, n_chars // 50 AS len_bucket,
+      |       count(*) AS k,
+      |       count(DISTINCT source) AS l_distinct,
+      |       CAST(count(DISTINCT source) < 3 AS INT) AS at_risk
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------- corpus diff
   /** Snapshot diff between two corpus versions — the audit step behind
     * every dataset release note ("v2: +N docs, -M docs, K edited"). The
@@ -662,6 +688,7 @@ object Curation {
     "mix_dsir_weights"     -> (dsirWeights _),
     "prep_token_budget"    -> (tokenBudget _),
     "pii_k_anonymity"      -> (kAnonymity _),
+    "pii_l_diversity"      -> (lDiversity _),
     "corpus_diff"          -> (corpusDiff _),
     "pipeline_gated_set"   -> (gatedTrainingSet _),
     "mix_waterfill_budget" -> (waterfillBudget _),
@@ -674,6 +701,7 @@ object Curation {
     "mix_dsir_weights"     -> dsirWeightsSql,
     "prep_token_budget"    -> tokenBudgetSql,
     "pii_k_anonymity"      -> kAnonymitySql,
+    "pii_l_diversity"      -> lDiversitySql,
     "corpus_diff"          -> corpusDiffSql,
     "pipeline_gated_set"   -> gatedTrainingSetSql,
     "mix_waterfill_budget" -> waterfillBudgetSql,

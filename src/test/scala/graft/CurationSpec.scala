@@ -67,6 +67,20 @@ class CurationSpec extends GraftSpec {
     }
   }
 
+  test("l-diversity flags cells whose sensitive attribute collapses") {
+    val rows = Curation.lDiversity(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val n = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_._3).sum == n, "cells must partition the corpus")
+    rows.foreach { case (_, _, k, l, risk) =>
+      assert(l >= 1 && l <= k, "diversity bounded by cell size")
+      assert((risk == 1) == (l < 3))
+    }
+    // the audit must separate: some cell at risk, some not (else the
+    // quasi-identifier choice demonstrates nothing on this corpus)
+    assert(rows.exists(_._5 == 1) && rows.exists(_._5 == 0))
+  }
+
   test("corpus diff statuses reconcile with the bucket derivation") {
     val m = Curation.corpusDiff(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
