@@ -36,38 +36,8 @@ object Curation {
     * no shuffle at all (the ORDER BY is the driver-contract presentation
     * sort). The rule thresholds are corpus-calibrated constants; at 100 TB
     * they ride along as literals — nothing here depends on corpus size. */
-  def gopherRules(s: SparkSession, dir: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "to", "and", "in", "or", "is")
-    val t = toks(col("text"))
-    val nw = size(t).cast("long")
-    // two-step projection: each signal expression is instantiated ONCE and
-    // the rule predicates reference the named columns, keeping the analyzed
-    // tree linear in the signal count instead of duplicating the HOF folds
-    // into every rule (builds in ~0.13 s warm-session; semantics identical,
-    // the oracle is unchanged)
-    val signals = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        nw.as("n_words"),
-        (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nw)
-          .as("mwl"),
-        (size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / nw)
-          .as("fa"),
-        size(filter(t, x => x.isin(stop.map(lit): _*))).cast("long")
-          .as("stop_count"))
-    val r1 = (col("n_words") >= 30L) && (col("n_words") <= 100000L)
-    val r2 = (col("mwl") >= 3.0) && (col("mwl") <= 10.0)
-    val r3 = col("fa") >= 0.8
-    val r4 = col("stop_count") >= 2L
-    signals
-      .select(col("doc_id"), col("n_words"),
-        round(col("mwl"), 6).as("mean_word_len"),
-        round(col("fa"), 6).as("frac_alpha"),
-        col("stop_count"),
-        (r1.cast("int") + r2.cast("int") * 2 +
-         r3.cast("int") * 4 + r4.cast("int") * 8).as("rule_flags"),
-        (r1 && r2 && r3 && r4).cast("int").as("pass"))
-      .orderBy("doc_id")
-  }
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(s, dir)).orderBy("doc_id")
 
   val gopherRulesSql: String =
     """WITH t AS (
@@ -93,6 +63,97 @@ object Curation {
       |       r1 + r2 * 2 + r3 * 4 + r4 * 8 AS rule_flags,
       |       CAST(r1 = 1 AND r2 = 1 AND r3 = 1 AND r4 = 1 AS INT) AS pass
       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** [[gopherRules]] parametrized by the document set — the column-shared
+    * form the continuous gate ([[graft.streaming.StreamingCurate]]) runs
+    * per micro-batch, so the stream twin can never drift from the batch
+    * query. */
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "or", "is")
+    val t = toks(col("text"))
+    val nw = size(t).cast("long")
+    // two-step projection: each signal expression is instantiated ONCE and
+    // the rule predicates reference the named columns, keeping the analyzed
+    // tree linear in the signal count instead of duplicating the HOF folds
+    // into every rule
+    val signals = docs
+      .select(col("doc_id"),
+        nw.as("n_words"),
+        (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nw)
+          .as("mwl"),
+        (size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / nw)
+          .as("fa"),
+        size(filter(t, x => x.isin(stop.map(lit): _*))).cast("long")
+          .as("stop_count"))
+    val r1 = (col("n_words") >= 30L) && (col("n_words") <= 100000L)
+    val r2 = (col("mwl") >= 3.0) && (col("mwl") <= 10.0)
+    val r3 = col("fa") >= 0.8
+    val r4 = col("stop_count") >= 2L
+    signals
+      .select(col("doc_id"), col("n_words"),
+        round(col("mwl"), 6).as("mean_word_len"),
+        round(col("fa"), 6).as("frac_alpha"),
+        col("stop_count"),
+        (r1.cast("int") + r2.cast("int") * 2 +
+         r3.cast("int") * 4 + r4.cast("int") * 8).as("rule_flags"),
+        (r1 && r2 && r3 && r4).cast("int").as("pass"))
+  }
+
+  // --------------------------------------------------- gopher rule report
+  /** Per-rule rejection rates — the data-card row the rule gate feeds:
+    * for each of the four rules, how many documents fail it (bit unset in
+    * [[gopherRules]]' bitmask) and the failure share; plus the overall
+    * verdict row. One aggregate over the flags, expanded to rule rows by a
+    * constant generator — the report is 5 rows at any corpus size. */
+  def gopherReport(s: SparkSession, dir: String): DataFrame = {
+    val flags = gopherRulesOf(Tables.documents(s, dir))
+      .select(col("rule_flags"), col("pass"))
+    val agg = flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when((col("rule_flags").bitwiseAND(1)) === 0, 1L).otherwise(0L)).as("f1"),
+      sum(when((col("rule_flags").bitwiseAND(2)) === 0, 1L).otherwise(0L)).as("f2"),
+      sum(when((col("rule_flags").bitwiseAND(4)) === 0, 1L).otherwise(0L)).as("f3"),
+      sum(when((col("rule_flags").bitwiseAND(8)) === 0, 1L).otherwise(0L)).as("f4"),
+      sum(when(col("pass") === 0, 1L).otherwise(0L)).as("f0"))
+    agg.select(explode(array(
+        struct(lit("word_count").as("rule"), col("f1").as("n_failed")),
+        struct(lit("mean_word_len").as("rule"), col("f2").as("n_failed")),
+        struct(lit("alpha_fraction").as("rule"), col("f3").as("n_failed")),
+        struct(lit("stopword_count").as("rule"), col("f4").as("n_failed")),
+        struct(lit("any_rule").as("rule"), col("f0").as("n_failed"))))
+        .as("r"), col("n_docs"))
+      .select(col("r.rule").as("rule"), col("r.n_failed").as("n_failed"),
+        col("n_docs"),
+        round(col("r.n_failed").cast("double") / col("n_docs"), 6)
+          .as("reject_rate"))
+      .orderBy("rule")
+  }
+
+  val gopherReportSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents
+      |), m AS (
+      |  SELECT
+      |    CAST(len(tk) BETWEEN 30 AND 100000 AS INT) AS r1,
+      |    CAST(list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk) BETWEEN 3.0 AND 10.0 AS INT) AS r2,
+      |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk) >= 0.8 AS INT) AS r3,
+      |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','to','and','in','or','is'))) >= 2 AS INT) AS r4
+      |  FROM t
+      |), agg AS (
+      |  SELECT count(*) AS n_docs,
+      |    sum(1 - r1) AS f1, sum(1 - r2) AS f2, sum(1 - r3) AS f3, sum(1 - r4) AS f4,
+      |    sum(CASE WHEN r1 = 1 AND r2 = 1 AND r3 = 1 AND r4 = 1 THEN 0 ELSE 1 END) AS f0
+      |  FROM m
+      |)
+      |SELECT rule, CAST(n_failed AS BIGINT) AS n_failed,
+      |       CAST(n_docs AS BIGINT) AS n_docs,
+      |       round(n_failed * 1.0 / n_docs, 6) AS reject_rate
+      |FROM agg, LATERAL (
+      |  SELECT unnest(['word_count', 'mean_word_len', 'alpha_fraction',
+      |                 'stopword_count', 'any_rule']) AS rule,
+      |         unnest([f1, f2, f3, f4, f0]) AS n_failed) u
+      |ORDER BY rule""".stripMargin
 
   // ------------------------------------------------- DSIR importance weights
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
@@ -685,6 +746,7 @@ object Curation {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_gopher_rules" -> (gopherRules _),
+    "quality_gopher_report" -> (gopherReport _),
     "mix_dsir_weights"     -> (dsirWeights _),
     "prep_token_budget"    -> (tokenBudget _),
     "pii_k_anonymity"      -> (kAnonymity _),
@@ -698,6 +760,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "quality_gopher_rules" -> gopherRulesSql,
+    "quality_gopher_report" -> gopherReportSql,
     "mix_dsir_weights"     -> dsirWeightsSql,
     "prep_token_budget"    -> tokenBudgetSql,
     "pii_k_anonymity"      -> kAnonymitySql,

@@ -394,4 +394,20 @@ object StreamingCurate {
     import graft.operators.Curation
     Curation.dsirModelOf(Curation.docTokens(graft.Tables.documents(s, dir)))
   }
+
+  // --------------------------------------------- continuous rule gating
+  /** The Gopher rule gate ONLINE: purely row-local (no model, no state, no
+    * corpus aggregate — the thresholds are literals), so split invariance
+    * is structural in the strongest sense: a doc's verdict depends on the
+    * doc alone. Runs [[graft.operators.Curation.gopherRulesOf]]'s exact
+    * column expressions per micro-batch; spec-equal to the batch gate over
+    * random slicings. This is the first filter of an ingest topology —
+    * upstream of the dedup probes and scorers, dropping junk before it
+    * costs index lookups. */
+  def gopherGateStream(stream: Dataset[StreamingDedup.DocEvent])
+                      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.toDF().writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        sink(graft.operators.Curation.gopherRulesOf(mb), batchId)
+      }
 }

@@ -273,6 +273,36 @@ class StreamingCurateSpec extends GraftSpec {
       "a retried batch must not advance chunk offsets — batch-1 chunk_ids moved")
   }
 
+  test("continuous gopher gate == batch gate for arbitrary micro-batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{StreamingCurate, StreamingDedup}
+    import StreamingDedup.DocEvent
+    val expected = graft.operators.Curation.gopherRules(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(5), r.getInt(6)))
+      .toSet
+    val allDocs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => DocEvent(r.getLong(0), r.getString(1))).toSeq
+    val rnd = new scala.util.Random(29)
+    val chunks = splitChunks(rnd.shuffle(allDocs), 4, rnd)
+    val ms = MemoryStream[DocEvent](341, spark, None)
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Int)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    val q = StreamingCurate.gopherGateStream(ms.toDS()) { (df, _) =>
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(5), r.getInt(6)))
+      sink.synchronized { sink ++= rows }
+      ()
+    }.option("checkpointLocation", ckpt).start()
+    try chunks.foreach { c =>
+      if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = sink.synchronized(sink.toSet)
+    assert(got == expected,
+      s"streamed gate diverges from the batch gate " +
+      s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
+  }
+
   test("continuous DSIR scoring == batch scorer for arbitrary micro-batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingCurate
