@@ -951,6 +951,86 @@ object Dedup {
   def nearDupClusters(s: SparkSession, dir: String): DataFrame =
     connectedComponents(jaccardNearDup(s, dir).select("a_id", "b_id"))
 
+  // --------------------------------------------- cluster canonicalization
+  /** Quality-aware canonical selection per near-dup cluster — the step
+    * between "clusters found" and "training set written": production
+    * dedup keeps the BEST member of each cluster, not the first-crawled
+    * (lowest-id) one. The keep rule is (rounded type-token ratio DESC,
+    * doc_id ASC) over the cluster's members — the same gate-rounded score
+    * [[graft.operators.Curation]] budgets on, so rank ties are decided
+    * identically on both engines. Emits one row per cluster: the CC rep
+    * (stable cluster identity), the canonical keeper, its score, and how
+    * many docs the choice discards.
+    *
+    * Scale: CC labels are near-dup-sized; the member score join touches
+    * only clustered docs, and the keep rule is one rank-1 window per
+    * cluster. */
+  def nearDupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val t = filter(split(col("text"), " "), x => x =!= "")
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(size(array_distinct(t)).cast("double") / size(t), 6).as("ttr"))
+    val labels = ccLabels(jaccardNearDup(s, dir).select("a_id", "b_id"))
+      .withColumnRenamed("id", "doc_id")
+    val w = Window.partitionBy(col("lbl"))
+      .orderBy(col("ttr").desc, col("doc_id"))
+    labels.join(scored, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("lbl"))))
+      .filter(col("rn") === 1)
+      .select(col("lbl").as("cluster_rep"), col("doc_id").as("canonical_id"),
+        col("ttr").as("canonical_ttr"), (col("n_members") - 1L).as("n_discarded"))
+      .orderBy("cluster_rep")
+  }
+
+  val nearDupCanonicalSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |  sh AS (
+      |    SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |    WHERE len(tk) >= 3
+      |  ),
+      |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |  common AS (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2
+      |  )
+      |  SELECT a_id, b_id FROM common
+      |  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs
+      |),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |),
+      |lbl AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS lbl
+      |  FROM reach GROUP BY src
+      |),
+      |scored AS (
+      |  SELECT doc_id,
+      |    round(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) * 1.0
+      |          / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS ttr
+      |  FROM documents
+      |),
+      |ranked AS (
+      |  SELECT lbl, l.doc_id, ttr,
+      |    row_number() OVER (PARTITION BY lbl ORDER BY ttr DESC, l.doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lbl) AS n_members
+      |  FROM lbl l JOIN scored s ON l.doc_id = s.doc_id
+      |)
+      |SELECT lbl AS cluster_rep, doc_id AS canonical_id,
+      |       ttr AS canonical_ttr,
+      |       CAST(n_members - 1 AS BIGINT) AS n_discarded
+      |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
+
   /** Min-label propagation with pointer doubling over an (a_id, b_id) pair
     * list; see [[nearDupClusters]]. Isolated docs (no pairs) are their own
     * cluster and are excluded — output covers clustered docs only.
@@ -1431,6 +1511,7 @@ object Dedup {
     "neardup_simhash_md5"   -> (simhashMd5 _),
     "neardup_clusters"      -> (nearDupClusters _),
     "entity_resolution"     -> (entityResolution _),
+    "neardup_canonical"     -> (nearDupCanonical _),
     "dedup_incremental"     -> (incrementalDedup _)
   )
 
@@ -1445,6 +1526,7 @@ object Dedup {
     "neardup_jaccard_prefix" -> jaccardNearDupSql,
     "neardup_clusters"      -> nearDupClustersSql,
     "entity_resolution"     -> entityResolutionSql,
+    "neardup_canonical"     -> nearDupCanonicalSql,
     "dedup_incremental"     -> incrementalDedupSql,
     // the md5 twin makes the full LSH pipeline (signatures, bands, star
     // cap, verify) cross-engine reproducible → hash-gated

@@ -258,6 +258,31 @@ class DedupSpec extends GraftSpec {
       s"simhash missed planted pairs: found ${exact.intersect(sim).size}/${exact.size}")
   }
 
+  test("canonical selection keeps each cluster's best-ttr member") {
+    val canon = Dedup.nearDupCanonical(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val clusters = Dedup.nearDupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toLong).toSet).toMap
+    assert(canon.map(_._1).toSet == clusters.keySet, "one canonical row per cluster")
+    val t = org.apache.spark.sql.functions.split(
+      org.apache.spark.sql.functions.col("text"), " ")
+    val ttr = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.array_distinct(t)).cast("double") /
+          org.apache.spark.sql.functions.size(t), 6).as("ttr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    canon.foreach { case (rep, keeper, score, discarded) =>
+      val members = clusters(rep)
+      assert(members.contains(keeper))
+      assert(discarded == members.size - 1)
+      val best = members.toSeq.map(m => (-ttr(m), m)).min
+      assert(keeper == best._2 && math.abs(score - ttr(keeper)) < 1e-9,
+        s"cluster $rep: keeper $keeper is not the best-ttr member ${best._2}")
+    }
+  }
+
   test("entity resolution co-clusters every signal's pairs; reps are minima") {
     val ents = Dedup.entityResolution(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2).split(",").map(_.toLong).toSet))
