@@ -743,6 +743,93 @@ object Curation {
       |       capped
       |FROM u ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------- data profiling
+  /** One-pass column profiler over `lineitem` — the ANALYZE-style report a
+    * DQ dashboard and the CBO both feed on: per column, null count,
+    * distinct count, and (for numeric/date columns) min/max. ONE wide
+    * aggregate computes every statistic in a single scan (count-if +
+    * count-distinct + min/max per column, all map-side partial), then a
+    * constant generator unpivots to the row-per-column report — the
+    * opposite of profilers that run one query per column and re-scan the
+    * table N times. Timestamps profile as epoch-days so the min/max are
+    * exact integers on both engines; string columns carry NULL bounds.
+    *
+    * Scale: the aggregate state is columns-sized; the scan is the whole
+    * cost, paid once. The count-distincts expand the aggregate to one
+    * extra shuffle each in Spark's planning — at a width where that
+    * matters the HLL sketch twin (`approx_distinct`) takes over per the
+    * usual trade. */
+  def dqProfileLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    val dayCol = expr("unix_timestamp(l_shipdate) div 86400")
+    val aggs =
+      Seq(count(lit(1)).as("n_rows")) ++
+      numeric.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        round(min(col(c)).cast("double"), 6).as(s"mn_$c"),
+        round(max(col(c)).cast("double"), 6).as(s"mx_$c"))
+      } ++
+      strings.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"))
+      } ++ Seq(
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("nn_l_shipdate"),
+        count_distinct(col("l_shipdate")).as("nd_l_shipdate"),
+        min(dayCol).cast("double").as("mn_l_shipdate"),
+        max(dayCol).cast("double").as("mx_l_shipdate"))
+    val agg = li.agg(aggs.head, aggs.tail: _*)
+    val rows = (numeric :+ "l_shipdate").map { c =>
+      struct(lit(c).as("column_name"), col(s"nn_$c").as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"), col(s"mn_$c").as("min_val"),
+        col(s"mx_$c").as("max_val"))
+    } ++ strings.map { c =>
+      struct(lit(c).as("column_name"), col(s"nn_$c").as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        lit(null).cast("double").as("min_val"),
+        lit(null).cast("double").as("max_val"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"), col("n_rows"))
+      .select(col("r.column_name").as("column_name"), col("n_rows"),
+        col("r.n_nulls").as("n_nulls"), col("r.n_distinct").as("n_distinct"),
+        col("r.min_val").as("min_val"), col("r.max_val").as("max_val"))
+      .orderBy("column_name")
+  }
+
+  val dqProfileLineitemSql: String = {
+    val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    val numSel = numeric.map(c =>
+      s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS nn_$c, " +
+      s"count(DISTINCT $c) AS nd_$c, round(min($c), 6)::DOUBLE AS mn_$c, " +
+      s"round(max($c), 6)::DOUBLE AS mx_$c").mkString(",\n    ")
+    val strSel = strings.map(c =>
+      s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS nn_$c, " +
+      s"count(DISTINCT $c) AS nd_$c").mkString(",\n    ")
+    val unions = ((numeric :+ "l_shipdate").map(c =>
+      s"SELECT '$c' AS column_name, n_rows, nn_$c::BIGINT AS n_nulls, nd_$c AS n_distinct, mn_$c AS min_val, mx_$c AS max_val FROM agg") ++
+      strings.map(c =>
+        s"SELECT '$c', n_rows, nn_$c::BIGINT, nd_$c, NULL::DOUBLE, NULL::DOUBLE FROM agg"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH agg AS (
+       |  SELECT count(*) AS n_rows,
+       |    $numSel,
+       |    $strSel,
+       |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nn_l_shipdate,
+       |    count(DISTINCT l_shipdate) AS nd_l_shipdate,
+       |    (CAST(floor(epoch(min(l_shipdate)) / 86400) AS BIGINT))::DOUBLE AS mn_l_shipdate,
+       |    (CAST(floor(epoch(max(l_shipdate)) / 86400) AS BIGINT))::DOUBLE AS mx_l_shipdate
+       |  FROM lineitem
+       |)
+       |SELECT * FROM (
+       |  $unions
+       |) ORDER BY column_name""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_gopher_rules" -> (gopherRules _),
@@ -751,6 +838,7 @@ object Curation {
     "prep_token_budget"    -> (tokenBudget _),
     "pii_k_anonymity"      -> (kAnonymity _),
     "pii_l_diversity"      -> (lDiversity _),
+    "dq_profile_lineitem"  -> (dqProfileLineitem _),
     "corpus_diff"          -> (corpusDiff _),
     "pipeline_gated_set"   -> (gatedTrainingSet _),
     "mix_waterfill_budget" -> (waterfillBudget _),
@@ -765,6 +853,7 @@ object Curation {
     "prep_token_budget"    -> tokenBudgetSql,
     "pii_k_anonymity"      -> kAnonymitySql,
     "pii_l_diversity"      -> lDiversitySql,
+    "dq_profile_lineitem"  -> dqProfileLineitemSql,
     "corpus_diff"          -> corpusDiffSql,
     "pipeline_gated_set"   -> gatedTrainingSetSql,
     "mix_waterfill_budget" -> waterfillBudgetSql,

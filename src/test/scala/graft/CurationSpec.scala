@@ -210,6 +210,22 @@ class CurationSpec extends GraftSpec {
       "dup marginal must equal the exact-dedup group mass")
   }
 
+  test("lineitem profile covers every column with consistent bounds") {
+    val rows = Curation.dqProfileLineitem(spark, sf0001).collect()
+    assert(rows.length == 11, "one row per lineitem column")
+    val n = Tables.lineitem(spark, sf0001).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      val nulls = r.getAs[Long]("n_nulls"); val nd = r.getAs[Long]("n_distinct")
+      assert(nulls >= 0 && nulls <= n)
+      assert(nd >= 1 && nd <= n - nulls)
+      if (!r.isNullAt(4)) assert(r.getDouble(4) <= r.getDouble(5), "min <= max")
+    }
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("l_returnflag").isNullAt(4), "string columns carry NULL bounds")
+    assert(byName("l_quantity").getDouble(4) >= 1.0)
+  }
+
   test("distinct-n ratios are sane and n-gram totals shrink with n") {
     val rows = Curation.distinctN(spark, sf0001).collect()
     assert(rows.length == 20 * 3, "20 sources × n ∈ {1,2,3}")
