@@ -29,6 +29,33 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("star edges give the same components as quadratic same-content pairing") {
+    // the entity_resolution scale claim: replacing each exact-content
+    // group's |g|²/2 pairs with |g|-1 star edges (group-min → member)
+    // changes nothing about the connected components
+    val gen = Gen.chooseNum(5, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 6)))  // few content classes → big groups
+    samples(gen, 6).foreach { contents =>
+      val docs = contents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      val groups = docs.groupBy(_._2).values.filter(_.length > 1).toSeq
+      val starPairs = groups.flatMap { g =>
+        val ids = g.map(_._1); val m = ids.min
+        ids.filter(_ != m).map(b => (m, b))
+      }
+      val fullPairs = groups.flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+      }
+      if (starPairs.nonEmpty) {
+        def labelsOf(pairs: Seq[(Long, Long)]) =
+          Dedup.ccLabels(pairs.toDF("a_id", "b_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(labelsOf(starPairs) == labelsOf(fullPairs),
+          s"star-edge CC diverges from full pairing on $docs")
+      }
+    }
+  }
+
   test("aHash through the decode path == a pure-Scala block-mean reference on random texts") {
     import graft.operators.Multimodal
     val alpha = Gen.oneOf(('a' to 'z') ++ Seq(' ', ' '))
