@@ -743,6 +743,65 @@ object Curation {
       |       capped
       |FROM u ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- vocabulary growth
+  /** Heaps'-law vocabulary growth curve (Heaps 1978: V(n) ≈ K·n^β): at ten
+    * deterministic corpus prefixes (docs whose md5 permille bucket ≤ 100·k,
+    * the content-stable analogue of "the first k·10% of the crawl"), the
+    * token mass and distinct-token count. The curve is the data-scaling
+    * panel of a corpus report — vocabulary saturating early is the
+    * template-spam tell `text_distinct_n` sees per source, here measured
+    * corpus-wide as scale grows.
+    *
+    * Shape: ONE aggregate computes all ten points via conditional
+    * count-distincts (count DISTINCT CASE WHEN bucket ≤ t THEN tok END) —
+    * no per-prefix rescan, no cumulative-distinct window (which no engine
+    * does distributed). Long format via a constant generator. */
+  def heapsCurve(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("tok"),
+        (expr("conv(substring(md5(cast(doc_id as string)), 5, 4), 16, 10)")
+          .cast("long") % 1000).as("b"))
+    val cuts = (1 to 10).map(_ * 100)
+    val aggs = cuts.flatMap { t => Seq(
+      sum(when(col("b") < t, 1L).otherwise(0L)).as(s"n_$t"),
+      count_distinct(when(col("b") < t, col("tok"))).as(s"v_$t"))
+    }
+    val rows = cuts.map { t =>
+      struct(lit(t / 10).as("pct"), col(s"n_$t").as("n_tokens"),
+        col(s"v_$t").as("n_vocab"))
+    }
+    tok.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.pct").as("pct"), col("r.n_tokens").as("n_tokens"),
+        col("r.n_vocab").as("n_vocab"),
+        round(col("r.n_vocab").cast("double") / col("r.n_tokens"), 6)
+          .as("vocab_ratio"))
+      .orderBy("pct")
+  }
+
+  val heapsCurveSql: String = {
+    val cuts = (1 to 10).map(_ * 100)
+    val aggs = cuts.map { t =>
+      s"sum(CASE WHEN b < $t THEN 1 ELSE 0 END)::BIGINT AS n_$t, " +
+      s"count(DISTINCT CASE WHEN b < $t THEN tok END) AS v_$t"
+    }.mkString(",\n    ")
+    val unions = cuts.map { t =>
+      s"SELECT ${t / 10} AS pct, n_$t AS n_tokens, v_$t AS n_vocab FROM agg"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok,
+       |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 5, 4) AS INTEGER) % 1000 AS b
+       |  FROM documents
+       |), agg AS (
+       |  SELECT
+       |    $aggs
+       |  FROM tok
+       |)
+       |SELECT pct, n_tokens, n_vocab,
+       |       round(n_vocab * 1.0 / n_tokens, 6) AS vocab_ratio
+       |FROM ($unions) ORDER BY pct""".stripMargin
+  }
+
   // ---------------------------------------------------- data profiling
   /** One-pass column profiler over `lineitem` — the ANALYZE-style report a
     * DQ dashboard and the CBO both feed on: per column, null count,
@@ -839,6 +898,7 @@ object Curation {
     "pii_k_anonymity"      -> (kAnonymity _),
     "pii_l_diversity"      -> (lDiversity _),
     "dq_profile_lineitem"  -> (dqProfileLineitem _),
+    "text_heaps_curve"     -> (heapsCurve _),
     "corpus_diff"          -> (corpusDiff _),
     "pipeline_gated_set"   -> (gatedTrainingSet _),
     "mix_waterfill_budget" -> (waterfillBudget _),
@@ -854,6 +914,7 @@ object Curation {
     "pii_k_anonymity"      -> kAnonymitySql,
     "pii_l_diversity"      -> lDiversitySql,
     "dq_profile_lineitem"  -> dqProfileLineitemSql,
+    "text_heaps_curve"     -> heapsCurveSql,
     "corpus_diff"          -> corpusDiffSql,
     "pipeline_gated_set"   -> gatedTrainingSetSql,
     "mix_waterfill_budget" -> waterfillBudgetSql,

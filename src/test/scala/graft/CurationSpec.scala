@@ -210,6 +210,25 @@ class CurationSpec extends GraftSpec {
       "dup marginal must equal the exact-dedup group mass")
   }
 
+  test("heaps curve grows monotonically with concave vocabulary ratio") {
+    val rows = Curation.heapsCurve(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(rows.map(_._1) == (1 to 10).map(_ * 10))
+    rows.sliding(2).foreach { case Seq((_, n1, v1, _), (p2, n2, v2, _)) =>
+      assert(n2 >= n1 && v2 >= v1, s"curve not monotone at $p2%")
+    }
+    val full = rows.last
+    val allToks = Tables.documents(spark, sf0001).select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    assert(full._2 == allToks.length.toLong, "100% token mass = corpus tokens")
+    assert(full._3 == allToks.distinct.length.toLong, "100% vocab = corpus vocab")
+    // Heaps: vocabulary grows sublinearly — the ratio V/n must not increase
+    rows.sliding(2).foreach { case Seq((_, _, _, r1), (p2, _, _, r2)) =>
+      assert(r2 <= r1 + 1e-9, s"vocab ratio grew at $p2%")
+    }
+  }
+
   test("lineitem profile covers every column with consistent bounds") {
     val rows = Curation.dqProfileLineitem(spark, sf0001).collect()
     assert(rows.length == 11, "one row per lineitem column")
