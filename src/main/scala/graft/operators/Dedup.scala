@@ -1186,8 +1186,18 @@ object Dedup {
     * signals arrive through their own star-capped candidate machinery. The
     * oracle splices the image query's own CTE chain (as the recall report
     * does) so the third signal can never drift from the gated query. */
-  def entityResolution(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def entityResolution(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(entityPairsOf(Tables.documents(s, dir)))
+      .select(col("cluster_rep").as("entity_rep"),
+        col("cluster_size").as("entity_size"), col("member_ids"))
+      .orderBy("entity_rep")
+
+  /** The three-signal edge set behind [[entityResolution]], parametrized by
+    * the document set — also the per-batch pair source of the CONTINUOUS
+    * resolver ([[graft.streaming.StreamingCurate.EntityResolveSession]]),
+    * which must use these exact signals so the stream can never drift from
+    * the batch query. */
+  private[graft] def entityPairsOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(md5(col("text")), length(col("text")))
     val exact = docs
       .withColumn("bmin", min(col("doc_id")).over(w))
@@ -1195,11 +1205,7 @@ object Dedup {
       .select(col("bmin").as("a_id"), col("doc_id").as("b_id"))
     val near = jaccardPairsFrom(docs, 0.7).select(col("a_id"), col("b_id"))
     val media = Multimodal.imageNearDupOf(docs).select(col("a_id"), col("b_id"))
-    val pairs = exact.unionAll(near).unionAll(media).distinct()
-    connectedComponents(pairs)
-      .select(col("cluster_rep").as("entity_rep"),
-        col("cluster_size").as("entity_size"), col("member_ids"))
-      .orderBy("entity_rep")
+    exact.unionAll(near).unionAll(media).distinct()
   }
 
   val entityResolutionSql: String = {

@@ -273,6 +273,48 @@ class StreamingCurateSpec extends GraftSpec {
       "a retried batch must not advance chunk offsets — batch-1 chunk_ids moved")
   }
 
+  test("continuous entity resolution converges to the batch partition for any slicing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingCurate
+    import graft.streaming.StreamingCurate.CurateDoc
+    // batch truth: (member id -> component rep) from the gated query
+    val expected = graft.operators.Dedup.entityResolution(spark, sf0001)
+      .collect().flatMap { r =>
+        r.getString(2).split(",").map(_.toLong -> r.getLong(0))
+      }.toMap
+    assert(expected.nonEmpty, "fixture must contain entities")
+    val allDocs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "source").collect()
+      .map(r => CurateDoc(r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    for ((seed, msId) <- Seq((13, 351), (47, 352))) {
+      val rnd = new scala.util.Random(seed)
+      val chunks = splitChunks(rnd.shuffle(allDocs), 3 + rnd.nextInt(3), rnd)
+      val ms = MemoryStream[CurateDoc](msId, spark, None)
+      val session = new StreamingCurate.EntityResolveSession(spark)
+      val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_erstream").toString
+      val q = StreamingCurate.entityResolveStream(ms.toDS(), session) { (rows, _) =>
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }.option("checkpointLocation", ckpt).start()
+      try chunks.foreach { c =>
+        if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = session.snapshot()
+      assert(got == expected,
+        s"seed=$seed: incremental partition diverges from batch ER " +
+        s"(missing=${(expected.toSet -- got.toSet).take(3)}, " +
+        s"extra=${(got.toSet -- expected.toSet).take(3)})")
+      // at-emit reps may exceed the final rep (pre-merge) but never undercut
+      // it: a rep only ever moves DOWN as merges arrive
+      emitted.synchronized(emitted.toSeq).foreach { case (id, repAtEmit) =>
+        expected.get(id).foreach { finalRep =>
+          assert(repAtEmit >= finalRep, s"doc $id emitted rep below final")
+        }
+      }
+    }
+  }
+
   test("continuous gopher gate == batch gate for arbitrary micro-batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{StreamingCurate, StreamingDedup}
