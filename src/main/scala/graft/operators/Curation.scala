@@ -373,8 +373,11 @@ object Curation {
           .otherwise("unchanged").as("status"))
       .groupBy("status")
       .agg(count(lit(1)).as("n_docs"),
-        sum(expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"))
-          .cast("long").as("id_checksum"))
+        sum(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"))
+          // cast each 32-bit term BEFORE the sum: summing the conv STRING
+          // would promote to DOUBLE, exact only below 2^53 — the long sum
+          // keeps the commutative checksum exact at any corpus size
+          .as("id_checksum"))
       .orderBy("status")
   }
 
@@ -496,8 +499,9 @@ object Curation {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_toks")).as("n_tokens"),
-           sum(expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"))
-             .cast("long").as("id_checksum"))
+           sum(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"))
+             // per-term bigint cast keeps the checksum exact past 2^53
+             .as("id_checksum"))
       .orderBy("source")
   }
 

@@ -537,17 +537,48 @@ object Multimodal {
   private[graft] def imageHashes(s: SparkSession, dir: String): DataFrame =
     imageHashesOf(Tables.documents(s, dir))
 
-  private[graft] def imageHashesOf(docs: DataFrame): DataFrame = {
+  /** The image-class slice of the corpus as a media frame
+    * `(doc_id, data, is_bmp)` — container choice made EXPLICIT so the
+    * sentinel twins below can take the opposite container without bending
+    * the id-derived rule. */
+  private[graft] def eligibleMedia(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 3 =!= 1 && length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("data"),
+        (col("doc_id") % 3 === 0).as("is_bmp"))
+
+  /** Offset separating sentinel twin ids from real doc ids (above every
+    * harness doc_id at any sf; mirrored literally in the oracles). */
+  private[graft] val MirrorOffset = 1000000000L
+
+  /** [[eligibleMedia]] plus SENTINEL RE-ENCODES: every tenth image doc is
+    * re-encoded in the OTHER container (same payload, twin id
+    * `doc_id + MirrorOffset`). This is the cross-container fixture the
+    * content-dedup and image-near-dup gates exist to catch — a corpus where
+    * the same pixels ship as both a BMP and a PPM — planted IN-QUERY so the
+    * driver's hash gate is never vacuously green on a corpus with no
+    * natural duplicates (the sf0.01 harness corpus has none). The twin rule
+    * is deterministic and mirrored verbatim in the oracle SQL. */
+  private[graft] def mirroredMedia(docs: DataFrame): DataFrame = {
+    val base = eligibleMedia(docs)
+    base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + MirrorOffset).as("doc_id"), col("data"),
+          (!col("is_bmp")).as("is_bmp")))
+  }
+
+  private[graft] def imageHashesOf(docs: DataFrame): DataFrame =
+    hashesOfMedia(eligibleMedia(docs))
+
+  private[graft] def hashesOfMedia(media: DataFrame): DataFrame = {
     import graft.functions.MediaCodecs
     val enc = org.apache.spark.sql.Encoders.product[AHashRow]
-    docs
-      .filter(col("doc_id") % 3 =!= 1 && length(col("text")) > 0)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
+    media
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0); val data = r.getAs[Array[Byte]](1)
+          val isBmp = r.getBoolean(2)
           val container =
-            if (id % 3 == 0) MediaCodecs.toBmp(data) else MediaCodecs.toPpm(data)
+            if (isBmp) MediaCodecs.toBmp(data) else MediaCodecs.toPpm(data)
           val d = MediaCodecs.decode(container)
           val xs = d.samples; val n = xs.length
           var total = 0L; var i = 0
@@ -565,7 +596,7 @@ object Multimodal {
             }
             b += 1
           }
-          AHashRow(id, if (id % 3 == 0) "image/bmp" else "image/ppm",
+          AHashRow(id, if (isBmp) "image/bmp" else "image/ppm",
             n.toLong, lo, hi)
         }
       }(enc)
@@ -575,23 +606,46 @@ object Multimodal {
   def imageAHash(s: SparkSession, dir: String): DataFrame =
     imageHashes(s, dir).orderBy("doc_id")
 
+  /** Oracle base for the media frame: the image-class docs as hex bytes —
+    * with `mirrored = true` the sentinel twins of [[mirroredMedia]] are
+    * spliced in with the SAME deterministic rule (every tenth image doc,
+    * twin id `doc_id + MirrorOffset`; the opposite container wraps the
+    * identical payload, so the byte expansion — which hashes the DECODED
+    * samples, i.e. the payload — is simply repeated under the twin id). */
+  private def mediaBaseSql(mirrored: Boolean): String = {
+    val base =
+      """  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 <> 1 AND octet_length(encode(text)) > 0""".stripMargin
+    if (!mirrored) base
+    else base + "\n" +
+      s"""  UNION ALL
+         |  SELECT doc_id + $MirrorOffset, hex(encode(text)), octet_length(encode(text))
+         |  FROM documents WHERE doc_id % 3 <> 1 AND octet_length(encode(text)) > 0 AND doc_id % 10 = 0""".stripMargin
+  }
+
+  /** The shared byte-expansion → block-mean → bit pipeline, parameterized
+    * by the base CTE so the fingerprint oracle and the (mirrored) near-dup
+    * oracle can never drift. */
+  private def hashPipelineCtes(baseSql: String): String =
+    s"""WITH b AS (
+       |$baseSql
+       |), bytes AS (
+       |  SELECT doc_id, i - 1 AS pos, CAST('0x' || substring(h, 2 * i - 1, 2) AS INTEGER) AS v, n
+       |  FROM b, LATERAL (SELECT unnest(generate_series(1, n)) AS i) g
+       |), tot AS (
+       |  SELECT doc_id, sum(v) AS total, max(n) AS n FROM bytes GROUP BY 1
+       |), blocks AS (
+       |  SELECT doc_id, (pos * 64) // n AS blk, sum(v) AS bs, count(*) AS bl
+       |  FROM bytes GROUP BY 1, 2
+       |), bits AS (
+       |  SELECT bk.doc_id, blk,
+       |         CASE WHEN bs * t.n >= t.total * bl THEN 1 ELSE 0 END AS ind, t.n
+       |  FROM blocks bk JOIN tot t ON bk.doc_id = t.doc_id
+       |)""".stripMargin
+
   val imageAHashSql: String =
-    """WITH b AS (
-      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
-      |  FROM documents WHERE doc_id % 3 <> 1 AND octet_length(encode(text)) > 0
-      |), bytes AS (
-      |  SELECT doc_id, i - 1 AS pos, CAST('0x' || substring(h, 2 * i - 1, 2) AS INTEGER) AS v, n
-      |  FROM b, LATERAL (SELECT unnest(generate_series(1, n)) AS i) g
-      |), tot AS (
-      |  SELECT doc_id, sum(v) AS total, max(n) AS n FROM bytes GROUP BY 1
-      |), blocks AS (
-      |  SELECT doc_id, (pos * 64) // n AS blk, sum(v) AS bs, count(*) AS bl
-      |  FROM bytes GROUP BY 1, 2
-      |), bits AS (
-      |  SELECT bk.doc_id, blk,
-      |         CASE WHEN bs * t.n >= t.total * bl THEN 1 ELSE 0 END AS ind, t.n
-      |  FROM blocks bk JOIN tot t ON bk.doc_id = t.doc_id
-      |)
+    hashPipelineCtes(mediaBaseSql(mirrored = false)) +
+    """
       |SELECT doc_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image/bmp' ELSE 'image/ppm' END AS mime,
       |  CAST(max(n) AS BIGINT) AS n_px,
@@ -607,12 +661,15 @@ object Multimodal {
     * because a viral template image is a hot band key at corpus scale —
     * then exact hamming verification on the joined-back fingerprints. The
     * star cap is mirrored in the oracle (as `neardup_minhash_md5` does),
-    * so the capped semantics themselves are hash-gated. */
+    * so the capped semantics themselves are hash-gated. Runs over
+    * [[mirroredMedia]] — the sentinel cross-container re-encodes guarantee
+    * the driver gate checks real pairs (hamming 0 between each twin and its
+    * original) even on a corpus with no natural near-duplicate images. */
   def imageNearDup(s: SparkSession, dir: String): DataFrame =
     imageNearDupOf(Tables.documents(s, dir))
 
   private[graft] def imageNearDupOf(docs: DataFrame): DataFrame = {
-    val hashes = imageHashesOf(docs).cache()
+    val hashes = hashesOfMedia(mirroredMedia(docs)).cache()
     val bands = hashes.selectExpr("doc_id",
       "stack(4, 0, ahash_lo % 65536, 1, ahash_lo div 65536, " +
         "2, ahash_hi % 65536, 3, ahash_hi div 65536) AS (blk, blkval)")
@@ -630,10 +687,11 @@ object Multimodal {
   }
 
   val imageNearDupSql: String = {
-    // everything up to (and incl.) the `bits` CTE is shared verbatim with
-    // the fingerprint oracle — splice it so the two oracles can't drift
-    val hashCte = imageAHashSql
-      .replaceFirst("(?s)SELECT doc_id,\\s*\\n\\s*CASE WHEN.*$", "").trim
+    // same byte-expansion pipeline as the fingerprint oracle (shared
+    // builder, so the two can't drift) — but over the MIRRORED base, so the
+    // sentinel cross-container twins guarantee at least one hamming-0 pair
+    // per mirrored doc and the driver gate is never vacuous
+    val hashCte = hashPipelineCtes(mediaBaseSql(mirrored = true))
     s"""$hashCte,
        |hashes AS (
        |  SELECT doc_id,
@@ -682,29 +740,31 @@ object Multimodal {
     *
     * Scale: decode is per-partition, the shuffle key is a 16-byte digest
     * (not pixels), and the aggregate collapses map-side — the same
-    * digest-on-the-exchange discipline as `dedup_exact`. */
+    * digest-on-the-exchange discipline as `dedup_exact`. Runs over
+    * [[mirroredMedia]]: the sentinel twins are exactly the cross-container
+    * duplicates this operator exists to catch, so the driver gate always
+    * verifies real groups rather than an empty result. */
   def contentDedup(s: SparkSession, dir: String): DataFrame =
     contentDedupOf(Tables.documents(s, dir))
 
   private[graft] def contentDedupOf(docs: DataFrame): DataFrame = {
     import graft.functions.MediaCodecs
     val enc = org.apache.spark.sql.Encoders.product[ContentDigestRow]
-    docs
-      .filter(col("doc_id") % 3 =!= 1 && length(col("text")) > 0)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("data"))
+    mirroredMedia(docs)
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val id = r.getLong(0); val data = r.getAs[Array[Byte]](1)
+          val isBmp = r.getBoolean(2)
           val container =
-            if (id % 3 == 0) MediaCodecs.toBmp(data) else MediaCodecs.toPpm(data)
+            if (isBmp) MediaCodecs.toBmp(data) else MediaCodecs.toPpm(data)
           val xs = MediaCodecs.decode(container).samples
           val bytes = new Array[Byte](xs.length)
           var i = 0
           while (i < xs.length) { bytes(i) = xs(i).toByte; i += 1 }
           md.reset()
           val digest = md.digest(bytes).map("%02x".format(_)).mkString
-          ContentDigestRow(id, if (id % 3 == 0) "image/bmp" else "image/ppm",
+          ContentDigestRow(id, if (isBmp) "image/bmp" else "image/ppm",
             digest)
         }
       }(enc)
@@ -720,16 +780,23 @@ object Multimodal {
   }
 
   val contentDedupSql: String =
-    """SELECT min(doc_id) AS keeper,
-      |       count(*) AS n_copies,
-      |       count(DISTINCT CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
-      |                           ELSE 'image/ppm' END) AS n_formats,
-      |       CAST(count(DISTINCT CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
-      |                                ELSE 'image/ppm' END) > 1 AS INT) AS cross_format
-      |FROM documents
-      |WHERE doc_id % 3 <> 1 AND octet_length(encode(text)) > 0
-      |GROUP BY md5(text) HAVING count(*) >= 2
-      |ORDER BY keeper""".stripMargin
+    s"""WITH media AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image/bmp' ELSE 'image/ppm' END AS mime
+       |  FROM documents WHERE doc_id % 3 <> 1 AND octet_length(encode(text)) > 0
+       |  UNION ALL
+       |  SELECT doc_id + $MirrorOffset, text,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image/ppm' ELSE 'image/bmp' END AS mime
+       |  FROM documents
+       |  WHERE doc_id % 3 <> 1 AND octet_length(encode(text)) > 0 AND doc_id % 10 = 0
+       |)
+       |SELECT min(doc_id) AS keeper,
+       |       count(*) AS n_copies,
+       |       count(DISTINCT mime) AS n_formats,
+       |       CAST(count(DISTINCT mime) > 1 AS INT) AS cross_format
+       |FROM media
+       |GROUP BY md5(text) HAVING count(*) >= 2
+       |ORDER BY keeper""".stripMargin
 
   /** Band rows (blk, blkval) with the fingerprint riding along — the
     * standing side of the serving probe, and the same 4×16-bit banding as

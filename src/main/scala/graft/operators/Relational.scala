@@ -432,9 +432,13 @@ object Relational {
 
   // ---------------------------------------------------------------- q22
   /** TPC-H Q22-style dormant-customer analysis: above-average-balance
-    * customers (uncorrelated scalar subquery) with NO orders (anti join),
-    * rolled up by market segment. The average is decimal-exact so the
-    * threshold predicate is engine-identical. */
+    * customers (uncorrelated scalar subquery) with no RECENT orders (anti
+    * join against orders since 2000-01-01 — the harness generator gives
+    * every customer at least one lifetime order, so Q22's literal
+    * "no orders ever" predicate is vacuously empty; dormancy-by-recency is
+    * the same anti-join shape over the distribution the data actually
+    * has), rolled up by market segment. The average is decimal-exact so
+    * the threshold predicate is engine-identical. */
   def dormantCustomers(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     // 1-row aggregate broadcast-crossed onto the probe side — the scalar
@@ -442,7 +446,11 @@ object Relational {
     val avgBal = c.filter(col("c_acctbal") > 0)
       .agg((sum(col("c_acctbal").cast("decimal(18,2)")) / count(lit(1)))
         .cast("double").as("a"))
-    val o = Tables.orders(s, dir).select("o_custkey")
+    // the recency filter rides the anti-join's build side: pushed to the
+    // orders scan, it shrinks the side that gets hashed/broadcast
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
     c.crossJoin(broadcast(avgBal))
       .filter(col("c_acctbal") > col("a"))
       .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
@@ -459,7 +467,8 @@ object Relational {
       |WHERE c_acctbal > (
       |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
       |  FROM customer WHERE c_acctbal > 0)
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------- q17
@@ -620,7 +629,10 @@ object Relational {
         .cast("long").as("h"))
     val regs = h
       .select(pmod(col("h"), lit(HllM.toLong)).as("b"),
-        (col("h") / HllM).cast("long").as("w"))
+        // integer shift, not double division: h < 2^60 and HllM = 2^12, so
+        // shiftright(h, 12) IS floor(h / m) — the double-rounded quotient
+        // could diverge near rank-word boundaries at scale
+        shiftright(col("h"), 12).as("w"))
       .select(col("b"),
         when(col("w") > 0, lit(49) - length(bin(col("w")))).otherwise(lit(49))
           .cast("int").as("rank"))

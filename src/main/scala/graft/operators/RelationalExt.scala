@@ -289,7 +289,9 @@ object RelationalExt {
     val m = 4096L
     val regs = values.toDF("x").distinct()
       .select(conv(substring(md5(col("x")), 1, 15), 16, 10).cast("long").as("h"))
-      .select(pmod(col("h"), lit(m)).as("b"), (col("h") / m).cast("long").as("w"))
+      // shiftright(h, 12) == floor(h / m) exactly (h < 2^60, m = 2^12) —
+      // matches the oracle's integer `h // 4096` with no double rounding
+      .select(pmod(col("h"), lit(m)).as("b"), shiftright(col("h"), 12).as("w"))
       .select(col("b"),
         when(col("w") > 0, lit(49) - length(bin(col("w")))).otherwise(lit(49))
           .cast("int").as("rank"))

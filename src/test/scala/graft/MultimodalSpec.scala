@@ -286,7 +286,9 @@ class MultimodalSpec extends GraftSpec {
       s"1-byte edit must land within hamming 3 of its source: ${pairs.toSeq}")
     // losslessness at spec scale (every bucket under the star cap):
     // banded candidates + verify == brute-force hamming <= 3 over all pairs
-    val hs = Multimodal.imageHashesOf(docs).collect()
+    // — over the MIRRORED media set, since that is the near-dup query's
+    // candidate universe (sentinel twins included)
+    val hs = Multimodal.hashesOfMedia(Multimodal.mirroredMedia(docs)).collect()
       .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
     val brute = (for {
       (a, la, ha) <- hs; (b, lb, hb) <- hs if a < b
@@ -307,7 +309,9 @@ class MultimodalSpec extends GraftSpec {
       (90003L, "entirely different content")).toDF("doc_id", "text")
     val groups = Multimodal.contentDedupOf(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-    assert(groups.toSeq == Seq((90000L, 2L, 2L, 1)),
+    // 90000 % 10 == 0, so mirroredMedia adds its PPM sentinel twin at
+    // 1000090000 — the group is {90000 bmp, 90002 ppm, twin ppm}
+    assert(groups.toSeq == Seq((90000L, 3L, 2L, 1)),
       s"expected one cross-format group kept at 90000: ${groups.toSeq}")
     // the structural claim: the CONTAINER digests of the pair differ, so
     // payload-keyed exact dedup misses exactly what content dedup finds
