@@ -1346,14 +1346,49 @@ object Similarity {
       |GROUP BY label, i ORDER BY label, dim""".stripMargin
 
   /** Centroid-style coarse quantization stats (IVF building block): bucket
-    * occupancy histogram — how balanced is the SRP partitioning. Oracle-free
-    * diagnostics (hash-dependent), rows-only. */
+    * occupancy histogram — how balanced is the SRP partitioning. Runs over
+    * the md5-Rademacher planes ([[srpMd5Bucket]]) so the census itself is
+    * under the DuckDB hash gate: a census is an index-health DIAGNOSTIC,
+    * not a per-query serving path, so there is no per-candidate hash
+    * budget to protect — the xxhash planes remain the search hot path
+    * ([[lshTopK]]), and [[bucketStatsXx]] keeps the same derivation over
+    * them, spec-pinned one token apart. */
   def bucketStats(s: SparkSession, dir: String): DataFrame =
-    embeddings(s, dir)
-      .withColumn("bucket", srpBucket(col("v")))
+    bucketCensus(embeddings(s, dir).withColumn("bucket", srpMd5Bucket(col("v"))))
+
+  /** The xxhash-plane census of the LIVE [[lshTopK]] index — same
+    * derivation as [[bucketStats]] with the hot-path planes; covered by
+    * `SimilaritySpec` (hash-dependent bucketing has no SQL oracle). */
+  private[graft] def bucketStatsXx(s: SparkSession, dir: String): DataFrame =
+    bucketCensus(embeddings(s, dir).withColumn("bucket", srpBucket(col("v"))))
+
+  private def bucketCensus(withBuckets: DataFrame): DataFrame =
+    withBuckets
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy(col("n_vecs").desc, col("bucket"))
+
+  /** DuckDB mirror of [[bucketStats]]: the shared ±1 plane construction
+    * (same CTEs as [[cosineNearDupSrpMd5Sql]]) followed by the occupancy
+    * group-by — identical sign bits, identical census. */
+  val bucketStatsSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pv AS (
+       |  SELECT p, array_agg(CASE WHEN ('0x' || substring(md5(p::VARCHAR || ',' || d::VARCHAR), 1, 1))::INT < 8
+       |                           THEN 1.0 ELSE -1.0 END ORDER BY d) AS pvec
+       |  FROM (SELECT unnest(generate_series(0, ${Planes - 1})) AS p),
+       |       (SELECT unnest(generate_series(0, 63)) AS d)
+       |  GROUP BY p
+       |),
+       |buckets AS (
+       |  SELECT e.vec_id,
+       |         CAST(sum(CASE WHEN list_dot_product(e.v, pv.pvec) >= 0
+       |                       THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN pv GROUP BY e.vec_id, e.v
+       |)
+       |SELECT bucket, count(*) AS n_vecs
+       |FROM buckets GROUP BY bucket
+       |ORDER BY n_vecs DESC, bucket""".stripMargin
 
   // ------------------------------------------------ product quantization
   private val PqM = 8     // subspaces (64 dims / 8)
@@ -1885,6 +1920,8 @@ object Similarity {
     "emb_neardup_signgrid" -> cosineNearDupSignGridSql,
     "emb_neardup_srp_md5"  -> cosineNearDupSrpMd5Sql,
     "ann_lsh_md5_topk"     -> lshMd5TopKSql,
+    // the census over the md5 planes is fully deterministic cross-engine
+    "ann_bucket_stats"     -> bucketStatsSql,
     "semantic_dedup"       -> semanticDedupSql,
     "semantic_decontaminate" -> semanticDecontaminateSql,
     "emb_quantize_int8"    -> quantizeInt8Sql

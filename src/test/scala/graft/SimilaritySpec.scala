@@ -89,6 +89,17 @@ class SimilaritySpec extends GraftSpec {
     assert(heap == win)
   }
 
+  test("bucket census: xxhash and md5 planes both partition the whole corpus into 2^Planes buckets") {
+    val total = Tables.embeddings(spark, sf0001).count()
+    Seq(Similarity.bucketStats(spark, sf0001),
+        Similarity.bucketStatsXx(spark, sf0001)).foreach { census =>
+      val rows = census.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._2).sum == total, "census must conserve the corpus")
+      assert(rows.forall { case (b, _) => b >= 0 && b < 16 }, "4 planes → bucket ids in [0,16)")
+      assert(rows.map(_._1).distinct.length == rows.length, "one row per bucket")
+    }
+  }
+
   test("bucketed cosine near-dup is an exact subset of the O(n^2) query with bounded recall") {
     val exact = Similarity.cosineNearDup(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
