@@ -52,7 +52,36 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (sketches, LSH) → driver records a weaker rows-only check. */
+    * (sketches, LSH) → driver records a weaker rows-only check, and
+    * [[noOracleExpectations]] pins those queries in-repo. */
   def oracleSql: Map[String, String] =
     modules.iterator.map(_._2).reduce(_ ++ _)
+
+  /** In-repo gate for the queries that have NO DuckDB oracle (the driver
+    * records `rows_match: null` for them — no comparison at all): Verify
+    * asserts a minimum row count and the EXACT result schema on every
+    * run, so a rows-only query silently regressing to an empty frame or
+    * a drifted schema fails the dump instead of passing vacuously.
+    *
+    * Minimum rows are structural floors valid at every harness scale
+    * (e.g. 3 return flags, 5 order priorities, 8 histogram bins);
+    * recall-dependent LSH outputs pin 1 (non-empty) because their
+    * cardinality is hash- and scale-dependent. Schema is
+    * `name type.simpleString` per field, comma-joined. Two queries are
+    * genuinely ungateable beyond this (histogram sketch centroids,
+    * Deflater compression ratios are library-/hash-dependent values);
+    * this floor is what keeps even those honest. */
+  def noOracleExpectations: Map[String, (Int, String)] = Map(
+    "ann_lsh_topk"      -> (1,  "q_id bigint, n_id bigint, rnk int, score_r double"),
+    "approx_distinct"   -> (3,  "l_returnflag string, approx_parts bigint"),
+    "approx_percentiles"-> (5,  "o_orderpriority string, p50_approx double"),
+    "approx_topk_tokens"-> (10, "tok string, est_cnt bigint"),
+    "emb_neardup_cosine_lsh" -> (1, "a_id bigint, b_id bigint, score_r double"),
+    "histogram_prices"  -> (8,  "centroid double, mass bigint"),
+    "hll_intersect"     -> (1,  "approx_both bigint, exact_both bigint, exact_click bigint, exact_purchase bigint"),
+    "hll_sketch_merge"  -> (5,  "n_regionkey int, approx_customers bigint"),
+    "neardup_minhash_lsh" -> (1, "a_id bigint, b_id bigint, jac double"),
+    "neardup_simhash"   -> (1,  "a_id bigint, b_id bigint, hamming int"),
+    "text_compress_ratio" -> (100, "doc_id bigint, raw_len bigint, comp_len bigint, ratio double")
+  )
 }

@@ -29,11 +29,30 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var qIdx = 0
+    // violations of the in-repo no-oracle gate (SparkEntry
+    // .noOracleExpectations) — collected so the dump completes and every
+    // artifact is written, then thrown loudly at the end
+    val gateViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // rows-only queries get NO driver comparison (rows_match: null);
+        // this in-repo gate pins their minimum cardinality and exact
+        // schema so an empty or drifted result can't pass vacuously
+        SparkEntry.noOracleExpectations.get(name).foreach {
+          case (minRows, ddl) =>
+            val got = df.schema.fields
+              .map(f => s"${f.name} ${f.dataType.simpleString}").mkString(", ")
+            if (got != ddl)
+              gateViolations += s"$name schema drift: got '$got', pinned '$ddl'"
+            val n = spark.read.parquet(s"$outDir/$name").count()
+            if (n < minRows)
+              gateViolations += s"$name rows $n < pinned min $minRows"
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -62,5 +81,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (gateViolations.nonEmpty) {
+      gateViolations.foreach(v => System.err.println(s"[no-oracle gate] $v"))
+      throw new IllegalStateException(
+        s"no-oracle gate: ${gateViolations.size} violation(s) — see stderr")
+    }
   }
 }
