@@ -259,8 +259,8 @@ object Dedup {
     * hash-match rests on — one copy, shared by the prefix, df-cap, and
     * MinHash-LSH paths so a threshold or cast change cannot desynchronize
     * them. */
-  private def verifyPairs(candidates: DataFrame, docsArr: DataFrame,
-                          t: Double): DataFrame =
+  private[operators] def verifyPairs(candidates: DataFrame, docsArr: DataFrame,
+                                     t: Double): DataFrame =
     candidates
       .join(docsArr.select(col("doc_id").as("a_id"), col("sh").as("sa"),
         size(col("sh")).cast("long").as("na")), "a_id")

@@ -344,6 +344,79 @@ object StandingIndex {
     exact.unionByName(best).orderBy("batch_id")
   }
 
+  // ------------------------------------------- split-leakage audit index
+  /** Audit-index builds done, keyed like [[built]]. Separate memo because
+    * the audit index covers a DIFFERENT corpus split (the curation
+    * corpus, doc_id % 10 <> 0) at a looser threshold
+    * ([[Pipeline.LeakThreshold]] = 0.3) than the dedup index. */
+  private val auditBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  private def auditTableNames(tag: String): Seq[String] =
+    Seq("leakarrays", "leakprefix", "leakkept").map(n => s"graft_idx_${n}_$tag")
+
+  /** Build (once per session+dir) the three standing audit tables
+    * `split_leakage_audit` probes, and return the tag:
+    *
+    *  - `leakarrays` — per-doc distinct shingle arrays over the curation
+    *    corpus, bucketed by doc id (exact-verify side);
+    *  - `leakprefix` — the PPJoin prefix inverted index at t = 0.3 under
+    *    the (df asc, shingle) order, bucketed by shingle (candidate
+    *    side — the lossless-prefix lemma is threshold-generic, so the
+    *    0.3 prefix is exact for the audit the way the 0.5 one is for
+    *    dedup);
+    *  - `leakkept` — the MATERIALIZED curation-survivor ids
+    *    ([[Pipeline.keptDocs]]), bucketed by doc id. This is the
+    *    production shape: a QA audit runs against the training set the
+    *    pipeline already materialized — it does not re-run curation
+    *    (here: the connected-components fixpoint) per audit.
+    *
+    * Same catalog-adoption rule as [[ensureBuilt]]. */
+  def ensureAuditBuilt(s: SparkSession, dir: String): String =
+    auditBuilt.synchronized {
+      val k = (s, dir)
+      val existing = auditBuilt.get(k)
+      if (existing != null) existing
+      else {
+        val tag = tagOf(dir)
+        if (auditTableNames(tag).forall(s.catalog.tableExists)) {
+          auditBuilt.put(k, tag); tag
+        } else { buildAuditFor(s, dir, tag); auditBuilt.put(k, tag); tag }
+      }
+    }
+
+  private def buildAuditFor(s: SparkSession, dir: String, tag: String): Unit = {
+    val t = Pipeline.LeakThreshold
+    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+    val cArr = Dedup.shingleArrays(corpus).select(
+      col("doc_id").as("corpus_id"), col("sh"),
+      size(col("sh")).cast("long").as("nc"))
+    save(cArr, tag, "leakarrays", "corpus_id", "overwrite")
+    val shC = cArr.select(col("corpus_id"), explode(col("sh")).as("s"))
+    val dfreq = shC.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = shC.join(dfreq, "s")
+      .groupBy("corpus_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
+      .select(col("corpus_id"), size(col("os")).cast("long").as("cn"),
+        expr(s"slice(os, 1, cast(size(os) - ceil($t * size(os)) + 1 as int))")
+          .as("pf"))
+      .select(col("corpus_id"), col("cn"), explode(col("pf")).as("e"))
+      .select(col("corpus_id"), col("cn"), col("e.s").as("s"))
+    save(prefix, tag, "leakprefix", "s", "overwrite")
+    save(Pipeline.keptDocs(s, dir).select("doc_id"),
+      tag, "leakkept", "doc_id", "overwrite")
+  }
+
+  /** The three audit tables as frames — the probe surface
+    * [[Pipeline.splitLeakageAudit]] reads. */
+  private[operators] def auditTables(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tag = ensureAuditBuilt(s, dir)
+    (s.table(s"graft_idx_leakarrays_$tag"),
+     s.table(s"graft_idx_leakprefix_$tag"),
+     s.table(s"graft_idx_leakkept_$tag"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental_indexed" -> (incrementalDedupIndexed _)
   )
