@@ -231,7 +231,26 @@ class PlanSpec extends GraftSpec {
       "mm_image_neardup"     -> 4,  // hash scan + band-bucket stats + verify + sort
       "dedup_minhash_recall" -> 7,  // two pair machineries + full-outer rollup
       "ts_anomaly_zscore"    -> 4,  // day pre-agg + window + sort
-      "prep_epoch_shuffle"   -> 5)  // measured 5: one scan + generator (9 with a per-epoch union)
+      "prep_epoch_shuffle"   -> 5,  // measured 5: one scan + generator (9 with a per-epoch union)
+      // round-12 extension: the REST of the wrap-6 close (every member
+      // with >= 2 executed exchanges), measured cold-cache at sf0.001
+      // under the same session confs as the rows above
+      "mix_dsir_resample"    -> 8,  // same model/score machinery as dsir_weights + permille decision
+      "mix_waterfill_budget" -> 12, // iterative water-filling rounds over cached demand set
+      "pii_k_anonymity"      -> 3,  // QI-cell agg + rollup + sort
+      "corpus_diff"          -> 7,  // two version digests + full-outer + status rollup
+      "text_distinct_n"      -> 6,  // three n-gram aggs over one cached token explode
+      "curate_quality_dup_xtab" -> 4, // quality bins x dup flag cross-tab
+      "emb_hard_negatives"   -> 7,  // scored pairs + two rank windows + join
+      "mm_image_ahash"       -> 2,  // decode map + presentation sort
+      "mm_content_dedup"     -> 5,  // decode map + digest agg + sort (sentinel union adds a scan, not a shuffle)
+      "entity_resolution"    -> 2,  // CC fixpoint runs eagerly over localCheckpoints; final label agg + sort
+      "pii_l_diversity"      -> 4,  // per-cell distinct-sensitive agg + rollup
+      "quality_gopher_report" -> 2, // per-rule conditional agg + sort
+      "neardup_canonical"    -> 3,  // cluster labels (cached CC) + best-ttr window + sort
+      "dq_profile_lineitem"  -> 3,  // one-pass per-column profile + unpivot sort
+      "text_heaps_curve"     -> 3,  // one agg, ten content-stable prefixes
+      "split_leakage_audit"  -> 9)  // standing-index probe: prefix self-join + verify + two stage rollups
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
