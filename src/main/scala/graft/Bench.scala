@@ -165,6 +165,10 @@ object Bench {
     // accumulator), reporting docs/s and per-batch p50/p95 — the numbers
     // the reference's implicit 5 s-per-batch SLO is judged against.
     // SPARK_GRAFT_STREAMING=0 skips (local iteration aid).
+    // loadEnd brackets the TIMED QUERY PASSES — sampled before the bench
+    // runs its own streaming topologies, whose self-inflicted load would
+    // otherwise masquerade as end-of-run co-tenancy
+    val loadEnd = loadavg1()
     val streamT0 = System.nanoTime()
     val streamingJson: String =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAMING", "1") == "0") ""
@@ -184,8 +188,14 @@ object Bench {
         }
         val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "6").toInt.max(2)
         var msId = 900
+        // each topology runs inside ITS OWN Try (plus guards against an
+        // empty item set / zero measured time — possible when a slicing
+        // filter matches nothing at a small sf): one failing topology
+        // degrades to its own omitted entry instead of discarding the
+        // whole streaming section
         def topo[T: org.apache.spark.sql.Encoder](name: String, items: Seq[T])
-            (mk: Dataset[T] => org.apache.spark.sql.streaming.DataStreamWriter[Row]): String = {
+            (mk: Dataset[T] => org.apache.spark.sql.streaming.DataStreamWriter[Row]): Option[String] = scala.util.Try {
+          require(items.nonEmpty, s"no input items for topology $name at this sf")
           msId += 1
           val ms = MemoryStream[T](msId, spark, None)
           val ckpt = java.nio.file.Files.createTempDirectory(s"bench_stream_$name").toString
@@ -197,52 +207,70 @@ object Bench {
             batchSecs += (System.nanoTime() - t0) / 1e9
           } finally q.stop()
           val total = batchSecs.sum
+          require(batchSecs.nonEmpty && total > 0, s"no measured batches for $name")
           s""""$name":{"n_docs":${items.length},"n_batches":${batchSecs.length},""" +
             s""""docs_per_sec":${r2(items.length / total)},""" +
             s""""batch_p50":${r2(pctl(batchSecs.toSeq, 0.5))},""" +
             s""""batch_p95":${r2(pctl(batchSecs.toSeq, 0.95))}}"""
-        }
+        }.recover { case e =>
+          System.err.println(s"[bench] streaming topology $name failed: $e")
+        }.toOption.collect { case s: String => s }
         val docRows = Tables.documents(spark, sfDir)
           .select("doc_id", "text", "lang").collect()
           .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
           .sortBy(_._1).toSeq
         val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        // setup outside topo (index builds, collects) can fail too — log
+        // which topology lost its entry rather than dying silently
+        def tryTopo(name: String)(body: => Option[String]): Unit =
+          scala.util.Try(body).recover { case e =>
+            System.err.println(s"[bench] streaming topology $name setup failed: $e")
+            None
+          }.toOption.flatten.foreach(parts += _)
         // 1. full curation chain over the non-benchmark corpus
-        val benchSh = StreamingCurate.benchmarkShingles(
-          Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0))
-        parts += topo("curate",
-          docRows.filter(_._1 % 10 != 0).map(d => DocEvent(d._1, d._2))) { ds =>
-          StreamingCurate.curateStream(ds, benchSh) { (_, _) => () }
+        tryTopo("curate") {
+          val benchSh = StreamingCurate.benchmarkShingles(
+            Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0))
+          topo("curate",
+            docRows.filter(_._1 % 10 != 0).map(d => DocEvent(d._1, d._2))) { ds =>
+            StreamingCurate.curateStream(ds, benchSh) { (_, _) => () }
+          }
         }
         // 2. standing-index dedup probe (corpus indexed once, untimed —
         // the same session-setup attribution as the batch probes)
-        val idx = StreamingDedup.buildStandingIndex(
-          Tables.documents(spark, sfDir).filter(col("doc_id") % 7 =!= 0))
-        parts += topo("dedup",
-          docRows.filter(_._1 % 7 == 0).map(d => DocEvent(d._1, d._2))) { ds =>
-          StreamingDedup.incrementalDedupStream(ds, idx) { (df, _) => df.count(); () }
+        tryTopo("dedup") {
+          val idx = StreamingDedup.buildStandingIndex(
+            Tables.documents(spark, sfDir).filter(col("doc_id") % 7 =!= 0))
+          val out = topo("dedup",
+            docRows.filter(_._1 % 7 == 0).map(d => DocEvent(d._1, d._2))) { ds =>
+            StreamingDedup.incrementalDedupStream(ds, idx) { (df, _) => df.count(); () }
+          }
+          idx.release()
+          out
         }
-        idx.release()
         // 3. ANN serving probe against the standing IVF index from warmup
-        val annTag = graft.operators.Similarity.ensureAnnIndex(spark, sfDir)
-        val queries = Tables.embeddings(spark, sfDir)
-          .filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
-          .map(r => StreamingServe.VecQuery(r.getLong(0), r.getSeq[Double](1))).toSeq
-        parts += topo("serve", queries) { ds =>
-          StreamingServe.annProbeStream(ds, annTag) { (df, _) => df.count(); () }
+        tryTopo("serve") {
+          val annTag = graft.operators.Similarity.ensureAnnIndex(spark, sfDir)
+          val queries = Tables.embeddings(spark, sfDir)
+            .filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+            .map(r => StreamingServe.VecQuery(r.getLong(0), r.getSeq[Double](1))).toSeq
+          topo("serve", queries) { ds =>
+            StreamingServe.annProbeStream(ds, annTag) { (df, _) => df.count(); () }
+          }
         }
         // 4. cumulative data-card accumulator over the whole corpus
-        parts += topo("card",
-          docRows.map(d => StreamingCard.CardDocEvent(d._1, d._2, d._3))) { ds =>
-          StreamingCard.dataCardStream(ds) { (_, _) => () }
+        tryTopo("card") {
+          topo("card",
+            docRows.map(d => StreamingCard.CardDocEvent(d._1, d._2, d._3))) { ds =>
+            StreamingCard.dataCardStream(ds) { (_, _) => () }
+          }
         }
-        parts.mkString("{", ",", "}")
+        if (parts.isEmpty) "" else parts.mkString("{", ",", "}")
       }.recover { case e =>
         System.err.println(s"[bench] streaming section failed: $e"); ""
       }.getOrElse("")
     val streamingSec = (System.nanoTime() - streamT0) / 1e9
-    val loadEnd = loadavg1()
     // The driver captures only the LAST 2000 chars of output (tail_len=2000
     // in BENCH_r01..r03) and the JSON line must survive inside it intact:
     //  - stop Spark BEFORE printing, so no executor/stop() log line lands
@@ -280,7 +308,13 @@ object Bench {
          s""""load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},""" +
          s""""queries":$qsFull,"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
     }.recover { case e => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    val budget = 1150 // chars for the queries map; whole line stays < ~1750
+    // chars for the queries map: the whole line must survive the driver's
+    // 2000-char tail capture, so subtract the ACTUAL streaming blob length
+    // (variable: ~120 chars/topology, and absent entirely when skipped)
+    // plus ~330 chars of fixed prefix/suffix from the 2000 budget, with a
+    // floor so at least the slowest queries always appear
+    val budget = math.max(400, 2000 - 330 -
+      (if (streamingJson.nonEmpty) streamingJson.length + 14 else 0))
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2
     var i = 0

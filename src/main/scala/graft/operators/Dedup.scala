@@ -1204,12 +1204,17 @@ object Dedup {
       .filter(col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("a_id"), col("doc_id").as("b_id"))
     val near = jaccardPairsFrom(docs, 0.7).select(col("a_id"), col("b_id"))
-    val media = Multimodal.imageNearDupOf(docs).select(col("a_id"), col("b_id"))
+    // corpus-faithful media signal: ER asserts identity over REAL docs;
+    // the sentinel fixture is confined to the mm_* gate registrations
+    val media = Multimodal.imageNearDupOf(docs, sentinels = false)
+      .select(col("a_id"), col("b_id"))
     exact.unionAll(near).unionAll(media).distinct()
   }
 
   val entityResolutionSql: String = {
-    val mediaChain = Multimodal.imageNearDupSql.stripPrefix("WITH ")
+    // faithful (non-mirrored) media chain — matches entityPairsOf's
+    // sentinels = false; natural exact/Jaccard dups keep the gate non-empty
+    val mediaChain = Multimodal.imageNearDupSqlOf(mirrored = false).stripPrefix("WITH ")
     val cut = mediaChain.lastIndexOf("SELECT a_id, b_id,")
     val mediaCtes = mediaChain.substring(0, cut).trim
     s"""WITH RECURSIVE $mediaCtes,

@@ -552,12 +552,16 @@ object Multimodal {
 
   /** [[eligibleMedia]] plus SENTINEL RE-ENCODES: every tenth image doc is
     * re-encoded in the OTHER container (same payload, twin id
-    * `doc_id + MirrorOffset`). This is the cross-container fixture the
-    * content-dedup and image-near-dup gates exist to catch — a corpus where
-    * the same pixels ship as both a BMP and a PPM — planted IN-QUERY so the
-    * driver's hash gate is never vacuously green on a corpus with no
-    * natural duplicates (the sf0.01 harness corpus has none). The twin rule
-    * is deterministic and mirrored verbatim in the oracle SQL. */
+    * `doc_id + MirrorOffset`). This is the cross-container FIXTURE the
+    * content-dedup and image-near-dup driver GATES run over — a corpus
+    * where the same pixels ship as both a BMP and a PPM — so the hash gate
+    * is never vacuously green on a corpus with no natural duplicates (the
+    * sf0.01 harness corpus has none). The twin rule is deterministic and
+    * mirrored verbatim in the gate oracles. Fixture ONLY: the public
+    * operators ([[contentDedup]], [[imageNearDup]], the ER edge set)
+    * default to the corpus-faithful [[eligibleMedia]] — their output never
+    * contains fabricated ids; the sentinel path is taken solely where the
+    * registration site passes `sentinels = true` explicitly. */
   private[graft] def mirroredMedia(docs: DataFrame): DataFrame = {
     val base = eligibleMedia(docs)
     base.unionByName(
@@ -565,6 +569,11 @@ object Multimodal {
         .select((col("doc_id") + MirrorOffset).as("doc_id"), col("data"),
           (!col("is_bmp")).as("is_bmp")))
   }
+
+  /** The media frame a dedup-family operator runs over: corpus-faithful by
+    * default; the sentinel fixture only on explicit request (gate sites). */
+  private def mediaOf(docs: DataFrame, sentinels: Boolean): DataFrame =
+    if (sentinels) mirroredMedia(docs) else eligibleMedia(docs)
 
   private[graft] def imageHashesOf(docs: DataFrame): DataFrame =
     hashesOfMedia(eligibleMedia(docs))
@@ -661,15 +670,20 @@ object Multimodal {
     * because a viral template image is a hot band key at corpus scale —
     * then exact hamming verification on the joined-back fingerprints. The
     * star cap is mirrored in the oracle (as `neardup_minhash_md5` does),
-    * so the capped semantics themselves are hash-gated. Runs over
-    * [[mirroredMedia]] — the sentinel cross-container re-encodes guarantee
-    * the driver gate checks real pairs (hamming 0 between each twin and its
-    * original) even on a corpus with no natural near-duplicate images. */
+    * so the capped semantics themselves are hash-gated.
+    *
+    * CORPUS-FAITHFUL by default: the public operator reports only pairs
+    * among real docs. The registered `mm_image_neardup` gate query passes
+    * `sentinels = true` to run over [[mirroredMedia]], whose deterministic
+    * cross-container re-encodes guarantee the driver hash gate checks real
+    * pairs (hamming 0 between each twin and its original) even on a corpus
+    * with no natural near-duplicate images — the gate oracle plants the
+    * same twins, so fixture and corpus semantics are both exercised. */
   def imageNearDup(s: SparkSession, dir: String): DataFrame =
-    imageNearDupOf(Tables.documents(s, dir))
+    imageNearDupOf(Tables.documents(s, dir), sentinels = false)
 
-  private[graft] def imageNearDupOf(docs: DataFrame): DataFrame = {
-    val hashes = hashesOfMedia(mirroredMedia(docs)).cache()
+  private[graft] def imageNearDupOf(docs: DataFrame, sentinels: Boolean): DataFrame = {
+    val hashes = hashesOfMedia(mediaOf(docs, sentinels)).cache()
     val bands = hashes.selectExpr("doc_id",
       "stack(4, 0, ahash_lo % 65536, 1, ahash_lo div 65536, " +
         "2, ahash_hi % 65536, 3, ahash_hi div 65536) AS (blk, blkval)")
@@ -686,12 +700,15 @@ object Multimodal {
       .orderBy("a_id", "b_id")
   }
 
-  val imageNearDupSql: String = {
+  /** Near-dup oracle over the faithful (`mirrored = false`) or fixture
+    * (`mirrored = true`) base — the gate uses the fixture so the sentinel
+    * cross-container twins guarantee at least one hamming-0 pair per
+    * mirrored doc and the driver gate is never vacuous; the ER oracle
+    * splices the faithful variant to match the corpus-faithful edge set. */
+  private[graft] def imageNearDupSqlOf(mirrored: Boolean): String = {
     // same byte-expansion pipeline as the fingerprint oracle (shared
-    // builder, so the two can't drift) — but over the MIRRORED base, so the
-    // sentinel cross-container twins guarantee at least one hamming-0 pair
-    // per mirrored doc and the driver gate is never vacuous
-    val hashCte = hashPipelineCtes(mediaBaseSql(mirrored = true))
+    // builder, so the two can't drift)
+    val hashCte = hashPipelineCtes(mediaBaseSql(mirrored))
     s"""$hashCte,
        |hashes AS (
        |  SELECT doc_id,
@@ -725,6 +742,9 @@ object Multimodal {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** The fixture-gate oracle (`mm_image_neardup`). */
+  val imageNearDupSql: String = imageNearDupSqlOf(mirrored = true)
+
   // ------------------------------------------- content-addressed dedup
   case class ContentDigestRow(doc_id: Long, mime: String, content_digest: String)
 
@@ -740,17 +760,21 @@ object Multimodal {
     *
     * Scale: decode is per-partition, the shuffle key is a 16-byte digest
     * (not pixels), and the aggregate collapses map-side — the same
-    * digest-on-the-exchange discipline as `dedup_exact`. Runs over
-    * [[mirroredMedia]]: the sentinel twins are exactly the cross-container
-    * duplicates this operator exists to catch, so the driver gate always
-    * verifies real groups rather than an empty result. */
+    * digest-on-the-exchange discipline as `dedup_exact`.
+    *
+    * CORPUS-FAITHFUL by default — output groups contain only real doc ids.
+    * The registered `mm_content_dedup` gate query passes `sentinels = true`
+    * to run over [[mirroredMedia]], whose twins are exactly the
+    * cross-container duplicates this operator exists to catch, so the
+    * driver gate always verifies real groups rather than an empty result
+    * (its oracle plants the same twins). */
   def contentDedup(s: SparkSession, dir: String): DataFrame =
-    contentDedupOf(Tables.documents(s, dir))
+    contentDedupOf(Tables.documents(s, dir), sentinels = false)
 
-  private[graft] def contentDedupOf(docs: DataFrame): DataFrame = {
+  private[graft] def contentDedupOf(docs: DataFrame, sentinels: Boolean): DataFrame = {
     import graft.functions.MediaCodecs
     val enc = org.apache.spark.sql.Encoders.product[ContentDigestRow]
-    mirroredMedia(docs)
+    mediaOf(docs, sentinels)
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
@@ -832,9 +856,16 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_content_dedup" -> (contentDedup _),
+    // the two dedup GATES run over the sentinel fixture (explicit flag):
+    // the harness corpus has no natural cross-container duplicates, so a
+    // corpus-faithful run would hash-match on zero rows — vacuous. The
+    // fixture is confined to these registration sites; the public
+    // operators (contentDedup / imageNearDup) stay corpus-faithful.
+    "mm_content_dedup" -> ((s, dir) =>
+      contentDedupOf(Tables.documents(s, dir), sentinels = true)),
     "mm_image_ahash" -> (imageAHash _),
-    "mm_image_neardup" -> (imageNearDup _),
+    "mm_image_neardup" -> ((s, dir) =>
+      imageNearDupOf(Tables.documents(s, dir), sentinels = true)),
     "mm_metadata"   -> (mediaMetadata _),
     "mm_by_mime"    -> (mediaByMime _),
     "mm_features"   -> (mediaFeatures _),

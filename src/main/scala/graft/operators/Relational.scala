@@ -439,17 +439,27 @@ object Relational {
     * the same anti-join shape over the distribution the data actually
     * has), rolled up by market segment. The average is decimal-exact so
     * the threshold predicate is engine-identical. */
-  def dormantCustomers(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(s, dir)
+  def dormantCustomers(s: SparkSession, dir: String): DataFrame =
+    dormantCustomersOf(Tables.customer(s, dir), Tables.orders(s, dir),
+      since = Some("2000-01-01"))
+
+  /** The Q22 anti-join shape, parameterized by the dormancy predicate:
+    * `since = None` is TPC-H Q22's LITERAL "no orders ever" (the build
+    * side can be genuinely empty-per-customer — covered by spec on a
+    * synthetic corpus with order-less customers, since the harness
+    * generator gives everyone a lifetime order); `since = Some(date)` is
+    * the recency variant the driver gate runs. Same plan either way. */
+  private[graft] def dormantCustomersOf(c: DataFrame, orders: DataFrame,
+                                        since: Option[String]): DataFrame = {
     // 1-row aggregate broadcast-crossed onto the probe side — the scalar
     // subquery stays in the plan (no driver-side collect feeding a filter)
     val avgBal = c.filter(col("c_acctbal") > 0)
       .agg((sum(col("c_acctbal").cast("decimal(18,2)")) / count(lit(1)))
         .cast("double").as("a"))
-    // the recency filter rides the anti-join's build side: pushed to the
-    // orders scan, it shrinks the side that gets hashed/broadcast
-    val o = Tables.orders(s, dir)
-      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    // the recency filter (when present) rides the anti-join's build side:
+    // pushed to the orders scan, it shrinks the side that gets hashed
+    val o = since.fold(orders)(d =>
+        orders.filter(col("o_orderdate") >= lit(d).cast("timestamp")))
       .select("o_custkey")
     c.crossJoin(broadcast(avgBal))
       .filter(col("c_acctbal") > col("a"))

@@ -280,6 +280,90 @@ object RelationalExt {
       .orderBy("n_regionkey")
   }
 
+  /** [[hllSketchMerge]]'s md5 twin — the GROUPED md5-HLL: per-nation
+    * register tables (b → max rank) are built first, then max-MERGED per
+    * region — literally the sketch-union algebra (union = element-wise
+    * register max) the datasketches query demonstrates, but over the
+    * cross-engine md5 recipe so DuckDB can recompute it bit-for-bit. The
+    * oracle computes per-region registers DIRECTLY from the unioned
+    * customer sets; equality of the two (max is associative) is exactly
+    * the mergeability property under test, now hash-gated rather than
+    * rows-only. Scale: register state is 4096 ints per group regardless
+    * of cardinality, merged map-side — the same fixed-state contract as
+    * the sketch version. */
+  def hllSketchMergeMd5(s: SparkSession, dir: String): DataFrame = {
+    val m = 4096L
+    // per-nation register tables over distinct customer keys
+    val perNation = Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey").cast("string").as("x"))
+      .distinct()
+      .select(col("c_nationkey"),
+        conv(substring(md5(col("x")), 1, 15), 16, 10).cast("long").as("h"))
+      // shiftright(h, 12) == floor(h / m) exactly (h < 2^60, m = 2^12)
+      .select(col("c_nationkey"), pmod(col("h"), lit(m)).as("b"),
+        shiftright(col("h"), 12).as("w"))
+      .select(col("c_nationkey"), col("b"),
+        when(col("w") > 0, lit(49) - length(bin(col("w")))).otherwise(lit(49))
+          .cast("int").as("rank"))
+      .groupBy("c_nationkey", "b").agg(max(col("rank")).as("m"))
+    // sketch UNION per region = element-wise register max across nations
+    val merged = perNation
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey", "b").agg(max(col("m")).as("m"))
+    // estimate per region over the full 4096-bucket grid (empty buckets
+    // count as rank 0 for both the indicator sum and linear counting)
+    val grid = Tables.nation(s, dir).select(col("n_regionkey")).distinct()
+      .crossJoin(s.range(m).select(col("id").as("b")))
+    val agg = grid.join(merged, Seq("n_regionkey", "b"), "left")
+      .select(col("n_regionkey"), coalesce(col("m"), lit(0)).as("m"))
+      .groupBy("n_regionkey")
+      .agg(sum(expr("CAST(1 AS BIGINT) << (49 - m)")).as("s"),
+           sum(when(col("m") === 0, 1L).otherwise(0L)).as("v"))
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    agg.withColumn("e_raw", lit(alpha) * m * m * lit((1L << 49).toDouble) / col("s"))
+      .select(col("n_regionkey"),
+        round(when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("e_raw")), 6).as("approx_customers"))
+      .orderBy("n_regionkey")
+  }
+
+  val hllSketchMergeMd5Sql: String =
+    """WITH x AS (
+      |  SELECT n_regionkey,
+      |         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM (SELECT DISTINCT n_regionkey, c_custkey
+      |        FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      |),
+      |r AS (
+      |  SELECT n_regionkey, h % 4096 AS b,
+      |         CASE WHEN h // 4096 > 0 THEN 49 - length(bin(h // 4096)) ELSE 49 END AS rank
+      |  FROM x
+      |),
+      |regs AS (SELECT n_regionkey, b, max(rank) AS m FROM r GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT n_regionkey, b
+      |  FROM (SELECT DISTINCT n_regionkey FROM nation) g1,
+      |       (SELECT unnest(generate_series(0, 4095)) AS b) g2
+      |),
+      |agg AS (
+      |  SELECT grid.n_regionkey,
+      |         CAST(sum(CAST(1 AS BIGINT) << (49 - coalesce(m, 0))) AS BIGINT) AS s,
+      |         CAST(sum(CASE WHEN coalesce(m, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |  FROM grid LEFT JOIN regs
+      |    ON grid.n_regionkey = regs.n_regionkey AND grid.b = regs.b
+      |  GROUP BY 1
+      |)
+      |SELECT n_regionkey,
+      |       round(CASE WHEN e_raw <= 2.5 * 4096 AND v > 0
+      |                  THEN 4096 * ln(4096.0 / v) ELSE e_raw END, 6) AS approx_customers
+      |FROM (SELECT n_regionkey,
+      |             (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096
+      |             * CAST(CAST(1 AS BIGINT) << 49 AS DOUBLE) / s AS e_raw, v
+      |      FROM agg)
+      |ORDER BY n_regionkey""".stripMargin
+
   /** md5-HLL estimate (one double row, aliased `as`) over a single
     * string-column frame — the same recipe as
     * [[Relational.approxDistinctMd5]] (exact bit-length ranks,
@@ -502,6 +586,7 @@ object RelationalExt {
     "union_by_name"    -> (unionByNameTagged _),
     "join_salted"      -> (saltedJoin _),
     "hll_sketch_merge" -> (hllSketchMerge _),
+    "hll_sketch_merge_md5" -> (hllSketchMergeMd5 _),
     "hll_intersect"    -> (hllIntersect _),
     "hll_intersect_md5" -> (hllIntersectMd5 _),
     "sql_lateral_view" -> (sqlLateralView _)
@@ -509,6 +594,7 @@ object RelationalExt {
 
   def oracles: Map[String, String] = Map(
     "hll_intersect_md5" -> hllIntersectMd5Sql,
+    "hll_sketch_merge_md5" -> hllSketchMergeMd5Sql,
     "scalar_misc"     -> scalarMiscSql,
     "date_arithmetic" -> dateArithmeticSql,
     "pivot_status"    -> pivotStatusSql,

@@ -56,11 +56,42 @@ object StandingIndex {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
+  /** Bump whenever any standing-index BUILD logic changes (shingling,
+    * kept-set rules, prefix thresholds, ANN planes/centroid seeding):
+    * catalog tables written under an older version then carry a different
+    * tag and are never adopted — they are rebuilt, not silently probed. */
+  private[graft] val LogicVersion = 1
+
+  /** Content fingerprint of the corpus files the standing indexes derive
+    * from (size + mtime of documents/embeddings parquet, recursing one
+    * level when Spark wrote a directory). Folding this into the tag makes
+    * catalog adoption STALE-SAFE: if the corpus changed on disk — or
+    * [[LogicVersion]] was bumped — the tag changes, the old `graft_idx_*`
+    * tables no longer match, and `ensure*Built` rebuilds instead of
+    * adopting a stale index that only the oracle gate would catch. */
+  private def corpusFingerprint(dir: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    def stamp(p: Path): String =
+      if (!Files.exists(p)) "absent"
+      else if (Files.isDirectory(p)) {
+        val kids = Files.list(p).toArray.toSeq.map(_.asInstanceOf[Path])
+        s"${kids.size}:${kids.map(k => scala.util.Try(Files.size(k)).getOrElse(0L)).sum}:" +
+          kids.map(k => scala.util.Try(Files.getLastModifiedTime(k).toMillis).getOrElse(0L))
+            .foldLeft(0L)(math.max)
+      } else s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    Seq("documents.parquet", "embeddings.parquet")
+      .map(f => s"$f=${stamp(Paths.get(dir, f))}").mkString("|") + s"|v$LogicVersion"
+  }
+
   private[graft] def tagOf(dir: String): String =
-    // sanitizer + hash: the readable part aids debugging, the hash makes
-    // distinct dirs that sanitize identically (sf0.1 vs sf0_1) collide-free
+    // sanitizer + two hashes: the readable part aids debugging, the dir
+    // hash makes distinct dirs that sanitize identically (sf0.1 vs sf0_1)
+    // collide-free, and the corpus fingerprint hash invalidates adoption
+    // when the underlying parquet (or the build logic version) changes
     dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase +
-      "_" + Integer.toHexString(dir.hashCode)
+      "_" + Integer.toHexString(dir.hashCode) +
+      "_" + Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(corpusFingerprint(dir)))
 
   /** Root directory for every standing-index table (dedup AND ANN). The
     * harness default lives under `java.io.tmpdir`; a deployment sets
@@ -101,8 +132,10 @@ object StandingIndex {
       // adopt an index another session already built: if the catalog still
       // lists all four tables (shared metastore, or a newSession() off the
       // same context), probing reads them as-is — the restart story the
-      // durable-path knob exists for. The index is immutable per tag; a
-      // stale index is rebuilt by dropping the tables first.
+      // durable-path knob exists for. The index is immutable per tag, and
+      // the tag embeds a corpus fingerprint + LogicVersion, so a changed
+      // corpus or changed build logic yields a NEW tag and a rebuild —
+      // adoption can never serve a stale index.
       if (tableNames(tag).forall(s.catalog.tableExists)) { built.put(k, tag); tag }
       else buildTables(s, dir, k)
     }

@@ -277,26 +277,40 @@ class MultimodalSpec extends GraftSpec {
     val edited = srcText.updated(srcText.length / 2, 'z')
     val planted = base ++ Seq((90000L, srcText), (90002L, edited))
     val docs = planted.toSeq.toDF("doc_id", "text")
-    val pairs = Multimodal.imageNearDupOf(docs).collect()
+    // CORPUS-FAITHFUL default: real planted pairs found, no fabricated ids
+    val pairs = Multimodal.imageNearDupOf(docs, sentinels = false).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == srcId && p._2 == 90000L && p._3 == 0),
       s"exact payload copy not found at hamming 0: ${pairs.toSeq}")
     assert(pairs.exists(p => (p._1, p._2) == (srcId, 90002L) ||
                              (p._1, p._2) == (90000L, 90002L)),
       s"1-byte edit must land within hamming 3 of its source: ${pairs.toSeq}")
+    assert(pairs.forall(p => p._1 < Multimodal.MirrorOffset &&
+                             p._2 < Multimodal.MirrorOffset),
+      s"corpus-faithful output must not contain sentinel ids: ${pairs.toSeq}")
     // losslessness at spec scale (every bucket under the star cap):
-    // banded candidates + verify == brute-force hamming <= 3 over all pairs
-    // — over the MIRRORED media set, since that is the near-dup query's
-    // candidate universe (sentinel twins included)
-    val hs = Multimodal.hashesOfMedia(Multimodal.mirroredMedia(docs)).collect()
-      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
-    val brute = (for {
-      (a, la, ha) <- hs; (b, lb, hb) <- hs if a < b
-      d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
-      if d <= 3
-    } yield (a, b, d)).toSet
-    assert(pairs.toSet == brute,
-      s"banded join diverges from brute force: ${pairs.toSet.diff(brute)} / ${brute.diff(pairs.toSet)}")
+    // banded candidates + verify == brute-force hamming <= 3 over all
+    // pairs, checked for BOTH media universes (faithful + sentinel gate)
+    def brute(media: org.apache.spark.sql.DataFrame) = {
+      val hs = Multimodal.hashesOfMedia(media).collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      (for {
+        (a, la, ha) <- hs; (b, lb, hb) <- hs if a < b
+        d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+        if d <= 3
+      } yield (a, b, d)).toSet
+    }
+    val bruteFaithful = brute(Multimodal.eligibleMedia(docs))
+    assert(pairs.toSet == bruteFaithful,
+      s"banded join diverges from brute force: ${pairs.toSet.diff(bruteFaithful)} / ${bruteFaithful.diff(pairs.toSet)}")
+    val gatePairs = Multimodal.imageNearDupOf(docs, sentinels = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bruteGate = brute(Multimodal.mirroredMedia(docs))
+    assert(gatePairs == bruteGate,
+      s"gate-variant banded join diverges: ${gatePairs.diff(bruteGate)} / ${bruteGate.diff(gatePairs)}")
+    // the gate fixture really plants its twin: 90000 % 10 == 0
+    assert(gatePairs.exists(_._2 == 90000L + Multimodal.MirrorOffset),
+      s"sentinel twin pair missing from gate variant: $gatePairs")
   }
 
   test("content dedup sees through container formats; payload digest cannot") {
@@ -307,12 +321,18 @@ class MultimodalSpec extends GraftSpec {
     val docs = Seq(
       (90000L, "same pixels here"), (90002L, "same pixels here"),
       (90003L, "entirely different content")).toDF("doc_id", "text")
-    val groups = Multimodal.contentDedupOf(docs).collect()
+    // CORPUS-FAITHFUL default: the natural cross-container pair
+    // {90000 bmp, 90002 ppm} is found with no fabricated members
+    val groups = Multimodal.contentDedupOf(docs, sentinels = false).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-    // 90000 % 10 == 0, so mirroredMedia adds its PPM sentinel twin at
-    // 1000090000 — the group is {90000 bmp, 90002 ppm, twin ppm}
-    assert(groups.toSeq == Seq((90000L, 3L, 2L, 1)),
+    assert(groups.toSeq == Seq((90000L, 2L, 2L, 1)),
       s"expected one cross-format group kept at 90000: ${groups.toSeq}")
+    // gate variant: 90000 % 10 == 0, so mirroredMedia adds its PPM twin at
+    // 1000090000 — the group becomes {90000 bmp, 90002 ppm, twin ppm}
+    val gateGroups = Multimodal.contentDedupOf(docs, sentinels = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(gateGroups.toSeq == Seq((90000L, 3L, 2L, 1)),
+      s"gate variant must include the sentinel twin: ${gateGroups.toSeq}")
     // the structural claim: the CONTAINER digests of the pair differ, so
     // payload-keyed exact dedup misses exactly what content dedup finds
     val b = MediaCodecs.toBmp("same pixels here".getBytes("UTF-8"))

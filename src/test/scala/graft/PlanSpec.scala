@@ -228,7 +228,7 @@ class PlanSpec extends GraftSpec {
       "neardup_threshold_sweep" -> 8, // pair join reuses the cached shingle arrays; sweep adds rollups only
       "prep_token_budget"    -> 4,  // score agg + budget broadcast + cumulative window + sort
       "pipeline_gated_set"   -> 11, // measured 11: five stages over the cached survivor set (27 uncached)
-      "mm_image_neardup"     -> 4,  // hash scan + band-bucket stats + verify + sort
+      "mm_image_neardup"     -> 5,  // cold-cache: 2 fan-out scans inside the cached hash frame + band-bucket stats + pair distinct + sort. Was 4 while entity_resolution (measured earlier alphabetically) shared the mirrored media frame and left its hash cache materialized; ER is corpus-faithful since r13, so the gate now pays its own honest cold count
       "dedup_minhash_recall" -> 7,  // two pair machineries + full-outer rollup
       "ts_anomaly_zscore"    -> 4,  // day pre-agg + window + sort
       "prep_epoch_shuffle"   -> 5,  // measured 5: one scan + generator (9 with a per-epoch union)

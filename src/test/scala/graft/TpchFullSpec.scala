@@ -56,4 +56,33 @@ class TpchFullSpec extends GraftSpec {
     assert(plan.contains("PushedFilters") && plan.contains("p_brand"),
       plan.take(1000))
   }
+
+  test("q22 literal 'no orders ever' finds order-less customers the recency variant cannot claim alone") {
+    // the harness generator gives every customer a lifetime order, so the
+    // driver gate runs the recency variant; the LITERAL Q22 predicate —
+    // an anti-join whose per-customer build side can be genuinely empty —
+    // is covered here on a corpus that has order-less customers
+    import spark.implicits._
+    val c = Seq(
+      (1L, 100.0, "AUTOMOBILE"),  // below avg
+      (2L, 900.0, "AUTOMOBILE"),  // above avg, one OLD order
+      (3L, 800.0, "BUILDING"),    // above avg, no orders ever
+      (4L, -50.0, "BUILDING"),    // negative balance: excluded from avg
+      (5L, 600.0, "BUILDING")     // exactly avg (600): not ABOVE
+    ).toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val o = Seq((2L, "1995-06-01"))
+      .toDF("o_custkey", "d")
+      .select(col("o_custkey"), col("d").cast("timestamp").as("o_orderdate"))
+    // avg positive balance = (100+900+800+600)/4 = 600
+    val literal = graft.operators.Relational
+      .dormantCustomersOf(c, o, since = None).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(literal.toSeq == Seq(("BUILDING", 1L, 800.0)),
+      s"literal Q22 must report only the never-ordered customer: ${literal.toSeq}")
+    val recent = graft.operators.Relational
+      .dormantCustomersOf(c, o, since = Some("2000-01-01")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(recent.toSeq == Seq(("AUTOMOBILE", 1L, 900.0), ("BUILDING", 1L, 800.0)),
+      s"recency variant must also catch the long-dormant customer: ${recent.toSeq}")
+  }
 }
