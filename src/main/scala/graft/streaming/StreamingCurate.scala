@@ -63,18 +63,49 @@ object StreamingCurate {
     * ids) — distributed aggregates over the batch sliver, batch-sized
     * collects. Shared by [[curateStream]] and [[trainingSetStream]]. */
   private def statelessFlags(mb: DataFrame, bench: DataFrame): (Set[Long], Set[Long]) = {
+    val (rep, cont, _) = statelessMeta(mb, bench, withSplits = false)
+    (rep, cont)
+  }
+
+  /** One-action form of the stateless gates: repetition flags,
+    * contamination flags and (optionally) split buckets collected in a
+    * SINGLE distributed job — per-batch fixed job overhead is a real
+    * fraction of small-batch latency, and the three are independent
+    * per-doc aggregates over the same pinned batch. */
+  private def statelessMeta(mb: DataFrame, bench: DataFrame,
+                            withSplits: Boolean)
+      : (Set[Long], Set[Long], Map[Long, String]) = {
     val bg = Dedup.ngrams(mb, 2)
     val rep = bg.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("total"))
-      .filter(col("top_c") >= RepMinCount &&
-        col("top_c").cast("double") / col("total").cast("double") >= RepRatio)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .select(col("doc_id"),
+        (col("top_c") >= RepMinCount &&
+          col("top_c").cast("double") / col("total").cast("double") >= RepRatio)
+          .as("flag"))
     val cont = Dedup.shingles(mb)
-      .join(bench, Seq("s"), "left")
+      // bench is a pinned (stats-free) frame: without the hint the
+      // stream-static enrichment join would shuffle both sides; the eval
+      // set is a fixed MB-scale artifact — the canonical broadcast side
+      .join(broadcast(bench), Seq("s"), "left")
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
-      .filter(col("n_hit").cast("double") / col("n_sh").cast("double") >= DeconThreshold)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    (rep, cont)
+      .select(col("doc_id"),
+        (col("n_hit").cast("double") / col("n_sh").cast("double") >= DeconThreshold)
+          .as("flag"))
+    val base = mb.select(col("doc_id"),
+      (if (withSplits) graft.operators.DataPrep.splitBucketCol else lit(-1))
+        .as("bucket"))
+    val rows = base
+      .join(rep.select(col("doc_id"), col("flag").as("rep_flag")), Seq("doc_id"), "left")
+      .join(cont.select(col("doc_id"), col("flag").as("cont_flag")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep_flag"), lit(false)),
+        coalesce(col("cont_flag"), lit(false)), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getInt(3)))
+    (rows.collect { case (d, true, _, _) => d }.toSet,
+     rows.collect { case (d, _, true, _) => d }.toSet,
+     if (!withSplits) Map.empty
+     else rows.map { case (d, _, _, b) =>
+       d -> (if (b < 90) "train" else if (b < 95) "valid" else "test")
+     }.toMap)
   }
 
   def curateStream(stream: Dataset[DocEvent], benchShingles: DataFrame,
@@ -112,16 +143,10 @@ object StreamingCurate {
       // ---- stage 1: greedy dedup, all docs participate (flags come later)
       val dedup = gi.decideAndGrow(mb)
 
-      // ---- stages 2-4: per-doc, order-independent, one pass each
-      val (rep, cont) = statelessFlags(mb, bench)
-      // split assignment: THE shared bucket column from DataPrep — one
-      // definition across batch and streaming builds
-      val splits = mb.select(col("doc_id"),
-          graft.operators.DataPrep.splitBucketCol.as("bucket"))
-        .collect().map { r =>
-          val b = r.getInt(1)
-          r.getLong(0) -> (if (b < 90) "train" else if (b < 95) "valid" else "test")
-        }.toMap
+      // ---- stages 2-4: per-doc, order-independent, ONE distributed pass
+      // (split assignment uses THE shared bucket column from DataPrep —
+      // one definition across batch and streaming builds)
+      val (rep, cont, splits) = statelessMeta(mb, bench, withSplits = true)
 
       val verdicts = dedup.map { d =>
         if (d.kind != "kept") CurateVerdict(d.doc_id, d.kind, d.keeper_id, "")

@@ -382,40 +382,60 @@ object StreamingDedup {
         .localCheckpoint()
 
       // ---- distributed: candidates against the KEPT index (all final)
-      val idxExact: Map[Long, Long] =
-        if (digests == null) Map.empty
-        else mbKeyed.join(digests, Seq("h", "len"))
-          .groupBy("doc_id").agg(min("id").as("keeper"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val idxNear: Map[Long, Long] =
-        if (arrays == null) Map.empty
+      // every batch-vs-index join BROADCASTS the batch side explicitly:
+      // the index frames are localCheckpointed LogicalRDDs with NO size
+      // statistics, so Catalyst assumes them huge AND the batch side
+      // unknown and falls back to shuffling BOTH — reshuffling the whole
+      // growing index every micro-batch (measured: the near probe grew
+      // 1.8 -> 4.3 s/batch across 6 batches at sf0.1). A micro-batch is
+      // bounded by construction; broadcasting it streams the index
+      // map-side with zero index movement — also exactly the production
+      // shape (probe sliver vs standing bucketed table).
+      // exact and near index probes share ONE action: per-batch fixed job
+      // overhead is a real fraction of small-batch latency, and the two
+      // probes are independent aggregates over disjoint machinery — a
+      // tagged union collects both maps in a single round trip
+      val (idxExact, idxNear): (Map[Long, Long], Map[Long, Long]) =
+        if (digests == null) (Map.empty, Map.empty)
         else {
+          val exactHits = broadcast(mbKeyed).join(digests, Seq("h", "len"))
+            .groupBy("doc_id").agg(min("id").as("keeper"))
+            .select(lit(0).as("tag"), col("doc_id"), col("keeper"))
           val probe = lexPrefix(mbArr, "doc_id")
             .withColumnRenamed("id", "b_id").withColumnRenamed("n", "bn")
-          val cand = probe.join(prefix.withColumnRenamed("id", "k_id")
+          val cand = broadcast(probe)
+            .join(prefix.withColumnRenamed("id", "k_id")
               .withColumnRenamed("n", "kn"), "s")
             .filter(col("bn") * t <= col("kn") && col("kn") * t <= col("bn"))
             .select("b_id", "k_id").distinct()
-          cand
+          // candidate pairs are batch-bounded — broadcast them too, so the
+          // exact verify streams the kept arrays instead of exchanging them
+          val nearHits = broadcast(cand
             .join(mbArr.select(col("doc_id").as("b_id"), col("sh").as("sb"),
-              col("n").as("nb")), "b_id")
+              col("n").as("nb")), "b_id"))
             .join(arrays.select(col("id").as("k_id"), col("sh").as("sk"),
               col("n").as("nk")), "k_id")
             .withColumn("c", size(array_intersect(col("sb"), col("sk"))).cast("long"))
             .filter(col("c").cast("double") / (col("nb") + col("nk") - col("c")) >= t)
             .groupBy("b_id").agg(min("k_id").as("keeper"))
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            .select(lit(1).as("tag"), col("b_id").as("doc_id"), col("keeper"))
+          val rows = exactHits.unionByName(nearHits)
+            .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          (rows.collect { case (0, d, k) => d -> k }.toMap,
+           rows.collect { case (1, d, k) => d -> k }.toMap)
         }
 
       // ---- distributed: WITHIN-batch candidate pairs (driver resolves)
-      val exactPairs = mbKeyed.alias("a")
+      // the two within-batch pair families likewise share one action
+      val pairRows = mbKeyed.alias("a")
         .join(mbKeyed.alias("b"), col("a.h") === col("b.h") &&
           col("a.len") === col("b.len") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val nearPairs = Dedup.jaccardPairsFrom(mb)
-        .select("a_id", "b_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .select(lit(0).as("tag"), col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
+        .unionByName(Dedup.jaccardPairsFrom(mb)
+          .select(lit(1).as("tag"), col("a_id").as("lo"), col("b_id").as("hi")))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val exactPairs = pairRows.collect { case (0, a, b) => (a, b) }
+      val nearPairs = pairRows.collect { case (1, a, b) => (a, b) }
 
       // ---- driver: greedy resolution in doc order (batch-sized, serial)
       val exactBy = exactPairs.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }
@@ -439,16 +459,24 @@ object StreamingDedup {
       val newArr = mbArr.join(keptIds, "doc_id")
         .select(col("doc_id").as("id"), col("sh"), col("n"))
       val oldDig = digests; val oldArr = arrays; val oldPf = prefix
+      // COALESCE each standing frame to the session parallelism before
+      // re-pinning: a checkpointed union otherwise ACCUMULATES partitions
+      // batch over batch (32 more per batch), and every later probe pays
+      // task-launch overhead linear in stream age — measured as a
+      // +0.3 s/batch drift at sf0.1 with nothing growing but task counts.
+      // coalesce is narrow (no shuffle); data volume still grows only by
+      // the kept delta.
+      val par = spark.sparkContext.defaultParallelism
       digests = (if (oldDig == null) newDig else oldDig.unionByName(newDig))
-        .localCheckpoint()
+        .coalesce(par).localCheckpoint()
       arrays = (if (oldArr == null) newArr else oldArr.unionByName(newArr))
-        .localCheckpoint()
+        .coalesce(par).localCheckpoint()
       // the index grows by the batch's DELTA only — a lex prefix never
       // moves once computed, so old entries stay valid forever (this is
       // exactly what a df-based order would break)
       val newPf = lexPrefix(newArr, "id")
       prefix = (if (oldPf == null) newPf else oldPf.unionByName(newPf))
-        .localCheckpoint()
+        .coalesce(par).localCheckpoint()
       // superseded snapshots: safe to drop once the new eager checkpoints
       // above have materialized
       Seq(oldDig, oldArr, oldPf).filter(_ != null)

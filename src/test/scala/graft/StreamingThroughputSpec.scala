@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Protocol: run each topology over the sf0.001 corpus in fixed slicing,
   * measure per-batch wall seconds, and assert a CEILING calibrated at
-  * ~4× the quiet-host measurement (sf0.001, local[4]; see inline
-  * constants) — generous enough for JIT/cache variance, tight enough that
-  * the 2× regression the verdict postulated still fails. Wall-clock on a
+  * ~2.5× the quiet-host measurement after the r13 broadcast-probe fix
+  * (sf0.001, local[4], warm suite run: curate p50 1.12 s / total 5.50 s,
+  * dedup 0.55 / 3.23, card 0.16 / 0.89; pre-fix cold numbers were ~2.5×
+  * these) — enough headroom for JIT and cache variance, tight enough
+  * that the sustained 2.5× per-batch regression the verdict postulated
+  * fails, and tight enough to catch a relapse of the
+  * no-stats-no-broadcast probe plan this round fixed. Wall-clock on a
   * SHARED host can lie, so each measurement also samples the co-tenant
   * CPU share ([[Bench.otherCpuFrac]], the bench's own contention metric)
   * and the test CANCELS (assume) rather than fails when co-tenants burned
@@ -71,7 +75,7 @@ class StreamingThroughputSpec extends GraftSpec {
       s"$name measured under co-tenant load ($other of the machine) — inconclusive")
     assert(p50(secs) < p50Ceiling,
       f"$name per-batch p50 ${p50(secs)}%.2f s breached its ${p50Ceiling}%.1f s floor-gate " +
-        "(calibrated ~4x the quiet-host constant; a ~2x per-batch regression lands here)")
+        "(calibrated ~2.5x the quiet-host constant; a sustained regression lands here)")
     assert(secs.sum < totalCeiling,
       f"$name total ${secs.sum}%.2f s breached ${totalCeiling}%.1f s")
   }
@@ -83,7 +87,7 @@ class StreamingThroughputSpec extends GraftSpec {
       docRows.filter(_._1 % 10 != 0).map(d => DocEvent(d._1, d._2)), 5) { ds =>
       StreamingCurate.curateStream(ds, benchSh) { (_, _) => () }
     }
-    gate("curate", secs, other, p50Ceiling = 4.0, totalCeiling = 25.0)
+    gate("curate", secs, other, p50Ceiling = 3.0, totalCeiling = 15.0)
   }
 
   test("dedup probe stream: per-batch constant stays within its floor-gate") {
@@ -94,7 +98,7 @@ class StreamingThroughputSpec extends GraftSpec {
       StreamingDedup.incrementalDedupStream(ds, idx) { (df, _) => df.count(); () }
     }
     idx.release()
-    gate("dedup", secs, other, p50Ceiling = 3.0, totalCeiling = 20.0)
+    gate("dedup", secs, other, p50Ceiling = 1.5, totalCeiling = 8.0)
   }
 
   test("data-card stream: per-batch constant stays within its floor-gate") {
@@ -102,6 +106,6 @@ class StreamingThroughputSpec extends GraftSpec {
       docRows.map(d => StreamingCard.CardDocEvent(d._1, d._2, d._3)), 5) { ds =>
       StreamingCard.dataCardStream(ds) { (_, _) => () }
     }
-    gate("card", secs, other, p50Ceiling = 1.5, totalCeiling = 10.0)
+    gate("card", secs, other, p50Ceiling = 0.5, totalCeiling = 2.5)
   }
 }
