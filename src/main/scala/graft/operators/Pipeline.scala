@@ -270,40 +270,55 @@ object Pipeline {
     * bucket, defined for any doc at any stage.
     *
     * Execution is a STANDING-INDEX PROBE ([[StandingIndex.auditTables]]):
-    * the PPJoin prefix inverted index at t = 0.3 self-joins bucket-locally
-    * on the shingle key (both sides the same bucketed table), survivors
-    * come from the MATERIALIZED kept-id table, and exact full-set
-    * verification reads the standing shingle arrays. That is the
-    * production shape: an audit runs against the artifacts the pipeline
-    * already materialized; re-tokenizing the corpus and re-running the
-    * curation fixpoint per audit (the previous form, 6.9 s in-suite) is
-    * exactly the work the standing index amortizes. */
+    * the FULL shingle postings table self-joins bucket-locally on the
+    * shingle key (both sides the same bucketed table — zero join
+    * shuffle), and ONE narrow count aggregation over the join output
+    * yields the exact common-shingle count c per pair, from which Jaccard
+    * is closed-form: J = c / (na + nb − c). Survivors come from the
+    * MATERIALIZED kept-id table. That is the production shape: an audit
+    * runs against the artifacts the pipeline already materialized.
+    *
+    * Why count-based and not PPJoin-prefix + array verify (the round-12
+    * form): at t = 0.3 the prefix keeps ~(1−t) ≈ 70% of each doc's
+    * shingles, so on a dense shingle space the prefix join emits nearly
+    * the full Σ df² candidate stream anyway — and then the verify stage
+    * paid a distinct + two array joins + array_intersect PER CANDIDATE.
+    * The round-13 scale rehearsal measured the consequence: 1.7 s at
+    * sf0.1 → 521 s at sf1 (312× for 10× data). The count form keeps the
+    * same bucket-local join but replaces everything downstream with one
+    * groupBy over 16-byte rows (map-side partials free): measured 18 s at
+    * sf1 — SCALE.md has the curve. Low-threshold set-similarity joins
+    * verify by counting, not by re-intersecting (the MapReduce
+    * set-similarity-join literature's count-kernel form). */
   def splitLeakageAudit(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
-    val (arrays, prefixIdx, keptIds) = StandingIndex.auditTables(s, dir)
-    // ONE candidate join serves both stages: J(a,b) depends only on the
+    val (postings, keptIds) = StandingIndex.auditTables(s, dir)
+    // ONE pair stage serves both branches: J(a,b) depends only on the
     // two documents, so "pairs among survivors" == "corpus pairs whose
     // BOTH endpoints survived" -- the curated branch is two semi joins
     // against the (tiny) kept-id set instead of a second full shingle
     // self-join. The cache covers the two aggregations over the shared
     // pair set. The ORACLE still computes both stages from first
-    // principles (its own full inverted-index joins, no prefix filter,
-    // no materialized kept set) -- deliberately NOT mirroring this
-    // rewrite, so the PPJoin losslessness at 0.3, the kept-set
+    // principles (its own inverted-index joins over re-tokenized text,
+    // no materialized postings or kept set) -- deliberately NOT
+    // mirroring this rewrite, so the count-kernel Jaccard, the kept-set
     // materialization, and the semi-join equivalence are all
     // cross-checked by the hash gate rather than assumed on both sides.
-    val aIdx = prefixIdx.select(col("corpus_id").as("a_id"),
-      col("cn").as("an"), col("s"))
-    val bIdx = prefixIdx.select(col("corpus_id").as("b_id"),
-      col("cn").as("bn"), col("s"))
-    val candidates = aIdx.join(bIdx, "s")
+    val aIdx = postings.select(col("s"), col("corpus_id").as("a_id"),
+      col("nc").as("an"))
+    val bIdx = postings.select(col("s"), col("corpus_id").as("b_id"),
+      col("nc").as("bn"))
+    val pairs = aIdx.join(bIdx, "s")
       .filter(col("a_id") < col("b_id") &&
         col("an") * LeakThreshold <= col("bn") &&
         col("bn") * LeakThreshold <= col("an"))
-      .select("a_id", "b_id").distinct()
-    val pairs = Dedup.verifyPairs(candidates,
-      arrays.select(col("corpus_id").as("doc_id"), col("sh")),
-      LeakThreshold).cache()
+      .groupBy("a_id", "b_id", "an", "bn")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jac",
+        col("c").cast("double") / (col("an") + col("bn") - col("c")))
+      .filter(col("jac") >= LeakThreshold)
+      .select("a_id", "b_id", "jac")
+      .cache()
     val curatedPairs = pairs
       .join(keptIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
       .join(keptIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")

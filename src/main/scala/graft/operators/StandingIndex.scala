@@ -60,7 +60,7 @@ object StandingIndex {
     * kept-set rules, prefix thresholds, ANN planes/centroid seeding):
     * catalog tables written under an older version then carry a different
     * tag and are never adopted — they are rebuilt, not silently probed. */
-  private[graft] val LogicVersion = 1
+  private[graft] val LogicVersion = 2
 
   /** Content fingerprint of the corpus files the standing indexes derive
     * from (size + mtime of documents/embeddings parquet, recursing one
@@ -386,18 +386,23 @@ object StandingIndex {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
   private def auditTableNames(tag: String): Seq[String] =
-    Seq("leakarrays", "leakprefix", "leakkept").map(n => s"graft_idx_${n}_$tag")
+    Seq("leakpost", "leakkept").map(n => s"graft_idx_${n}_$tag")
 
-  /** Build (once per session+dir) the three standing audit tables
+  /** Build (once per session+dir) the two standing audit tables
     * `split_leakage_audit` probes, and return the tag:
     *
-    *  - `leakarrays` — per-doc distinct shingle arrays over the curation
-    *    corpus, bucketed by doc id (exact-verify side);
-    *  - `leakprefix` — the PPJoin prefix inverted index at t = 0.3 under
-    *    the (df asc, shingle) order, bucketed by shingle (candidate
-    *    side — the lossless-prefix lemma is threshold-generic, so the
-    *    0.3 prefix is exact for the audit the way the 0.5 one is for
-    *    dedup);
+    *  - `leakpost` — the FULL shingle postings over the curation corpus
+    *    (`(s, corpus_id, nc)`, one row per distinct doc-shingle), bucketed
+    *    by shingle. The audit's pair stage is a bucket-local self-join of
+    *    this table followed by a count aggregation — exact Jaccard from
+    *    the common count alone (J = c / (na + nb − c)), never an array
+    *    re-verify. The round-13 scale rehearsal is why: the previous
+    *    PPJoin-prefix + array-verify probe went 1.7 s → 521 s from sf0.1
+    *    to sf1 because a t = 0.3 prefix keeps ~70% of each doc's shingles
+    *    and the verify stage paid a distinct + double array join per
+    *    candidate; the count form pays one narrow groupBy over the same
+    *    join output and scales with Σ df² only (18 s at sf1 — see
+    *    SCALE.md);
     *  - `leakkept` — the MATERIALIZED curation-survivor ids
     *    ([[Pipeline.keptDocs]]), bucketed by doc id. This is the
     *    production shape: a QA audit runs against the training set the
@@ -419,34 +424,21 @@ object StandingIndex {
     }
 
   private def buildAuditFor(s: SparkSession, dir: String, tag: String): Unit = {
-    val t = Pipeline.LeakThreshold
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
-    val cArr = Dedup.shingleArrays(corpus).select(
-      col("doc_id").as("corpus_id"), col("sh"),
-      size(col("sh")).cast("long").as("nc"))
-    save(cArr, tag, "leakarrays", "corpus_id", "overwrite")
-    val shC = cArr.select(col("corpus_id"), explode(col("sh")).as("s"))
-    val dfreq = shC.groupBy("s").agg(count(lit(1)).as("df"))
-    val prefix = shC.join(dfreq, "s")
-      .groupBy("corpus_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
-      .select(col("corpus_id"), size(col("os")).cast("long").as("cn"),
-        expr(s"slice(os, 1, cast(size(os) - ceil($t * size(os)) + 1 as int))")
-          .as("pf"))
-      .select(col("corpus_id"), col("cn"), explode(col("pf")).as("e"))
-      .select(col("corpus_id"), col("cn"), col("e.s").as("s"))
-    save(prefix, tag, "leakprefix", "s", "overwrite")
+    val post = Dedup.shingleArrays(corpus)
+      .select(col("doc_id").as("corpus_id"),
+        size(col("sh")).cast("long").as("nc"), explode(col("sh")).as("s"))
+    save(post, tag, "leakpost", "s", "overwrite")
     save(Pipeline.keptDocs(s, dir).select("doc_id"),
       tag, "leakkept", "doc_id", "overwrite")
   }
 
-  /** The three audit tables as frames — the probe surface
+  /** The two audit tables as frames — the probe surface
     * [[Pipeline.splitLeakageAudit]] reads. */
   private[operators] def auditTables(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = {
     val tag = ensureAuditBuilt(s, dir)
-    (s.table(s"graft_idx_leakarrays_$tag"),
-     s.table(s"graft_idx_leakprefix_$tag"),
+    (s.table(s"graft_idx_leakpost_$tag"),
      s.table(s"graft_idx_leakkept_$tag"))
   }
 
