@@ -105,7 +105,14 @@ object Bench {
     // pass-to-pass spread on unchanged code = contention; consistently
     // slow across passes at low load = a real plan problem.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the suite — the profiling aid
+    // for attributing one query's drift UNDER THE BENCH PROTOCOL
+    // (clearCache + releaseAll between observations, min-of-passes), which
+    // standalone cold/warm runs can't reproduce. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     final case class Obs(elapsed: Double, startEpochMs: Long, load: Double, other: Double)
     val obs = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Obs]]
     val loadStart = loadavg1()
