@@ -28,7 +28,13 @@ import org.apache.spark.sql.SparkSession
 object ScaleBench {
   private val Targets = Seq(
     "dedup_incremental", "entity_resolution", "pipeline_training_set",
-    "split_leakage_audit", "ann_ivf_indexed")
+    "split_leakage_audit", "ann_ivf_indexed",
+    // round-13 widening: one representative per remaining scale-sensitive
+    // family — banded-LSH near-dup (the dedup scale path), the standing
+    // gram-index substring probe, the five-stage curation dataflow, and
+    // embedding-space dedup (sign-grid cells + CC)
+    "neardup_minhash_md5", "dedup_incremental_substring_indexed",
+    "pipeline_curate", "semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <sfDir> [<sfDir> ...]")

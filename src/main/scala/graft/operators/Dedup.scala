@@ -1088,13 +1088,31 @@ object Dedup {
       if (ccTiming) System.err.println(f"[cc] $tag ${(now - tMark) / 1e9}%.2fs")
       tMark = now
     }
-    val edges = pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("src", "dst").localCheckpoint()
+    // Every snapshot below is localCheckpoint + repinStats: the checkpoint
+    // truncates DATA lineage, the re-pin truncates STATISTICS lineage.
+    // Without the re-pin, each round's carried size estimate is the
+    // product-of-children score of a plan that references the previous
+    // snapshot three times, so the estimate's bit length ~triples per
+    // round — the sf1 scale rehearsal measured the driver burning
+    // 0.5 → 33 s/round in BigInteger multiplies before dying on
+    // "BigInteger would overflow" at ~round 20 (see GraftShims.repinStats).
+    // The counts feeding the re-pin are on already-materialized snapshots
+    // (cheap), and node count is round-invariant so it is counted once.
+    val edges = {
+      val e0 = pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .toDF("src", "dst").localCheckpoint()
+      GraftShims.repinStats(e0, e0.count(), 16L)
+    }
     lap("edges")
+    var nNodes = 0L
     // round 0 for free: label = min(id, min neighbor)
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), col("src")).as("lbl"))
-      .localCheckpoint()
+    var labels = {
+      val l0 = edges.groupBy(col("src").as("id"))
+        .agg(least(min(col("dst")), col("src")).as("lbl"))
+        .localCheckpoint()
+      nNodes = l0.count()
+      GraftShims.repinStats(l0, nNodes, 16L)
+    }
     lap("init labels")
     var changed = 1L
     var rounds = 0
@@ -1115,11 +1133,13 @@ object Dedup {
       // maps to itself (left join keeps it). Carrying `old` through lets
       // the changed-count run on the materialized snapshot — one extra
       // narrow column instead of a second join-against-previous job.
-      val next = prop.join(
+      val next = GraftShims.repinStats(
+        prop.join(
           prev.select(col("id").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"), "left")
         .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"), col("old"))
-        .localCheckpoint()
+        .localCheckpoint(),
+        nNodes, 24L) // one row per node at every round — no recount needed
       changed = next.filter(col("lbl") =!= col("old")).count()
       GraftShims.unpersistCheckpoint(prev)
       labels = next.drop("old")

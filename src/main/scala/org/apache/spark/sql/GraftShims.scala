@@ -34,4 +34,35 @@ object GraftShims {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.unpersist(blocking = false)
     }.getOrElse(())
+
+  /** Replace a `localCheckpoint()`ed Dataset's CARRIED statistics with
+    * measured ones. `Dataset.localCheckpoint` copies the pre-checkpoint
+    * plan's size ESTIMATE into the `LogicalRDD` as `originStats` — and the
+    * size-only estimator scores a join as the PRODUCT of its children's
+    * sizes. In a fixpoint loop whose round plan references the previous
+    * snapshot k ≥ 2 times through joins, the carried estimate's BIT LENGTH
+    * therefore multiplies by ~k every round: the driver spends
+    * exponentially growing wall-clock in BigInteger arithmetic during
+    * planning (measured in the round-13 sf1 scale rehearsal: connected
+    * components rounds 0.5 s → 33 s, doubling per round with `changed` in
+    * single digits) and finally dies with "BigInteger would overflow
+    * supported range" inside `SizeInBytesOnlyStatsPlanVisitor`. Lineage
+    * truncation alone does NOT truncate statistics lineage — this does:
+    * the snapshot is re-wrapped with `Statistics(rowCount × rowBytes)`
+    * from a real count, which also hands the planner an honest broadcast
+    * decision instead of an astronomically inflated one. */
+  def repinStats(df: Dataset[_], rowCount: Long, rowBytes: Long): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          sizeInBytes = BigInt(rowCount.max(1L)) * BigInt(rowBytes.max(1L)),
+          rowCount = Some(BigInt(rowCount.max(0L))))
+        classic.Dataset.ofRows(spark,
+          new org.apache.spark.sql.execution.LogicalRDD(
+            r.output, r.rdd, r.outputPartitioning, r.outputOrdering,
+            r.isStreaming, r.stream)(spark, Some(stats), None))
+      case _ => df.toDF()
+    }
+  }
 }
