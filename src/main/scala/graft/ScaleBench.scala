@@ -34,7 +34,10 @@ object ScaleBench {
     // gram-index substring probe, the five-stage curation dataflow, and
     // embedding-space dedup (sign-grid cells + CC)
     "neardup_minhash_md5", "dedup_incremental_substring_indexed",
-    "pipeline_curate", "semantic_dedup")
+    "pipeline_curate", "semantic_dedup",
+    // the ER capstone's banded scale twin — the pair SCALE.md's
+    // exact-vs-LSH reading is about
+    "entity_resolution_lsh")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <sfDir> [<sfDir> ...]")

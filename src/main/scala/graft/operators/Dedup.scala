@@ -1287,6 +1287,129 @@ object Dedup {
        |FROM lbl GROUP BY entity_rep ORDER BY entity_rep""".stripMargin
   }
 
+  /** [[entityResolution]]'s LSH-banded scale twin — the SAME three-signal
+    * composition, but the near-text signal arrives through the md5-minhash
+    * BAND candidates ([[minhashMd5CandidatesFrom]]) with exact J ≥ 0.7
+    * verification instead of the full inverted-index pair join. Why it
+    * exists as a gated query and not just an argument: the round-13 scale
+    * rehearsal (SCALE.md) measured the exact pair join stepping ~3.2× per
+    * corpus doubling on a dense-vocabulary corpus (Σ df² ∝ n²) while the
+    * banded path held ~2.0× — this twin is the production ER shape at
+    * 100 TB, and its oracle reproduces the banding, star cap, and verify
+    * end-to-end so the swap's semantics are hash-checked, not assumed.
+    * Recall of the banded candidate set vs the exact pair set is itself a
+    * gated number (`dedup_minhash_recall`); at J ≥ 0.7 with 8 bands × 2
+    * rows a qualifying pair is missed w.p. (1 − 0.7²)⁸ ≈ 0.5%. */
+  def entityResolutionLsh(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(entityPairsLshOf(Tables.documents(s, dir)))
+      .select(col("cluster_rep").as("entity_rep"),
+        col("cluster_size").as("entity_size"), col("member_ids"))
+      .orderBy("entity_rep")
+
+  /** The banded-candidate edge set behind [[entityResolutionLsh]] — exact
+    * and media signals identical to [[entityPairsOf]]; only the near-text
+    * candidate generator differs. */
+  private[graft] def entityPairsLshOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")), length(col("text")))
+    val exact = docs
+      .withColumn("bmin", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a_id"), col("doc_id").as("b_id"))
+    val docsArr = shingleArrays(docs).cache()
+    val near = verifyPairs(minhashMd5CandidatesFrom(docsArr), docsArr, 0.7)
+      .select(col("a_id"), col("b_id"))
+    val media = Multimodal.imageNearDupOf(docs, sentinels = false)
+      .select(col("a_id"), col("b_id"))
+    exact.unionAll(near).unionAll(media).distinct()
+  }
+
+  /** DuckDB mirror of [[entityResolutionLsh]]: the faithful media chain +
+    * the md5-minhash band chain (signatures, string band buckets, the
+    * [[MaxBucket]] star fallback) at the ER threshold + the exact-content
+    * star edges + the recursive closure — the full scale-path capstone
+    * under one hash gate. */
+  val entityResolutionLshSql: String = {
+    val mediaChain = Multimodal.imageNearDupSqlOf(mirrored = false).stripPrefix("WITH ")
+    val cut = mediaChain.lastIndexOf("SELECT a_id, b_id,")
+    val mediaCtes = mediaChain.substring(0, cut).trim
+    s"""WITH RECURSIVE $mediaCtes,
+       |mpairs AS (
+       |  SELECT a_id, b_id
+       |  FROM cand JOIN hashes a ON a_id = a.doc_id JOIN hashes b ON b_id = b.doc_id
+       |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+       |),
+       |jtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |jsh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM jtoks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+       |  WHERE len(tk) >= 3
+       |),
+       |jsizes AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
+       |jhashes AS (
+       |  SELECT doc_id, i,
+       |         min(('0x' || substring(md5(s || '#' || i), 1, 15))::BIGINT) AS mh
+       |  FROM jsh, LATERAL (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS i) seeds
+       |  GROUP BY doc_id, i
+       |),
+       |jbands AS (
+       |  SELECT doc_id, i // $BandRows AS band,
+       |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+       |  FROM jhashes GROUP BY doc_id, i // $BandRows
+       |),
+       |jbstats AS (
+       |  SELECT band, bucket, count(*) AS bsz, min(doc_id) AS bmin
+       |  FROM jbands GROUP BY 1, 2 HAVING count(*) >= 2
+       |),
+       |jjoined AS (SELECT b.doc_id, b.band, b.bucket, s.bsz, s.bmin
+       |            FROM jbands b JOIN jbstats s USING (band, bucket)),
+       |jcand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM jjoined a JOIN jjoined b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE a.bsz <= $MaxBucket
+       |  UNION
+       |  SELECT DISTINCT bmin AS a_id, doc_id AS b_id
+       |  FROM jjoined WHERE bsz > $MaxBucket AND doc_id <> bmin
+       |),
+       |jcommon AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS c
+       |  FROM jcand c
+       |  JOIN jsh x ON x.doc_id = c.a_id
+       |  JOIN jsh y ON y.doc_id = c.b_id AND y.s = x.s
+       |  GROUP BY 1, 2
+       |),
+       |npairs AS (
+       |  SELECT a_id, b_id FROM jcommon
+       |  JOIN jsizes sa ON a_id = sa.doc_id JOIN jsizes sb ON b_id = sb.doc_id
+       |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+       |),
+       |epairs AS (
+       |  SELECT bmin AS a_id, doc_id AS b_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS bmin FROM documents)
+       |  WHERE doc_id <> bmin
+       |),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM mpairs
+       |  UNION SELECT b_id, a_id FROM mpairs
+       |  UNION SELECT a_id, b_id FROM npairs
+       |  UNION SELECT b_id, a_id FROM npairs
+       |  UNION SELECT a_id, b_id FROM epairs
+       |  UNION SELECT b_id, a_id FROM epairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |lbl AS (
+       |  SELECT src AS id, least(src, min(dst)) AS entity_rep
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT entity_rep, count(*) AS entity_size,
+       |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_ids
+       |FROM lbl GROUP BY entity_rep ORDER BY entity_rep""".stripMargin
+  }
+
   /** Incremental dedup probe — the shape continuous ingestion actually
     * runs: a small NEW BATCH (here doc_id % 7 == 0, ~14% of the corpus,
     * standing in for a day's crawl) is probed against the EXISTING corpus
@@ -1542,6 +1665,7 @@ object Dedup {
     "neardup_simhash_md5"   -> (simhashMd5 _),
     "neardup_clusters"      -> (nearDupClusters _),
     "entity_resolution"     -> (entityResolution _),
+    "entity_resolution_lsh" -> (entityResolutionLsh _),
     "neardup_canonical"     -> (nearDupCanonical _),
     "dedup_incremental"     -> (incrementalDedup _)
   )
@@ -1557,6 +1681,7 @@ object Dedup {
     "neardup_jaccard_prefix" -> jaccardNearDupSql,
     "neardup_clusters"      -> nearDupClustersSql,
     "entity_resolution"     -> entityResolutionSql,
+    "entity_resolution_lsh" -> entityResolutionLshSql,
     "neardup_canonical"     -> nearDupCanonicalSql,
     "dedup_incremental"     -> incrementalDedupSql,
     // the md5 twin makes the full LSH pipeline (signatures, bands, star

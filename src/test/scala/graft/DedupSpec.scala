@@ -309,6 +309,28 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("LSH-banded entity resolution: a subset of exact ER's edges, equal when recall holds") {
+    // the twin's near signal is band-candidates → exact verify: its edge
+    // set is a SUBSET of exact ER's (verify threshold identical; banding
+    // only drops candidates), so every LSH entity must sit inside one
+    // exact entity — and on the harness corpus, where the planted
+    // near-dups share most shingles (J ≥ 0.7 pairs are caught by 8×2
+    // banding w.p. ~99.5%), the partitions are identical
+    val exact = Dedup.entityResolution(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2).split(",").map(_.toLong).toSet))
+    val lsh = Dedup.entityResolutionLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2).split(",").map(_.toLong).toSet))
+    val exactOf = exact.flatMap { case (rep, ms) => ms.map(_ -> rep) }.toMap
+    lsh.foreach { case (rep, ms) =>
+      val hosts = ms.map(exactOf.get).toSet
+      assert(hosts.size == 1 && hosts.head.isDefined,
+        s"LSH entity $rep spans exact entities: $hosts")
+    }
+    assert(exact.toSet == lsh.toSet,
+      "banding missed a qualifying pair on the harness corpus — " +
+        "expected identical partitions at this scale")
+  }
+
   test("minhash recall report reconciles with the standalone pair queries") {
     val r = Dedup.minhashRecall(spark, sf0001).head()
     val (nExact, nCand, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
