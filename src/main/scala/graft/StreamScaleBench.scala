@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Streaming scale rehearsal — the continuous-topology counterpart of
+  * [[ScaleBench]]: drives the growing-index curation stream and the
+  * standing-index dedup probe over each corpus at a FIXED batch size, so
+  * per-batch cost as a function of STREAM AGE (the growing kept index,
+  * the accumulating state) is measured directly rather than argued. The
+  * batch rehearsal caught two latent scale bugs plan-shape arguments had
+  * missed; this one watches for the streaming analogues: per-batch cost
+  * creeping with index size (a corpus-sized reshuffle hiding in a probe)
+  * or with batch count (plan/statistics lineage, partition accumulation).
+  *
+  * Usage: StreamScaleBench <dir1> [<dir2> ...]. Prints one JSON line per
+  * (dir, topology) with docs/s, batch p50/p95, and the mean of the first
+  * vs last 5 batches — flat means age-independent. */
+object StreamScaleBench {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: StreamScaleBench <sfDir> [<sfDir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.streaming.{StreamingCurate, StreamingDedup}
+    import StreamingDedup.DocEvent
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def pctl(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; s(math.round(p * (s.length - 1)).toInt)
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH_DOCS", "750").toInt
+    var msId = 4200
+    def drive[T: org.apache.spark.sql.Encoder](dir: String, name: String, items: Seq[T])
+        (mk: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+      msId += 1
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T](msId, spark, None)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"sscale_$name").toString
+      val secs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val q = mk(ms.toDS()).option("checkpointLocation", ckpt).start()
+      try items.grouped(batchSize).foreach { c =>
+        val t0 = System.nanoTime()
+        ms.addData(c: _*); q.processAllAvailable()
+        secs += (System.nanoTime() - t0) / 1e9
+      } finally q.stop()
+      val total = secs.sum
+      val head5 = secs.take(5); val tail5 = secs.takeRight(5)
+      println(s"""{"dir":"$dir","topology":"$name","n_docs":${items.length},""" +
+        s""""n_batches":${secs.length},"batch_docs":$batchSize,""" +
+        s""""docs_per_sec":${r2(items.length / total)},""" +
+        s""""batch_p50":${r2(pctl(secs.toSeq, 0.5))},"batch_p95":${r2(pctl(secs.toSeq, 0.95))},""" +
+        s""""first5_mean":${r2(head5.sum / head5.length)},""" +
+        s""""last5_mean":${r2(tail5.sum / tail5.length)}}""")
+      System.out.flush()
+    }
+    for (dir <- args) {
+      val docRows = Tables.documents(spark, dir)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      // 1. growing-index curation chain over the non-benchmark corpus
+      val benchSh = StreamingCurate.benchmarkShingles(
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0))
+      drive(dir, "curate",
+        docRows.filter(_._1 % 10 != 0).map(d => DocEvent(d._1, d._2))) { ds =>
+        StreamingCurate.curateStream(ds, benchSh) { (_, _) => () }
+      }
+      // 2. standing-index dedup probe (index = 6/7 of the corpus, untimed)
+      val idx = StreamingDedup.buildStandingIndex(
+        Tables.documents(spark, dir).filter(col("doc_id") % 7 =!= 0))
+      drive(dir, "dedup",
+        docRows.filter(_._1 % 7 == 0).map(d => DocEvent(d._1, d._2))) { ds =>
+        StreamingDedup.incrementalDedupStream(ds, idx) { (df, _) => df.count(); () }
+      }
+      idx.release()
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    spark.stop()
+  }
+}

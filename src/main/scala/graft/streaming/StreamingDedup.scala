@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, GraftShims}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
@@ -363,6 +363,7 @@ object StreamingDedup {
     private var digests: DataFrame = null // (h, len, id)  kept docs
     private var arrays: DataFrame = null  // (id, sh, n)   kept docs with ≥1 shingle
     private var prefix: DataFrame = null  // (id, n, s)    lex-order prefix entries
+    private var nKept = 0L                // cumulative kept docs → honest frame stats
 
     private def lexPrefix(arr: DataFrame, idCol: String): DataFrame =
       lexPrefixOf(arr, idCol, t)
@@ -408,13 +409,23 @@ object StreamingDedup {
               .withColumnRenamed("n", "kn"), "s")
             .filter(col("bn") * t <= col("kn") && col("kn") * t <= col("bn"))
             .select("b_id", "k_id").distinct()
-          // candidate pairs are batch-bounded — broadcast them too, so the
-          // exact verify streams the kept arrays instead of exchanging them
-          val nearHits = broadcast(cand
-            .join(mbArr.select(col("doc_id").as("b_id"), col("sh").as("sb"),
-              col("n").as("nb")), "b_id"))
+          // VERIFY JOIN ORDER MATTERS AT SCALE: the round-13 streaming
+          // rehearsal killed the previous form — broadcast(cand ⋈ mbArr) —
+          // at sf1 batch 56 with "serialized results 1059.9 MiB >
+          // spark.driver.maxResultSize": cand is NOT batch-bounded (it is
+          // batch × index matches, growing with the kept index), and that
+          // broadcast carried the batch's full shingle ARRAYS per
+          // candidate row. The fixed shape broadcasts only the ids-only
+          // candidate list (16 B/row) and the batch arrays (truly
+          // batch-bounded); the growing `arrays` frame is probed MAP-SIDE
+          // by two chained broadcast joins in one codegen stage — the
+          // wide candidate×array rows stream through the stage and are
+          // never materialized, collected, or shuffled.
+          val nearHits = broadcast(cand)
             .join(arrays.select(col("id").as("k_id"), col("sh").as("sk"),
               col("n").as("nk")), "k_id")
+            .join(broadcast(mbArr.select(col("doc_id").as("b_id"),
+              col("sh").as("sb"), col("n").as("nb"))), "b_id")
             .withColumn("c", size(array_intersect(col("sb"), col("sk"))).cast("long"))
             .filter(col("c").cast("double") / (col("nb") + col("nk") - col("c")) >= t)
             .groupBy("b_id").agg(min("k_id").as("keeper"))
@@ -467,16 +478,29 @@ object StreamingDedup {
       // coalesce is narrow (no shuffle); data volume still grows only by
       // the kept delta.
       val par = spark.sparkContext.defaultParallelism
-      digests = (if (oldDig == null) newDig else oldDig.unionByName(newDig))
-        .coalesce(par).localCheckpoint()
-      arrays = (if (oldArr == null) newArr else oldArr.unionByName(newArr))
-        .coalesce(par).localCheckpoint()
+      // every re-pin also RE-PINS STATISTICS with driver-tracked counts:
+      // localCheckpoint otherwise carries the union plan's size ESTIMATE,
+      // which UNDERSHOOTS wide string-array frames — small enough that the
+      // planner may choose to broadcast a grown index frame whose real
+      // size passed 1 GiB long ago (the exact failure the rehearsal hit).
+      // rowBytes are deliberate per-doc OVERestimates (array frame ≈ one
+      // shingle array per kept doc): the only job of these stats is to
+      // keep a frame that grows without bound out of broadcast plans —
+      // the error direction matters, the precision does not.
+      nKept += kept.size
+      digests = GraftShims.repinStats(
+        (if (oldDig == null) newDig else oldDig.unionByName(newDig))
+          .coalesce(par).localCheckpoint(), nKept, 48L)
+      arrays = GraftShims.repinStats(
+        (if (oldArr == null) newArr else oldArr.unionByName(newArr))
+          .coalesce(par).localCheckpoint(), nKept, 16384L)
       // the index grows by the batch's DELTA only — a lex prefix never
       // moves once computed, so old entries stay valid forever (this is
       // exactly what a df-based order would break)
       val newPf = lexPrefix(newArr, "id")
-      prefix = (if (oldPf == null) newPf else oldPf.unionByName(newPf))
-        .coalesce(par).localCheckpoint()
+      prefix = GraftShims.repinStats(
+        (if (oldPf == null) newPf else oldPf.unionByName(newPf))
+          .coalesce(par).localCheckpoint(), nKept, 8192L)
       // superseded snapshots: safe to drop once the new eager checkpoints
       // above have materialized
       Seq(oldDig, oldArr, oldPf).filter(_ != null)
