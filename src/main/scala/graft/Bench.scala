@@ -320,8 +320,21 @@ object Bench {
     // (variable: ~120 chars/topology, and absent entirely when skipped)
     // plus ~330 chars of fixed prefix/suffix from the 2000 budget, with a
     // floor so at least the slowest queries always appear
+    val rawBudget = 2000 - 330 -
+      (if (streamingJson.nonEmpty) streamingJson.length + 14 else 0)
+    // if the streaming blob alone eats past the floor, the whole line
+    // would exceed the driver's 2000-char tail capture and truncate at
+    // the HEAD — drop the blob from the stdout line instead (it is
+    // always preserved in BENCH_FULL.json) and say so loudly
+    val streamingInline =
+      if (rawBudget >= 400) streamingJson
+      else {
+        System.err.println(s"[bench] streaming blob ${streamingJson.length} chars " +
+          "would overflow the 2000-char tail line — omitted inline, see BENCH_FULL.json")
+        ""
+      }
     val budget = math.max(400, 2000 - 330 -
-      (if (streamingJson.nonEmpty) streamingJson.length + 14 else 0))
+      (if (streamingInline.nonEmpty) streamingInline.length + 14 else 0))
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2
     var i = 0
@@ -336,7 +349,7 @@ object Bench {
       (if (omitted.nonEmpty)
          Seq("\"_omitted_fast\":{\"n\":" + omitted.length + ",\"sum\":" + r2(omitted.map(_._2).sum) + "}")
        else Nil)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${minByQ.size},"passes":$passes,"pass1_total":${r2(passTotals.head)},"standing_build_sec":${r2(standingBuildSec)},${if (streamingJson.nonEmpty) s"\"streaming\":$streamingJson," else ""}"n_contended":${contendedQ.size},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${minByQ.size},"passes":$passes,"pass1_total":${r2(passTotals.head)},"standing_build_sec":${r2(standingBuildSec)},${if (streamingInline.nonEmpty) s"\"streaming\":$streamingInline," else ""}"n_contended":${contendedQ.size},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -42,6 +42,9 @@ object StreamScaleBench {
     var msId = 4200
     def drive[T: org.apache.spark.sql.Encoder](dir: String, name: String, items: Seq[T])
         (mk: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+      // an empty slice (a filter matching nothing) would make total=0 and
+      // pctl() throw on an empty seq — fail loudly instead of NaN JSON
+      require(items.nonEmpty, s"drive($name) got an empty item list for $dir")
       msId += 1
       val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T](msId, spark, None)
       val ckpt = java.nio.file.Files.createTempDirectory(s"sscale_$name").toString

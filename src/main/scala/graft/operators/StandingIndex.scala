@@ -74,7 +74,11 @@ object StandingIndex {
     def stamp(p: Path): String =
       if (!Files.exists(p)) "absent"
       else if (Files.isDirectory(p)) {
-        val kids = Files.list(p).toArray.toSeq.map(_.asInstanceOf[Path])
+        // Files.list holds an open directory handle until closed — each
+        // cold tagOf otherwise leaks one fd per stat (Similarity and
+        // SubstringDedup call tagOf too, so the leak multiplies)
+        val st = Files.list(p)
+        val kids = try st.toArray.toSeq.map(_.asInstanceOf[Path]) finally st.close()
         s"${kids.size}:${kids.map(k => scala.util.Try(Files.size(k)).getOrElse(0L)).sum}:" +
           kids.map(k => scala.util.Try(Files.getLastModifiedTime(k).toMillis).getOrElse(0L))
             .foldLeft(0L)(math.max)

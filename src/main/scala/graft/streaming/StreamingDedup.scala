@@ -359,6 +359,12 @@ object StreamingDedup {
     * stateless quality gates. Driver-held handles to three distributed
     * frames; one [[decideAndGrow]] call per micro-batch. NOT thread-safe —
     * exactly one owner stream, which is how foreachBatch runs it. */
+  /** Candidate-list broadcast ceiling for the growing-index near probe:
+    * 4M ids-only rows ≈ 64 MB serialized — comfortably inside executor
+    * broadcast budgets, far below driver maxResultSize. Above it the
+    * probe degrades to a shuffled join instead of risking the collect. */
+  private[streaming] val MaxBroadcastCandidates = 4000000L
+
   private[streaming] final class GreedyGrowingIndex(t: Double) {
     private var digests: DataFrame = null // (h, len, id)  kept docs
     private var arrays: DataFrame = null  // (id, sh, n)   kept docs with ≥1 shingle
@@ -421,7 +427,25 @@ object StreamingDedup {
           // by two chained broadcast joins in one codegen stage — the
           // wide candidate×array rows stream through the stage and are
           // never materialized, collected, or shuffled.
-          val nearHits = broadcast(cand)
+          //
+          // GUARD: cand is batch × index matches — ids-only (16 B/row) so
+          // the broadcast ceiling is far out, but a hot-shingle corpus can
+          // still explode it past driver memory (the exact failure class
+          // the round-13 reorder fixed for the ARRAY frame). Materialize
+          // the ids-only list once (eager checkpoint — the join ran
+          // anyway), read its true count, and above the threshold fall
+          // back to an unhinted join so a pathological batch degrades to
+          // a shuffle instead of killing the query.
+          val candCk = cand.localCheckpoint()
+          val nCand = candCk.count()
+          val candSide =
+            if (nCand <= MaxBroadcastCandidates) broadcast(candCk)
+            else {
+              System.err.println(s"[graft] growing-index near-verify: " +
+                s"$nCand candidates > $MaxBroadcastCandidates — shuffle fallback")
+              candCk
+            }
+          val nearHits = candSide
             .join(arrays.select(col("id").as("k_id"), col("sh").as("sk"),
               col("n").as("nk")), "k_id")
             .join(broadcast(mbArr.select(col("doc_id").as("b_id"),
@@ -432,6 +456,7 @@ object StreamingDedup {
             .select(lit(1).as("tag"), col("b_id").as("doc_id"), col("keeper"))
           val rows = exactHits.unionByName(nearHits)
             .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          org.apache.spark.sql.GraftShims.unpersistCheckpoint(candCk)
           (rows.collect { case (0, d, k) => d -> k }.toMap,
            rows.collect { case (1, d, k) => d -> k }.toMap)
         }

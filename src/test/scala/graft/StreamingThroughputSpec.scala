@@ -71,6 +71,11 @@ class StreamingThroughputSpec extends GraftSpec {
                    p50Ceiling: Double, totalCeiling: Double): Unit = {
     info(f"$name: batches=${secs.length} p50=${p50(secs)}%.2f s " +
       f"total=${secs.sum}%.2f s other_cpu=$other%.2f")
+    // otherCpuFrac returns -1 when /proc/stat is unreadable (non-Linux);
+    // without this guard the sentinel sails through the < 0.25 check and
+    // the wall-clock ceilings fail spuriously on hosts we cannot meter
+    assume(other >= 0,
+      s"$name host CPU accounting unavailable (other=$other) — inconclusive")
     assume(other < 0.25,
       s"$name measured under co-tenant load ($other of the machine) — inconclusive")
     assert(p50(secs) < p50Ceiling,
