@@ -394,8 +394,8 @@ object Dedup {
           .as("sh"))
 
   // ------------------------------------------------------------ MinHash LSH
-  private val NumHashes = 16
-  private val BandRows  = 2  // rows per band → 8 bands; catches J≥0.5 w.p. ~0.9
+  private[graft] val NumHashes = 16
+  private[graft] val BandRows  = 2  // rows per band → 8 bands; catches J≥0.5 w.p. ~0.9
 
   /** Candidate-generation bucket cap. A band bucket with more members than
     * this is either hash degeneracy (low-entropy corpus, e.g. the harness's
@@ -411,7 +411,7 @@ object Dedup {
     * exact verification then scores each spoke. Degenerate buckets cost
     * O(size) false candidates (killed by verification); true giant clusters
     * stay fully recoverable via connected components over the output. */
-  private val MaxBucket = 64
+  private[graft] val MaxBucket = 64
 
   /** Same-key candidate pairs with the oversized-bucket star fallback.
     * Input must have columns (doc_id, k1, k2); output (a_id, b_id) distinct.

@@ -59,17 +59,50 @@ object Pipeline {
     corpus.join(drops, Seq("doc_id"), "left_anti")
   }
 
-  def curate(s: SparkSession, dir: String): DataFrame = {
-    val kept = keptDocs(s, dir)
+  def curate(s: SparkSession, dir: String): DataFrame =
+    curateOf(s, keptDocs(s, dir))
+
+  /** [[curate]]'s LSH-banded scale twin: the identical five-stage chain,
+    * but the near-dup collapse arrives through the md5-minhash BAND
+    * candidates ([[Dedup.minhashMd5CandidatesFrom]]) with exact J ≥ 0.5
+    * verification instead of the full inverted-index pair join — the same
+    * swap `entity_resolution_lsh` proved for the ER capstone. Why it is a
+    * gated query: the round-13 scale rehearsal (SCALE.md) measured the
+    * exact pair stage inside this pipeline at 5.7× for 10× data (Σ df² ∝
+    * n² on a dense vocabulary) while the banded candidate path held ~2.0×
+    * per doubling — at 100 TB this twin IS the curation pipeline, and its
+    * oracle mirrors the banding, star cap and verification end-to-end so
+    * the swap's survivor set is hash-checked cross-engine, not assumed.
+    * Candidate recall vs the exact pair set is itself a gated number
+    * (`dedup_minhash_recall`). */
+  def curateLsh(s: SparkSession, dir: String): DataFrame =
+    curateOf(s, keptDocsLsh(s, dir))
+
+  private def curateOf(s: SparkSession, kept: DataFrame): DataFrame =
     DataPrep.splitOf(kept)
       .join(kept.select("doc_id", "lang", "source"), "doc_id")
       .select("doc_id", "lang", "source", "n_chars", "split")
       .orderBy("doc_id")
-  }
 
   /** The curation chain's survivor set (full document rows) — shared by
     * [[curate]] and [[trainingSet]]. */
-  private[operators] def keptDocs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def keptDocs(s: SparkSession, dir: String): DataFrame =
+    keptDocsVia(s, dir) { exact =>
+      Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
+    }
+
+  /** Survivor set with the BANDED near-dup stage — shared by
+    * [[curateLsh]] and [[trainingSetLsh]]. Only stage 2's pair generator
+    * differs from [[keptDocs]]; stages 1/3/4/5 are the same code. */
+  private[operators] def keptDocsLsh(s: SparkSession, dir: String): DataFrame =
+    keptDocsVia(s, dir) { exact =>
+      val arr = Dedup.shingleArrays(exact).cache()
+      Dedup.verifyPairs(Dedup.minhashMd5CandidatesFrom(arr), arr, 0.5)
+        .select("a_id", "b_id")
+    }
+
+  private def keptDocsVia(s: SparkSession, dir: String)
+                         (nearPairsOf: DataFrame => DataFrame): DataFrame = {
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
 
     // 1. exact dedup WITHIN the corpus (a benchmark twin must not decide
@@ -81,8 +114,7 @@ object Pipeline {
 
     // 2. near-dup collapse over the exact survivors: every clustered doc
     // that is not its component's minimum id is dropped
-    val nonReps = Dedup.ccLabels(
-        Dedup.jaccardPairsFrom(exact).select("a_id", "b_id"))
+    val nonReps = Dedup.ccLabels(nearPairsOf(exact))
       .filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_id"))
 
@@ -96,10 +128,10 @@ object Pipeline {
     dropSetJoin(s, dir, exact, dropSet)
   }
 
-  /** The WITH chain up to the `kept` survivor set — shared by
-    * [[curateSql]] and [[trainingSetSql]] so the oracle provably runs the
-    * SAME curation semantics under both final stages. */
-  private val keptCtes: String =
+  /** Shared head of the kept-CTE chain (corpus → exact survivors →
+    * shingles → set sizes) — identical under the exact and the banded
+    * pair stage. */
+  private val keptPrefixCtes: String =
     """WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
       |exact AS (
       |  SELECT * FROM corpus
@@ -111,8 +143,11 @@ object Pipeline {
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
       |  WHERE len(tk) >= 3
       |),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |common AS (
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** The EXACT near-dup pair stage: full inverted-index self-join. */
+  private val exactPairCtes: String =
+    """common AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
@@ -121,8 +156,56 @@ object Pipeline {
       |  SELECT a_id, b_id FROM common
       |  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
       |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |)""".stripMargin
+
+  /** The BANDED near-dup pair stage: the md5-minhash signature / band
+    * bucket / star-cap / exact-verify chain of `neardup_minhash_md5`
+    * (same constants, same tie rules), ending in the same `pairs` CTE
+    * shape so the suffix chain is shared verbatim with the exact form. */
+  private val bandedPairCtes: String =
+    s"""mhashes AS (
+      |  SELECT doc_id, i,
+      |         min(('0x' || substring(md5(s || '#' || i), 1, 15))::BIGINT) AS mh
+      |  FROM sh, LATERAL (SELECT unnest(generate_series(0, ${Dedup.NumHashes - 1})) AS i) seeds
+      |  GROUP BY doc_id, i
       |),
-      |edges AS (
+      |mbands AS (
+      |  SELECT doc_id, i // ${Dedup.BandRows} AS band,
+      |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+      |  FROM mhashes GROUP BY doc_id, i // ${Dedup.BandRows}
+      |),
+      |mbstats AS (
+      |  SELECT band, bucket, count(*) AS bsz, min(doc_id) AS bmin
+      |  FROM mbands GROUP BY 1, 2 HAVING count(*) >= 2
+      |),
+      |mjoined AS (SELECT b.doc_id, b.band, b.bucket, s.bsz, s.bmin
+      |            FROM mbands b JOIN mbstats s USING (band, bucket)),
+      |mcand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM mjoined a JOIN mjoined b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE a.bsz <= ${Dedup.MaxBucket}
+      |  UNION
+      |  SELECT DISTINCT bmin AS a_id, doc_id AS b_id
+      |  FROM mjoined WHERE bsz > ${Dedup.MaxBucket} AND doc_id <> bmin
+      |),
+      |common AS (
+      |  SELECT c.a_id, c.b_id, count(*) AS c
+      |  FROM mcand c
+      |  JOIN sh x ON x.doc_id = c.a_id
+      |  JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM common
+      |  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |)""".stripMargin
+
+  /** Shared tail of the kept-CTE chain (CC over `pairs` → drop sets →
+    * `kept`). */
+  private val keptSuffixCtes: String =
+    """edges AS (
       |  SELECT a_id AS src, b_id AS dst FROM pairs
       |  UNION SELECT b_id, a_id FROM pairs
       |),
@@ -167,12 +250,28 @@ object Pipeline {
       |    AND NOT EXISTS (SELECT 1 FROM decon c WHERE c.doc_id = e.doc_id)
       |)""".stripMargin
 
-  val curateSql: String = keptCtes + "\n" +
+  /** The WITH chain up to the `kept` survivor set — shared by
+    * [[curateSql]] and [[trainingSetSql]] so the oracle provably runs the
+    * SAME curation semantics under both final stages. */
+  private val keptCtes: String =
+    keptPrefixCtes + ",\n" + exactPairCtes + ",\n" + keptSuffixCtes
+
+  /** The banded-stage kept chain — same prefix and suffix strings, only
+    * the pair CTEs swapped, so the two oracles can differ ONLY in the
+    * near-dup candidate generator (exactly like the Scala side). */
+  private val keptLshCtes: String =
+    keptPrefixCtes + ",\n" + bandedPairCtes + ",\n" + keptSuffixCtes
+
+  private val curateSelect: String =
     """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
       |       CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90 THEN 'train'
       |            WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 95 THEN 'valid'
       |            ELSE 'test' END AS split
       |FROM kept ORDER BY doc_id""".stripMargin
+
+  val curateSql: String = keptCtes + "\n" + curateSelect
+
+  val curateLshSql: String = keptLshCtes + "\n" + curateSelect
 
   private val SeqTokens = 512L
 
