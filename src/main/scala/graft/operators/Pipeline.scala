@@ -97,8 +97,16 @@ object Pipeline {
   private[operators] def keptDocsLsh(s: SparkSession, dir: String): DataFrame =
     keptDocsVia(s, dir) { exact =>
       val arr = Dedup.shingleArrays(exact).cache()
-      Dedup.verifyPairs(Dedup.minhashMd5CandidatesFrom(arr), arr, 0.5)
+      // localCheckpoint is EAGER: the verified pair set (two longs per
+      // row, tiny vs the shingle arrays) is materialized right here, so
+      // the arr cache can be released immediately instead of living until
+      // the ContextCleaner gets to it — the downstream CC fixpoint
+      // re-checkpoints and repins its own edge stats anyway
+      val pairs = Dedup.verifyPairs(Dedup.minhashMd5CandidatesFrom(arr), arr, 0.5)
         .select("a_id", "b_id")
+        .localCheckpoint()
+      arr.unpersist()
+      pairs
     }
 
   private def keptDocsVia(s: SparkSession, dir: String)
@@ -297,8 +305,21 @@ object Pipeline {
     * per-row arithmetic plus one per-source window (sources shard the
     * corpus; within a source the running sum is the same
     * sort-within-partition any packer pays). */
-  def trainingSet(s: SparkSession, dir: String): DataFrame = {
-    val kept = keptDocs(s, dir)
+  def trainingSet(s: SparkSession, dir: String): DataFrame =
+    trainingSetOf(keptDocs(s, dir))
+
+  /** [[trainingSet]]'s LSH-banded scale twin: the identical PII-scrub /
+    * mixture / split / chunking stages over [[keptDocsLsh]]'s survivor
+    * set — the same single-stage swap [[curateLsh]] makes on [[curate]],
+    * so at 100 TB the full training-set build (not just the curate
+    * report) has a plan whose near-dup stage is banded rather than the
+    * Σ df² pair join. Gated end-to-end against the banded kept-CTE
+    * oracle exactly like the exact form. */
+  def trainingSetLsh(s: SparkSession, dir: String): DataFrame =
+    trainingSetOf(keptDocsLsh(s, dir))
+
+  private def trainingSetOf(kept0: DataFrame): DataFrame = {
+    val kept = kept0
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("w1000", DataPrep.sourceW1000Col)
       .withColumn("bucket", DataPrep.mixBucketCol)
@@ -318,7 +339,10 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  val trainingSetSql: String = keptCtes + ",\n" +
+  /** The training-set stages after `kept` (scrub / mix / split / pack) as
+    * one CTE suffix — shared verbatim by the exact and banded oracles so
+    * the two can differ ONLY in the near-dup pair generator. */
+  private val trainingSetSuffix: String =
     s"""enriched AS (
       |  SELECT doc_id, source,
       |         len(string_split(text, ' '))::BIGINT AS n_tokens,
@@ -352,6 +376,10 @@ object Pipeline {
       |SELECT doc_id, source, split, copies, n_tokens,
       |       (off // $SeqTokens)::BIGINT AS chunk_id, scrub_md5
       |FROM packed ORDER BY doc_id""".stripMargin
+
+  val trainingSetSql: String = keptCtes + ",\n" + trainingSetSuffix
+
+  val trainingSetLshSql: String = keptLshCtes + ",\n" + trainingSetSuffix
 
   private[operators] val LeakThreshold = 0.3
 
@@ -774,24 +802,28 @@ object Pipeline {
        |FROM phased GROUP BY phase ORDER BY phase""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curate"       -> (curate _),
-    "pipeline_data_card"    -> (dataCard _),
-    "prep_curriculum"       -> (curriculum _),
-    "corpus_fingerprint"    -> (corpusFingerprint _),
-    "forget_audit"          -> (forgetAudit _),
-    "pipeline_training_set" -> (trainingSet _),
-    "pipeline_funnel_report" -> (funnelReport _),
-    "split_leakage_audit"   -> (splitLeakageAudit _)
+    "pipeline_curate"           -> (curate _),
+    "pipeline_curate_lsh"       -> (curateLsh _),
+    "pipeline_data_card"        -> (dataCard _),
+    "prep_curriculum"           -> (curriculum _),
+    "corpus_fingerprint"        -> (corpusFingerprint _),
+    "forget_audit"              -> (forgetAudit _),
+    "pipeline_training_set"     -> (trainingSet _),
+    "pipeline_training_set_lsh" -> (trainingSetLsh _),
+    "pipeline_funnel_report"    -> (funnelReport _),
+    "split_leakage_audit"       -> (splitLeakageAudit _)
   )
 
   def oracles: Map[String, String] = Map(
-    "pipeline_curate"       -> curateSql,
-    "pipeline_data_card"    -> dataCardSql,
-    "prep_curriculum"       -> curriculumSql,
-    "corpus_fingerprint"    -> corpusFingerprintSql,
-    "forget_audit"          -> forgetAuditSql,
-    "pipeline_training_set" -> trainingSetSql,
-    "pipeline_funnel_report" -> funnelReportSql,
-    "split_leakage_audit"   -> splitLeakageAuditSql
+    "pipeline_curate"           -> curateSql,
+    "pipeline_curate_lsh"       -> curateLshSql,
+    "pipeline_data_card"        -> dataCardSql,
+    "prep_curriculum"           -> curriculumSql,
+    "corpus_fingerprint"        -> corpusFingerprintSql,
+    "forget_audit"              -> forgetAuditSql,
+    "pipeline_training_set"     -> trainingSetSql,
+    "pipeline_training_set_lsh" -> trainingSetLshSql,
+    "pipeline_funnel_report"    -> funnelReportSql,
+    "split_leakage_audit"       -> splitLeakageAuditSql
   )
 }

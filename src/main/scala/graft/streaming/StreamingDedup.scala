@@ -436,8 +436,13 @@ object StreamingDedup {
           // anyway), read its true count, and above the threshold fall
           // back to an unhinted join so a pathological batch degrades to
           // a shuffle instead of killing the query.
-          val candCk = cand.localCheckpoint()
-          val nCand = candCk.count()
+          val candCk0 = cand.localCheckpoint()
+          val nCand = candCk0.count()
+          // repin, per repo convention (digests/arrays/prefix below): the
+          // checkpoint otherwise carries the join-PRODUCT size estimate of
+          // the cand plan, which would skew planning of the unhinted
+          // fallback join path
+          val candCk = GraftShims.repinStats(candCk0, nCand, 16L)
           val candSide =
             if (nCand <= MaxBroadcastCandidates) broadcast(candCk)
             else {

@@ -156,6 +156,33 @@ class PipelineSpec extends GraftSpec {
     }
   }
 
+  test("LSH-banded curate twin: superset-of-exact survivors, equal when recall holds") {
+    // the banded twin's near-dup edges are band-candidates → exact verify
+    // at the SAME J ≥ 0.5 threshold, so its edge set is a SUBSET of the
+    // exact pipeline's. CC over a sub-edge-set only splits components,
+    // and a doc dropped by the LSH chain (non-min in an LSH component)
+    // is non-min in the enclosing exact component too — hence
+    // kept_exact ⊆ kept_lsh ALWAYS, and on the harness corpus (planted
+    // near-dups share most shingles; banding catches them w.h.p., recall
+    // itself gated by dedup_minhash_recall) the survivor sets are equal.
+    val exact = Pipeline.curate(spark, sf0001).collect().map(_.toString).toSeq
+    val lsh = Pipeline.curateLsh(spark, sf0001).collect().map(_.toString).toSeq
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    assert(exact.toSet.subsetOf(lsh.toSet),
+      "an exact-curate survivor vanished under the banded stage — " +
+        "impossible unless the verify threshold diverged")
+    assert(exact == lsh,
+      "banding missed a qualifying pair on the harness corpus — " +
+        "expected identical survivor sets at this scale")
+
+    // and the full training-set build rides the same survivor set: the
+    // banded twin must emit row-identical artifacts here
+    val ts = Pipeline.trainingSet(spark, sf0001).collect().map(_.toString).toSeq
+    val tsLsh = Pipeline.trainingSetLsh(spark, sf0001).collect().map(_.toString).toSeq
+    assert(ts.nonEmpty && ts == tsLsh,
+      "training-set artifacts diverged between the exact and banded chains")
+  }
+
   test("leakage audit: corpus stage shows cross-split near-dups, curated stage none") {
     val rows = Pipeline.splitLeakageAudit(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
