@@ -69,13 +69,22 @@ object StreamScaleBench {
       val docRows = Tables.documents(spark, dir)
         .select("doc_id", "text").collect()
         .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
-      // 1. growing-index curation chain over the non-benchmark corpus
+      // 1. growing-index curation chain over the non-benchmark corpus.
+      // BENCHED DEFAULT is the BANDED near-candidate form — the topology
+      // whose per-batch cost stays flat as the kept index grows (the
+      // exact lex-prefix probe measured 2.53 → 19.6 s/batch over 60 sf1
+      // batches — SCALE.md). Set SPARK_GRAFT_STREAM_EXACT=1 to also
+      // drive the exact form for the A/B curve.
       val benchSh = StreamingCurate.benchmarkShingles(
         Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0))
-      drive(dir, "curate",
-        docRows.filter(_._1 % 10 != 0).map(d => DocEvent(d._1, d._2))) { ds =>
-        StreamingCurate.curateStream(ds, benchSh) { (_, _) => () }
+      val curateDocs = docRows.filter(_._1 % 10 != 0).map(d => DocEvent(d._1, d._2))
+      drive(dir, "curate_banded", curateDocs) { ds =>
+        StreamingCurate.curateStream(ds, benchSh, banded = true) { (_, _) => () }
       }
+      if (sys.env.get("SPARK_GRAFT_STREAM_EXACT").contains("1"))
+        drive(dir, "curate", curateDocs) { ds =>
+          StreamingCurate.curateStream(ds, benchSh) { (_, _) => () }
+        }
       // 2. standing-index dedup probe (index = 6/7 of the corpus, untimed)
       val idx = StreamingDedup.buildStandingIndex(
         Tables.documents(spark, dir).filter(col("doc_id") % 7 =!= 0))

@@ -259,8 +259,8 @@ object Dedup {
     * hash-match rests on — one copy, shared by the prefix, df-cap, and
     * MinHash-LSH paths so a threshold or cast change cannot desynchronize
     * them. */
-  private[operators] def verifyPairs(candidates: DataFrame, docsArr: DataFrame,
-                                     t: Double): DataFrame =
+  private[graft] def verifyPairs(candidates: DataFrame, docsArr: DataFrame,
+                                 t: Double): DataFrame =
     candidates
       .join(docsArr.select(col("doc_id").as("a_id"), col("sh").as("sa"),
         size(col("sh")).cast("long").as("na")), "a_id")
@@ -469,6 +469,19 @@ object Dedup {
     * checks recall vs the exact-Jaccard query. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
+    val cand = bucketCandidates(xxhashBandBuckets(docsArr), "band", "bucket")
+    verifyPairs(cand, docsArr, 0.5).orderBy("a_id", "b_id")
+  }
+
+  /** The xxhash64 banding stage of [[minhashLsh]], factored: per-row
+    * shingle arrays → k seeded-xxhash64 minhashes (explode + ONE
+    * partial-agg shuffle of k wide columns) → (doc_id, band, bucket) rows,
+    * bucket = xxhash64 over the band's minhash subsequence. Shared with
+    * the streaming growing index ([[graft.streaming.StreamingDedup]]'s
+    * banded mode) so batch and continuous near-dup probe the SAME band
+    * family — a doc's signature depends on its content only, which is
+    * what lets a growing index keep old band rows valid forever. */
+  private[graft] def xxhashBandBuckets(docsArr: DataFrame): DataFrame = {
     // k permutations simulated as xxhash64(seed_i, shingle), min per
     // (doc, i) — k WIDE aggregate columns in a single codegen'd pass
     val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
@@ -479,11 +492,9 @@ object Dedup {
         xxhash64((lit(b) +: (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))): _*)
           .as("bucket"))
     }
-    val buckets = sig
+    sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = bucketCandidates(buckets, "band", "bucket")
-    verifyPairs(cand, docsArr, 0.5).orderBy("a_id", "b_id")
   }
 
   /** MinHash + LSH with a CROSS-ENGINE-REPRODUCIBLE hash — the oracle-proof

@@ -108,11 +108,16 @@ object StreamingCurate {
      }.toMap)
   }
 
+  /** `banded = true` routes the growing dedup layer through the minhash
+    * band candidate generator (see [[StreamingDedup.GreedyGrowingIndex]])
+    * — the form whose per-batch cost stays flat as the kept index grows;
+    * the default stays the exact lex-prefix probe, whose decisions are
+    * pinned against the O(n²) greedy reference. */
   def curateStream(stream: Dataset[DocEvent], benchShingles: DataFrame,
-                   t: Double = 0.5)
+                   t: Double = 0.5, banded: Boolean = false)
                   (sink: (Seq[CurateVerdict], Long) => Unit)
       : DataStreamWriter[Row] = {
-    val proc = new CurateProcessor(benchShingles, t, sink)
+    val proc = new CurateProcessor(benchShingles, t, sink, banded)
     stream.toDF().writeStream.foreachBatch(proc.process _)
   }
 
@@ -129,8 +134,9 @@ object StreamingCurate {
     * that is [[trainingSetStreamDurable]]'s contract.) */
   private[graft] final class CurateProcessor(
       benchShingles: DataFrame, t: Double,
-      sink: (Seq[CurateVerdict], Long) => Unit) {
-    private val gi = new StreamingDedup.GreedyGrowingIndex(t)
+      sink: (Seq[CurateVerdict], Long) => Unit,
+      banded: Boolean = false) {
+    private val gi = new StreamingDedup.GreedyGrowingIndex(t, banded)
     // the benchmark frame is re-joined every batch: pin it once
     private val bench = benchShingles.withColumn("hit", lit(1)).localCheckpoint()
     private var lastBatch = -1L

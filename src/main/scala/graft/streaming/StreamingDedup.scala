@@ -345,10 +345,11 @@ object StreamingDedup {
     * lives outside the checkpoint (production persists it as a bucketed
     * table with idempotent per-batchId MERGE — documented trade; the
     * split-invariance spec is the correctness surface here). */
-  def growingCurationStream(stream: Dataset[DocEvent], t: Double = 0.5)
+  def growingCurationStream(stream: Dataset[DocEvent], t: Double = 0.5,
+                            banded: Boolean = false)
                            (sink: (Seq[CurateDecision], Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val gi = new GreedyGrowingIndex(t)
+    val gi = new GreedyGrowingIndex(t, banded)
     stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
       sink(gi.decideAndGrow(mb0), batchId)
     }
@@ -365,10 +366,30 @@ object StreamingDedup {
     * probe degrades to a shuffled join instead of risking the collect. */
   private[streaming] val MaxBroadcastCandidates = 4000000L
 
-  private[streaming] final class GreedyGrowingIndex(t: Double) {
+  /** `banded = true` swaps BOTH near-candidate generators (index probe
+    * and within-batch) from the exact lex-prefix inverted index to
+    * xxhash64 minhash BAND buckets ([[Dedup.xxhashBandBuckets]] — the
+    * same family `neardup_minhash_lsh` ships), with the [[Dedup.MaxBucket]]
+    * star fallback on hot buckets and the same exact J ≥ t verification.
+    * Why: on a dense-vocabulary corpus the prefix keeps most shingles,
+    * so index-probe candidates grow ∝ kept-index size and per-batch cost
+    * climbs linearly with stream age (measured: 2.53 → 19.6 s/batch over
+    * 60 sf1 batches — SCALE.md); band candidates follow TRUE similarity,
+    * so the curve flattens. A doc's signature is content-only, so old
+    * band rows stay valid forever — the same never-moves property the
+    * lex order has and a df order lacks. The trade is banding recall
+    * (~0.9 at J = 0.5 for 8×2 bands; exact duplicates are unaffected —
+    * the digest path is shared): decisions remain deterministic AND
+    * slicing-invariant, because both the index probe and the
+    * within-batch pass use the same content-deterministic candidate
+    * rule, so where a pair lands relative to batch boundaries cannot
+    * change whether its bucket collision exists. */
+  private[streaming] final class GreedyGrowingIndex(t: Double,
+                                                    banded: Boolean = false) {
     private var digests: DataFrame = null // (h, len, id)  kept docs
     private var arrays: DataFrame = null  // (id, sh, n)   kept docs with ≥1 shingle
     private var prefix: DataFrame = null  // (id, n, s)    lex-order prefix entries
+    private var bands: DataFrame = null   // (id, n, band, bucket) when banded
     private var nKept = 0L                // cumulative kept docs → honest frame stats
 
     private def lexPrefix(arr: DataFrame, idCol: String): DataFrame =
@@ -387,6 +408,13 @@ object StreamingDedup {
       val mbArr = Dedup.shingleArrays(mb)
         .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
         .localCheckpoint()
+      // banded mode: the batch's band-bucket rows, computed ONCE and
+      // reused by the index probe, the within-batch pass, and the grow
+      val mbBands: DataFrame =
+        if (!banded) null
+        else Dedup.xxhashBandBuckets(mbArr)
+          .join(mbArr.select(col("doc_id"), col("n")), "doc_id")
+          .localCheckpoint()
 
       // ---- distributed: candidates against the KEPT index (all final)
       // every batch-vs-index join BROADCASTS the batch side explicitly:
@@ -408,13 +436,42 @@ object StreamingDedup {
           val exactHits = broadcast(mbKeyed).join(digests, Seq("h", "len"))
             .groupBy("doc_id").agg(min("id").as("keeper"))
             .select(lit(0).as("tag"), col("doc_id"), col("keeper"))
-          val probe = lexPrefix(mbArr, "doc_id")
-            .withColumnRenamed("id", "b_id").withColumnRenamed("n", "bn")
-          val cand = broadcast(probe)
-            .join(prefix.withColumnRenamed("id", "k_id")
-              .withColumnRenamed("n", "kn"), "s")
-            .filter(col("bn") * t <= col("kn") && col("kn") * t <= col("bn"))
-            .select("b_id", "k_id").distinct()
+          // near candidates against the index: banded (bucket hits with
+          // the star cap) or exact (lex-prefix inverted index)
+          var bandHits: DataFrame = null
+          val cand =
+            if (banded) {
+              val probeB = mbBands.select(col("doc_id").as("b_id"),
+                col("n").as("bn"), col("band"), col("bucket"))
+              bandHits = bands.join(broadcast(probeB), Seq("band", "bucket"))
+                .filter(col("n") * t <= col("bn") && col("bn") * t <= col("n"))
+                .select(col("b_id"), col("id").as("k_id"),
+                  col("band"), col("bucket"))
+                .localCheckpoint()
+              // star cap per (bucket, probe doc): a hot index bucket is
+              // hash degeneracy or a giant duplicate cluster — expanding
+              // it is the quadratic term; the probe pairs against the
+              // bucket's minimum kept id instead (the bucketCandidates
+              // rule, probe-sided). perProbe is ≤ bands-per-doc × batch
+              // rows, so both auxiliary joins broadcast the tiny side.
+              val perProbe = bandHits.groupBy("band", "bucket", "b_id")
+                .agg(count(lit(1)).as("kcnt"), min(col("k_id")).as("kmin"))
+              val smallKeys = perProbe.filter(col("kcnt") <= Dedup.MaxBucket)
+                .select("band", "bucket", "b_id")
+              bandHits.join(broadcast(smallKeys), Seq("band", "bucket", "b_id"))
+                .select("b_id", "k_id")
+                .union(perProbe.filter(col("kcnt") > Dedup.MaxBucket)
+                  .select(col("b_id"), col("kmin").as("k_id")))
+                .distinct()
+            } else {
+              val probe = lexPrefix(mbArr, "doc_id")
+                .withColumnRenamed("id", "b_id").withColumnRenamed("n", "bn")
+              broadcast(probe)
+                .join(prefix.withColumnRenamed("id", "k_id")
+                  .withColumnRenamed("n", "kn"), "s")
+                .filter(col("bn") * t <= col("kn") && col("kn") * t <= col("bn"))
+                .select("b_id", "k_id").distinct()
+            }
           // VERIFY JOIN ORDER MATTERS AT SCALE: the round-13 streaming
           // rehearsal killed the previous form — broadcast(cand ⋈ mbArr) —
           // at sf1 batch 56 with "serialized results 1059.9 MiB >
@@ -438,6 +495,9 @@ object StreamingDedup {
           // a shuffle instead of killing the query.
           val candCk0 = cand.localCheckpoint()
           val nCand = candCk0.count()
+          // the band-hit snapshot is consumed once candCk0 materializes
+          if (bandHits != null)
+            org.apache.spark.sql.GraftShims.unpersistCheckpoint(bandHits)
           // repin, per repo convention (digests/arrays/prefix below): the
           // checkpoint otherwise carries the join-PRODUCT size estimate of
           // the cand plan, which would skew planning of the unhinted
@@ -467,12 +527,30 @@ object StreamingDedup {
         }
 
       // ---- distributed: WITHIN-batch candidate pairs (driver resolves)
-      // the two within-batch pair families likewise share one action
+      // the two within-batch pair families likewise share one action.
+      // banded mode uses the SAME band rule within the batch as against
+      // the index — otherwise where a pair straddles a batch boundary
+      // would decide whether it gets the exact or the banded generator,
+      // and slicing invariance would be lost. Batch-sized self-join; no
+      // star cap needed (output is bounded by batch² regardless, the
+      // same bound the exact within-batch join has).
+      val withinNear =
+        if (!banded) Dedup.jaccardPairsFrom(mb).select("a_id", "b_id")
+        else {
+          val bb = mbBands.select("doc_id", "band", "bucket")
+          val candWithin = bb.as("x").join(bb.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.bucket") === col("y.bucket") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+            .distinct()
+          Dedup.verifyPairs(candWithin, mbArr, t).select("a_id", "b_id")
+        }
       val pairRows = mbKeyed.alias("a")
         .join(mbKeyed.alias("b"), col("a.h") === col("b.h") &&
           col("a.len") === col("b.len") && col("a.doc_id") < col("b.doc_id"))
         .select(lit(0).as("tag"), col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
-        .unionByName(Dedup.jaccardPairsFrom(mb)
+        .unionByName(withinNear
           .select(lit(1).as("tag"), col("a_id").as("lo"), col("b_id").as("hi")))
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       val exactPairs = pairRows.collect { case (0, a, b) => (a, b) }
@@ -500,6 +578,7 @@ object StreamingDedup {
       val newArr = mbArr.join(keptIds, "doc_id")
         .select(col("doc_id").as("id"), col("sh"), col("n"))
       val oldDig = digests; val oldArr = arrays; val oldPf = prefix
+      val oldBd = bands
       // COALESCE each standing frame to the session parallelism before
       // re-pinning: a checkpointed union otherwise ACCUMULATES partitions
       // batch over batch (32 more per batch), and every later probe pays
@@ -524,18 +603,27 @@ object StreamingDedup {
       arrays = GraftShims.repinStats(
         (if (oldArr == null) newArr else oldArr.unionByName(newArr))
           .coalesce(par).localCheckpoint(), nKept, 16384L)
-      // the index grows by the batch's DELTA only — a lex prefix never
-      // moves once computed, so old entries stay valid forever (this is
-      // exactly what a df-based order would break)
-      val newPf = lexPrefix(newArr, "id")
-      prefix = GraftShims.repinStats(
-        (if (oldPf == null) newPf else oldPf.unionByName(newPf))
-          .coalesce(par).localCheckpoint(), nKept, 8192L)
+      // the index grows by the batch's DELTA only — a lex prefix (or a
+      // minhash band row) never moves once computed, so old entries stay
+      // valid forever (this is exactly what a df-based order would break)
+      if (banded) {
+        val newBd = mbBands.join(keptIds, "doc_id")
+          .select(col("doc_id").as("id"), col("n"), col("band"), col("bucket"))
+        bands = GraftShims.repinStats(
+          (if (oldBd == null) newBd else oldBd.unionByName(newBd))
+            .coalesce(par).localCheckpoint(),
+          nKept * (Dedup.NumHashes / Dedup.BandRows), 48L)
+      } else {
+        val newPf = lexPrefix(newArr, "id")
+        prefix = GraftShims.repinStats(
+          (if (oldPf == null) newPf else oldPf.unionByName(newPf))
+            .coalesce(par).localCheckpoint(), nKept, 8192L)
+      }
       // superseded snapshots: safe to drop once the new eager checkpoints
       // above have materialized
-      Seq(oldDig, oldArr, oldPf).filter(_ != null)
+      Seq(oldDig, oldArr, oldPf, oldBd).filter(_ != null)
         .foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
-      Seq(mb, mbKeyed, mbArr)
+      (Seq(mb, mbKeyed, mbArr) ++ Option(mbBands))
         .foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
 
       decisions.toSeq

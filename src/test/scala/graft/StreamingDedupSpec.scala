@@ -318,6 +318,80 @@ class StreamingDedupSpec extends GraftSpec {
     }
   }
 
+  test("BANDED growing curation == banding-aware greedy reference, any micro-batch splits") {
+    // the banded form swaps BOTH near-candidate generators (index probe
+    // and within-batch) to minhash band buckets; decisions stay
+    // deterministic and slicing-invariant because a bucket collision is a
+    // pure function of content, never of where a batch boundary falls.
+    // The reference reimplements the greedy rule in plain Scala over its
+    // OWN shingle sets and Jaccard; the band-bucket table is computed
+    // once through the shared banding stage (xxhash64 is not something a
+    // pure-Scala reimplementation can reproduce) — what the reference
+    // does NOT share is the candidate join, the star cap, the growing
+    // index maintenance, and the greedy resolution under test.
+    import spark.implicits._
+    def shingles(text: String): Set[String] = {
+      val tk = text.split(" ", -1)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val c = (a & b).size
+      val d = a.size + b.size - c
+      if (d == 0) 0.0 else c.toDouble / d
+    }
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val maxId = base.map(_._1).max
+    val docs = base ++ base.take(3).zipWithIndex.map { case ((_, text), i) =>
+      (maxId + 1 + i, text)
+    }
+    val buckets: Map[Long, Set[(Int, Long)]] =
+      graft.operators.Dedup.xxhashBandBuckets(
+        graft.operators.Dedup.shingleArrays(docs.toSeq.toDF("doc_id", "text")))
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    case class Kept(id: Long, text: String, sh: Set[String], bk: Set[(Int, Long)])
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Kept]
+    val expected = docs.map { case (id, text) =>
+      val sh = shingles(text)
+      val bk = buckets.getOrElse(id, Set.empty[(Int, Long)])
+      val exactK = kept.filter(_.text == text).map(_.id).minOption
+      lazy val nearK = kept
+        .filter(k => (k.bk & bk).nonEmpty && jac(sh, k.sh) >= 0.5)
+        .map(_.id).minOption
+      exactK match {
+        case Some(k) => (id, "exact", k)
+        case None => nearK match {
+          case Some(k) => (id, "near", k)
+          case None => kept += Kept(id, text, sh, bk); (id, "kept", -1L)
+        }
+      }
+    }.toSeq
+    assert(expected.exists(_._2 == "exact") && expected.exists(_._2 == "near"),
+      "fixture must exercise both drop kinds under banding")
+
+    val events = docs.map { case (id, text) => DocEvent(id, text) }.toSeq
+    for ((seed, msId) <- Seq((7, 318), (23, 319))) {
+      val rnd = new scala.util.Random(seed)
+      val chunks = splitChunks(events, 2 + rnd.nextInt(4), rnd)
+      val ms = MemoryStream[DocEvent](msId, spark, None)
+      val sink = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_growband").toString
+      val q = StreamingDedup.growingCurationStream(ms.toDS(), banded = true) { (ds, _) =>
+        sink.synchronized { sink ++= ds.map(d => (d.doc_id, d.kind, d.keeper_id)) }
+        ()
+      }.option("checkpointLocation", ckpt).start()
+      try chunks.foreach { c =>
+        if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = sink.synchronized(sink.toSeq).sortBy(_._1)
+      assert(got == expected,
+        s"seed=$seed: banded greedy decisions diverge " +
+        s"(first diff: ${got.zip(expected).find(p => p._1 != p._2)})")
+    }
+  }
+
   test("durable growing curation == greedy reference; replay and crashed-marker replay are decision-stable") {
     def shingles(text: String): Set[String] = {
       val tk = text.split(" ", -1)
