@@ -18,8 +18,22 @@ can be measured at 10x (SCALE.md records the results):
   embeddings: rows = 20000 * sf   (sf0.1 has 2000)
     - 64-dim unit-norm float32 gaussian vectors, label uniform 0..9
 
-Usage: gen_scale_corpus.py <sf> <outDir>   e.g. 1 /tmp/graft_sf1
-Deterministic for a given (sf, seed).
+Usage: gen_scale_corpus.py <sf> <outDir> [--vocab=harness|heaps]
+Deterministic for a given (sf, seed, vocab mode).
+
+Vocab modes:
+  harness (default) — the harness tables' fixed 31-token vocabulary.
+    This is the ADVERSARIAL corpus for exact near-dup paths: df per
+    shingle grows with n, so the exact pair join's output grows ~n².
+  heaps — tokens drawn Zipf(s=1.1) from a 200k-word universe. Sampling
+    a fixed Zipf yields the two properties real web text has (and the
+    harness mode deliberately lacks): observed vocabulary grows
+    sublinearly with corpus size (Heaps' law emerges from Zipf
+    sampling) and document frequency concentrates in a head the
+    df-cap / stop-gram machinery excludes — so this mode bounds the
+    exact paths from the FAVORABLE side, telling a curator when the
+    exact form is actually fine. Same length / language / dup-rate
+    distribution as harness mode, so per-doc work stays comparable.
 """
 import sys
 import numpy as np
@@ -28,19 +42,43 @@ import pyarrow.parquet as pq
 import duckdb
 
 SEED = 20260814
+ZIPF_S = 1.1
+ZIPF_UNIVERSE = 200000
 
 
 def main():
     sf = float(sys.argv[1])
     out = sys.argv[2]
+    mode = "harness"
+    for a in sys.argv[3:]:
+        if a.startswith("--vocab="):
+            mode = a.split("=", 1)[1]
+    assert mode in ("harness", "heaps"), mode
     import os
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(SEED)
 
-    vocab = [r[0] for r in duckdb.sql(
-        "SELECT DISTINCT unnest(string_split(text, ' ')) AS t "
-        "FROM '/root/testdata/sf0.1/documents.parquet' ORDER BY t").fetchall()]
-    assert len(vocab) == 31, len(vocab)
+    if mode == "harness":
+        vocab = [r[0] for r in duckdb.sql(
+            "SELECT DISTINCT unnest(string_split(text, ' ')) AS t "
+            "FROM '/root/testdata/sf0.1/documents.parquet' ORDER BY t").fetchall()]
+        assert len(vocab) == 31, len(vocab)
+        cum = None
+    else:
+        # synthetic word universe w0..wN with harness-like word lengths
+        # (base-26 suffix keeps lengths 4-8 chars); Zipf(s) inverse-CDF
+        # sampling via one searchsorted per token
+        def word(j):
+            s, x = "", j
+            while True:
+                s += chr(ord('a') + x % 26)
+                x //= 26
+                if x == 0:
+                    break
+            return "w" + s
+        vocab = [word(j) for j in range(ZIPF_UNIVERSE)]
+        p = 1.0 / np.power(np.arange(1, ZIPF_UNIVERSE + 1, dtype=np.float64), ZIPF_S)
+        cum = np.cumsum(p / p.sum())
 
     n_docs = int(50000 * sf)
     langs = np.array(["en", "es", "fr", "de", "zh"])
@@ -52,7 +90,10 @@ def main():
         toks = []
         ln = -1
         while ln < target:
-            w = vocab[rng.integers(0, len(vocab))]
+            if cum is None:
+                w = vocab[rng.integers(0, len(vocab))]
+            else:
+                w = vocab[int(np.searchsorted(cum, rng.random()))]
             toks.append(w)
             ln += len(w) + 1
         texts.append(" ".join(toks))

@@ -15,15 +15,29 @@ import org.apache.spark.sql.SparkSession
   *    ANN-IVF, substring-gram — the once-per-corpus session setup), then
   *    each target query twice; the per-query MIN is the steady-state
   *    number (same attribution discipline as [[Bench]]);
-  *  - targets: the five most composed document/embedding pipelines —
-  *    dedup_incremental, entity_resolution, pipeline_training_set,
-  *    split_leakage_audit, ann_ivf_indexed — exactly the queries whose
-  *    scaling a quadratic candidate generator or an unbounded fixpoint
-  *    would wreck first.
+  *  - targets: the most composed document/embedding pipelines — exactly
+  *    the queries whose scaling a quadratic candidate generator or an
+  *    unbounded fixpoint would wreck first — plus, for each, its
+  *    banded-LSH scale twin where one exists, so every rehearsal re-reads
+  *    the exact-vs-banded crossover.
   *
-  * Usage: ScaleBench <dir1> <dir2> ... (each dir holding
-  * documents.parquet + embeddings.parquet). Prints one JSON line per
-  * corpus with build and query seconds.
+  * Usage: ScaleBench [--assert] [--targets=a,b,c] <dir1> <dir2> ...
+  * (each dir holding documents.parquet + embeddings.parquet). Prints one
+  * JSON line per corpus with build and query seconds.
+  *
+  * `--targets=` restricts the run (iteration aid; standing-index builds
+  * are skipped when no selected target probes them).
+  *
+  * `--assert` turns the rehearsal into a GATE: with ≥ 2 dirs ordered by
+  * scale, the measured growth ratio min(last)/min(first) of every gated
+  * family must stay under its pinned ceiling ([[AssertCeilings]]) — a
+  * regression to a quadratic candidate stream exits non-zero instead of
+  * merely printing a bad curve. Ceilings are pinned for the ~10× step
+  * (sf0.1 → sf1) with ~1.6× headroom over the round-13/15 measured
+  * ratios: generous to host noise, far under the ≥ 3× blowup a
+  * quadratic term shows at 10× data. The run REFUSES dir pairs whose
+  * row ratio is outside [7, 13] so the ceilings always gate the step
+  * they were calibrated for.
   */
 object ScaleBench {
   private val Targets = Seq(
@@ -37,10 +51,43 @@ object ScaleBench {
     "pipeline_curate", "semantic_dedup",
     // the ER capstone's banded scale twin — the pair SCALE.md's
     // exact-vs-LSH reading is about
-    "entity_resolution_lsh")
+    "entity_resolution_lsh",
+    // round-15: the composed pipelines' banded twins, so the flagship
+    // crossover (exact Σ df² near-dup stage vs band candidates inside
+    // the SAME five-stage chain) is re-measured every rehearsal
+    "pipeline_curate_lsh", "pipeline_training_set_lsh")
+
+  /** Queries that probe a standing index — builds run only when one of
+    * these is selected. */
+  private val IndexConsumers = Set(
+    "dedup_incremental", "split_leakage_audit", "ann_ivf_indexed",
+    "dedup_incremental_substring_indexed")
+
+  /** Growth-ratio ceilings for the ~10× step (first dir → last dir),
+    * gated under `--assert`. Families and their round-13/15 measured
+    * ratios at 10× data (SCALE.md): standing-index probes —
+    * dedup_incremental 3.3×, substring probe 2.4×, ANN-IVF 2.0×; banded
+    * LSH families — neardup_minhash_md5 3.8×, entity_resolution_lsh
+    * 2.0×, pipeline_curate_lsh / pipeline_training_set_lsh (round-15
+    * measured, see SCALE.md). Each ceiling is ~1.6× the measured ratio. */
+  private val AssertCeilings: Map[String, Double] = Map(
+    "dedup_incremental"                   -> 5.5,
+    "dedup_incremental_substring_indexed" -> 4.0,
+    "ann_ivf_indexed"                     -> 3.5,
+    "neardup_minhash_md5"                 -> 6.0,
+    "entity_resolution_lsh"               -> 4.0,
+    "pipeline_curate_lsh"                 -> 6.0,
+    "pipeline_training_set_lsh"           -> 6.0)
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleBench <sfDir> [<sfDir> ...]")
+    val (flags, dirs) = args.partition(_.startsWith("--"))
+    require(dirs.nonEmpty,
+      "usage: ScaleBench [--assert] [--targets=a,b,c] <sfDir> [<sfDir> ...]")
+    val assertMode = flags.contains("--assert")
+    val targets = flags.find(_.startsWith("--targets="))
+      .map(_.stripPrefix("--targets=").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Targets)
+    targets.foreach(t => require(SparkEntry.queries.contains(t), s"unknown target: $t"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,14 +105,19 @@ object ScaleBench {
     }
     // JVM/codegen warmup, untimed (same rationale as Bench)
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    for (dir <- args) {
+    // (dir, nDocs, per-query min) per corpus — kept for the assert step
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Map[String, Double])]
+    for (dir <- dirs) {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
-      val builds = Seq(
-        "build_dedup_idx" -> time(graft.operators.StandingIndex.ensureBuilt(spark, dir)),
-        "build_audit_idx" -> time(graft.operators.StandingIndex.ensureAuditBuilt(spark, dir)),
-        "build_ann_idx"   -> time(graft.operators.Similarity.ensureAnnIndex(spark, dir)),
-        "build_gram_idx"  -> time(graft.operators.SubstringDedup.ensureGramIndex(spark, dir)))
-      val queries = Targets.map { name =>
+      val builds =
+        if (targets.exists(IndexConsumers)) Seq(
+          "build_dedup_idx" -> time(graft.operators.StandingIndex.ensureBuilt(spark, dir)),
+          "build_audit_idx" -> time(graft.operators.StandingIndex.ensureAuditBuilt(spark, dir)),
+          "build_ann_idx"   -> time(graft.operators.Similarity.ensureAnnIndex(spark, dir)),
+          "build_gram_idx"  -> time(graft.operators.SubstringDedup.ensureGramIndex(spark, dir)))
+        else Seq.empty
+      val queries = targets.map { name =>
         val fn = SparkEntry.queries(name)
         val obs = (1 to 2).map { _ =>
           val t = time(fn(spark, dir).count())
@@ -78,13 +130,37 @@ object ScaleBench {
       }
       val json =
         s"""{"dir":"$dir","n_docs":$nDocs,""" +
-        builds.map { case (k, v) => s""""$k":${r2(v)}""" }.mkString("", ",", ",") +
+        builds.map { case (k, v) => s""""$k":${r2(v)}""" }.mkString("", ",", if (builds.isEmpty) "" else ",") +
         queries.map { case (k, os) =>
           s""""$k":{"min":${r2(os.min)},"passes":[${os.map(r2).mkString(",")}]}"""
         }.mkString("", ",", "") + "}"
       println(json)
       System.out.flush()
+      results += ((dir, nDocs, queries.map { case (k, os) => k -> os.min }.toMap))
     }
     spark.stop()
+    if (assertMode) {
+      require(results.length >= 2, "--assert needs at least two corpora")
+      val (d0, n0, q0) = results.head
+      val (d1, n1, q1) = results.last
+      val dataRatio = n1.toDouble / n0
+      require(dataRatio >= 7 && dataRatio <= 13,
+        f"--assert ceilings are calibrated for the ~10x step; got $d0 -> $d1 = $dataRatio%.1fx rows")
+      val gated = targets.filter(t => AssertCeilings.contains(t) &&
+        q0.contains(t) && q1.contains(t))
+      require(gated.nonEmpty, "--assert selected no gated family — nothing pinned")
+      val violations = gated.flatMap { t =>
+        val ratio = q1(t) / q0(t)
+        val cap = AssertCeilings(t)
+        System.err.println(f"[scale-gate] $t: ${q0(t)}%.2f s -> ${q1(t)}%.2f s " +
+          f"= $ratio%.2fx at $dataRatio%.1fx data (ceiling ${cap}%.1fx)")
+        if (ratio > cap) Some(f"$t grew $ratio%.2fx > ceiling ${cap}%.1fx") else None
+      }
+      if (violations.nonEmpty) {
+        violations.foreach(v => System.err.println(s"[scale-gate] VIOLATION: $v"))
+        sys.exit(1)
+      }
+      System.err.println(s"[scale-gate] OK: ${gated.size} families within ceilings")
+    }
   }
 }
