@@ -95,19 +95,23 @@ object Pipeline {
     * [[curateLsh]] and [[trainingSetLsh]]. Only stage 2's pair generator
     * differs from [[keptDocs]]; stages 1/3/4/5 are the same code. */
   private[operators] def keptDocsLsh(s: SparkSession, dir: String): DataFrame =
-    keptDocsVia(s, dir) { exact =>
-      val arr = Dedup.shingleArrays(exact).cache()
-      // localCheckpoint is EAGER: the verified pair set (two longs per
-      // row, tiny vs the shingle arrays) is materialized right here, so
-      // the arr cache can be released immediately instead of living until
-      // the ContextCleaner gets to it — the downstream CC fixpoint
-      // re-checkpoints and repins its own edge stats anyway
-      val pairs = Dedup.verifyPairs(Dedup.minhashMd5CandidatesFrom(arr), arr, 0.5)
-        .select("a_id", "b_id")
-        .localCheckpoint()
-      arr.unpersist()
-      pairs
-    }
+    keptDocsVia(s, dir)(bandedNearPairs)
+
+  /** The banded near-dup pair generator over the exact survivors —
+    * stage 2 of [[keptDocsLsh]] and [[funnelReportLsh]]. */
+  private[operators] def bandedNearPairs(exact: DataFrame): DataFrame = {
+    val arr = Dedup.shingleArrays(exact).cache()
+    // localCheckpoint is EAGER: the verified pair set (two longs per
+    // row, tiny vs the shingle arrays) is materialized right here, so
+    // the arr cache can be released immediately instead of living until
+    // the ContextCleaner gets to it — the downstream CC fixpoint
+    // re-checkpoints and repins its own edge stats anyway
+    val pairs = Dedup.verifyPairs(Dedup.minhashMd5CandidatesFrom(arr), arr, 0.5)
+      .select("a_id", "b_id")
+      .localCheckpoint()
+    arr.unpersist()
+    pairs
+  }
 
   private def keptDocsVia(s: SparkSession, dir: String)
                          (nearPairsOf: DataFrame => DataFrame): DataFrame = {
@@ -517,14 +521,28 @@ object Pipeline {
     * curate output is impossible by construction — the final row's
     * count IS `count(kept)`. One dataflow: five single-row aggregates
     * unioned, so the whole report is one action. */
-  def funnelReport(s: SparkSession, dir: String): DataFrame = {
+  def funnelReport(s: SparkSession, dir: String): DataFrame =
+    funnelReportVia(s, dir) { exact =>
+      Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
+    }
+
+  /** [[funnelReport]]'s LSH-banded scale twin: the same five-row funnel,
+    * but stage 3's drop set arrives through [[bandedNearPairs]] — the
+    * single-stage swap [[curateLsh]]/[[trainingSetLsh]] make, so the
+    * funnel a curator prints at 100 TB reports the SAME chain the banded
+    * pipelines actually run (its row-5 count IS `count(curateLsh)`), not
+    * the exact chain's counts. Gated against the banded kept-CTE oracle. */
+  def funnelReportLsh(s: SparkSession, dir: String): DataFrame =
+    funnelReportVia(s, dir)(bandedNearPairs)
+
+  private def funnelReportVia(s: SparkSession, dir: String)
+                             (nearPairsOf: DataFrame => DataFrame): DataFrame = {
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
     val w = Window.partitionBy(md5(col("text")), length(col("text")))
       .orderBy(col("doc_id"))
     val exact = corpus.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn").cache()
-    val nonReps = Dedup.ccLabels(
-        Dedup.jaccardPairsFrom(exact).select("a_id", "b_id"))
+    val nonReps = Dedup.ccLabels(nearPairsOf(exact))
       .filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_id"))
     val afterNear = exact.join(nonReps, Seq("doc_id"), "left_anti").cache()
@@ -545,7 +563,7 @@ object Pipeline {
       .orderBy("stage_ord")
   }
 
-  val funnelReportSql: String = keptCtes + "\n" +
+  private val funnelSelect: String =
     """SELECT * FROM (
       |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage,
       |         (SELECT count(*) FROM corpus) AS n_docs
@@ -559,6 +577,10 @@ object Pipeline {
       |       AND NOT EXISTS (SELECT 1 FROM repflag r WHERE r.doc_id = e.doc_id))
       |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM kept)
       |) ORDER BY stage_ord""".stripMargin
+
+  val funnelReportSql: String = keptCtes + "\n" + funnelSelect
+
+  val funnelReportLshSql: String = keptLshCtes + "\n" + funnelSelect
 
   // ------------------------------------------------------------ data card
   /** Dataset datasheet (Gebru et al., "Datasheets for Datasets", CACM'21)
@@ -811,6 +833,7 @@ object Pipeline {
     "pipeline_training_set"     -> (trainingSet _),
     "pipeline_training_set_lsh" -> (trainingSetLsh _),
     "pipeline_funnel_report"    -> (funnelReport _),
+    "pipeline_funnel_report_lsh" -> (funnelReportLsh _),
     "split_leakage_audit"       -> (splitLeakageAudit _)
   )
 
@@ -824,6 +847,7 @@ object Pipeline {
     "pipeline_training_set"     -> trainingSetSql,
     "pipeline_training_set_lsh" -> trainingSetLshSql,
     "pipeline_funnel_report"    -> funnelReportSql,
+    "pipeline_funnel_report_lsh" -> funnelReportLshSql,
     "split_leakage_audit"       -> splitLeakageAuditSql
   )
 }

@@ -183,6 +183,22 @@ class PipelineSpec extends GraftSpec {
       "training-set artifacts diverged between the exact and banded chains")
   }
 
+  test("LSH-banded funnel twin: same chain the banded pipelines run, row 5 = curateLsh count") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val exact = rows(Pipeline.funnelReport(spark, sf0001))
+    val lsh = rows(Pipeline.funnelReportLsh(spark, sf0001))
+    assert(lsh.map(_._2) == Seq("raw", "exact_dedup", "near_dedup", "repetition", "decontaminated"))
+    // stages 1-2 precede the pair generator: identical by construction
+    assert(lsh.take(2) == exact.take(2))
+    // counts are cumulative-drop monotone
+    assert(lsh.map(_._3).sliding(2).forall(w => w(1) <= w(0)))
+    // the banded funnel's final row reports the banded pipeline's actual
+    // survivor count — the report and the pipeline cannot disagree
+    assert(lsh.last._3 == Pipeline.curateLsh(spark, sf0001).count(),
+      "funnelReportLsh row 5 diverged from the curateLsh survivor set")
+  }
+
   test("leakage audit: corpus stage shows cross-split near-dups, curated stage none") {
     val rows = Pipeline.splitLeakageAudit(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
