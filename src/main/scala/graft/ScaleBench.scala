@@ -55,7 +55,10 @@ object ScaleBench {
     // round-15: the composed pipelines' banded twins, so the flagship
     // crossover (exact Σ df² near-dup stage vs band candidates inside
     // the SAME five-stage chain) is re-measured every rehearsal
-    "pipeline_curate_lsh", "pipeline_training_set_lsh")
+    "pipeline_curate_lsh", "pipeline_training_set_lsh",
+    // round-15: the batch-incremental composed curation — the daily-delta
+    // job; its cost must track the delta, not the corpus
+    "pipeline_curate_incremental")
 
   /** Queries that probe a standing index — builds run only when one of
     * these is selected. */

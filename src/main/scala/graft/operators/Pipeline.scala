@@ -114,9 +114,15 @@ object Pipeline {
   }
 
   private def keptDocsVia(s: SparkSession, dir: String)
-                         (nearPairsOf: DataFrame => DataFrame): DataFrame = {
-    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+                         (nearPairsOf: DataFrame => DataFrame): DataFrame =
+    keptDocsOf(s, dir,
+      Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))(nearPairsOf)
 
+  /** [[keptDocsVia]] parametrized by the corpus frame — the reusable form
+    * [[curateIncremental]] runs over the BASE half of the corpus to build
+    * the standing kept state a delta batch probes against. */
+  private def keptDocsOf(s: SparkSession, dir: String, corpus: DataFrame)
+                        (nearPairsOf: DataFrame => DataFrame): DataFrame = {
     // 1. exact dedup WITHIN the corpus (a benchmark twin must not decide
     // survivorship for a train doc)
     val w = Window.partitionBy(md5(col("text")), length(col("text")))
@@ -138,6 +144,138 @@ object Pipeline {
     val dropSet = nonReps.union(repFlagged).union(contaminated).distinct()
 
     dropSetJoin(s, dir, exact, dropSet)
+  }
+
+  /** INCREMENTAL composed curation — the job a deployment actually runs
+    * daily: a new-arrival sliver (doc_id % 7 == 0 of the non-benchmark
+    * corpus, standing in for a day's crawl — the same delta convention as
+    * `dedup_incremental`) is pushed through the full five-stage curation
+    * chain AGAINST the standing kept state instead of re-curating the
+    * whole corpus. One row per batch doc with its terminal decision, in
+    * stage order (the first stage that drops a doc names it):
+    *
+    *   exact_base   — byte-identical to a standing kept doc (ref_id =
+    *                  lowest such kept id; probed via the digest join of
+    *                  [[Dedup.incrementalDedup]])
+    *   exact_batch  — byte-identical to a LOWER-id batch doc that itself
+    *                  survived stage 1 (ref_id = that doc)
+    *   near_base    — J ≥ 0.5 against a standing kept doc (ref_id = best
+    *                  match, ties to lowest id; candidates via the
+    *                  lossless PPJoin prefix probe
+    *                  [[Dedup.incrementalNearCandidates]] — the batch
+    *                  sliver explodes against the standing index, never
+    *                  corpus × corpus)
+    *   near_batch   — non-representative of a J ≥ 0.5 component among the
+    *                  remaining batch docs (ref_id = component min — the
+    *                  SAME CC-collapse rule as [[keptDocs]] stage 2)
+    *   repetition / contaminated — the per-doc quality gates, unchanged
+    *                  (corpus-independent decisions, so the standalone
+    *                  operators' outputs are the drop sets here too)
+    *   admitted     — survives everything; carries its content-stable
+    *                  split assignment ([[DataPrep.splitOf]])
+    *
+    * The standing kept state is [[keptDocsOf]] over the base half — at
+    * harness scale it is recomputed per run (exactly like
+    * `dedup_incremental` rebuilds its corpus index) while a deployment
+    * materializes it once and bucket-appends admitted docs; every probe
+    * here is batch-sliver × standing-index shaped, so the per-day cost is
+    * delta-proportional, not corpus-proportional. Note the asymmetry that
+    * makes the semantics deterministic: a batch doc identical to a base
+    * doc the base curation DROPPED is NOT an exact_base dup (its twin is
+    * not in the kept set) — it flows on and is judged on its own merits,
+    * which mirrors what a standing index that only holds kept docs can
+    * see. Like `dedup_incremental` vs `dedup_exact`, the two-phase result
+    * intentionally differs from re-curating base ∪ batch from scratch
+    * (CC components cannot bridge through dropped docs); the oracle pins
+    * the incremental semantics themselves, row-for-row. */
+  def curateIncremental(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+    val base  = corpus.filter(col("doc_id") % 7 =!= 0)
+    val batch = corpus.filter(col("doc_id") % 7 === 0).cache()
+    val kept = keptDocsOf(s, dir, base) { exact =>
+      Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
+    }.cache()
+
+    def keyed(d: DataFrame, as: String): DataFrame = d.select(
+      col("doc_id").as(as), md5(col("text")).as("h"),
+      length(col("text")).as("len"))
+    val nullRef = lit(null).cast("long").as("ref_id")
+    val nullJac = lit(null).cast("double").as("jac")
+    val nullSplit = lit(null).cast("string").as("split")
+
+    // 1a. exact vs the standing kept set — digest join, never the texts
+    val exactBase = keyed(batch, "doc_id")
+      .join(keyed(kept, "kid"), Seq("h", "len"))
+      .groupBy("doc_id").agg(min("kid").as("ref_id"))
+      .select(col("doc_id"), lit("exact_base").as("decision"),
+        col("ref_id"), lit(1.0).as("jac"), nullSplit)
+    val r1 = batch.join(exactBase.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 1b. exact within the remaining batch (keep lowest id per text)
+    val grp = Window.partitionBy(md5(col("text")), length(col("text")))
+    val r1k = r1.withColumn("keep_id", min("doc_id").over(grp))
+    val exactBatch = r1k.filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit("exact_batch").as("decision"),
+        col("keep_id").as("ref_id"), lit(1.0).as("jac"), nullSplit)
+    val r2 = r1k.filter(col("doc_id") === col("keep_id")).drop("keep_id")
+
+    // 2a. near vs the standing kept set — prefix-filtered R-S candidates,
+    // exact full-set verification, best match wins
+    val bArr = Dedup.shingleArrays(r2).select(
+      col("doc_id").as("batch_id"), col("sh"),
+      size(col("sh")).cast("long").as("nb")).cache()
+    val cArr = Dedup.shingleArrays(kept).select(
+      col("doc_id").as("corpus_id"), col("sh"),
+      size(col("sh")).cast("long").as("nc")).cache()
+    val nearBase = Dedup.incrementalNearCandidates(bArr, cArr, 0.5)
+      .join(bArr.select(col("batch_id"), col("sh").as("sb"), col("nb")), "batch_id")
+      .join(cArr.select(col("corpus_id"), col("sh").as("sc"), col("nc")), "corpus_id")
+      .withColumn("c", size(array_intersect(col("sb"), col("sc"))).cast("long"))
+      .withColumn("jac",
+        col("c").cast("double") / (col("nb") + col("nc") - col("c")))
+      .filter(col("jac") >= 0.5)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("batch_id").orderBy(col("jac").desc, col("corpus_id"))))
+      .filter(col("rn") === 1)
+      .select(col("batch_id").as("doc_id"), lit("near_base").as("decision"),
+        col("corpus_id").as("ref_id"), col("jac"), nullSplit)
+    val r3 = r2.join(nearBase.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 2b. near within the remaining batch — the pipeline's CC collapse
+    val nearBatch = Dedup.ccLabels(
+        Dedup.jaccardPairsFrom(r3).select("a_id", "b_id"))
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"), lit("near_batch").as("decision"),
+        col("lbl").as("ref_id"), nullJac, nullSplit)
+    val r4 = r3.join(nearBatch.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 3./4. per-doc quality gates, in stage order
+    val rep = QualityFilters.repetitionFilter(s, dir).select("doc_id")
+    val repDrop = r4.select("doc_id").join(rep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit("repetition").as("decision"),
+        nullRef, nullJac, nullSplit)
+    val r5 = r4.join(rep, Seq("doc_id"), "left_anti")
+    val con = QualityFilters.decontaminate(s, dir).select("doc_id")
+    val conDrop = r5.select("doc_id").join(con, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit("contaminated").as("decision"),
+        nullRef, nullJac, nullSplit)
+    val r6 = r5.join(con, Seq("doc_id"), "left_anti")
+
+    // 5. admitted survivors carry their split assignment
+    val admitted = DataPrep.splitOf(r6)
+      .select(col("doc_id"), lit("admitted").as("decision"),
+        nullRef, nullJac, col("split"))
+
+    // the decision table is tiny (one row per batch doc) — materialize it
+    // eagerly so the four fat caches can be released now rather than at
+    // ContextCleaner leisure (the bandedNearPairs pattern)
+    val out = exactBase.unionByName(exactBatch).unionByName(nearBase)
+      .unionByName(nearBatch).unionByName(repDrop).unionByName(conDrop)
+      .unionByName(admitted)
+      .orderBy("doc_id")
+      .localCheckpoint()
+    batch.unpersist(); kept.unpersist(); bArr.unpersist(); cArr.unpersist()
+    out
   }
 
   /** Shared head of the kept-CTE chain (corpus → exact survivors →
@@ -284,6 +422,196 @@ object Pipeline {
   val curateSql: String = keptCtes + "\n" + curateSelect
 
   val curateLshSql: String = keptLshCtes + "\n" + curateSelect
+
+  /** [[curateIncremental]]'s oracle: the same base-kept chain as
+    * [[curateSql]] restricted to the base half (doc_id % 7 <> 0), then the
+    * six decision stages as a chain of survivor CTEs — each stage's drop
+    * set is computed over the PREVIOUS stage's survivors, so precedence is
+    * structural, not a CASE ladder. The near probes join full shingle sets
+    * (the oracle needs no prefix filter — its losslessness at t = 0.5 is
+    * what the hash gate proves about the Spark side).
+    *
+    * The mid-chain CTEs are pinned MATERIALIZED (see the transformation
+    * below the literal): DuckDB inlines a CTE at every reference site, and
+    * this chain is both deep and multiply-referenced — un-pinned, each
+    * survivor stage re-evaluates the whole upstream chain per reference
+    * and the oracle goes from 0.2 s to unbounded at sf0.01. */
+  val curateIncrementalSql: String = {
+    val raw =
+    """WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+      |base AS (SELECT * FROM corpus WHERE doc_id % 7 <> 0),
+      |batch AS (SELECT * FROM corpus WHERE doc_id % 7 = 0),
+      |bexact AS (
+      |  SELECT * FROM base
+      |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+      |),
+      |btoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM bexact),
+      |bsh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM btoks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |bsizes AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+      |bcommon AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM bsh a JOIN bsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |bpairs AS (
+      |  SELECT a_id, b_id FROM bcommon
+      |  JOIN bsizes sa ON a_id = sa.doc_id JOIN bsizes sb ON b_id = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |),
+      |bedges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM bpairs
+      |  UNION SELECT b_id, a_id FROM bpairs
+      |),
+      |breach(src, dst) AS (
+      |  SELECT src, dst FROM bedges
+      |  UNION
+      |  SELECT r.src, e.dst FROM breach r JOIN bedges e ON r.dst = e.src
+      |),
+      |bnonreps AS (
+      |  SELECT src AS doc_id FROM breach GROUP BY src
+      |  HAVING src <> least(src, min(dst))
+      |),
+      |bg AS (
+      |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
+      |  WHERE len(tk) >= 2
+      |),
+      |bgcnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+      |repflag AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM bgcnt GROUP BY 1)
+      |  WHERE top_c >= 2 AND CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE) >= 0.05
+      |),
+      |allsh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |bench AS (SELECT DISTINCT s FROM allsh WHERE doc_id % 10 = 0),
+      |decon AS (
+      |  SELECT a.doc_id FROM allsh a LEFT JOIN bench b USING (s)
+      |  WHERE a.doc_id % 10 <> 0
+      |  GROUP BY a.doc_id
+      |  HAVING CAST(count(b.s) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.5
+      |),
+      |basekept AS (
+      |  SELECT e.* FROM bexact e
+      |  WHERE NOT EXISTS (SELECT 1 FROM bnonreps d WHERE d.doc_id = e.doc_id)
+      |    AND NOT EXISTS (SELECT 1 FROM repflag r WHERE r.doc_id = e.doc_id)
+      |    AND NOT EXISTS (SELECT 1 FROM decon c WHERE c.doc_id = e.doc_id)
+      |),
+      |ebase AS (
+      |  SELECT b.doc_id, min(k.doc_id) AS ref_id
+      |  FROM batch b JOIN basekept k ON b.text = k.text
+      |  GROUP BY 1
+      |),
+      |r1 AS (SELECT * FROM batch
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM ebase)),
+      |r1g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
+      |        FROM r1),
+      |ebatch AS (SELECT doc_id, keep_id AS ref_id FROM r1g
+      |           WHERE doc_id <> keep_id),
+      |r2 AS (SELECT * FROM r1
+      |       WHERE doc_id IN (SELECT doc_id FROM r1g WHERE doc_id = keep_id)),
+      |ptoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM r2),
+      |psh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM ptoks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |psizes AS (SELECT doc_id, count(*) AS n FROM psh GROUP BY doc_id),
+      |ksh AS (SELECT * FROM bsh
+      |        WHERE doc_id IN (SELECT doc_id FROM basekept)),
+      |ncommon AS (
+      |  SELECT p.doc_id AS batch_id, k.doc_id AS corpus_id, count(*) AS c
+      |  FROM psh p JOIN ksh k ON p.s = k.s GROUP BY 1, 2
+      |),
+      |nearbase AS (
+      |  SELECT batch_id, corpus_id, c * 1.0 / (bn.n + kn.n - c) AS jac
+      |  FROM ncommon JOIN psizes bn ON batch_id = bn.doc_id
+      |               JOIN bsizes kn ON corpus_id = kn.doc_id
+      |  WHERE c * 1.0 / (bn.n + kn.n - c) >= 0.5
+      |  QUALIFY row_number() OVER (PARTITION BY batch_id
+      |                             ORDER BY c * 1.0 / (bn.n + kn.n - c) DESC,
+      |                                      corpus_id) = 1
+      |),
+      |r3 AS (SELECT * FROM r2
+      |       WHERE doc_id NOT IN (SELECT batch_id FROM nearbase)),
+      |msh AS (SELECT * FROM psh WHERE doc_id IN (SELECT doc_id FROM r3)),
+      |mcommon AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM msh a JOIN msh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |mpairs AS (
+      |  SELECT a_id, b_id FROM mcommon
+      |  JOIN psizes sa ON a_id = sa.doc_id JOIN psizes sb ON b_id = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |),
+      |medges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM mpairs
+      |  UNION SELECT b_id, a_id FROM mpairs
+      |),
+      |nreach(src, dst) AS (
+      |  SELECT src, dst FROM medges
+      |  UNION
+      |  SELECT r.src, e.dst FROM nreach r JOIN medges e ON r.dst = e.src
+      |),
+      |nearbatch AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS ref_id
+      |  FROM nreach GROUP BY src
+      |  HAVING src <> least(src, min(dst))
+      |),
+      |r4 AS (SELECT * FROM r3
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM nearbatch)),
+      |repdrop AS (SELECT doc_id FROM r4
+      |            WHERE doc_id IN (SELECT doc_id FROM repflag)),
+      |r5 AS (SELECT * FROM r4
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM repdrop)),
+      |condrop AS (SELECT doc_id FROM r5
+      |            WHERE doc_id IN (SELECT doc_id FROM decon)),
+      |r6 AS (SELECT * FROM r5
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM condrop))
+      |SELECT doc_id, 'exact_base' AS decision, CAST(ref_id AS BIGINT) AS ref_id,
+      |       CAST(1.0 AS DOUBLE) AS jac, CAST(NULL AS VARCHAR) AS split
+      |FROM ebase
+      |UNION ALL
+      |SELECT doc_id, 'exact_batch', CAST(ref_id AS BIGINT),
+      |       CAST(1.0 AS DOUBLE), CAST(NULL AS VARCHAR)
+      |FROM ebatch
+      |UNION ALL
+      |SELECT batch_id, 'near_base', CAST(corpus_id AS BIGINT),
+      |       CAST(jac AS DOUBLE), CAST(NULL AS VARCHAR)
+      |FROM nearbase
+      |UNION ALL
+      |SELECT doc_id, 'near_batch', CAST(ref_id AS BIGINT),
+      |       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+      |FROM nearbatch
+      |UNION ALL
+      |SELECT doc_id, 'repetition', CAST(NULL AS BIGINT),
+      |       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+      |FROM repdrop
+      |UNION ALL
+      |SELECT doc_id, 'contaminated', CAST(NULL AS BIGINT),
+      |       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+      |FROM condrop
+      |UNION ALL
+      |SELECT doc_id, 'admitted', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+      |       CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90 THEN 'train'
+      |            WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 95 THEN 'valid'
+      |            ELSE 'test' END
+      |FROM r6
+      |ORDER BY doc_id""".stripMargin
+    Seq("bsh", "bsizes", "basekept", "r1", "r2", "psh", "psizes", "r3",
+        "msh", "repflag", "decon", "allsh", "nearbase", "nearbatch")
+      .foldLeft(raw)((s, c) => s.replace(s"$c AS (", s"$c AS MATERIALIZED ("))
+  }
 
   private val SeqTokens = 512L
 
@@ -826,6 +1154,7 @@ object Pipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate"           -> (curate _),
     "pipeline_curate_lsh"       -> (curateLsh _),
+    "pipeline_curate_incremental" -> (curateIncremental _),
     "pipeline_data_card"        -> (dataCard _),
     "prep_curriculum"           -> (curriculum _),
     "corpus_fingerprint"        -> (corpusFingerprint _),
@@ -840,6 +1169,7 @@ object Pipeline {
   def oracles: Map[String, String] = Map(
     "pipeline_curate"           -> curateSql,
     "pipeline_curate_lsh"       -> curateLshSql,
+    "pipeline_curate_incremental" -> curateIncrementalSql,
     "pipeline_data_card"        -> dataCardSql,
     "prep_curriculum"           -> curriculumSql,
     "corpus_fingerprint"        -> corpusFingerprintSql,

@@ -199,6 +199,65 @@ class PipelineSpec extends GraftSpec {
       "funnelReportLsh row 5 diverged from the curateLsh survivor set")
   }
 
+  test("incremental curate: one decision per batch doc, each stage verified against its standalone operator") {
+    val out = Pipeline.curateIncremental(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+    val batchIds = docs
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // the decision table partitions the batch: every batch doc exactly once
+    val outIds = out.map(_.getLong(0))
+    assert(outIds.toSet == batchIds, "decisions must cover the batch exactly")
+    assert(outIds.distinct.length == outIds.length, "one decision per doc")
+    val allowed = Set("exact_base", "exact_batch", "near_base", "near_batch",
+      "repetition", "contaminated", "admitted")
+    assert(out.map(_.getString(1)).toSet.subsetOf(allowed))
+
+    val text = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_.getString(1) == "exact_base").foreach { r =>
+      val ref = r.getLong(2)
+      assert(text(r.getLong(0)) == text(ref), "exact_base must be byte-identical")
+      assert(ref % 7 != 0, "exact_base ref must be a standing base doc")
+    }
+    out.filter(_.getString(1) == "exact_batch").foreach { r =>
+      val ref = r.getLong(2)
+      assert(text(r.getLong(0)) == text(ref) && ref < r.getLong(0) &&
+        batchIds.contains(ref), "exact_batch keeps the lowest batch id")
+    }
+    out.filter(_.getString(1) == "near_base").foreach { r =>
+      assert(!r.isNullAt(3) && r.getDouble(3) >= 0.5, "near_base carries its verified jac")
+      assert(r.getLong(2) % 7 != 0, "near_base ref must be a standing base doc")
+    }
+    out.filter(_.getString(1) == "near_batch").foreach { r =>
+      assert(batchIds.contains(r.getLong(2)) && r.getLong(2) < r.getLong(0),
+        "near_batch ref is its component's minimum batch id")
+    }
+
+    // the per-doc quality gates must agree with the standalone operators
+    val rep = QualityFilters.repetitionFilter(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val dec = QualityFilters.decontaminate(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    out.filter(_.getString(1) == "repetition")
+      .foreach(r => assert(rep.contains(r.getLong(0))))
+    out.filter(_.getString(1) == "contaminated")
+      .foreach(r => assert(dec.contains(r.getLong(0))))
+
+    // admitted survivors: valid split, unflagged by every gate
+    val admitted = out.filter(_.getString(1) == "admitted")
+    assert(admitted.nonEmpty, "the batch must admit some docs")
+    admitted.foreach { r =>
+      assert(Set("train", "valid", "test").contains(r.getString(4)))
+      assert(!rep.contains(r.getLong(0)) && !dec.contains(r.getLong(0)))
+    }
+    // dropped rows never carry a split; the probe fires on the harness
+    // corpus (planted twins straddle the % 7 boundary)
+    out.filter(_.getString(1) != "admitted").foreach(r => assert(r.isNullAt(4)))
+    assert(admitted.length < out.length, "expected at least one dup/quality drop in the batch")
+  }
+
   test("leakage audit: corpus stage shows cross-split near-dups, curated stage none") {
     val rows = Pipeline.splitLeakageAudit(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
