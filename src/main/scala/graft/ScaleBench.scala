@@ -81,7 +81,9 @@ object ScaleBench {
     "neardup_minhash_md5"                 -> 6.0,
     "entity_resolution_lsh"               -> 4.0,
     "pipeline_curate_lsh"                 -> 4.5,
-    "pipeline_training_set_lsh"           -> 4.5)
+    "pipeline_training_set_lsh"           -> 4.5,
+    // round-15 measured 2.5x at 10x (16.75 -> 42.51 s)
+    "pipeline_curate_incremental"         -> 4.0)
 
   def main(args: Array[String]): Unit = {
     val (flags, dirs) = args.partition(_.startsWith("--"))
