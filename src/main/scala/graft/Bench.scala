@@ -91,6 +91,7 @@ object Bench {
     graft.operators.StandingIndex.ensureAuditBuilt(spark, sfDir)
     graft.operators.Similarity.ensureAnnIndex(spark, sfDir)
     graft.operators.SubstringDedup.ensureGramIndex(spark, sfDir)
+    graft.operators.StandingIndex.ensureCurationBuilt(spark, sfDir)
     val standingBuildSec = (System.nanoTime() - buildT0) / 1e9
     System.err.println(f"[bench] standing-index builds: $standingBuildSec%.2f s (untimed setup)")
     val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "4").toInt.max(1)

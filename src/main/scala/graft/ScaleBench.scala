@@ -57,14 +57,17 @@ object ScaleBench {
     // the SAME five-stage chain) is re-measured every rehearsal
     "pipeline_curate_lsh", "pipeline_training_set_lsh",
     // round-15: the batch-incremental composed curation — the daily-delta
-    // job; its cost must track the delta, not the corpus
-    "pipeline_curate_incremental")
+    // job; its cost must track the delta, not the corpus — and its
+    // standing-index twin (probe-only: the curve a deployment's day-2
+    // run actually pays)
+    "pipeline_curate_incremental", "pipeline_curate_incremental_indexed")
 
   /** Queries that probe a standing index — builds run only when one of
     * these is selected. */
   private val IndexConsumers = Set(
     "dedup_incremental", "split_leakage_audit", "ann_ivf_indexed",
-    "dedup_incremental_substring_indexed")
+    "dedup_incremental_substring_indexed",
+    "pipeline_curate_incremental_indexed")
 
   /** Growth-ratio ceilings for the ~10× step (first dir → last dir),
     * gated under `--assert`. Families and their round-13/15 measured
@@ -83,7 +86,9 @@ object ScaleBench {
     "pipeline_curate_lsh"                 -> 4.5,
     "pipeline_training_set_lsh"           -> 4.5,
     // round-15 measured 2.5x at 10x (16.75 -> 42.51 s)
-    "pipeline_curate_incremental"         -> 4.0)
+    "pipeline_curate_incremental"         -> 4.0,
+    // round-15 measured 1.4x at 10x (8.24 -> 11.89 s, probe-only)
+    "pipeline_curate_incremental_indexed" -> 2.5)
 
   def main(args: Array[String]): Unit = {
     val (flags, dirs) = args.partition(_.startsWith("--"))
@@ -121,7 +126,8 @@ object ScaleBench {
           "build_dedup_idx" -> time(graft.operators.StandingIndex.ensureBuilt(spark, dir)),
           "build_audit_idx" -> time(graft.operators.StandingIndex.ensureAuditBuilt(spark, dir)),
           "build_ann_idx"   -> time(graft.operators.Similarity.ensureAnnIndex(spark, dir)),
-          "build_gram_idx"  -> time(graft.operators.SubstringDedup.ensureGramIndex(spark, dir)))
+          "build_gram_idx"  -> time(graft.operators.SubstringDedup.ensureGramIndex(spark, dir)),
+          "build_cur_idx"   -> time(graft.operators.StandingIndex.ensureCurationBuilt(spark, dir)))
         else Seq.empty
       val queries = targets.map { name =>
         val fn = SparkEntry.queries(name)

@@ -56,8 +56,15 @@ object QualityFilters {
     * (doc, bigram) counts, then per-doc max/total — the same
     * count-then-reaggregate shape at any corpus size; no arrays ever
     * leave the row they were built in. */
-  def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
-    val bg = Dedup.ngrams(Tables.documents(s, dir), 2)
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame =
+    repetitionFlagsOf(Tables.documents(s, dir))
+
+  /** [[repetitionFilter]] parametrized by the document set — the decision
+    * is per-doc, so flags over a subset equal the global flags restricted
+    * to it; the indexed incremental-curation probe scores only its delta
+    * sliver through this. */
+  private[graft] def repetitionFlagsOf(docs: DataFrame): DataFrame = {
+    val bg = Dedup.ngrams(docs, 2)
       .withColumnRenamed("s", "bigram")
     bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
@@ -109,14 +116,21 @@ object QualityFilters {
     val benchSide =
       if (Tables.footerRowCount(s, dir, "documents") <= max) broadcast(bench)
       else bench
-    sh.filter(col("doc_id") % 10 =!= 0)
-      .join(benchSide, Seq("s"), "left")
+    deconScoredOf(sh.filter(col("doc_id") % 10 =!= 0), benchSide)
+  }
+
+  /** [[decontaminate]]'s scoring stage parametrized by the doc-shingle
+    * frame and the (possibly broadcast) benchmark shingle side — per-doc
+    * decisions, so scoring a delta sliver against a STANDING benchmark
+    * shingle table gives the global flags restricted to the sliver. The
+    * bench side must carry a `hit` marker column alongside `s`. */
+  private[graft] def deconScoredOf(docSh: DataFrame, benchHit: DataFrame): DataFrame =
+    docSh.join(benchHit, Seq("s"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
       .withColumn("overlap", col("n_hit").cast("double") / col("n_sh").cast("double"))
       .filter(col("overlap") >= DeconThreshold)
       .orderBy("doc_id")
-  }
 
   val decontaminateSql: String =
     s"""WITH sh AS (

@@ -163,7 +163,15 @@ object StandingIndex {
   /** Write the four index tables for `corpus` under `tag` (overwrite).
     * Exposed within the package so specs can index arbitrary corpora. */
   private[graft] def buildFor(s: SparkSession, corpus: DataFrame,
-                              tag: String): Unit = {
+                              tag: String): Unit =
+    writeProbeTables(corpus, tag, "")
+
+  /** The four dedup-probe tables (digests / arrays / dfreq / prefix) for
+    * any document frame, table names prefixed by `p` — shared by the
+    * incremental-dedup index (p = "", corpus split) and the
+    * incremental-curation index (p = "cur", the standing KEPT set). */
+  private def writeProbeTables(corpus: DataFrame, tag: String,
+                               p: String): Unit = {
     // stage-1 index: min corpus twin per content digest, pre-aggregated
     // so the probe's exact stage joins one row per distinct content (per
     // SEGMENT — appends may add a second row for a digest, which the
@@ -172,7 +180,7 @@ object StandingIndex {
       .select(md5(col("text")).as("h"), length(col("text")).as("len"),
         col("doc_id").as("corpus_id"))
       .groupBy("h", "len").agg(min("corpus_id").as("corpus_id")),
-      tag, "digests", "h", "overwrite")
+      tag, s"${p}digests", "h", "overwrite")
 
     // stage-2 indexes: per-doc distinct shingle arrays (row-local), the
     // corpus document frequencies (the frozen global order), and the
@@ -181,11 +189,11 @@ object StandingIndex {
     val cArr = Dedup.shingleArrays(corpus).select(
       col("doc_id").as("corpus_id"), col("sh"),
       size(col("sh")).cast("long").as("nc"))
-    save(cArr, tag, "arrays", "corpus_id", "overwrite")
+    save(cArr, tag, s"${p}arrays", "corpus_id", "overwrite")
 
     val shC = cArr.select(col("corpus_id"), explode(col("sh")).as("s"))
     val dfreq = shC.groupBy("s").agg(count(lit(1)).as("df"))
-    save(dfreq, tag, "dfreq", "s", "overwrite")
+    save(dfreq, tag, s"${p}dfreq", "s", "overwrite")
 
     val prefix = shC.join(dfreq, "s")
       .groupBy("corpus_id")
@@ -195,7 +203,7 @@ object StandingIndex {
           .as("pf"))
       .select(col("corpus_id"), col("cn"), explode(col("pf")).as("e"))
       .select(col("corpus_id"), col("cn"), col("e.s").as("s"))
-    save(prefix, tag, "prefix", "s", "overwrite")
+    save(prefix, tag, s"${p}prefix", "s", "overwrite")
   }
 
   /** Append newly accepted documents to an existing standing index — the
@@ -446,13 +454,182 @@ object StandingIndex {
      s.table(s"graft_idx_leakkept_$tag"))
   }
 
+  // --------------------------------------- incremental-curation index
+  /** Curation-index builds done, keyed like [[built]]. A third memo: this
+    * index covers the standing KEPT set of the curation pipeline's base
+    * half (doc_id % 10 <> 0 AND % 7 <> 0 survivors of the full five-stage
+    * chain), not a raw corpus split. */
+  private val curBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  private def curTableNames(tag: String): Seq[String] =
+    Seq("curdigests", "curdfreq", "curprefix", "curarrays", "curbench")
+      .map(n => s"graft_idx_${n}_$tag")
+
+  /** Build (once per session+dir) the standing curation tables
+    * [[curateIncrementalIndexed]] probes, and return the tag:
+    *
+    *  - `curdigests` / `curarrays` / `curdfreq` / `curprefix` — the same
+    *    four probe tables as the dedup index ([[writeProbeTables]]), but
+    *    over the BASE-KEPT set ([[Pipeline.keptDocsOf]] on the % 7 <> 0
+    *    half): what a deployment materializes is the curated state, so
+    *    exact/near probes land on kept docs only — a batch doc identical
+    *    to a doc the base curation DROPPED must flow on, which is exactly
+    *    what an index that only holds kept docs yields for free;
+    *  - `curbench` — the benchmark's distinct shingle set, bucketed by
+    *    shingle. At deployment this is the eval-suite registry (MBs): the
+    *    decontamination stage of every future delta probes it without
+    *    rescanning any corpus.
+    *
+    * Same catalog-adoption rule as [[ensureBuilt]]; maintenance follows
+    * [[appendFor]]'s invariants verbatim (same table shapes: frozen
+    * `curdfreq` order, per-segment digest rows the probe re-minimizes,
+    * append-only prefix/array rows with exact re-verification). */
+  def ensureCurationBuilt(s: SparkSession, dir: String): String =
+    curBuilt.synchronized {
+      val k = (s, dir)
+      val existing = curBuilt.get(k)
+      if (existing != null) existing
+      else {
+        val tag = tagOf(dir)
+        if (curTableNames(tag).forall(s.catalog.tableExists)) {
+          curBuilt.put(k, tag); tag
+        } else { buildCurationFor(s, dir, tag); curBuilt.put(k, tag); tag }
+      }
+    }
+
+  private def buildCurationFor(s: SparkSession, dir: String, tag: String): Unit = {
+    val base = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 0)
+    val kept = Pipeline.keptDocsOf(s, dir, base) { exact =>
+      Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
+    }
+    writeProbeTables(kept, tag, "cur")
+    save(Dedup.shingles(Tables.documents(s, dir))
+      .filter(col("doc_id") % 10 === 0).select("s").distinct(),
+      tag, "curbench", "s", "overwrite")
+  }
+
+  /** Probe the standing curation index with the delta sliver — output
+    * identical to [[Pipeline.curateIncremental]] (same oracle), but
+    * nothing corpus-sized is rescanned or reshuffled: the standing kept
+    * state arrives through the four bucketed `cur*` tables, the
+    * benchmark shingles through `curbench`, and the quality gates score
+    * ONLY the sliver (per-doc decisions — subset flags equal global
+    * flags restricted). This is the production shape: the per-run cost
+    * a deployment pays daily is THIS query; the standing build is paid
+    * once and maintained by appends. */
+  def curateIncrementalIndexed(s: SparkSession, dir: String): DataFrame = {
+    val tag = ensureCurationBuilt(s, dir)
+    def idx(name: String): DataFrame = s.table(s"graft_idx_cur${name}_$tag")
+    val t = Threshold
+
+    val batch = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0).cache()
+    val nullRef = lit(null).cast("long").as("ref_id")
+    val nullJac = lit(null).cast("double").as("jac")
+    val nullSplit = lit(null).cast("string").as("split")
+
+    // 1a. exact vs the standing kept digests (re-min across segments)
+    val exactBase = batch
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        length(col("text")).as("len"))
+      .join(idx("digests"), Seq("h", "len"))
+      .groupBy("doc_id").agg(min("corpus_id").as("ref_id"))
+      .select(col("doc_id"), lit("exact_base").as("decision"),
+        col("ref_id"), lit(1.0).as("jac"), nullSplit)
+    val r1 = batch.join(exactBase.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 1b. exact within the remaining batch (keep lowest id per text)
+    val grp = Window.partitionBy(md5(col("text")), length(col("text")))
+    val r1k = r1.withColumn("keep_id", min("doc_id").over(grp))
+    val exactBatch = r1k.filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit("exact_batch").as("decision"),
+        col("keep_id").as("ref_id"), lit(1.0).as("jac"), nullSplit)
+    val r2 = r1k.filter(col("doc_id") === col("keep_id")).drop("keep_id")
+
+    // 2a. near vs the standing kept set: batch prefixes under the FROZEN
+    // curdfreq order (coalesce 0 for kept-unseen shingles — lossless, see
+    // the object scaladoc), candidates off the bucketed curprefix join,
+    // exact full-set verification against curarrays
+    val bArr = Dedup.shingleArrays(r2).select(
+      col("doc_id").as("batch_id"), col("sh"),
+      size(col("sh")).cast("long").as("nb")).cache()
+    val shB = bArr.select(col("batch_id"), explode(col("sh")).as("s"))
+    val prefB = shB.join(idx("dfreq"), Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy("batch_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
+      .select(col("batch_id"), size(col("os")).cast("long").as("bn"),
+        expr(s"slice(os, 1, cast(size(os) - ceil($t * size(os)) + 1 as int))")
+          .as("pf"))
+      .select(col("batch_id"), col("bn"), explode(col("pf")).as("e"))
+      .select(col("batch_id"), col("bn"), col("e.s").as("s"))
+    val candidates = prefB.join(idx("prefix"), "s")
+      .filter(col("bn") * t <= col("cn") && col("cn") * t <= col("bn"))
+      .select("batch_id", "corpus_id").distinct()
+    val nearBase = candidates
+      .join(bArr.select(col("batch_id"), col("sh").as("sb"), col("nb")), "batch_id")
+      .join(idx("arrays").select(col("corpus_id"), col("sh").as("sc"), col("nc")),
+        "corpus_id")
+      .withColumn("c", size(array_intersect(col("sb"), col("sc"))).cast("long"))
+      .withColumn("jac",
+        col("c").cast("double") / (col("nb") + col("nc") - col("c")))
+      .filter(col("jac") >= t)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("batch_id").orderBy(col("jac").desc, col("corpus_id"))))
+      .filter(col("rn") === 1)
+      .select(col("batch_id").as("doc_id"), lit("near_base").as("decision"),
+        col("corpus_id").as("ref_id"), col("jac"), nullSplit)
+    val r3 = r2.join(nearBase.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 2b. near within the remaining batch — sliver-local CC collapse
+    val nearBatch = Dedup.ccLabels(
+        Dedup.jaccardPairsFrom(r3).select("a_id", "b_id"))
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"), lit("near_batch").as("decision"),
+        col("lbl").as("ref_id"), nullJac, nullSplit)
+    val r4 = r3.join(nearBatch.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 3./4. quality gates scored over the SLIVER only (per-doc decisions)
+    val rep = QualityFilters.repetitionFlagsOf(r4).select("doc_id")
+    val repDrop = r4.select("doc_id").join(rep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit("repetition").as("decision"),
+        nullRef, nullJac, nullSplit)
+    val r5 = r4.join(rep, Seq("doc_id"), "left_anti")
+    val con = QualityFilters.deconScoredOf(
+        Dedup.shingles(r5), idx("bench").withColumn("hit", lit(1)))
+      .select("doc_id")
+    val conDrop = r5.select("doc_id").join(con, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit("contaminated").as("decision"),
+        nullRef, nullJac, nullSplit)
+    val r6 = r5.join(con, Seq("doc_id"), "left_anti")
+
+    // 5. admitted survivors carry their split assignment
+    val admitted = DataPrep.splitOf(r6)
+      .select(col("doc_id"), lit("admitted").as("decision"),
+        nullRef, nullJac, col("split"))
+
+    val out = exactBase.unionByName(exactBatch).unionByName(nearBase)
+      .unionByName(nearBatch).unionByName(repDrop).unionByName(conDrop)
+      .unionByName(admitted)
+      .orderBy("doc_id")
+      .localCheckpoint()
+    batch.unpersist(); bArr.unpersist()
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_incremental_indexed" -> (incrementalDedupIndexed _)
+    "dedup_incremental_indexed" -> (incrementalDedupIndexed _),
+    "pipeline_curate_incremental_indexed" -> (curateIncrementalIndexed _)
   )
 
   /** Same oracle as `dedup_incremental` — the indexed probe's contract is
-    * bit-identical output from the materialized index. */
+    * bit-identical output from the materialized index. The incremental-
+    * curation probe shares `pipeline_curate_incremental`'s oracle under
+    * the same contract. */
   def oracles: Map[String, String] = Map(
-    "dedup_incremental_indexed" -> Dedup.incrementalDedupSql
+    "dedup_incremental_indexed" -> Dedup.incrementalDedupSql,
+    "pipeline_curate_incremental_indexed" -> Pipeline.curateIncrementalSql
   )
 }

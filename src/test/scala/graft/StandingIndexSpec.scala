@@ -28,6 +28,24 @@ class StandingIndexSpec extends GraftSpec {
     assert(actual == expected)
   }
 
+  test("indexed incremental curation equals the per-run operator at sf0.001") {
+    // the standing curation tables are a pure execution-strategy change:
+    // probe-only decisions must be row-identical to the per-run rebuild
+    // form (frozen-df prefix order, kept-only digests, standing benchmark
+    // shingles — each an equivalence argued in the object scaladoc, pinned
+    // here and by the shared DuckDB oracle)
+    import graft.operators.Pipeline
+    def dec(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(col("doc_id"), col("decision"), col("ref_id"),
+        round(col("jac"), 9).as("jac"), col("split"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val expected = dec(Pipeline.curateIncremental(spark, sf0001))
+    val actual = dec(StandingIndex.curateIncrementalIndexed(spark, sf0001))
+    assert(expected.nonEmpty)
+    assert(actual == expected,
+      s"indexed=${actual.take(5)} vs per-run=${expected.take(5)}")
+  }
+
   test("appended on-disk index decides identically to a fresh full index") {
     // index maintenance: build on corpus A, append corpus B, probe — must
     // equal a fresh index over A ∪ B (itself proven against an all-pairs
