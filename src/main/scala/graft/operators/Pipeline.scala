@@ -121,7 +121,7 @@ object Pipeline {
   /** [[keptDocsVia]] parametrized by the corpus frame — the reusable form
     * [[curateIncremental]] runs over the BASE half of the corpus to build
     * the standing kept state a delta batch probes against. */
-  private[operators] def keptDocsOf(s: SparkSession, dir: String, corpus: DataFrame)
+  private[graft] def keptDocsOf(s: SparkSession, dir: String, corpus: DataFrame)
                         (nearPairsOf: DataFrame => DataFrame): DataFrame = {
     // 1. exact dedup WITHIN the corpus (a benchmark twin must not decide
     // survivorship for a train doc)

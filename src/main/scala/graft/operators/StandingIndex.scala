@@ -229,18 +229,27 @@ object StandingIndex {
     */
   private[graft] def appendFor(s: SparkSession, tag: String,
                                docs: DataFrame): Unit = built.synchronized {
+    appendProbeTables(s, tag, docs, "")
+  }
+
+  /** The shared append body — same three writes for the dedup index
+    * (p = "") and the curation index (p = "cur"); the frozen-df /
+    * per-segment-digest / exact-verify invariants in [[appendFor]]'s
+    * scaladoc are prefix-independent. */
+  private def appendProbeTables(s: SparkSession, tag: String,
+                                docs: DataFrame, p: String): Unit = {
     save(docs
       .select(md5(col("text")).as("h"), length(col("text")).as("len"),
         col("doc_id").as("corpus_id"))
       .groupBy("h", "len").agg(min("corpus_id").as("corpus_id")),
-      tag, "digests", "h", "append")
+      tag, s"${p}digests", "h", "append")
     val cArr = Dedup.shingleArrays(docs).select(
       col("doc_id").as("corpus_id"), col("sh"),
       size(col("sh")).cast("long").as("nc"))
-    save(cArr, tag, "arrays", "corpus_id", "append")
+    save(cArr, tag, s"${p}arrays", "corpus_id", "append")
     val prefix = cArr
       .select(col("corpus_id"), explode(col("sh")).as("s"))
-      .join(s.table(s"graft_idx_dfreq_$tag"), Seq("s"), "left")
+      .join(s.table(s"graft_idx_${p}dfreq_$tag"), Seq("s"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .groupBy("corpus_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
@@ -249,7 +258,7 @@ object StandingIndex {
           .as("pf"))
       .select(col("corpus_id"), col("cn"), explode(col("pf")).as("e"))
       .select(col("corpus_id"), col("cn"), col("e.s").as("s"))
-    save(prefix, tag, "prefix", "s", "append")
+    save(prefix, tag, s"${p}prefix", "s", "append")
   }
 
   /** Dir-keyed convenience over [[appendFor]]: append to the index of the
@@ -498,17 +507,47 @@ object StandingIndex {
       }
     }
 
-  private def buildCurationFor(s: SparkSession, dir: String, tag: String): Unit = {
+  private[graft] def buildCurationFor(s: SparkSession, dir: String,
+                                      tag: String): Unit = {
     val base = Tables.documents(s, dir)
       .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 0)
     val kept = Pipeline.keptDocsOf(s, dir, base) { exact =>
       Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
     }
+    buildCurationFromKept(s, kept,
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0), tag)
+  }
+
+  /** Write the five curation tables from an explicit kept set + benchmark
+    * doc set — the spec surface for lifecycle tests (append vs fresh
+    * rebuild) that must not mutate the standard dir-keyed index. */
+  private[graft] def buildCurationFromKept(s: SparkSession, kept: DataFrame,
+                                           benchDocs: DataFrame,
+                                           tag: String): Unit = {
     writeProbeTables(kept, tag, "cur")
-    save(Dedup.shingles(Tables.documents(s, dir))
-      .filter(col("doc_id") % 10 === 0).select("s").distinct(),
+    save(Dedup.shingles(benchDocs).select("s").distinct(),
       tag, "curbench", "s", "overwrite")
   }
+
+  /** Append newly ADMITTED docs into the standing curation tables — the
+    * maintenance half of the incremental-curation lifecycle: after a
+    * delta probe, the `admitted` rows join the kept state so the NEXT
+    * delta dedups against them. [[appendProbeTables]]'s invariants apply
+    * verbatim (frozen `curdfreq` order, per-segment digests the probe
+    * re-minimizes, append-only candidates under exact re-verification);
+    * `curbench` is untouched — the eval suite changes by re-registration,
+    * never by corpus growth. The lifecycle spec proves append-then-probe
+    * equals a probe against a fresh index over kept ∪ admitted. */
+  def appendCuration(s: SparkSession, dir: String, docs: DataFrame): Unit = {
+    val tag = curBuilt.get((s, dir))
+    require(tag != null,
+      s"curation index for $dir not built in this session — ensureCurationBuilt first")
+    appendCurationFor(s, tag, docs)
+  }
+
+  private[graft] def appendCurationFor(s: SparkSession, tag: String,
+                                       docs: DataFrame): Unit =
+    curBuilt.synchronized { appendProbeTables(s, tag, docs, "cur") }
 
   /** Probe the standing curation index with the delta sliver — output
     * identical to [[Pipeline.curateIncremental]] (same oracle), but
@@ -519,13 +558,20 @@ object StandingIndex {
     * flags restricted). This is the production shape: the per-run cost
     * a deployment pays daily is THIS query; the standing build is paid
     * once and maintained by appends. */
-  def curateIncrementalIndexed(s: SparkSession, dir: String): DataFrame = {
-    val tag = ensureCurationBuilt(s, dir)
+  def curateIncrementalIndexed(s: SparkSession, dir: String): DataFrame =
+    curateIncrementalIndexedFor(s, ensureCurationBuilt(s, dir),
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0))
+
+  /** [[curateIncrementalIndexed]] against an explicit tag + delta frame —
+    * the lifecycle surface: day-2 probes (post-append) and spec-owned
+    * private tags route through here. */
+  private[graft] def curateIncrementalIndexedFor(s: SparkSession, tag: String,
+                                                 batch0: DataFrame): DataFrame = {
     def idx(name: String): DataFrame = s.table(s"graft_idx_cur${name}_$tag")
     val t = Threshold
 
-    val batch = Tables.documents(s, dir)
-      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0).cache()
+    val batch = batch0.cache()
     val nullRef = lit(null).cast("long").as("ref_id")
     val nullJac = lit(null).cast("double").as("jac")
     val nullSplit = lit(null).cast("string").as("split")

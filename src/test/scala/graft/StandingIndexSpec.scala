@@ -46,6 +46,51 @@ class StandingIndexSpec extends GraftSpec {
       s"indexed=${actual.take(5)} vs per-run=${expected.take(5)}")
   }
 
+  test("curation lifecycle: append admitted docs, day-2 probe equals a fresh rebuild") {
+    // the full production loop on spec-owned tags (the standard dir index
+    // stays immutable): build → probe the delta → append the admitted
+    // rows → the SAME probe against the appended tables must equal a
+    // probe against a FRESH index built over kept ∪ admitted, and replay
+    // must collapse every previously-admitted doc onto itself
+    import graft.operators.{Dedup, Pipeline, StandingIndex}
+    val docs = Tables.documents(spark, sf0001)
+    val sfx = System.nanoTime()
+    val tag1 = s"curlife1_$sfx"; val tag2 = s"curlife2_$sfx"
+    StandingIndex.buildCurationFor(spark, sf0001, tag1)
+    val batch = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+    def dec(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(col("doc_id"), col("decision"), col("ref_id"),
+        round(col("jac"), 9).as("jac"), col("split"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+    val p1 = StandingIndex.curateIncrementalIndexedFor(spark, tag1, batch).collect()
+    val admittedIds = p1.filter(_.getString(1) == "admitted").map(_.getLong(0)).toSet
+    assert(admittedIds.nonEmpty)
+    val admittedDocs = docs.filter(col("doc_id").isInCollection(admittedIds))
+
+    StandingIndex.appendCurationFor(spark, tag1, admittedDocs)
+    val day2 = dec(StandingIndex.curateIncrementalIndexedFor(spark, tag1, batch))
+
+    // fresh rebuild over kept ∪ admitted under its own tag
+    val base = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 0)
+    val kept = Pipeline.keptDocsOf(spark, sf0001, base) { exact =>
+      Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
+    }
+    StandingIndex.buildCurationFromKept(spark,
+      kept.unionByName(admittedDocs), docs.filter(col("doc_id") % 10 === 0), tag2)
+    val fresh = dec(StandingIndex.curateIncrementalIndexedFor(spark, tag2, batch))
+    assert(day2 == fresh,
+      s"append drifted from rebuild: ${day2.diff(fresh).take(3)} vs ${fresh.diff(day2).take(3)}")
+
+    // replay idempotence: every admitted doc is now a standing kept doc
+    val day2ByDoc = day2.map(_.split('|')).map(a => a(0).toLong -> a(1)).toMap
+    admittedIds.foreach { id =>
+      assert(day2ByDoc(id) == "exact_base", s"doc $id replayed as ${day2ByDoc(id)}")
+    }
+    assert(!day2ByDoc.values.exists(_ == "admitted"),
+      "a replayed delta must admit nothing — everything is already decided")
+  }
+
   test("appended on-disk index decides identically to a fresh full index") {
     // index maintenance: build on corpus A, append corpus B, probe — must
     // equal a fresh index over A ∪ B (itself proven against an all-pairs
