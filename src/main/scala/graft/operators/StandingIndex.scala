@@ -297,11 +297,19 @@ object StandingIndex {
   private[graft] def deleteFor(s: SparkSession, tag: String,
                                ids: DataFrame,
                                remaining: DataFrame): Unit = built.synchronized {
+    deleteProbeTables(s, tag, ids, remaining, "")
+  }
+
+  /** The shared delete body — same three rewrites for the dedup index
+    * (p = "") and the curation index (p = "cur"); the scaladoc invariants
+    * on [[deleteFor]] are prefix-independent. */
+  private def deleteProbeTables(s: SparkSession, tag: String, ids: DataFrame,
+                                remaining: DataFrame, p: String): Unit = {
     val del = ids.select(col("doc_id").as("corpus_id"))
-    def tbl(name: String): DataFrame = s.table(s"graft_idx_${name}_$tag")
+    def tbl(name: String): DataFrame = s.table(s"graft_idx_${p}${name}_$tag")
     def rewrite(name: String, df: DataFrame, bucketCol: String): Unit = {
       val snap = df.localCheckpoint()
-      save(snap, tag, name, bucketCol, "overwrite")
+      save(snap, tag, s"$p$name", bucketCol, "overwrite")
       org.apache.spark.sql.GraftShims.unpersistCheckpoint(snap)
     }
     val affected = tbl("digests")
@@ -321,6 +329,21 @@ object StandingIndex {
       tbl("prefix").join(broadcast(del), Seq("corpus_id"), "left_anti"), "s")
     org.apache.spark.sql.GraftShims.unpersistCheckpoint(affected)
   }
+
+  /** Right-to-be-forgotten for the CURATED state: remove `ids` from the
+    * standing curation tables given the post-delete kept set `remaining`.
+    * Same per-table rules as [[deleteFor]] (anti-joined arrays/prefix,
+    * re-aggregated digest fallbacks for just the affected contents,
+    * FROZEN `curdfreq`). Tag-keyed with the caller owning `remaining`
+    * deliberately — unlike the dedup index, the curated state is
+    * history-dependent (appends move it past any pure function of the
+    * corpus dir), so only the pipeline that owns the kept table can name
+    * the survivors; the lifecycle spec proves delete-then-probe equals a
+    * fresh rebuild over them. */
+  private[graft] def deleteCurationFor(s: SparkSession, tag: String,
+                                       ids: DataFrame,
+                                       remaining: DataFrame): Unit =
+    curBuilt.synchronized { deleteProbeTables(s, tag, ids, remaining, "cur") }
 
   /** [[deleteFor]] against the session-built index over `dir`'s corpus. */
   def delete(s: SparkSession, dir: String, ids: DataFrame): Unit = {

@@ -91,6 +91,51 @@ class StandingIndexSpec extends GraftSpec {
       "a replayed delta must admit nothing — everything is already decided")
   }
 
+  test("curation lifecycle: forgetting kept docs — delete-then-probe equals rebuild over survivors") {
+    import graft.operators.{Dedup, Pipeline, StandingIndex}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val sfx = System.nanoTime()
+    val tag1 = s"curdel1_$sfx"; val tag2 = s"curdel2_$sfx"
+    val base = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 0)
+    val kept = Pipeline.keptDocsOf(spark, sf0001, base) { exact =>
+      Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
+    }.cache()
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    StandingIndex.buildCurationFromKept(spark, kept, bench, tag1)
+    val batch = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+    def dec(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(col("doc_id"), col("decision"), col("ref_id"),
+        round(col("jac"), 9).as("jac"), col("split"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+    val p1 = StandingIndex.curateIncrementalIndexedFor(spark, tag1, batch).collect()
+    // forget the kept docs that DECIDED something (their loss must change
+    // or re-point those decisions); if the sliver matched none, forget an
+    // arbitrary kept handful so the rewrite paths still execute
+    val refIds = p1.filter(r => r.getString(1) == "exact_base" ||
+        r.getString(1) == "near_base").map(_.getLong(2)).distinct.toSeq
+    val forget: Seq[Long] =
+      if (refIds.nonEmpty) refIds
+      else kept.select("doc_id").orderBy("doc_id").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+    val remaining = kept.filter(!col("doc_id").isInCollection(forget))
+    StandingIndex.deleteCurationFor(spark, tag1,
+      forget.toDF("doc_id"), remaining)
+
+    val after = dec(StandingIndex.curateIncrementalIndexedFor(spark, tag1, batch))
+    StandingIndex.buildCurationFromKept(spark, remaining, bench, tag2)
+    val fresh = dec(StandingIndex.curateIncrementalIndexedFor(spark, tag2, batch))
+    assert(after == fresh,
+      s"delete drifted from rebuild: ${after.diff(fresh).take(3)} vs ${fresh.diff(after).take(3)}")
+    // no surviving decision may reference a forgotten doc
+    val forgotten = forget.toSet
+    after.map(_.split('|')).filter(a => a(1) == "exact_base" || a(1) == "near_base")
+      .foreach(a => assert(!forgotten.contains(a(2).toLong),
+        s"decision still references forgotten doc ${a(2)}"))
+    kept.unpersist()
+  }
+
   test("appended on-disk index decides identically to a fresh full index") {
     // index maintenance: build on corpus A, append corpus B, probe — must
     // equal a fresh index over A ∪ B (itself proven against an all-pairs
