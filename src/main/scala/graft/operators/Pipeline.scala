@@ -121,7 +121,9 @@ object Pipeline {
   /** [[keptDocsVia]] parametrized by the corpus frame — the reusable form
     * [[curateIncremental]] runs over the BASE half of the corpus to build
     * the standing kept state a delta batch probes against. */
-  private[graft] def keptDocsOf(s: SparkSession, dir: String, corpus: DataFrame)
+  private[graft] def keptDocsOf(s: SparkSession, dir: String, corpus: DataFrame,
+                        repFlags: Option[DataFrame] = None,
+                        conFlags: Option[DataFrame] = None)
                         (nearPairsOf: DataFrame => DataFrame): DataFrame = {
     // 1. exact dedup WITHIN the corpus (a benchmark twin must not decide
     // survivorship for a train doc)
@@ -137,9 +139,13 @@ object Pipeline {
       .select(col("id").as("doc_id"))
 
     // 3./4. per-doc quality flags are corpus-independent decisions, so the
-    // standalone operators' outputs ARE the drop sets
-    val repFlagged = QualityFilters.repetitionFilter(s, dir).select("doc_id")
-    val contaminated = QualityFilters.decontaminate(s, dir).select("doc_id")
+    // standalone operators' outputs ARE the drop sets (callers that need
+    // the same flags again — the incremental form's batch stages — pass
+    // them in once instead of paying the corpus text scans twice)
+    val repFlagged = repFlags.getOrElse(
+      QualityFilters.repetitionFilter(s, dir).select("doc_id"))
+    val contaminated = conFlags.getOrElse(
+      QualityFilters.decontaminate(s, dir).select("doc_id"))
 
     val dropSet = nonReps.union(repFlagged).union(contaminated).distinct()
 
@@ -192,7 +198,11 @@ object Pipeline {
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
     val base  = corpus.filter(col("doc_id") % 7 =!= 0)
     val batch = corpus.filter(col("doc_id") % 7 === 0).cache()
-    val kept = keptDocsOf(s, dir, base) { exact =>
+    // the per-doc quality flags serve BOTH the base-kept build and the
+    // batch's own stage 3/4 — compute the corpus text scans once
+    val rep = QualityFilters.repetitionFilter(s, dir).select("doc_id").cache()
+    val con = QualityFilters.decontaminate(s, dir).select("doc_id").cache()
+    val kept = keptDocsOf(s, dir, base, Some(rep), Some(con)) { exact =>
       Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
     }.cache()
 
@@ -249,13 +259,12 @@ object Pipeline {
         col("lbl").as("ref_id"), nullJac, nullSplit)
     val r4 = r3.join(nearBatch.select("doc_id"), Seq("doc_id"), "left_anti")
 
-    // 3./4. per-doc quality gates, in stage order
-    val rep = QualityFilters.repetitionFilter(s, dir).select("doc_id")
+    // 3./4. per-doc quality gates, in stage order (flags shared with the
+    // kept build above)
     val repDrop = r4.select("doc_id").join(rep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), lit("repetition").as("decision"),
         nullRef, nullJac, nullSplit)
     val r5 = r4.join(rep, Seq("doc_id"), "left_anti")
-    val con = QualityFilters.decontaminate(s, dir).select("doc_id")
     val conDrop = r5.select("doc_id").join(con, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), lit("contaminated").as("decision"),
         nullRef, nullJac, nullSplit)
@@ -275,6 +284,7 @@ object Pipeline {
       .orderBy("doc_id")
       .localCheckpoint()
     batch.unpersist(); kept.unpersist(); bArr.unpersist(); cArr.unpersist()
+    rep.unpersist(); con.unpersist()
     out
   }
 
