@@ -591,6 +591,22 @@ object StandingIndex {
     * private tags route through here. */
   private[graft] def curateIncrementalIndexedFor(s: SparkSession, tag: String,
                                                  batch0: DataFrame): DataFrame = {
+    val (out0, caches) = curateIndexedPlan(s, tag, batch0)
+    // the decision table is tiny (one row per batch doc) — materialize it
+    // eagerly so the fat caches can be released now (the bandedNearPairs
+    // pattern)
+    val out = out0.localCheckpoint()
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** The probe's LAZY plan + its cache handles — split out so the
+    * plan-pin spec can assert the cur* scans stay bucketed (the public
+    * form checkpoints the result, which hides the joins behind an
+    * ExistingRDD scan). */
+  private[graft] def curateIndexedPlan(s: SparkSession, tag: String,
+                                       batch0: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
     def idx(name: String): DataFrame = s.table(s"graft_idx_cur${name}_$tag")
     val t = Threshold
 
@@ -599,7 +615,12 @@ object StandingIndex {
     val nullJac = lit(null).cast("double").as("jac")
     val nullSplit = lit(null).cast("string").as("split")
 
-    // 1a. exact vs the standing kept digests (re-min across segments)
+    // 1a. exact vs the standing kept digests (re-min across segments).
+    // Each survivor frame below feeds BOTH its decision branch and the
+    // next stage's anti-join — cached once each (sliver-sized rows), like
+    // incrementalDedupIndexed's `exact`; uncached, every downstream stage
+    // re-evaluates the whole cascade and the planner disables the
+    // bucketed digest scans it then sees many copies of
     val exactBase = batch
       .select(col("doc_id"), md5(col("text")).as("h"),
         length(col("text")).as("len"))
@@ -607,6 +628,7 @@ object StandingIndex {
       .groupBy("doc_id").agg(min("corpus_id").as("ref_id"))
       .select(col("doc_id"), lit("exact_base").as("decision"),
         col("ref_id"), lit(1.0).as("jac"), nullSplit)
+      .cache()
     val r1 = batch.join(exactBase.select("doc_id"), Seq("doc_id"), "left_anti")
 
     // 1b. exact within the remaining batch (keep lowest id per text)
@@ -615,7 +637,7 @@ object StandingIndex {
     val exactBatch = r1k.filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit("exact_batch").as("decision"),
         col("keep_id").as("ref_id"), lit(1.0).as("jac"), nullSplit)
-    val r2 = r1k.filter(col("doc_id") === col("keep_id")).drop("keep_id")
+    val r2 = r1k.filter(col("doc_id") === col("keep_id")).drop("keep_id").cache()
 
     // 2a. near vs the standing kept set: batch prefixes under the FROZEN
     // curdfreq order (coalesce 0 for kept-unseen shingles — lossless, see
@@ -651,6 +673,7 @@ object StandingIndex {
       .select(col("batch_id").as("doc_id"), lit("near_base").as("decision"),
         col("corpus_id").as("ref_id"), col("jac"), nullSplit)
     val r3 = r2.join(nearBase.select("doc_id"), Seq("doc_id"), "left_anti")
+      .cache()
 
     // 2b. near within the remaining batch — sliver-local CC collapse
     val nearBatch = Dedup.ccLabels(
@@ -659,13 +682,14 @@ object StandingIndex {
       .select(col("id").as("doc_id"), lit("near_batch").as("decision"),
         col("lbl").as("ref_id"), nullJac, nullSplit)
     val r4 = r3.join(nearBatch.select("doc_id"), Seq("doc_id"), "left_anti")
+      .cache()
 
     // 3./4. quality gates scored over the SLIVER only (per-doc decisions)
     val rep = QualityFilters.repetitionFlagsOf(r4).select("doc_id")
     val repDrop = r4.select("doc_id").join(rep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), lit("repetition").as("decision"),
         nullRef, nullJac, nullSplit)
-    val r5 = r4.join(rep, Seq("doc_id"), "left_anti")
+    val r5 = r4.join(rep, Seq("doc_id"), "left_anti").cache()
     val con = QualityFilters.deconScoredOf(
         Dedup.shingles(r5), idx("bench").withColumn("hit", lit(1)))
       .select("doc_id")
@@ -683,9 +707,7 @@ object StandingIndex {
       .unionByName(nearBatch).unionByName(repDrop).unionByName(conDrop)
       .unionByName(admitted)
       .orderBy("doc_id")
-      .localCheckpoint()
-    batch.unpersist(); bArr.unpersist()
-    out
+    (out, Seq(batch, bArr, exactBase, r2, r3, r4, r5))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

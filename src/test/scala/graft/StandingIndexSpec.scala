@@ -259,6 +259,31 @@ class StandingIndexSpec extends GraftSpec {
       "second-session probe must not rewrite any index file")
   }
 
+  test("curation probe plan reads the cur* tables bucketed — kept side never reshuffled") {
+    val tag = StandingIndex.ensureCurationBuilt(spark, sf0001)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force shuffle joins so a missing bucketed scan would HAVE to show
+      // up as an Exchange over an index table's output columns
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = Tables.documents(spark, sf0001)
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+      val (probe, caches) = StandingIndex.curateIndexedPlan(spark, tag, batch)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_idx_cur"), plan.take(800))
+      assert(plan.contains("Bucketed: true"), plan.take(1200))
+      assert(!plan.contains("Bucketed: false"),
+        plan.linesIterator.filter(_.contains("Bucketed: false")).mkString("\n"))
+      // the prefix index (the big kept-side relation at scale) must not
+      // be re-partitioned: no exchange keyed on its own columns
+      assert(!plan.contains("Exchange hashpartitioning(cn"), plan.take(1200))
+      caches.foreach(_.unpersist())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
   test("probe plan reads the index bucketed — corpus side never reshuffled") {
     StandingIndex.ensureBuilt(spark, sf0001)
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
