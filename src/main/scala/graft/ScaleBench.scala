@@ -101,6 +101,14 @@ object ScaleBench {
     val (flags, dirs) = args.partition(_.startsWith("--"))
     require(dirs.nonEmpty,
       "usage: ScaleBench [--assert] [--targets=a,b,c] <sfDir> [<sfDir> ...]")
+    // every flag must be recognized: a typo like '--asert' or a bare
+    // '--targets' would otherwise silently degrade an --assert CI run to
+    // a plain rehearsal that exits 0 with the scale gate disabled
+    flags.foreach { f =>
+      require(f == "--assert" ||
+        (f.startsWith("--targets=") && f.length > "--targets=".length),
+        s"unknown flag: $f (known: --assert, --targets=a,b,c)")
+    }
     val assertMode = flags.contains("--assert")
     val targets = flags.find(_.startsWith("--targets="))
       .map(_.stripPrefix("--targets=").split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -81,8 +81,34 @@ object Dedup {
     * docs — they generate quadratic candidates and never decide a ≥0.5
     * pair on their own); semantics here keep every shingle so the DuckDB
     * oracle is exact. */
-  def jaccardNearDup(s: SparkSession, dir: String): DataFrame =
+  /** Σ df² tripwire — the dedup/pipeline analogue of [[Similarity]]'s
+    * exact-baseline guard (SAME conf key, same footer-metadata row
+    * count): the exact shingle pair join's candidate space is Σ df²
+    * over the shingle document frequencies — quadratic on a dense
+    * vocabulary (measured 6.3–6.7× cost at 10× data, SCALE.md run E) —
+    * so every query that rides it refuses corpora past the tripwire
+    * and NAMES its gated banded twin, instead of quietly scheduling
+    * the wrong plan over a 100 TB corpus. The row count reads parquet
+    * footer metadata driver-side ([[Tables.footerRowCount]], cached) —
+    * zero Spark jobs, so guarded builders keep the one-action-per-query
+    * contract. Default sits above every harness/rehearsal corpus
+    * (sf0.1 = 5 k docs, the sf1 rehearsal = 50 k) and below the
+    * second-decade corpus (~500 k), where only the banded forms run. */
+  private[graft] val MaxExactRowsKey = "spark.graft.exactBaseline.maxRows"
+  private[operators] def guardExactPairs(s: SparkSession, dir: String,
+                                         what: String, scaleAlt: String): Unit = {
+    val max = s.conf.getOption(MaxExactRowsKey).map(_.toLong).getOrElse(100000L)
+    val n = Tables.footerRowCount(s, dir, "documents")
+    require(n <= max,
+      s"$what rides the exact shingle pair join (candidate space sum df^2, " +
+      s"quadratic on hot shingles) guarded at $max documents; the corpus has $n. " +
+      s"Use $scaleAlt at scale, or raise $MaxExactRowsKey deliberately.")
+  }
+
+  def jaccardNearDup(s: SparkSession, dir: String): DataFrame = {
+    guardExactPairs(s, dir, "neardup_jaccard", "neardup_minhash_md5")
     jaccardPairsFrom(Tables.documents(s, dir))
+  }
 
   /** [[jaccardNearDup]] parametrized by the document set — the reusable
     * form the curation pipeline composes over exact-dedup survivors. */
@@ -147,6 +173,8 @@ object Dedup {
     * threshold) rows. */
   def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    guardExactPairs(s, dir, "neardup_threshold_sweep",
+      "neardup_minhash_md5 (re-banded per threshold)")
     val pairs = jaccardPairsFrom(Tables.documents(s, dir), 0.3)
     val th = (30 to 90 by 10).toDF("t_pct")
     val j = pairs.crossJoin(broadcast(th))
@@ -959,8 +987,11 @@ object Dedup {
     * variant gets O(log n) on adversarial graphs). The driver loop holds
     * only a changed-row COUNT, never data. Deterministic (min over ids) →
     * oracle-checked against a DuckDB recursive-CTE reachability closure. */
-  def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    guardExactPairs(s, dir, "neardup_clusters",
+      "connectedComponents over neardup_minhash_md5 pairs")
     connectedComponents(jaccardNearDup(s, dir).select("a_id", "b_id"))
+  }
 
   // --------------------------------------------- cluster canonicalization
   /** Quality-aware canonical selection per near-dup cluster — the step
@@ -977,6 +1008,8 @@ object Dedup {
     * only clustered docs, and the keep rule is one rank-1 window per
     * cluster. */
   def nearDupCanonical(s: SparkSession, dir: String): DataFrame = {
+    guardExactPairs(s, dir, "neardup_canonical",
+      "the same keep rule over ccLabels(neardup_minhash_md5 pairs)")
     val t = filter(split(col("text"), " "), x => x =!= "")
     val scored = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -1217,11 +1250,13 @@ object Dedup {
     * signals arrive through their own star-capped candidate machinery. The
     * oracle splices the image query's own CTE chain (as the recall report
     * does) so the third signal can never drift from the gated query. */
-  def entityResolution(s: SparkSession, dir: String): DataFrame =
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    guardExactPairs(s, dir, "entity_resolution", "entity_resolution_lsh")
     connectedComponents(entityPairsOf(Tables.documents(s, dir)))
       .select(col("cluster_rep").as("entity_rep"),
         col("cluster_size").as("entity_size"), col("member_ids"))
       .orderBy("entity_rep")
+  }
 
   /** The three-signal edge set behind [[entityResolution]], parametrized by
     * the document set — also the per-batch pair source of the CONTINUOUS

@@ -86,10 +86,13 @@ object Pipeline {
 
   /** The curation chain's survivor set (full document rows) — shared by
     * [[curate]] and [[trainingSet]]. */
-  private[operators] def keptDocs(s: SparkSession, dir: String): DataFrame =
+  private[operators] def keptDocs(s: SparkSession, dir: String): DataFrame = {
+    Dedup.guardExactPairs(s, dir, "pipeline_curate/pipeline_training_set (exact form)",
+      "pipeline_curate_lsh / pipeline_training_set_lsh")
     keptDocsVia(s, dir) { exact =>
       Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
     }
+  }
 
   /** Survivor set with the BANDED near-dup stage — shared by
     * [[curateLsh]] and [[trainingSetLsh]]. Only stage 2's pair generator
@@ -202,9 +205,14 @@ object Pipeline {
     // batch's own stage 3/4 — compute the corpus text scans once
     val rep = QualityFilters.repetitionFilter(s, dir).select("doc_id").cache()
     val con = QualityFilters.decontaminate(s, dir).select("doc_id").cache()
-    val kept = keptDocsOf(s, dir, base, Some(rep), Some(con)) { exact =>
-      Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
-    }.cache()
+    // the standing kept state rides the BANDED pair stage (round 16; it
+    // rode the exact Σ df² join before, which made this the suite's most
+    // expensive query at 18.9 s and a 6.5×-at-10× growth term): the same
+    // swap [[curateLsh]] made on stage 2, with the oracle's base-kept
+    // chain banded to match — the hash gate still covers the build
+    // semantics end-to-end, now of the plan a deployment would run
+    val kept = keptDocsOf(s, dir, base, Some(rep), Some(con))(bandedNearPairs)
+      .cache()
 
     def keyed(d: DataFrame, as: String): DataFrame = d.select(
       col("doc_id").as(as), md5(col("text")).as("h"),
@@ -321,46 +329,55 @@ object Pipeline {
   /** The BANDED near-dup pair stage: the md5-minhash signature / band
     * bucket / star-cap / exact-verify chain of `neardup_minhash_md5`
     * (same constants, same tie rules), ending in the same `pairs` CTE
-    * shape so the suffix chain is shared verbatim with the exact form. */
-  private val bandedPairCtes: String =
-    s"""mhashes AS (
+    * shape so the suffix chain is shared verbatim with the exact form.
+    * Parametrized by the shingle/size CTE names, an internal-name
+    * prefix, and the output CTE name, so ONE chain serves both the
+    * full-corpus kept build (`sh`/`sizes` → `pairs`) and the
+    * incremental oracle's base-kept build (`bsh`/`bsizes` → `bpairs`) —
+    * the two can differ only in what they read, never in the banding. */
+  private def bandedPairCtesOf(sh: String, sizes: String, p: String,
+                               out: String): String =
+    s"""${p}mhashes AS (
       |  SELECT doc_id, i,
       |         min(('0x' || substring(md5(s || '#' || i), 1, 15))::BIGINT) AS mh
-      |  FROM sh, LATERAL (SELECT unnest(generate_series(0, ${Dedup.NumHashes - 1})) AS i) seeds
+      |  FROM $sh, LATERAL (SELECT unnest(generate_series(0, ${Dedup.NumHashes - 1})) AS i) seeds
       |  GROUP BY doc_id, i
       |),
-      |mbands AS (
+      |${p}mbands AS (
       |  SELECT doc_id, i // ${Dedup.BandRows} AS band,
       |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
-      |  FROM mhashes GROUP BY doc_id, i // ${Dedup.BandRows}
+      |  FROM ${p}mhashes GROUP BY doc_id, i // ${Dedup.BandRows}
       |),
-      |mbstats AS (
+      |${p}mbstats AS (
       |  SELECT band, bucket, count(*) AS bsz, min(doc_id) AS bmin
-      |  FROM mbands GROUP BY 1, 2 HAVING count(*) >= 2
+      |  FROM ${p}mbands GROUP BY 1, 2 HAVING count(*) >= 2
       |),
-      |mjoined AS (SELECT b.doc_id, b.band, b.bucket, s.bsz, s.bmin
-      |            FROM mbands b JOIN mbstats s USING (band, bucket)),
-      |mcand AS (
+      |${p}mjoined AS (SELECT b.doc_id, b.band, b.bucket, s.bsz, s.bmin
+      |            FROM ${p}mbands b JOIN ${p}mbstats s USING (band, bucket)),
+      |${p}mcand AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM mjoined a JOIN mjoined b
+      |  FROM ${p}mjoined a JOIN ${p}mjoined b
       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       |  WHERE a.bsz <= ${Dedup.MaxBucket}
       |  UNION
       |  SELECT DISTINCT bmin AS a_id, doc_id AS b_id
-      |  FROM mjoined WHERE bsz > ${Dedup.MaxBucket} AND doc_id <> bmin
+      |  FROM ${p}mjoined WHERE bsz > ${Dedup.MaxBucket} AND doc_id <> bmin
       |),
-      |common AS (
+      |${p}common AS (
       |  SELECT c.a_id, c.b_id, count(*) AS c
-      |  FROM mcand c
-      |  JOIN sh x ON x.doc_id = c.a_id
-      |  JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+      |  FROM ${p}mcand c
+      |  JOIN $sh x ON x.doc_id = c.a_id
+      |  JOIN $sh y ON y.doc_id = c.b_id AND y.s = x.s
       |  GROUP BY 1, 2
       |),
-      |pairs AS (
-      |  SELECT a_id, b_id FROM common
-      |  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      |$out AS (
+      |  SELECT a_id, b_id FROM ${p}common
+      |  JOIN $sizes sa ON a_id = sa.doc_id JOIN $sizes sb ON b_id = sb.doc_id
       |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
       |)""".stripMargin
+
+  private val bandedPairCtes: String =
+    bandedPairCtesOf("sh", "sizes", "", "pairs")
 
   /** Shared tail of the kept-CTE chain (CC over `pairs` → drop sets →
     * `kept`). */
@@ -462,16 +479,7 @@ object Pipeline {
       |  WHERE len(tk) >= 3
       |),
       |bsizes AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
-      |bcommon AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-      |  FROM bsh a JOIN bsh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |),
-      |bpairs AS (
-      |  SELECT a_id, b_id FROM bcommon
-      |  JOIN bsizes sa ON a_id = sa.doc_id JOIN bsizes sb ON b_id = sb.doc_id
-      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
-      |),
+      |__BANDED_BPAIRS__,
       |bedges AS (
       |  SELECT a_id AS src, b_id AS dst FROM bpairs
       |  UNION SELECT b_id, a_id FROM bpairs
@@ -618,9 +626,19 @@ object Pipeline {
       |            ELSE 'test' END
       |FROM r6
       |ORDER BY doc_id""".stripMargin
-    Seq("bsh", "bsizes", "basekept", "r1", "r2", "psh", "psizes", "r3",
+    // the base-kept build is BANDED (round 16), mirroring the Scala
+    // side's [[bandedNearPairs]] swap — spliced from the SAME CTE
+    // builder the curate_lsh/training_set_lsh oracles use, so the
+    // incremental oracle's banding can never drift from theirs
+    val banded = raw.replace("__BANDED_BPAIRS__",
+      bandedPairCtesOf("bsh", "bsizes", "b", "bpairs"))
+    // bmbands feeds bmbstats AND bmjoined; bmjoined self-joins plus the
+    // star branch (3 refs); bpairs is read twice by bedges — unpinned,
+    // DuckDB re-inlines the whole upstream chain per reference
+    Seq("bsh", "bsizes", "bmbands", "bmjoined", "bpairs",
+        "basekept", "r1", "r2", "psh", "psizes", "r3",
         "msh", "repflag", "decon", "allsh", "nearbase", "nearbatch")
-      .foldLeft(raw)((s, c) => s.replace(s"$c AS (", s"$c AS MATERIALIZED ("))
+      .foldLeft(banded)((s, c) => s.replace(s"$c AS (", s"$c AS MATERIALIZED ("))
   }
 
   private val SeqTokens = 512L
@@ -859,10 +877,12 @@ object Pipeline {
     * curate output is impossible by construction — the final row's
     * count IS `count(kept)`. One dataflow: five single-row aggregates
     * unioned, so the whole report is one action. */
-  def funnelReport(s: SparkSession, dir: String): DataFrame =
+  def funnelReport(s: SparkSession, dir: String): DataFrame = {
+    Dedup.guardExactPairs(s, dir, "pipeline_funnel_report", "pipeline_funnel_report_lsh")
     funnelReportVia(s, dir) { exact =>
       Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
     }
+  }
 
   /** [[funnelReport]]'s LSH-banded scale twin: the same five-row funnel,
     * but stage 3's drop set arrives through [[bandedNearPairs]] — the

@@ -60,7 +60,7 @@ object StandingIndex {
     * kept-set rules, prefix thresholds, ANN planes/centroid seeding):
     * catalog tables written under an older version then carry a different
     * tag and are never adopted — they are rebuilt, not silently probed. */
-  private[graft] val LogicVersion = 2
+  private[graft] val LogicVersion = 3 // r16: curation kept build went banded
 
   /** Content fingerprint of the corpus files the standing indexes derive
     * from (size + mtime of documents/embeddings parquet, recursing one
@@ -113,6 +113,33 @@ object StandingIndex {
   private[operators] def tablePath(s: SparkSession, tag: String, name: String): String =
     s"${indexRoot(s)}/$tag/$name"
 
+  /** Maintenance marker (one zero-byte file per tag + family prefix,
+    * next to the tables): append/delete maintenance moves an index past
+    * the pure function of its corpus dir that the oracles model, so a
+    * LATER session must not silently adopt maintained state — the
+    * dir-keyed probes would diverge from the shared pristine-build
+    * oracle while every hash gate ran against the pristine SQL. The
+    * dir-keyed `ensure*Built` adoption branch rebuilds when the marker
+    * is present; caller-owned tags (the lifecycle specs, deployment
+    * pipelines that own their kept tables) are never adopted by tag
+    * construction, so the marker costs them nothing. Hadoop FS API so
+    * the marker rides whatever filesystem `standingIndex.path` names. */
+  private def maintainedMarker(s: SparkSession, tag: String, p: String) =
+    new org.apache.hadoop.fs.Path(s"${indexRoot(s)}/$tag/${p}MAINTAINED")
+  private def markMaintained(s: SparkSession, tag: String, p: String): Unit = {
+    val m = maintainedMarker(s, tag, p)
+    val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(m, true).close()
+  }
+  private[graft] def isMaintained(s: SparkSession, tag: String, p: String): Boolean = {
+    val m = maintainedMarker(s, tag, p)
+    m.getFileSystem(s.sparkContext.hadoopConfiguration).exists(m)
+  }
+  private def clearMaintained(s: SparkSession, tag: String, p: String): Unit = {
+    val m = maintainedMarker(s, tag, p)
+    m.getFileSystem(s.sparkContext.hadoopConfiguration).delete(m, false)
+  }
+
   /** The corpus split this index covers — must match
     * [[Dedup.incrementalDedup]]'s (doc_id % 7 <> 0). */
   private def corpusOf(s: SparkSession, dir: String): DataFrame =
@@ -136,11 +163,14 @@ object StandingIndex {
       // adopt an index another session already built: if the catalog still
       // lists all four tables (shared metastore, or a newSession() off the
       // same context), probing reads them as-is — the restart story the
-      // durable-path knob exists for. The index is immutable per tag, and
-      // the tag embeds a corpus fingerprint + LogicVersion, so a changed
-      // corpus or changed build logic yields a NEW tag and a rebuild —
-      // adoption can never serve a stale index.
-      if (tableNames(tag).forall(s.catalog.tableExists)) { built.put(k, tag); tag }
+      // durable-path knob exists for. The tag embeds a corpus fingerprint
+      // + LogicVersion, so a changed corpus or changed build logic yields
+      // a NEW tag and a rebuild; the MAINTAINED marker closes the
+      // remaining gap — append/delete maintenance mutates the dir-keyed
+      // tables IN PLACE (same tag), and a maintained index is NOT the
+      // pristine build the shared oracle models, so adoption rebuilds it.
+      if (tableNames(tag).forall(s.catalog.tableExists) &&
+          !isMaintained(s, tag, "")) { built.put(k, tag); tag }
       else buildTables(s, dir, k)
     }
   }
@@ -172,6 +202,9 @@ object StandingIndex {
     * incremental-curation index (p = "cur", the standing KEPT set). */
   private def writeProbeTables(corpus: DataFrame, tag: String,
                                p: String): Unit = {
+    // a fresh (over)write IS the pristine build — retire any maintenance
+    // marker a prior lifecycle left, so the rebuilt index adopts cleanly
+    clearMaintained(corpus.sparkSession, tag, p)
     // stage-1 index: min corpus twin per content digest, pre-aggregated
     // so the probe's exact stage joins one row per distinct content (per
     // SEGMENT — appends may add a second row for a digest, which the
@@ -238,6 +271,7 @@ object StandingIndex {
     * scaladoc are prefix-independent. */
   private def appendProbeTables(s: SparkSession, tag: String,
                                 docs: DataFrame, p: String): Unit = {
+    markMaintained(s, tag, p)
     save(docs
       .select(md5(col("text")).as("h"), length(col("text")).as("len"),
         col("doc_id").as("corpus_id"))
@@ -305,6 +339,7 @@ object StandingIndex {
     * on [[deleteFor]] are prefix-independent. */
   private def deleteProbeTables(s: SparkSession, tag: String, ids: DataFrame,
                                 remaining: DataFrame, p: String): Unit = {
+    markMaintained(s, tag, p)
     val del = ids.select(col("doc_id").as("corpus_id"))
     def tbl(name: String): DataFrame = s.table(s"graft_idx_${p}${name}_$tag")
     def rewrite(name: String, df: DataFrame, bucketCol: String): Unit = {
@@ -524,7 +559,12 @@ object StandingIndex {
       if (existing != null) existing
       else {
         val tag = tagOf(dir)
-        if (curTableNames(tag).forall(s.catalog.tableExists)) {
+        // same maintained-marker rule as [[ensureBuilt]]: a prior
+        // session's appendCuration/deleteCurationFor moved the cur*
+        // tables past the pristine base-kept build the shared
+        // curateIncremental oracle models — rebuild instead of adopting
+        if (curTableNames(tag).forall(s.catalog.tableExists) &&
+            !isMaintained(s, tag, "cur")) {
           curBuilt.put(k, tag); tag
         } else { buildCurationFor(s, dir, tag); curBuilt.put(k, tag); tag }
       }
@@ -534,9 +574,9 @@ object StandingIndex {
                                       tag: String): Unit = {
     val base = Tables.documents(s, dir)
       .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 0)
-    val kept = Pipeline.keptDocsOf(s, dir, base) { exact =>
-      Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
-    }
+    // banded pair stage, matching [[Pipeline.curateIncremental]]'s kept
+    // build (round 16) — the two must agree because they share one oracle
+    val kept = Pipeline.keptDocsOf(s, dir, base)(Pipeline.bandedNearPairs)
     buildCurationFromKept(s, kept,
       Tables.documents(s, dir).filter(col("doc_id") % 10 === 0), tag)
   }
@@ -571,6 +611,57 @@ object StandingIndex {
   private[graft] def appendCurationFor(s: SparkSession, tag: String,
                                        docs: DataFrame): Unit =
     curBuilt.synchronized { appendProbeTables(s, tag, docs, "cur") }
+
+  /** Compact the standing probe tables for `tag` (family prefix `p`: ""
+    * = dedup index, "cur" = curation index) — the maintenance step that
+    * keeps many small appends from fragmenting the bucketed tables.
+    * [[appendProbeTables]] writes one file set per append segment, so N
+    * daily appends make every later probe pay ~N× the file opens and
+    * footer parses per bucket — the classic small-file pathology
+    * [[Layout.compact]] exists for. This is Layout's size-derived
+    * file-count rule applied UNDER the bucket spec: rows are
+    * hash-repartitioned into a multiple of [[Buckets]] (Spark's
+    * repartition-by-column and bucketBy use the same Murmur3 hash
+    * family, so with a partition count that is a multiple of the bucket
+    * count every write task holds exactly one bucket → one file per
+    * task) and rewritten with the SAME `bucketBy`, so the probe's
+    * exchange-free bucketed joins survive verbatim (spec-pinned). Pure
+    * layout: the row set is untouched — compaction neither sets nor
+    * clears the MAINTAINED marker, because pristine-ness is about rows,
+    * not files. Each table is localCheckpoint'ed before its overwrite so
+    * the write never reads the files it replaces (the
+    * [[deleteProbeTables]] rule). `dfreq`/`curbench` are skipped: the
+    * frozen order and the benchmark registry are written once and never
+    * appended to. Returns (table, files before, files after). */
+  def compact(s: SparkSession, tag: String, p: String = "",
+              targetFileMB: Int = 128): Seq[(String, Int, Int)] = {
+    val lock = if (p == "cur") curBuilt else built
+    lock.synchronized {
+      Seq((s"${p}digests", "h"), (s"${p}arrays", "corpus_id"),
+          (s"${p}prefix", "s")).map { case (name, bucketCol) =>
+        val path = new org.apache.hadoop.fs.Path(tablePath(s, tag, name))
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        def files(): Int = fs.listStatus(path).count { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        val before = files()
+        val tbl = s.table(s"graft_idx_${name}_$tag")
+        // files per bucket from the optimizer's size estimate (catalog /
+        // listing at real scale), never a fixed count — clamped both ways
+        // so a missing-stats Long.MaxValue cannot explode the task count
+        val bytes = tbl.queryExecution.optimizedPlan.stats.sizeInBytes
+        val perBucket = (bytes / (targetFileMB.toLong * 1024 * 1024) / Buckets)
+          .min(BigInt(1024)).toInt.max(1)
+        val snap = tbl.localCheckpoint()
+        save(snap.repartition(Buckets * perBucket, col(bucketCol)),
+          tag, name, bucketCol, "overwrite")
+        org.apache.spark.sql.GraftShims.unpersistCheckpoint(snap)
+        s.catalog.refreshTable(s"graft_idx_${name}_$tag")
+        (name, before, files())
+      }
+    }
+  }
 
   /** Probe the standing curation index with the delta sliver — output
     * identical to [[Pipeline.curateIncremental]] (same oracle), but

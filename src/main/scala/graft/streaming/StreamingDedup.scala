@@ -379,11 +379,21 @@ object StreamingDedup {
     * band rows stay valid forever — the same never-moves property the
     * lex order has and a df order lacks. The trade is banding recall
     * (~0.9 at J = 0.5 for 8×2 bands; exact duplicates are unaffected —
-    * the digest path is shared): decisions remain deterministic AND
-    * slicing-invariant, because both the index probe and the
-    * within-batch pass use the same content-deterministic candidate
-    * rule, so where a pair lands relative to batch boundaries cannot
-    * change whether its bucket collision exists. */
+    * the digest path is shared): decisions are deterministic, and
+    * slicing-invariant BELOW the [[Dedup.MaxBucket]] star cap — bucket
+    * collisions are a pure function of content, so where a pair lands
+    * relative to batch boundaries cannot change whether its collision
+    * exists. Above the cap both passes collapse a hot bucket to spokes
+    * on its minimum id (the same rule every batch generator uses), and
+    * there the invariance claim weakens: the cap triggers on the
+    * bucket's OCCUPANCY AT PROBE TIME (kept-index members for the index
+    * probe, batch members for the within-batch pass), which does depend
+    * on slicing — a true pair sharing ONLY hot buckets may be found in
+    * one slicing and spoke-missed in another. In practice a kept-index
+    * bucket goes hot only under hash degeneracy: a genuine duplicate
+    * cluster keeps just its minimum member, so its bucket holds ONE
+    * kept doc forever and the clique case stays exactly invariant (the
+    * >MaxBucket fixture in StreamingDedupSpec pins this). */
   private[streaming] final class GreedyGrowingIndex(t: Double,
                                                     banded: Boolean = false) {
     private var digests: DataFrame = null // (h, len, id)  kept docs
@@ -530,19 +540,32 @@ object StreamingDedup {
       // the two within-batch pair families likewise share one action.
       // banded mode uses the SAME band rule within the batch as against
       // the index — otherwise where a pair straddles a batch boundary
-      // would decide whether it gets the exact or the banded generator,
-      // and slicing invariance would be lost. Batch-sized self-join; no
-      // star cap needed (output is bounded by batch² regardless, the
-      // same bound the exact within-batch join has).
+      // would decide whether it gets the exact or the banded generator.
+      // The MaxBucket star cap applies here too (round 16 — it was
+      // index-probe-only before, so a hot bucket got the capped rule
+      // across batches but the uncapped all-pairs rule within one): a
+      // hot bucket collapses to spokes on its minimum id, the
+      // bucketCandidates rule, inlined WITHOUT its .cache() because a
+      // foreachBatch body must not accrete cache entries batch over
+      // batch — the stats diamond it would memoize is batch-bounded.
       val withinNear =
         if (!banded) Dedup.jaccardPairsFrom(mb).select("a_id", "b_id")
         else {
           val bb = mbBands.select("doc_id", "band", "bucket")
-          val candWithin = bb.as("x").join(bb.as("y"),
+          val bstats = bb.groupBy("band", "bucket")
+            .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+            .filter(col("bsz") >= 2)
+          val joined = bb.join(bstats, Seq("band", "bucket"))
+          val small = joined.filter(col("bsz") <= Dedup.MaxBucket)
+            .select("doc_id", "band", "bucket")
+          val candWithin = small.as("x").join(small.as("y"),
               col("x.band") === col("y.band") &&
                 col("x.bucket") === col("y.bucket") &&
                 col("x.doc_id") < col("y.doc_id"))
             .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+            .union(joined
+              .filter(col("bsz") > Dedup.MaxBucket && col("doc_id") =!= col("bmin"))
+              .select(col("bmin").as("a_id"), col("doc_id").as("b_id")))
             .distinct()
           Dedup.verifyPairs(candWithin, mbArr, t).select("a_id", "b_id")
         }

@@ -358,4 +358,28 @@ class DedupSpec extends GraftSpec {
     val docs = exact.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length
     assert(at50._3 == docs.toLong)
   }
+
+  test("exact Σ df² near-dup family refuses past the corpus tripwire, naming the banded path") {
+    val key = "spark.graft.exactBaseline.maxRows"
+    spark.conf.set(key, "10")
+    try {
+      Seq[(String, () => Any)](
+        ("neardup_jaccard", () => Dedup.jaccardNearDup(spark, sf0001)),
+        ("neardup_threshold_sweep", () => Dedup.thresholdSweep(spark, sf0001)),
+        ("neardup_clusters", () => Dedup.nearDupClusters(spark, sf0001)),
+        ("neardup_canonical", () => Dedup.nearDupCanonical(spark, sf0001)),
+        ("entity_resolution", () => Dedup.entityResolution(spark, sf0001))
+      ).foreach { case (name, mk) =>
+        val ex = intercept[IllegalArgumentException](mk())
+        assert(ex.getMessage.contains(name), s"$name: ${ex.getMessage}")
+        assert(ex.getMessage.contains("minhash_md5") ||
+               ex.getMessage.contains("_lsh"),
+          s"$name must name its banded alternative: ${ex.getMessage}")
+      }
+      // the banded family stays runnable under the same tightened bound
+      assert(Dedup.minhashMd5(spark, sf0001).count() > 0)
+    } finally spark.conf.unset(key)
+    // default bound: the harness corpus runs
+    assert(Dedup.jaccardNearDup(spark, sf0001).limit(1).count() == 1)
+  }
 }

@@ -383,4 +383,26 @@ class PipelineSpec extends GraftSpec {
       assert(a == b, "broadcast guard changed the curate result")
     } finally spark.conf.unset(key)
   }
+
+  test("exact composed forms refuse past the corpus tripwire, naming their banded twins") {
+    // the exact Σ df² pair stage measured 6.3–6.7× cost at 10× data
+    // (SCALE.md run E) — a config mistake must not quietly schedule it
+    // over a huge corpus when a gated banded twin exists; the guard is
+    // the same footer-metadata convention as the ANN exact baselines
+    val key = "spark.graft.exactBaseline.maxRows"
+    spark.conf.set(key, "10")
+    try {
+      val e1 = intercept[IllegalArgumentException](Pipeline.curate(spark, sf0001))
+      assert(e1.getMessage.contains("pipeline_curate_lsh"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](Pipeline.trainingSet(spark, sf0001))
+      assert(e2.getMessage.contains("pipeline_training_set_lsh"), e2.getMessage)
+      val e3 = intercept[IllegalArgumentException](Pipeline.funnelReport(spark, sf0001))
+      assert(e3.getMessage.contains("pipeline_funnel_report_lsh"), e3.getMessage)
+      // the banded twins and the (banded-build) incremental form stay
+      // runnable under the same tightened bound
+      assert(Pipeline.curateLsh(spark, sf0001).count() > 0)
+    } finally spark.conf.unset(key)
+    // under the default bound the harness corpus runs fine
+    assert(Pipeline.funnelReport(spark, sf0001).count() == 5)
+  }
 }

@@ -136,6 +136,109 @@ class StandingIndexSpec extends GraftSpec {
     kept.unpersist()
   }
 
+  test("maintained dir-keyed cur* tables are REBUILT on cross-session adoption, not silently adopted") {
+    // appendCuration/deleteCurationFor mutate the dir-keyed tables in
+    // place; a later session adopting that maintained state would probe
+    // a kept set the shared pipeline_curate_incremental oracle (which
+    // always models the pristine base-kept build) knows nothing about.
+    // The MAINTAINED marker makes adoption rebuild instead.
+    import graft.operators.Pipeline
+    val docs = Tables.documents(spark, sf0001)
+    def dec(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(col("doc_id"), col("decision"), col("ref_id"),
+        round(col("jac"), 9).as("jac"), col("split"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val pristine = dec(Pipeline.curateIncremental(spark, sf0001))
+    val tag = StandingIndex.ensureCurationBuilt(spark, sf0001)
+    val batch = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+    try {
+      val p1 = StandingIndex.curateIncrementalIndexedFor(spark, tag, batch).collect()
+      val admittedIds = p1.filter(_.getString(1) == "admitted").map(_.getLong(0)).toSet
+      assert(admittedIds.nonEmpty)
+      StandingIndex.appendCuration(spark, sf0001,
+        docs.filter(col("doc_id").isInCollection(admittedIds)))
+      assert(StandingIndex.isMaintained(spark, tag, "cur"),
+        "appendCuration must stamp the maintenance marker")
+
+      // a NEW session (fresh curBuilt entry, shared catalog) must rebuild
+      val s2 = spark.newSession()
+      val tag2 = StandingIndex.ensureCurationBuilt(s2, sf0001)
+      assert(tag2 == tag, "same corpus + logic → same tag")
+      assert(!StandingIndex.isMaintained(s2, tag, "cur"),
+        "the rebuild must retire the maintenance marker")
+      val got = dec(StandingIndex.curateIncrementalIndexed(s2, sf0001))
+      assert(got == pristine,
+        s"adopted probe drifted from the pristine build: " +
+        s"${got.diff(pristine).take(3)} vs ${pristine.diff(got).take(3)}")
+    } finally {
+      // leave the shared dir-keyed index pristine for later tests — the
+      // ORIGINAL session's curBuilt still points at these tables
+      StandingIndex.buildCurationFor(spark, sf0001, tag)
+    }
+  }
+
+  test("compaction after append ×5: fewer files, identical rows/decisions, probe plan still bucketed") {
+    // many small appends fragment the bucketed cur* tables (one file set
+    // per segment); compact must collapse them WITHOUT breaking the
+    // exchange-free bucketed probe plan or changing a single decision —
+    // and must leave the MAINTAINED marker alone (layout is not
+    // pristine-ness)
+    import spark.implicits._
+    import graft.operators.{Dedup, Pipeline}
+    val docs = Tables.documents(spark, sf0001)
+    val base = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 0)
+    val kept = Pipeline.keptDocsOf(spark, sf0001, base) { exact =>
+      Dedup.jaccardPairsFrom(exact).select("a_id", "b_id")
+    }
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val tag = s"curcompact_${System.nanoTime()}"
+    StandingIndex.buildCurationFromKept(spark, kept, bench, tag)
+    val batch = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+    def dec(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(col("doc_id"), col("decision"), col("ref_id"),
+        round(col("jac"), 9).as("jac"), col("split"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    (0 until 5).foreach { i =>
+      val seg = (0 until 4).map { j =>
+        (90000L + i * 10 + j,
+          s"segment $i doc $j pad${i}x$j alpha beta gamma delta epsilon")
+      }
+      StandingIndex.appendCurationFor(spark, tag, seg.toDF("doc_id", "text"))
+    }
+    assert(StandingIndex.isMaintained(spark, tag, "cur"))
+    val fragmented = dec(StandingIndex.curateIncrementalIndexedFor(spark, tag, batch))
+    val stats = StandingIndex.compact(spark, tag, "cur")
+    info(s"compact file counts: $stats")
+    stats.foreach { case (name, before, after) =>
+      assert(after < before, s"$name: $before files -> $after (no shrink)")
+    }
+    assert(StandingIndex.isMaintained(spark, tag, "cur"),
+      "compaction must not clear the maintenance marker")
+    val compacted = dec(StandingIndex.curateIncrementalIndexedFor(spark, tag, batch))
+    assert(compacted == fragmented,
+      s"compaction changed decisions: ${compacted.diff(fragmented).take(3)} " +
+      s"vs ${fragmented.diff(compacted).take(3)}")
+    // row identity per table, not just decision identity
+    Seq("curdigests", "curarrays", "curprefix").foreach { n =>
+      assert(spark.table(s"graft_idx_${n}_$tag").count() > 0)
+    }
+    // the probe plan over the COMPACTED tables keeps its bucketed scans
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (probe, caches) = StandingIndex.curateIndexedPlan(spark, tag, batch)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(1200))
+      assert(!plan.contains("Bucketed: false"),
+        plan.linesIterator.filter(_.contains("Bucketed: false")).mkString("\n"))
+      assert(!plan.contains("Exchange hashpartitioning(cn"), plan.take(1200))
+      caches.foreach(_.unpersist())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
   test("appended on-disk index decides identically to a fresh full index") {
     // index maintenance: build on corpus A, append corpus B, probe — must
     // equal a fresh index over A ∪ B (itself proven against an all-pairs

@@ -392,6 +392,91 @@ class StreamingDedupSpec extends GraftSpec {
     }
   }
 
+  test("BANDED growing curation: a >MaxBucket band bucket takes the star-cap path and still matches the greedy reference") {
+    // hot-bucket fixture: one doc per clique member, each sharing ~all
+    // band buckets with every other (base text + one unique trailing
+    // token → pairwise J ≈ 0.95). Within one batch the bucket exceeds
+    // MaxBucket, so the within-batch pass MUST take the star-cap branch
+    // (round 16 — before, only the index probe was capped); across
+    // batches the kept index holds only the clique minimum, so its
+    // bucket never goes hot. For a genuine duplicate CLIQUE the capped
+    // and uncapped rules provably coincide — every member's minimum
+    // candidate is the clique min either way — which is exactly why the
+    // uncapped banding-aware greedy reference remains the right oracle
+    // here; the slicing-dependent hot-bucket exception (hash degeneracy,
+    // where kept docs share buckets WITHOUT being similar) is documented
+    // on growingCurationStream instead of spec'd, because it has no
+    // slicing-invariant ground truth to pin.
+    import spark.implicits._
+    val n = Dedup.MaxBucket + 16 // 80 docs: bucket size comfortably > cap
+    val baseTokens = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val docs: Seq[(Long, String)] =
+      (0 until n).map(i => (100L + i, s"$baseTokens uniq$i")) ++
+        Seq((900L, (0 until 40).map(i => s"other$i").mkString(" ")))
+    // precondition: the fixture really produces an over-cap bucket
+    val maxBucket = graft.operators.Dedup.xxhashBandBuckets(
+        graft.operators.Dedup.shingleArrays(docs.toDF("doc_id", "text")))
+      .groupBy("band", "bucket").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket > Dedup.MaxBucket,
+      s"fixture bucket max $maxBucket must exceed the ${Dedup.MaxBucket} cap")
+
+    // uncapped banding-aware greedy reference (same shape as the BANDED
+    // slicing test above)
+    def shingles(text: String): Set[String] =
+      text.split(" ", -1).sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val c = (a & b).size; val d = a.size + b.size - c
+      if (d == 0) 0.0 else c.toDouble / d
+    }
+    val buckets: Map[Long, Set[(Int, Long)]] =
+      graft.operators.Dedup.xxhashBandBuckets(
+        graft.operators.Dedup.shingleArrays(docs.toDF("doc_id", "text")))
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    case class Kept(id: Long, text: String, sh: Set[String], bk: Set[(Int, Long)])
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Kept]
+    val expected = docs.sortBy(_._1).map { case (id, text) =>
+      val sh = shingles(text)
+      val bk = buckets.getOrElse(id, Set.empty[(Int, Long)])
+      val nearK = kept
+        .filter(k => (k.bk & bk).nonEmpty && jac(sh, k.sh) >= 0.5)
+        .map(_.id).minOption
+      nearK match {
+        case Some(k) => (id, "near", k)
+        case None => kept += Kept(id, text, sh, bk); (id, "kept", -1L)
+      }
+    }
+    assert(expected.count(_._2 == "near") >= n - 1,
+      "the clique must collapse onto its minimum member")
+
+    val events = docs.sortBy(_._1).map { case (id, text) => DocEvent(id, text) }
+    // slicing 1: everything in ONE batch (within-batch star cap fires);
+    // slicings 2-3: random cuts (index probe sees the 1-member bucket)
+    val slicings: Seq[(Seq[Seq[DocEvent]], Int)] = {
+      val r2 = new scala.util.Random(11); val r3 = new scala.util.Random(29)
+      Seq((Seq(events), 351),
+          (splitChunks(events, 3, r2), 352),
+          (splitChunks(events, 5, r3), 353))
+    }
+    for ((chunks, msId) <- slicings) {
+      val ms = MemoryStream[DocEvent](msId, spark, None)
+      val sink = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_growhot").toString
+      val q = StreamingDedup.growingCurationStream(ms.toDS(), banded = true) { (ds, _) =>
+        sink.synchronized { sink ++= ds.map(d => (d.doc_id, d.kind, d.keeper_id)) }
+        ()
+      }.option("checkpointLocation", ckpt).start()
+      try chunks.foreach { c =>
+        if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = sink.synchronized(sink.toSeq).sortBy(_._1)
+      assert(got == expected,
+        s"msId=$msId: hot-bucket decisions diverge " +
+        s"(first diff: ${got.zip(expected).find(p => p._1 != p._2)})")
+    }
+  }
+
   test("durable growing curation == greedy reference; replay and crashed-marker replay are decision-stable") {
     def shingles(text: String): Set[String] = {
       val tk = text.split(" ", -1)
