@@ -85,6 +85,22 @@ object StreamScaleBench {
         drive(dir, "curate", curateDocs) { ds =>
           StreamingCurate.curateStream(ds, benchSh) { (_, _) => () }
         }
+      // 1b. DURABLE-STATE curation stream (round 16): micro-batches of
+      // the daily sliver probed through the standing cur* tables with
+      // admitted appends between batches — the day-2 production
+      // topology. The standing build is untimed setup (paid once); the
+      // per-batch curve is what a deployment pays continuously. Probe
+      // cost must track the batch; appends fragment files, which the
+      // in-stream compaction cadence (every 8 appends) bounds.
+      val curTag = s"sscale_cur_${System.nanoTime()}"
+      graft.operators.StandingIndex.buildCurationFor(spark, dir, curTag)
+      drive(dir, "curate_indexed",
+        docRows.filter(d => d._1 % 10 != 0 && d._1 % 7 == 0)
+          .map(d => DocEvent(d._1, d._2))) { ds =>
+        StreamingCurate.curateIndexedStream(ds, curTag, compactEvery = 8) {
+          (_, _) => ()
+        }
+      }
       // 2. standing-index dedup probe (index = 6/7 of the corpus, untimed)
       val idx = StreamingDedup.buildStandingIndex(
         Tables.documents(spark, dir).filter(col("doc_id") % 7 =!= 0))

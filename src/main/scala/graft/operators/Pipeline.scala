@@ -101,8 +101,9 @@ object Pipeline {
     keptDocsVia(s, dir)(bandedNearPairs)
 
   /** The banded near-dup pair generator over the exact survivors —
-    * stage 2 of [[keptDocsLsh]] and [[funnelReportLsh]]. */
-  private[operators] def bandedNearPairs(exact: DataFrame): DataFrame = {
+    * stage 2 of [[keptDocsLsh]] and [[funnelReportLsh]] (package-wide so
+    * the streaming-fold specs can rebuild the SAME banded kept state). */
+  private[graft] def bandedNearPairs(exact: DataFrame): DataFrame = {
     val arr = Dedup.shingleArrays(exact).cache()
     // localCheckpoint is EAGER: the verified pair set (two longs per
     // row, tiny vs the shingle arrays) is materialized right here, so

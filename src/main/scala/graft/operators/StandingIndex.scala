@@ -701,7 +701,12 @@ object StandingIndex {
     def idx(name: String): DataFrame = s.table(s"graft_idx_cur${name}_$tag")
     val t = Threshold
 
-    val batch = batch0.cache()
+    // a streaming delta carries only (doc_id, text); n_chars feeds just
+    // [[DataPrep.splitOf]]'s projection (the split itself is a pure
+    // doc_id hash) and is derived when absent
+    val batch = (if (batch0.columns.contains("n_chars")) batch0
+                 else batch0.withColumn("n_chars", length(col("text"))))
+      .cache()
     val nullRef = lit(null).cast("long").as("ref_id")
     val nullJac = lit(null).cast("double").as("jac")
     val nullSplit = lit(null).cast("string").as("split")

@@ -501,6 +501,74 @@ object StreamingCurate {
         sink(session.processBatch(mb), batchId)
       }
 
+  // ------------------------------------ durable-state curation stream
+  /** One indexed-curation decision (nullable stages as Options so the
+    * driver-side decision list round-trips losslessly). */
+  case class IndexedDecision(doc_id: Long, decision: String,
+                             ref_id: Option[Long], jac: Option[Double],
+                             split: Option[String])
+
+  /** DURABLE-STATE curation stream — the day-2 production topology: each
+    * micro-batch (a "day's" delta) runs the full six-stage indexed
+    * curation probe [[graft.operators.StandingIndex.curateIncrementalIndexedFor]]
+    * against the standing `cur*` tables, and the day's ADMITTED
+    * survivors are appended
+    * ([[graft.operators.StandingIndex.appendCurationFor]]) so the next
+    * delta dedups against them — the same standing-index pattern
+    * [[StreamingDedup.incrementalDedupStream]] established for the
+    * dedup index, completed for the five-table curated state.
+    *
+    * Semantics are `pipeline_curate_incremental`'s at MICRO-BATCH
+    * granularity: the within-delta stages (exact_batch, near_batch CC)
+    * are scoped to each batch, and cross-batch duplicates resolve as
+    * exact_base/near_base against the appended state. A single batch
+    * holding the whole delta is literally the gated batch query
+    * (spec-pinned); a multi-batch run equals the day-by-day FOLD of the
+    * batch operator over freshly rebuilt state (spec-pinned per step —
+    * the accretion proof extending the append-equals-rebuild lifecycle
+    * spec to a whole stream), and deliberately NOT the single-shot
+    * batch run: only admitted docs join the standing state, so a
+    * near-dup CC component bridged by a dropped doc re-splits at a
+    * batch boundary — exactly what a deployment's daily cadence yields
+    * (the same reasoning that makes batch CC collapse stream-inexpressible,
+    * see [[StreamingDedup.growingCurationStream]]).
+    *
+    * `compactEvery` > 0 compacts the cur* tables every that-many
+    * appends ([[graft.operators.StandingIndex.compact]]) — pure layout,
+    * decisions unaffected (compaction spec), keeping probe file counts
+    * bounded on long streams. Only the batch's decision list (sliver-
+    * sized by construction) reaches the driver. */
+  def curateIndexedStream(stream: Dataset[StreamingDedup.DocEvent],
+                          tag: String, compactEvery: Int = 0)
+                         (sink: (Seq[IndexedDecision], Long) => Unit): DataStreamWriter[Row] = {
+    val appends = new java.util.concurrent.atomic.AtomicLong(0L)
+    stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
+      val s = mb0.sparkSession
+      val mb = mb0.select("doc_id", "text").localCheckpoint()
+      // eager inside (localCheckpoint) — out is independent of mb's plan
+      val out = graft.operators.StandingIndex
+        .curateIncrementalIndexedFor(s, tag, mb)
+      val decisions = out.select("doc_id", "decision", "ref_id", "jac", "split")
+        .collect().map { r =>
+          IndexedDecision(r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            if (r.isNullAt(4)) None else Some(r.getString(4)))
+        }.toSeq
+      val admitted = decisions.filter(_.decision == "admitted").map(_.doc_id)
+      if (admitted.nonEmpty) {
+        graft.operators.StandingIndex.appendCurationFor(s, tag,
+          mb.filter(col("doc_id").isInCollection(admitted)))
+        if (compactEvery > 0 &&
+            appends.incrementAndGet() % compactEvery == 0)
+          graft.operators.StandingIndex.compact(s, tag, "cur")
+      }
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(out)
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(mb)
+      sink(decisions, batchId)
+    }
+  }
+
   // --------------------------------------------- continuous rule gating
   /** The Gopher rule gate ONLINE: purely row-local (no model, no state, no
     * corpus aggregate — the thresholds are literals), so split invariance

@@ -377,4 +377,90 @@ class StreamingCurateSpec extends GraftSpec {
         s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
     }
   }
+
+  test("durable-state curation stream: one batch == pipeline_curate_incremental; slicings == day-by-day fold over fresh rebuilds") {
+    // the day-2 production topology: micro-batches probed through the
+    // standing cur* tables with admitted docs appended between batches.
+    // Pinned two ways: (1) the whole delta in ONE batch is literally the
+    // gated batch query; (2) any slicing equals the day-by-day FOLD of
+    // the indexed probe over FRESHLY REBUILT state per step — proving
+    // the stream's append accretion equals a rebuild at every boundary
+    // (the lifecycle spec's theorem, extended over a whole stream).
+    // Arbitrary-slicing equality to the SINGLE-shot batch query is
+    // deliberately not claimed: only admitted docs join the standing
+    // state, so a near CC component bridged by a dropped doc re-splits
+    // at batch boundaries (see curateIndexedStream's scaladoc).
+    import graft.operators.{Pipeline, StandingIndex}
+    val docs = Tables.documents(spark, sf0001)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val base = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => DocEvent(r.getLong(0), r.getString(1))).sortBy(_.doc_id).toSeq
+    def r9(j: Double): Double = math.rint(j * 1e9) / 1e9
+    type Dec = (Long, String, Option[Long], Option[Double], Option[String])
+    def runStream(chunks: Seq[Seq[DocEvent]], tag: String, msId: Int): Seq[Dec] = {
+      val ms = MemoryStream[DocEvent](msId, spark, None)
+      val sink = scala.collection.mutable.ArrayBuffer.empty[Dec]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_curidx").toString
+      val q = StreamingCurate.curateIndexedStream(ms.toDS(), tag) { (ds, _) =>
+        sink.synchronized {
+          sink ++= ds.map(d => (d.doc_id, d.decision, d.ref_id,
+            d.jac.map(r9), d.split))
+        }
+        ()
+      }.option("checkpointLocation", ckpt).start()
+      try chunks.foreach { c =>
+        if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      sink.synchronized(sink.toSeq).sortBy(_._1)
+    }
+    def decRows(df: org.apache.spark.sql.DataFrame): Seq[Dec] = df
+      .select("doc_id", "decision", "ref_id", "jac", "split")
+      .collect().map { r =>
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r9(r.getDouble(3))),
+          if (r.isNullAt(4)) None else Some(r.getString(4)))
+      }.sortBy(_._1).toSeq
+
+    // 1. single batch == the gated batch query, and the stream appended
+    val tag1 = s"curstream1_${System.nanoTime()}"
+    StandingIndex.buildCurationFor(spark, sf0001, tag1)
+    val one = runStream(Seq(delta), tag1, 371)
+    val batchRef = decRows(Pipeline.curateIncremental(spark, sf0001))
+    assert(one == batchRef,
+      s"single-batch stream diverged from pipeline_curate_incremental: " +
+      s"${one.diff(batchRef).take(3)} vs ${batchRef.diff(one).take(3)}")
+    assert(StandingIndex.isMaintained(spark, tag1, "cur"),
+      "the stream must append its admitted docs (maintenance marker)")
+
+    // 2. random slicings == day-by-day fold over fresh rebuilds
+    val kept0 = Pipeline.keptDocsOf(spark, sf0001, base)(Pipeline.bandedNearPairs)
+      .cache()
+    for ((seed, msId) <- Seq((17, 372), (41, 373))) {
+      val rnd = new scala.util.Random(seed)
+      val chunks = splitChunks(delta, 2 + rnd.nextInt(3), rnd).filter(_.nonEmpty)
+      val tagS = s"curstream_s${seed}_${System.nanoTime()}"
+      StandingIndex.buildCurationFor(spark, sf0001, tagS)
+      val streamed = runStream(chunks, tagS, msId)
+      var admittedSoFar = Seq.empty[Long]
+      val folded = chunks.zipWithIndex.flatMap { case (slice, i) =>
+        val tagF = s"curfold_${seed}_${i}_${System.nanoTime()}"
+        val keptNow =
+          if (admittedSoFar.isEmpty) kept0
+          else kept0.unionByName(
+            docs.filter(col("doc_id").isInCollection(admittedSoFar)))
+        StandingIndex.buildCurationFromKept(spark, keptNow, bench, tagF)
+        val out = decRows(StandingIndex.curateIncrementalIndexedFor(spark, tagF,
+          slice.map(e => (e.doc_id, e.text)).toDF("doc_id", "text")))
+        admittedSoFar ++= out.filter(_._2 == "admitted").map(_._1)
+        out
+      }.sortBy(_._1)
+      assert(streamed == folded,
+        s"seed=$seed: stream diverged from the fresh-rebuild fold " +
+        s"(${streamed.diff(folded).take(3)} vs ${folded.diff(streamed).take(3)})")
+    }
+    kept0.unpersist()
+  }
 }
