@@ -21,9 +21,12 @@ import org.apache.spark.sql.SparkSession
   *    banded-LSH scale twin where one exists, so every rehearsal re-reads
   *    the exact-vs-banded crossover.
   *
-  * Usage: ScaleBench [--assert] [--targets=a,b,c] <dir1> <dir2> ...
-  * (each dir holding documents.parquet + embeddings.parquet). Prints one
-  * JSON line per corpus with build and query seconds.
+  * Usage: ScaleBench [--assert] [--ceilings=harness|heaps]
+  * [--targets=a,b,c] <dir1> <dir2> ... (each dir holding
+  * documents.parquet + embeddings.parquet). Prints one JSON line per
+  * corpus with build and query seconds. `--ceilings=heaps` gates with
+  * [[AssertCeilingsHeaps]] — the close protocol runs BOTH gate pairs
+  * (harness sf0.1→sf1 and heaps _sf01→_sf1).
   *
   * `--targets=` restricts the run (iteration aid; standing-index builds
   * are skipped when no selected target probes them).
@@ -62,12 +65,17 @@ object ScaleBench {
     // run actually pays)
     "pipeline_curate_incremental", "pipeline_curate_incremental_indexed")
 
-  /** Queries that probe a standing index — builds run only when one of
-    * these is selected. */
-  private val IndexConsumers = Set(
-    "dedup_incremental", "split_leakage_audit", "ann_ivf_indexed",
-    "dedup_incremental_substring_indexed",
-    "pipeline_curate_incremental_indexed")
+  /** Which standing-index build each target consumes — builds run only
+    * for selected consumers (round 16: the build list was all-or-nothing,
+    * which at the second-decade corpus tried to build the AUDIT index —
+    * whose curated stage rides the now-tripwired exact kept build — for
+    * a target list that never probes it). */
+  private val BuildConsumers: Map[String, Set[String]] = Map(
+    "build_dedup_idx" -> Set("dedup_incremental", "dedup_incremental_indexed"),
+    "build_audit_idx" -> Set("split_leakage_audit"),
+    "build_ann_idx"   -> Set("ann_ivf_indexed"),
+    "build_gram_idx"  -> Set("dedup_incremental_substring_indexed"),
+    "build_cur_idx"   -> Set("pipeline_curate_incremental_indexed"))
 
   /** Growth-ratio ceilings for the ~10× step (first dir → last dir),
     * gated under `--assert`. Families and their round-13/15 measured
@@ -92,10 +100,32 @@ object ScaleBench {
     "entity_resolution_lsh"               -> 4.0,
     "pipeline_curate_lsh"                 -> 4.5,
     "pipeline_training_set_lsh"           -> 4.5,
-    // round-15 measured 2.5x at 10x (16.75 -> 42.51 s)
+    // round-16: the banded kept build cut this from the r15 2.5x
+    // (measured 1.32x at 10x, 18.78 -> 24.77 s — SCALE.md run M)
     "pipeline_curate_incremental"         -> 4.0,
     // round-15 measured 1.4x at 10x (8.24 -> 11.89 s, probe-only)
     "pipeline_curate_incremental_indexed" -> 2.5)
+
+  /** Ceilings for the HEAPS-vocabulary corpus pair (round 16, task:
+    * the realistic-text gate). Calibrated from the round-16 measured
+    * 10×-step ratios on /tmp/graft_heaps_sf01 → _sf1 (SCALE.md run N)
+    * at the usual ~1.6× headroom: dedup_incremental 3.1×,
+    * substring-indexed 2.5×, ann-ivf 1.4×, minhash-md5 3.8×, ER-lsh
+    * 1.9×, curate-lsh 2.7×, training-set-lsh 2.9×, incremental 2.1×,
+    * indexed 2.3×. A regression that only shows on a GROWING vocabulary
+    * (dfreq/prefix structures scale with |V|, which Heaps' law grows
+    * 3.2× per decade while the harness vocabulary stays fixed) gates
+    * here and nowhere else. Selected via `--ceilings=heaps`. */
+  private val AssertCeilingsHeaps: Map[String, Double] = Map(
+    "dedup_incremental"                   -> 5.0,
+    "dedup_incremental_substring_indexed" -> 4.0,
+    "ann_ivf_indexed"                     -> 2.5,
+    "neardup_minhash_md5"                 -> 6.0,
+    "entity_resolution_lsh"               -> 3.5,
+    "pipeline_curate_lsh"                 -> 4.5,
+    "pipeline_training_set_lsh"           -> 4.5,
+    "pipeline_curate_incremental"         -> 3.5,
+    "pipeline_curate_incremental_indexed" -> 4.0)
 
   def main(args: Array[String]): Unit = {
     val (flags, dirs) = args.partition(_.startsWith("--"))
@@ -106,10 +136,14 @@ object ScaleBench {
     // a plain rehearsal that exits 0 with the scale gate disabled
     flags.foreach { f =>
       require(f == "--assert" ||
-        (f.startsWith("--targets=") && f.length > "--targets=".length),
-        s"unknown flag: $f (known: --assert, --targets=a,b,c)")
+        (f.startsWith("--targets=") && f.length > "--targets=".length) ||
+        f == "--ceilings=harness" || f == "--ceilings=heaps",
+        s"unknown flag: $f (known: --assert, --targets=a,b,c, --ceilings=harness|heaps)")
     }
     val assertMode = flags.contains("--assert")
+    val ceilings =
+      if (flags.contains("--ceilings=heaps")) AssertCeilingsHeaps
+      else AssertCeilings
     val targets = flags.find(_.startsWith("--targets="))
       .map(_.stripPrefix("--targets=").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Targets)
@@ -136,17 +170,23 @@ object ScaleBench {
       .empty[(String, Long, Map[String, Double])]
     for (dir <- dirs) {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
-      val builds =
-        if (targets.exists(IndexConsumers)) Seq(
-          "build_dedup_idx" -> time(graft.operators.StandingIndex.ensureBuilt(spark, dir)),
-          "build_audit_idx" -> time(graft.operators.StandingIndex.ensureAuditBuilt(spark, dir)),
-          "build_ann_idx"   -> time(graft.operators.Similarity.ensureAnnIndex(spark, dir)),
-          "build_gram_idx"  -> time(graft.operators.SubstringDedup.ensureGramIndex(spark, dir)),
-          "build_cur_idx"   -> time(graft.operators.StandingIndex.ensureCurationBuilt(spark, dir)))
-        else Seq.empty
+      def want(build: String): Boolean =
+        targets.exists(BuildConsumers(build))
+      val buildFns: Seq[(String, () => Unit)] = Seq(
+        "build_dedup_idx" -> (() => { graft.operators.StandingIndex.ensureBuilt(spark, dir); () }),
+        "build_audit_idx" -> (() => { graft.operators.StandingIndex.ensureAuditBuilt(spark, dir); () }),
+        "build_ann_idx"   -> (() => { graft.operators.Similarity.ensureAnnIndex(spark, dir); () }),
+        "build_gram_idx"  -> (() => { graft.operators.SubstringDedup.ensureGramIndex(spark, dir); () }),
+        "build_cur_idx"   -> (() => { graft.operators.StandingIndex.ensureCurationBuilt(spark, dir); () }))
+      val builds = buildFns.collect {
+        case (name, fn) if want(name) => name -> time(fn())
+      }
       val queries = targets.map { name =>
         val fn = SparkEntry.queries(name)
-        val obs = (1 to 2).map { _ =>
+        val obs = (1 to 2).map { i =>
+          // progress marker: when a run dies mid-corpus (OOM, disk-full
+          // spill), stderr names the query that was executing
+          System.err.println(s"[scale] $dir: $name pass $i")
           val t = time(fn(spark, dir).count())
           spark.catalog.clearCache()
           graft.operators.Ranks.releaseAll()
@@ -173,12 +213,12 @@ object ScaleBench {
       val dataRatio = n1.toDouble / n0
       require(dataRatio >= 7 && dataRatio <= 13,
         f"--assert ceilings are calibrated for the ~10x step; got $d0 -> $d1 = $dataRatio%.1fx rows")
-      val gated = targets.filter(t => AssertCeilings.contains(t) &&
+      val gated = targets.filter(t => ceilings.contains(t) &&
         q0.contains(t) && q1.contains(t))
       require(gated.nonEmpty, "--assert selected no gated family — nothing pinned")
       val violations = gated.flatMap { t =>
         val ratio = q1(t) / q0(t)
-        val cap = AssertCeilings(t)
+        val cap = ceilings(t)
         System.err.println(f"[scale-gate] $t: ${q0(t)}%.2f s -> ${q1(t)}%.2f s " +
           f"= $ratio%.2fx at $dataRatio%.1fx data (ceiling ${cap}%.1fx)")
         // sub-second probes (ann_ivf_indexed is 0.25-1 s here) are

@@ -49,23 +49,33 @@ object Tables {
   private val footerCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
   def footerRowCount(spark: SparkSession, dir: String, name: String): Long =
-    footerCounts.computeIfAbsent(s"$dir/$name.parquet", { path =>
-      import org.apache.hadoop.fs.Path
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).filter(st => st.isFile &&
-            st.getPath.getName.endsWith(".parquet"))
-        else Array(fs.getFileStatus(p))
-      files.map { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(st.getPath, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
-    }).longValue()
+    footerCounts.computeIfAbsent(s"$dir/$name.parquet",
+      path => footerSum(spark, path)).longValue()
+
+  /** [[footerRowCount]] for an arbitrary parquet path — used by the
+    * standing-index guards, whose tables MUTATE under appends/compaction,
+    * so this form is deliberately UNCACHED (still zero Spark jobs; a
+    * driver-side footer walk over tens of files is milliseconds). */
+  def footerRowCountAt(spark: SparkSession, path: String): Long =
+    footerSum(spark, path)
+
+  private def footerSum(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(p))
+    files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(st.getPath, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   /** Parquet splits at row-group granularity, and each harness file is a
     * SINGLE row group — so every scan starts as one task and all narrow

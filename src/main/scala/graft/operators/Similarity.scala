@@ -44,11 +44,18 @@ object Similarity {
 
   /** The exact all-pairs/all-queries baselines ([[bruteForceTopK]],
     * [[cosineNearDup]]) are quadratic BY DESIGN — they are the
-    * correctness/recall oracles the ANN paths are measured against. This
-    * guard refuses to run them past a corpus-size tripwire so a config
-    * mistake cannot quietly schedule an n² join over a 100 TB corpus:
-    * fail loudly, name the ANN counterpart, and leave a deliberate
-    * override (`spark.graft.exactBaseline.maxRows`). The row count reads
+    * correctness/recall oracles the ANN paths are measured against — and
+    * the FIXED-bucket-universe generators (sign-grid: 2⁸ cells; SRP: 2⁴
+    * buckets) are quadratic PAST SATURATION: cell occupancy is n/cells,
+    * so candidates grow ∝ n²/cells once every cell is populated — the
+    * round-16 second-decade rehearsal measured `semantic_dedup` spilling
+    * 45+ GB at 200 k vectors before dying. This guard refuses to run any
+    * of them past a corpus-size tripwire so a config mistake cannot
+    * quietly schedule an n² join over a 100 TB corpus: fail loudly, name
+    * the scale counterpart (the standing IVF machinery — cell count
+    * GROWS with the corpus via kmeans, the property a fixed grid lacks),
+    * and leave a deliberate override
+    * (`spark.graft.exactBaseline.maxRows`). The row count reads
     * parquet footer metadata driver-side ([[Tables.footerRowCount]],
     * cached) — zero Spark jobs, so guarded builders keep the one-action-
     * per-query contract. */
@@ -298,8 +305,11 @@ object Similarity {
     * scale with bucket occupancy, not n². Recall is probabilistic
     * (hash-dependent bucketing) → rows-only gate; scalatest checks the
     * output is a subset of the exact query with bounded recall. */
-  def cosineNearDupLsh(s: SparkSession, dir: String): DataFrame =
+  def cosineNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    guardExactBaseline(s, dir, "emb_neardup_cosine_lsh",
+      "the standing IVF machinery (ann_ivf_indexed; emb_kmeans_fit + per-cluster dedup)")
     srpNearDupPairs(embeddings(s, dir).withColumn("bucket", srpBucket(col("v"))))
+  }
 
   /** Multi-probe candidate generation + exact verification over a frame
     * carrying (vec_id, v, bucket) — shared by the xxhash hot path and the
@@ -329,8 +339,11 @@ object Similarity {
     * verification) under the DuckDB hash gate, the way the sign-grid
     * query gates the axis-aligned case. The xxhash planes stay the hot
     * path (one hash vs an md5 digest per (plane, dim) product). */
-  def cosineNearDupSrpMd5(s: SparkSession, dir: String): DataFrame =
+  def cosineNearDupSrpMd5(s: SparkSession, dir: String): DataFrame = {
+    guardExactBaseline(s, dir, "emb_neardup_srp_md5",
+      "the standing IVF machinery (ann_ivf_indexed; emb_kmeans_fit + per-cluster dedup)")
     srpNearDupPairs(embeddings(s, dir).withColumn("bucket", srpMd5Bucket(col("v"))))
+  }
 
   /** DuckDB mirror of [[cosineNearDupSrpMd5]]: the ±1 plane vectors are
     * materialized per plane and dotted with `list_dot_product` — the same
@@ -397,10 +410,13 @@ object Similarity {
     * or re-rank survivors); the oracle reproduces the same approximation
     * exactly, which is the point: approximation error is pinned by the
     * hash gate instead of trusted. */
-  def cosineNearDupSignGrid(s: SparkSession, dir: String): DataFrame =
+  def cosineNearDupSignGrid(s: SparkSession, dir: String): DataFrame = {
+    guardExactBaseline(s, dir, "emb_neardup_signgrid",
+      "the standing IVF machinery (ann_ivf_indexed; emb_kmeans_fit + per-cluster dedup)")
     signGridPairs(s, dir)
       .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score_r"))
       .orderBy("a_id", "b_id")
+  }
 
   /** Shared candidate+verify core of [[cosineNearDupSignGrid]] and
     * [[semanticDedup]]: (a_id, b_id, score) with exact cosine ≥ 0.4. */
@@ -455,8 +471,11 @@ object Similarity {
     * are redundant for training even when their text differs, so keep one
     * representative per embedding-space cluster. Composition of two
     * already-proven operators: sign-grid bucketed cosine pairs
-    * ([[signGridPairs]] — deterministic cells, candidates follow cell
-    * occupancy not n²) → connected components over the pair graph
+    * ([[signGridPairs]] — deterministic cells; candidates follow cell
+    * occupancy, which is n/2⁸ once the fixed grid saturates, so this
+    * form is tripwired past [[MaxExactRowsKey]] and the at-scale form is
+    * IVF-clustered — see [[guardExactBaseline]]) → connected components
+    * over the pair graph
     * (min-label propagation with pointer doubling, O(log diameter) rounds
     * — [[Dedup.ccLabels]]) → keep the minimum vec_id per component.
     * Output is a per-vector decision table (vec_id, cluster_rep, kept):
@@ -465,6 +484,8 @@ object Similarity {
     * bucketing approximation included — is oracle-checked against a
     * DuckDB recursive-CTE closure, not trusted. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    guardExactBaseline(s, dir, "semantic_dedup",
+      "IVF-clustered SemDeDup (emb_kmeans_fit cells + per-cluster dedup; ann_ivf_indexed)")
     val labels = Dedup.ccLabels(signGridPairs(s, dir).select("a_id", "b_id"))
       .withColumnRenamed("id", "vec_id")
     embeddings(s, dir).select(col("vec_id"))

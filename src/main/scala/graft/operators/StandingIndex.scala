@@ -393,8 +393,48 @@ object StandingIndex {
     * output identical to [[Dedup.incrementalDedup]], but the corpus is
     * never rescanned or reshuffled: all four index-side joins read
     * bucketed tables on their join keys. */
+  /** Adversarial-vocabulary guard on the standing PREFIX probes (round
+    * 16, found by the second-decade scale rehearsal): the lossless
+    * PPJoin candidate set is Σ_s dfB(s)·dfC(s); on a vocabulary that
+    * stays FIXED while the corpus grows, df ∝ n on BOTH sides and the
+    * candidate stream grows ~n²/|V| — at the 100×-row adversarial
+    * corpus (500 k docs, 31-token vocabulary) the probe's verify
+    * shuffle spilled 70+ GB and killed the host's disk before
+    * completing, while the Heaps-law corpus (vocabulary growing with
+    * n — real text's shape) stays near-linear. Mean index-side prefix
+    * df = prefix rows / dfreq rows is a pure parquet-footer statistic
+    * (ZERO Spark jobs, uncached because appends/compaction mutate the
+    * tables) that separates the regimes by an order of magnitude per
+    * decade once the vocabulary saturates (measured from the built
+    * indexes: harness sf0.1 = 4.2, sf1 = 39.6 — the shingle universe
+    * saturates at 31³ ≈ 30 k right around sf1 — adversarial 100× =
+    * 396 and ∝ n beyond). The default threshold 128 passes every
+    * corpus the gates run (≤ 40) and refuses the measured disk-killer
+    * (396) with 3× margin on each side. Above it the probe refuses
+    * and names the bounded-candidate paths instead of quietly
+    * scheduling the shuffle. The per-run rebuild forms
+    * (`dedup_incremental`, `pipeline_curate_incremental`) compute
+    * their dfreq in-run (no footers to read) — they are the oracle
+    * twins; a deployment runs THESE guarded indexed forms. */
+  private val MaxMeanPrefixDfKey = "spark.graft.prefixProbe.maxMeanDf"
+  private def guardPrefixProbe(s: SparkSession, tag: String, p: String,
+                               what: String, alt: String): Unit = {
+    val max = s.conf.getOption(MaxMeanPrefixDfKey).map(_.toDouble).getOrElse(128.0)
+    val prefixRows = Tables.footerRowCountAt(s, tablePath(s, tag, s"${p}prefix"))
+    val dfreqRows = Tables.footerRowCountAt(s, tablePath(s, tag, s"${p}dfreq")).max(1L)
+    val mean = prefixRows.toDouble / dfreqRows
+    require(mean <= max,
+      f"$what: the standing prefix index has mean per-shingle df $mean%.0f " +
+      f"($prefixRows prefix rows over $dfreqRows distinct shingles) > $max%.0f — " +
+      "a near-fixed vocabulary at this corpus size makes the lossless prefix " +
+      f"candidate stream ~quadratic (measured: 70+ GB spill at 100x rows). " +
+      s"Use $alt at this vocabulary shape, or raise $MaxMeanPrefixDfKey deliberately.")
+  }
+
   def incrementalDedupIndexed(s: SparkSession, dir: String): DataFrame = {
     val tag = ensureBuilt(s, dir)
+    guardPrefixProbe(s, tag, "", "dedup_incremental_indexed",
+      "the banded/bloom probes (neardup_minhash_md5, dedup_bloom_prefilter)")
     def idx(name: String): DataFrame = s.table(s"graft_idx_${name}_$tag")
     val t = Threshold
 
@@ -700,6 +740,9 @@ object StandingIndex {
       : (DataFrame, Seq[DataFrame]) = {
     def idx(name: String): DataFrame = s.table(s"graft_idx_cur${name}_$tag")
     val t = Threshold
+    guardPrefixProbe(s, tag, "cur", "pipeline_curate_incremental_indexed",
+      "a banded near_base candidate stage (the curateLsh swap) at this " +
+        "vocabulary shape")
 
     // a streaming delta carries only (doc_id, text); n_chars feeds just
     // [[DataPrep.splitOf]]'s projection (the split itself is a pure

@@ -66,6 +66,21 @@ class SimilaritySpec extends GraftSpec {
         Similarity.cosineNearDup(spark, sf0001).collect()
       }
       assert(ex2.getMessage.contains("emb_neardup_cosine_lsh"), ex2.getMessage)
+      // round 16: the FIXED-bucket-universe generators saturate past the
+      // first decade (sign-grid 2^8 cells, SRP 2^4 buckets — candidates
+      // ~ n^2/cells; semantic_dedup measured a 45+ GB spill at 200k
+      // vectors) — guarded by the same tripwire, naming the IVF path
+      Seq[(String, () => Any)](
+        ("semantic_dedup", () => Similarity.semanticDedup(spark, sf0001)),
+        ("emb_neardup_signgrid", () => Similarity.cosineNearDupSignGrid(spark, sf0001)),
+        ("emb_neardup_srp_md5", () => Similarity.cosineNearDupSrpMd5(spark, sf0001)),
+        ("emb_neardup_cosine_lsh", () => Similarity.cosineNearDupLsh(spark, sf0001))
+      ).foreach { case (name, mk) =>
+        val ex = intercept[IllegalArgumentException](mk())
+        assert(ex.getMessage.contains(name), s"$name: ${ex.getMessage}")
+        assert(ex.getMessage.contains("ivf") || ex.getMessage.contains("IVF"),
+          s"$name must name the IVF scale path: ${ex.getMessage}")
+      }
     } finally spark.conf.unset(key)
     // and under the default bound the harness corpus runs fine
     assert(Similarity.bruteForceTopK(spark, sf0001).limit(1).count() == 1)

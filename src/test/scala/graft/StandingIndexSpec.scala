@@ -239,6 +239,31 @@ class StandingIndexSpec extends GraftSpec {
     }
   }
 
+  test("standing prefix probes refuse an adversarial-vocabulary index (mean-df footer guard)") {
+    // the second-decade rehearsal measured the lossless prefix probe
+    // spilling 70+ GB at 100x rows on the fixed 31-token vocabulary
+    // (candidates ~ n^2/|V| once the shingle universe saturates); the
+    // guard reads ONLY parquet footers (prefix rows / dfreq rows) and
+    // must refuse above the threshold, naming the bounded paths
+    import graft.operators.Pipeline
+    val key = "spark.graft.prefixProbe.maxMeanDf"
+    StandingIndex.ensureBuilt(spark, sf0001)
+    val curTag = StandingIndex.ensureCurationBuilt(spark, sf0001)
+    val batch = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+    spark.conf.set(key, "0.1") // sf0.001's measured mean is ~0.8
+    try {
+      val e1 = intercept[IllegalArgumentException](
+        StandingIndex.incrementalDedupIndexed(spark, sf0001))
+      assert(e1.getMessage.contains("neardup_minhash_md5"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        StandingIndex.curateIncrementalIndexedFor(spark, curTag, batch))
+      assert(e2.getMessage.contains("banded near_base"), e2.getMessage)
+    } finally spark.conf.unset(key)
+    // under the default bound the harness index runs
+    assert(StandingIndex.incrementalDedupIndexed(spark, sf0001).count() > 0)
+  }
+
   test("appended on-disk index decides identically to a fresh full index") {
     // index maintenance: build on corpus A, append corpus B, probe — must
     // equal a fresh index over A ∪ B (itself proven against an all-pairs
