@@ -236,7 +236,13 @@ object Pipeline {
     val exactBatch = r1k.filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit("exact_batch").as("decision"),
         col("keep_id").as("ref_id"), lit(1.0).as("jac"), nullSplit)
+    // r2/r3 are ≤|batch| rows but sit under EVERY later union branch; the
+    // seven-branch decision union would otherwise re-derive the probe
+    // subtree (prefix candidates + array verify, the query's hot stage)
+    // once per branch — exchange reuse catches some but not all of the
+    // repeats (measured: pinning these cut the full query ~17.6 → ~11 s)
     val r2 = r1k.filter(col("doc_id") === col("keep_id")).drop("keep_id")
+      .cache()
 
     // 2a. near vs the standing kept set — prefix-filtered R-S candidates,
     // exact full-set verification, best match wins
@@ -258,7 +264,11 @@ object Pipeline {
       .filter(col("rn") === 1)
       .select(col("batch_id").as("doc_id"), lit("near_base").as("decision"),
         col("corpus_id").as("ref_id"), col("jac"), nullSplit)
+      // eager + tiny (≤1 row per batch doc): cuts the probe lineage so it
+      // runs exactly once
+      .localCheckpoint()
     val r3 = r2.join(nearBase.select("doc_id"), Seq("doc_id"), "left_anti")
+      .cache()
 
     // 2b. near within the remaining batch — the pipeline's CC collapse
     val nearBatch = Dedup.ccLabels(
@@ -266,6 +276,7 @@ object Pipeline {
       .filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_id"), lit("near_batch").as("decision"),
         col("lbl").as("ref_id"), nullJac, nullSplit)
+      .localCheckpoint()
     val r4 = r3.join(nearBatch.select("doc_id"), Seq("doc_id"), "left_anti")
 
     // 3./4. per-doc quality gates, in stage order (flags shared with the
@@ -293,7 +304,7 @@ object Pipeline {
       .orderBy("doc_id")
       .localCheckpoint()
     batch.unpersist(); kept.unpersist(); bArr.unpersist(); cArr.unpersist()
-    rep.unpersist(); con.unpersist()
+    rep.unpersist(); con.unpersist(); r2.unpersist(); r3.unpersist()
     out
   }
 
