@@ -811,6 +811,9 @@ object StandingIndex {
       .filter(col("rn") === 1)
       .select(col("batch_id").as("doc_id"), lit("near_base").as("decision"),
         col("corpus_id").as("ref_id"), col("jac"), nullSplit)
+      // eager + tiny: the probe (prefix join + array verify) runs once,
+      // not once for the union branch and again to populate r3's cache
+      .localCheckpoint()
     val r3 = r2.join(nearBase.select("doc_id"), Seq("doc_id"), "left_anti")
       .cache()
 
@@ -824,14 +827,14 @@ object StandingIndex {
       .cache()
 
     // 3./4. quality gates scored over the SLIVER only (per-doc decisions)
-    val rep = QualityFilters.repetitionFlagsOf(r4).select("doc_id")
+    val rep = QualityFilters.repetitionFlagsOf(r4).select("doc_id").cache()
     val repDrop = r4.select("doc_id").join(rep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), lit("repetition").as("decision"),
         nullRef, nullJac, nullSplit)
     val r5 = r4.join(rep, Seq("doc_id"), "left_anti").cache()
     val con = QualityFilters.deconScoredOf(
         Dedup.shingles(r5), idx("bench").withColumn("hit", lit(1)))
-      .select("doc_id")
+      .select("doc_id").cache()
     val conDrop = r5.select("doc_id").join(con, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), lit("contaminated").as("decision"),
         nullRef, nullJac, nullSplit)
@@ -846,7 +849,7 @@ object StandingIndex {
       .unionByName(nearBatch).unionByName(repDrop).unionByName(conDrop)
       .unionByName(admitted)
       .orderBy("doc_id")
-    (out, Seq(batch, bArr, exactBase, r2, r3, r4, r5))
+    (out, Seq(batch, bArr, exactBase, r2, r3, r4, r5, rep, con))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
