@@ -63,7 +63,11 @@ object ScaleBench {
     // job; its cost must track the delta, not the corpus — and its
     // standing-index twin (probe-only: the curve a deployment's day-2
     // run actually pays)
-    "pipeline_curate_incremental", "pipeline_curate_incremental_indexed")
+    "pipeline_curate_incremental", "pipeline_curate_incremental_indexed",
+    // round-16: the BANDED standing probe — the adversarial-vocabulary
+    // scale path the prefix probe's mean-df guard names; it must run
+    // (and stay flat) exactly where the indexed form refuses
+    "pipeline_curate_incremental_banded")
 
   /** Which standing-index build each target consumes — builds run only
     * for selected consumers (round 16: the build list was all-or-nothing,
@@ -75,7 +79,8 @@ object ScaleBench {
     "build_audit_idx" -> Set("split_leakage_audit"),
     "build_ann_idx"   -> Set("ann_ivf_indexed"),
     "build_gram_idx"  -> Set("dedup_incremental_substring_indexed"),
-    "build_cur_idx"   -> Set("pipeline_curate_incremental_indexed"))
+    "build_cur_idx"   -> Set("pipeline_curate_incremental_indexed",
+                             "pipeline_curate_incremental_banded"))
 
   /** Growth-ratio ceilings for the ~10× step (first dir → last dir),
     * gated under `--assert`. Families and their round-13/15 measured
@@ -104,7 +109,10 @@ object ScaleBench {
     // (measured 1.32x at 10x, 18.78 -> 24.77 s — SCALE.md run M)
     "pipeline_curate_incremental"         -> 4.0,
     // round-15 measured 1.4x at 10x (8.24 -> 11.89 s, probe-only)
-    "pipeline_curate_incremental_indexed" -> 2.5)
+    "pipeline_curate_incremental_indexed" -> 2.5,
+    // round-16: the banded standing probe, measured 1.36x at 10x
+    // (5.82 -> 7.93 s) on the adversarial corpus it exists for
+    "pipeline_curate_incremental_banded"  -> 2.5)
 
   /** Ceilings for the HEAPS-vocabulary corpus pair (round 16, task:
     * the realistic-text gate). Calibrated from the round-16 measured
@@ -125,7 +133,11 @@ object ScaleBench {
     "pipeline_curate_lsh"                 -> 4.5,
     "pipeline_training_set_lsh"           -> 4.5,
     "pipeline_curate_incremental"         -> 3.5,
-    "pipeline_curate_incremental_indexed" -> 4.0)
+    "pipeline_curate_incremental_indexed" -> 4.0,
+    // round-16 measured 1.67x-2.55x at 10x across two quiet runs (the
+    // sf0.1 denominator swings 5.15-7.10 s on this host) — ceiling at
+    // ~1.4x the worst observation, same discipline as ER-lsh above
+    "pipeline_curate_incremental_banded"  -> 3.5)
 
   def main(args: Array[String]): Unit = {
     val (flags, dirs) = args.partition(_.startsWith("--"))

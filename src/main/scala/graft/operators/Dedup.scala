@@ -548,7 +548,17 @@ object Dedup {
   /** The candidate stage of [[minhashMd5]] — factored so the recall report
     * ([[minhashRecall]]) measures EXACTLY the pair set the production query
     * verifies, not a reimplementation. */
-  private[graft] def minhashMd5CandidatesFrom(docsArr: DataFrame): DataFrame = {
+  private[graft] def minhashMd5CandidatesFrom(docsArr: DataFrame): DataFrame =
+    bucketCandidates(mdBandRows(docsArr), "band", "bucket")
+
+  /** The md5-minhash banding stage of [[minhashMd5CandidatesFrom]],
+    * factored to (doc_id, band, bucket) rows so the standing curation
+    * index can MATERIALIZE the kept side's band rows (`curbands`) and the
+    * banded incremental probe can compute the batch side's rows per
+    * delta — both sides of an R-S band join then come from this one
+    * generator, and a doc's rows depend on its content only (the same
+    * property [[xxhashBandBuckets]] leans on for the growing index). */
+  private[graft] def mdBandRows(docsArr: DataFrame): DataFrame = {
     // min over shingles of the seeded md5-derived long, k wide agg columns
     // in one partial-agg shuffle (same shape as the xxhash64 variant)
     val mins = (0 until NumHashes).map { i =>
@@ -564,10 +574,9 @@ object Dedup {
         concat_ws(",", (0 until BandRows)
           .map(r => col(s"mh${b * BandRows + r}").cast("string")): _*).as("bucket"))
     }
-    val buckets = sig
+    sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    bucketCandidates(buckets, "band", "bucket")
   }
 
   /** In-engine candidate-recall report for the minhash-LSH path (the dedup

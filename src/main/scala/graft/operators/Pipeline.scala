@@ -347,8 +347,13 @@ object Pipeline {
     * full-corpus kept build (`sh`/`sizes` → `pairs`) and the
     * incremental oracle's base-kept build (`bsh`/`bsizes` → `bpairs`) —
     * the two can differ only in what they read, never in the banding. */
-  private def bandedPairCtesOf(sh: String, sizes: String, p: String,
-                               out: String): String =
+  /** Just the signature half of [[bandedPairCtesOf]] — per-doc md5
+    * minhashes and band-bucket rows for `$sh`'s (doc_id, s) rows. Factored
+    * so the banded R-S probe oracle ([[curateIncrementalBandedSql]]) can
+    * band its PROBE side alone and join the standing side's rows, exactly
+    * like the Scala split between [[Dedup.mdBandRows]] and the
+    * materialized `curbands` table. */
+  private def bandSigCtesOf(sh: String, p: String): String =
     s"""${p}mhashes AS (
       |  SELECT doc_id, i,
       |         min(('0x' || substring(md5(s || '#' || i), 1, 15))::BIGINT) AS mh
@@ -359,8 +364,12 @@ object Pipeline {
       |  SELECT doc_id, i // ${Dedup.BandRows} AS band,
       |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
       |  FROM ${p}mhashes GROUP BY doc_id, i // ${Dedup.BandRows}
-      |),
-      |${p}mbstats AS (
+      |)""".stripMargin
+
+  private def bandedPairCtesOf(sh: String, sizes: String, p: String,
+                               out: String): String =
+    bandSigCtesOf(sh, p) + ",\n" +
+    s"""${p}mbstats AS (
       |  SELECT band, bucket, count(*) AS bsz, min(doc_id) AS bmin
       |  FROM ${p}mbands GROUP BY 1, 2 HAVING count(*) >= 2
       |),
@@ -475,7 +484,7 @@ object Pipeline {
     * this chain is both deep and multiply-referenced — un-pinned, each
     * survivor stage re-evaluates the whole upstream chain per reference
     * and the oracle goes from 0.2 s to unbounded at sf0.01. */
-  val curateIncrementalSql: String = {
+  private val curateIncrementalRaw: String = {
     val raw =
     """WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
       |base AS (SELECT * FROM corpus WHERE doc_id % 7 <> 0),
@@ -558,32 +567,11 @@ object Pipeline {
       |psizes AS (SELECT doc_id, count(*) AS n FROM psh GROUP BY doc_id),
       |ksh AS (SELECT * FROM bsh
       |        WHERE doc_id IN (SELECT doc_id FROM basekept)),
-      |ncommon AS (
-      |  SELECT p.doc_id AS batch_id, k.doc_id AS corpus_id, count(*) AS c
-      |  FROM psh p JOIN ksh k ON p.s = k.s GROUP BY 1, 2
-      |),
-      |nearbase AS (
-      |  SELECT batch_id, corpus_id, c * 1.0 / (bn.n + kn.n - c) AS jac
-      |  FROM ncommon JOIN psizes bn ON batch_id = bn.doc_id
-      |               JOIN bsizes kn ON corpus_id = kn.doc_id
-      |  WHERE c * 1.0 / (bn.n + kn.n - c) >= 0.5
-      |  QUALIFY row_number() OVER (PARTITION BY batch_id
-      |                             ORDER BY c * 1.0 / (bn.n + kn.n - c) DESC,
-      |                                      corpus_id) = 1
-      |),
+      |__NEARBASE_CTES__,
       |r3 AS (SELECT * FROM r2
       |       WHERE doc_id NOT IN (SELECT batch_id FROM nearbase)),
       |msh AS (SELECT * FROM psh WHERE doc_id IN (SELECT doc_id FROM r3)),
-      |mcommon AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-      |  FROM msh a JOIN msh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |),
-      |mpairs AS (
-      |  SELECT a_id, b_id FROM mcommon
-      |  JOIN psizes sa ON a_id = sa.doc_id JOIN psizes sb ON b_id = sb.doc_id
-      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
-      |),
+      |__WITHIN_PAIR_CTES__,
       |medges AS (
       |  SELECT a_id AS src, b_id AS dst FROM mpairs
       |  UNION SELECT b_id, a_id FROM mpairs
@@ -638,20 +626,122 @@ object Pipeline {
       |            ELSE 'test' END
       |FROM r6
       |ORDER BY doc_id""".stripMargin
-    // the base-kept build is BANDED (round 16), mirroring the Scala
-    // side's [[bandedNearPairs]] swap — spliced from the SAME CTE
-    // builder the curate_lsh/training_set_lsh oracles use, so the
-    // incremental oracle's banding can never drift from theirs
-    val banded = raw.replace("__BANDED_BPAIRS__",
-      bandedPairCtesOf("bsh", "bsizes", "b", "bpairs"))
-    // bmbands feeds bmbstats AND bmjoined; bmjoined self-joins plus the
-    // star branch (3 refs); bpairs is read twice by bedges — unpinned,
-    // DuckDB re-inlines the whole upstream chain per reference
-    Seq("bsh", "bsizes", "bmbands", "bmjoined", "bpairs",
-        "basekept", "r1", "r2", "psh", "psizes", "r3",
-        "msh", "repflag", "decon", "allsh", "nearbase", "nearbatch")
-      .foldLeft(banded)((s, c) => s.replace(s"$c AS (", s"$c AS MATERIALIZED ("))
+    raw
   }
+
+  /** The EXACT near_base probe — full psh × ksh shingle join (the oracle
+    * needs no prefix filter; its losslessness at t = 0.5 is what the hash
+    * gate proves about the Spark side's prefix probe). */
+  private val exactNearBaseCtes: String =
+    """ncommon AS (
+      |  SELECT p.doc_id AS batch_id, k.doc_id AS corpus_id, count(*) AS c
+      |  FROM psh p JOIN ksh k ON p.s = k.s GROUP BY 1, 2
+      |),
+      |nearbase AS (
+      |  SELECT batch_id, corpus_id, c * 1.0 / (bn.n + kn.n - c) AS jac
+      |  FROM ncommon JOIN psizes bn ON batch_id = bn.doc_id
+      |               JOIN bsizes kn ON corpus_id = kn.doc_id
+      |  WHERE c * 1.0 / (bn.n + kn.n - c) >= 0.5
+      |  QUALIFY row_number() OVER (PARTITION BY batch_id
+      |                             ORDER BY c * 1.0 / (bn.n + kn.n - c) DESC,
+      |                                      corpus_id) = 1
+      |)""".stripMargin
+
+  /** The EXACT within-batch pair stage (Σ df² self-join over the sliver). */
+  private val exactWithinPairCtes: String =
+    """mcommon AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM msh a JOIN msh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |mpairs AS (
+      |  SELECT a_id, b_id FROM mcommon
+      |  JOIN psizes sa ON a_id = sa.doc_id JOIN psizes sb ON b_id = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |)""".stripMargin
+
+  /** The BANDED near_base probe — the R-S band join
+    * `pipeline_curate_incremental_banded` runs: probe-side band rows from
+    * the SAME signature chain as every other banded oracle
+    * ([[bandSigCtesOf]]), standing-side rows restricted from the build's
+    * `bmbands` to the kept set (per-doc bands — exactly what the
+    * materialized `curbands` table holds), hot standing buckets
+    * (> MaxBucket kept members) star-collapsed to their minimum kept id,
+    * then the same exact-verify + best-match tail as the exact probe. */
+  private val bandedNearBaseCtes: String =
+    bandSigCtesOf("psh", "pp") + ",\n" +
+    s"""kbands AS (SELECT * FROM bmbands
+      |           WHERE doc_id IN (SELECT doc_id FROM basekept)),
+      |kbstats AS (
+      |  SELECT band, bucket, count(*) AS ksz, min(doc_id) AS kmin
+      |  FROM kbands GROUP BY 1, 2
+      |),
+      |pcand AS (
+      |  SELECT DISTINCT p.doc_id AS batch_id, k.doc_id AS corpus_id
+      |  FROM ppmbands p JOIN kbstats s USING (band, bucket)
+      |                  JOIN kbands k ON k.band = s.band AND k.bucket = s.bucket
+      |  WHERE s.ksz <= ${Dedup.MaxBucket}
+      |  UNION
+      |  SELECT DISTINCT p.doc_id, s.kmin
+      |  FROM ppmbands p JOIN kbstats s USING (band, bucket)
+      |  WHERE s.ksz > ${Dedup.MaxBucket}
+      |),
+      |pcommon AS (
+      |  SELECT c.batch_id, c.corpus_id, count(*) AS c
+      |  FROM pcand c JOIN psh x ON x.doc_id = c.batch_id
+      |               JOIN ksh y ON y.doc_id = c.corpus_id AND y.s = x.s
+      |  GROUP BY 1, 2
+      |),
+      |nearbase AS (
+      |  SELECT batch_id, corpus_id, c * 1.0 / (bn.n + kn.n - c) AS jac
+      |  FROM pcommon JOIN psizes bn ON batch_id = bn.doc_id
+      |               JOIN bsizes kn ON corpus_id = kn.doc_id
+      |  WHERE c * 1.0 / (bn.n + kn.n - c) >= 0.5
+      |  QUALIFY row_number() OVER (PARTITION BY batch_id
+      |                             ORDER BY c * 1.0 / (bn.n + kn.n - c) DESC,
+      |                                      corpus_id) = 1
+      |)""".stripMargin
+
+  /** Splice one incremental-curation oracle from the shared template —
+    * the two variants can differ ONLY in the near_base candidate stage
+    * and the within-batch pair generator, never in the build, the exact
+    * stages, the quality gates or the decision tail.
+    *
+    * The base-kept build is BANDED (round 16), mirroring the Scala side's
+    * [[bandedNearPairs]] swap — spliced from the SAME CTE builder the
+    * curate_lsh/training_set_lsh oracles use, so the incremental oracles'
+    * banding can never drift from theirs. Mid-chain CTEs are pinned
+    * MATERIALIZED (bmbands feeds bmbstats AND bmjoined; bmjoined
+    * self-joins plus the star branch; bpairs is read twice by bedges —
+    * unpinned, DuckDB re-inlines the whole upstream chain per
+    * reference). */
+  private def curateIncrementalSqlVia(nearBase: String, within: String,
+                                      extraPins: Seq[String]): String = {
+    val spliced = curateIncrementalRaw
+      .replace("__BANDED_BPAIRS__",
+        bandedPairCtesOf("bsh", "bsizes", "b", "bpairs"))
+      .replace("__NEARBASE_CTES__", nearBase)
+      .replace("__WITHIN_PAIR_CTES__", within)
+    (Seq("bsh", "bsizes", "bmbands", "bmjoined", "bpairs",
+         "basekept", "r1", "r2", "psh", "psizes", "r3",
+         "msh", "repflag", "decon", "allsh", "nearbase", "nearbatch")
+      ++ extraPins)
+      .foldLeft(spliced)((s, c) => s.replace(s"$c AS (", s"$c AS MATERIALIZED ("))
+  }
+
+  val curateIncrementalSql: String =
+    curateIncrementalSqlVia(exactNearBaseCtes, exactWithinPairCtes, Nil)
+
+  /** [[StandingIndex.curateIncrementalBanded]]'s oracle: banded near_base
+    * (standing-bucket star cap included) + banded within-batch pairs;
+    * everything else shared verbatim with [[curateIncrementalSql]].
+    * ("bmbands"/"bmjoined" in the shared pin list substring-match the
+    * within-batch builder's "bbmbands"/"bbmjoined" too — deliberate, both
+    * need the pin.) */
+  val curateIncrementalBandedSql: String =
+    curateIncrementalSqlVia(bandedNearBaseCtes,
+      bandedPairCtesOf("msh", "psizes", "bb", "mpairs"),
+      Seq("ppmbands", "kbands", "kbstats", "pcand", "pcommon", "mpairs"))
 
   private val SeqTokens = 512L
 

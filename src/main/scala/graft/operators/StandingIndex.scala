@@ -362,6 +362,12 @@ object StandingIndex {
       "corpus_id")
     rewrite("prefix",
       tbl("prefix").join(broadcast(del), Seq("corpus_id"), "left_anti"), "s")
+    // curation family only: the banded probe's standing band rows leave
+    // with their owner (bucket-local filter, like arrays/prefix)
+    if (p == "cur")
+      rewrite("bands",
+        tbl("bands").join(broadcast(del), Seq("corpus_id"), "left_anti"),
+        "bucket")
     org.apache.spark.sql.GraftShims.unpersistCheckpoint(affected)
   }
 
@@ -570,7 +576,8 @@ object StandingIndex {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
   private def curTableNames(tag: String): Seq[String] =
-    Seq("curdigests", "curdfreq", "curprefix", "curarrays", "curbench")
+    Seq("curdigests", "curdfreq", "curprefix", "curarrays", "curbench",
+        "curbands")
       .map(n => s"graft_idx_${n}_$tag")
 
   /** Build (once per session+dir) the standing curation tables
@@ -628,6 +635,15 @@ object StandingIndex {
                                            benchDocs: DataFrame,
                                            tag: String): Unit = {
     writeProbeTables(kept, tag, "cur")
+    // the kept side's md5-minhash band rows ([[Dedup.mdBandRows]]),
+    // bucketed by band bucket — the standing half of the BANDED probe's
+    // R-S candidate join ([[curateIncrementalBanded]]). Band rows are a
+    // pure per-doc function of content, so appends extend and deletes
+    // filter this table with no global recompute (the growing-index
+    // property).
+    save(Dedup.mdBandRows(Dedup.shingleArrays(kept))
+        .select(col("doc_id").as("corpus_id"), col("band"), col("bucket")),
+      tag, "curbands", "bucket", "overwrite")
     save(Dedup.shingles(benchDocs).select("s").distinct(),
       tag, "curbench", "s", "overwrite")
   }
@@ -650,7 +666,13 @@ object StandingIndex {
 
   private[graft] def appendCurationFor(s: SparkSession, tag: String,
                                        docs: DataFrame): Unit =
-    curBuilt.synchronized { appendProbeTables(s, tag, docs, "cur") }
+    curBuilt.synchronized {
+      appendProbeTables(s, tag, docs, "cur")
+      // band rows for the admitted docs — per-doc, so append-only
+      save(Dedup.mdBandRows(Dedup.shingleArrays(docs))
+          .select(col("doc_id").as("corpus_id"), col("band"), col("bucket")),
+        tag, "curbands", "bucket", "append")
+    }
 
   /** Compact the standing probe tables for `tag` (family prefix `p`: ""
     * = dedup index, "cur" = curation index) — the maintenance step that
@@ -677,8 +699,10 @@ object StandingIndex {
               targetFileMB: Int = 128): Seq[(String, Int, Int)] = {
     val lock = if (p == "cur") curBuilt else built
     lock.synchronized {
-      Seq((s"${p}digests", "h"), (s"${p}arrays", "corpus_id"),
-          (s"${p}prefix", "s")).map { case (name, bucketCol) =>
+      (Seq((s"${p}digests", "h"), (s"${p}arrays", "corpus_id"),
+           (s"${p}prefix", "s")) ++
+        (if (p == "cur") Seq((s"${p}bands", "bucket")) else Nil))
+        .map { case (name, bucketCol) =>
         val path = new org.apache.hadoop.fs.Path(tablePath(s, tag, name))
         val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
         def files(): Int = fs.listStatus(path).count { st =>
@@ -731,18 +755,77 @@ object StandingIndex {
     out
   }
 
+  /** The BANDED standing probe — [[curateIncrementalIndexed]] with both
+    * near stages riding the md5-minhash band family instead of the
+    * lossless prefix filter: near_base candidates come from the batch's
+    * band rows joined to the standing `curbands` table (hot buckets
+    * star-collapsed to their minimum kept id), near_batch from the
+    * star-capped banded self-join ([[Dedup.minhashMd5CandidatesFrom]]);
+    * both verify exact full-set Jaccard ≥ 0.5 before any decision. This
+    * is the probe [[guardPrefixProbe]] names as the remedy when the
+    * vocabulary saturates: the prefix probe's lossless candidate stream
+    * is Σ_s dfB(s)·dfC(s) — ~n²/|V| on a fixed vocabulary, the measured
+    * 100× disk-killer — while the banded stream is bounded by the bucket
+    * cap at ANY vocabulary shape, so this query runs where the indexed
+    * form refuses. Own oracle ([[Pipeline.curateIncrementalBandedSql]]):
+    * the banding, star caps and verification are hash-gated end-to-end,
+    * recall is the band family's (reported by `dedup_minhash_recall`). */
+  def curateIncrementalBanded(s: SparkSession, dir: String): DataFrame =
+    curateIncrementalBandedFor(s, ensureCurationBuilt(s, dir),
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0))
+
+  /** [[curateIncrementalBanded]] against an explicit tag + delta frame —
+    * the lifecycle/spec surface, mirroring
+    * [[curateIncrementalIndexedFor]]. */
+  private[graft] def curateIncrementalBandedFor(s: SparkSession, tag: String,
+                                                batch0: DataFrame): DataFrame = {
+    val (out0, caches) = curateIndexedPlan(s, tag, batch0, banded = true)
+    val out = out0.localCheckpoint()
+    caches.foreach(_.unpersist())
+    out
+  }
+
   /** The probe's LAZY plan + its cache handles — split out so the
     * plan-pin spec can assert the cur* scans stay bucketed (the public
     * form checkpoints the result, which hides the joins behind an
     * ExistingRDD scan). */
+  /** The banded R-S candidate rule, factored for the cap spec: probe band
+    * rows (batch_id, band, bucket) × standing band rows (corpus_id, band,
+    * bucket) → distinct (batch_id, corpus_id) candidates. A standing
+    * bucket with ≤ [[Dedup.MaxBucket]] kept members expands fully; a hot
+    * bucket (hash degeneracy or a giant kept cluster) contributes only
+    * its MINIMUM kept id per probe hit — linear in probe size, and the
+    * minimum is exactly the representative the kept build's own star cap
+    * elects, so a batch doc near a hot cluster still reaches its
+    * canonical twin. Returns the candidate frame plus the cache handle
+    * the caller releases. */
+  private[graft] def bandedProbeCandidates(pb: DataFrame, kb: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
+    val kstats = kb.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("ksz"), min("corpus_id").as("kmin"))
+    // only buckets both sides share survive the join; stats are one
+    // skinny row per standing bucket (AQE broadcasts while small)
+    val pj = pb.join(kstats, Seq("band", "bucket")).cache()
+    val candSmall = pj.filter(col("ksz") <= Dedup.MaxBucket)
+      .join(kb, Seq("band", "bucket"))
+      .select("batch_id", "corpus_id")
+    val candStar = pj.filter(col("ksz") > Dedup.MaxBucket)
+      .select(col("batch_id"), col("kmin").as("corpus_id"))
+    (candSmall.union(candStar).distinct(), Seq(pj))
+  }
+
   private[graft] def curateIndexedPlan(s: SparkSession, tag: String,
-                                       batch0: DataFrame)
+                                       batch0: DataFrame,
+                                       banded: Boolean = false)
       : (DataFrame, Seq[DataFrame]) = {
     def idx(name: String): DataFrame = s.table(s"graft_idx_cur${name}_$tag")
     val t = Threshold
-    guardPrefixProbe(s, tag, "cur", "pipeline_curate_incremental_indexed",
-      "a banded near_base candidate stage (the curateLsh swap) at this " +
-        "vocabulary shape")
+    // the banded probe is the guard's named remedy — its candidate volume
+    // is bounded by the band-bucket cap, not by the vocabulary shape
+    if (!banded)
+      guardPrefixProbe(s, tag, "cur", "pipeline_curate_incremental_indexed",
+        "pipeline_curate_incremental_banded (the banded standing probe)")
 
     // a streaming delta carries only (doc_id, text); n_chars feeds just
     // [[DataPrep.splitOf]]'s projection (the split itself is a pure
@@ -785,19 +868,40 @@ object StandingIndex {
     val bArr = Dedup.shingleArrays(r2).select(
       col("doc_id").as("batch_id"), col("sh"),
       size(col("sh")).cast("long").as("nb")).cache()
-    val shB = bArr.select(col("batch_id"), explode(col("sh")).as("s"))
-    val prefB = shB.join(idx("dfreq"), Seq("s"), "left")
-      .withColumn("df", coalesce(col("df"), lit(0L)))
-      .groupBy("batch_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
-      .select(col("batch_id"), size(col("os")).cast("long").as("bn"),
-        expr(s"slice(os, 1, cast(size(os) - ceil($t * size(os)) + 1 as int))")
-          .as("pf"))
-      .select(col("batch_id"), col("bn"), explode(col("pf")).as("e"))
-      .select(col("batch_id"), col("bn"), col("e.s").as("s"))
-    val candidates = prefB.join(idx("prefix"), "s")
-      .filter(col("bn") * t <= col("cn") && col("cn") * t <= col("bn"))
-      .select("batch_id", "corpus_id").distinct()
+    val (candidates, candCaches): (DataFrame, Seq[DataFrame]) = if (banded) {
+      // BANDED R-S candidates: batch band rows (per-doc, computed on the
+      // sliver) joined to the standing `curbands` table on the bucket
+      // key. Hot standing buckets (> MaxBucket members — hash degeneracy
+      // or a giant kept cluster) collapse to their minimum kept id, the
+      // star rule every banded generator in the family uses: candidate
+      // volume is ≤ MaxBucket × |batch bands| + |hot-bucket hits|,
+      // INDEPENDENT of the vocabulary shape that makes the lossless
+      // prefix stream quadratic on a saturated vocabulary. Recall is the
+      // band family's (~0.9 at J = 0.5, measured by dedup_minhash_recall);
+      // the oracle models the banding end-to-end, so the trade is gated,
+      // not assumed.
+      val pb = Dedup.mdBandRows(
+          bArr.select(col("batch_id").as("doc_id"), col("sh")))
+        .select(col("doc_id").as("batch_id"), col("band"), col("bucket"))
+      bandedProbeCandidates(pb, idx("bands"))
+    } else {
+      // LOSSLESS prefix candidates: batch prefixes under the FROZEN
+      // curdfreq order (coalesce 0 for kept-unseen shingles — see the
+      // object scaladoc), joined to the bucketed curprefix table
+      val shB = bArr.select(col("batch_id"), explode(col("sh")).as("s"))
+      val prefB = shB.join(idx("dfreq"), Seq("s"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .groupBy("batch_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
+        .select(col("batch_id"), size(col("os")).cast("long").as("bn"),
+          expr(s"slice(os, 1, cast(size(os) - ceil($t * size(os)) + 1 as int))")
+            .as("pf"))
+        .select(col("batch_id"), col("bn"), explode(col("pf")).as("e"))
+        .select(col("batch_id"), col("bn"), col("e.s").as("s"))
+      (prefB.join(idx("prefix"), "s")
+        .filter(col("bn") * t <= col("cn") && col("cn") * t <= col("bn"))
+        .select("batch_id", "corpus_id").distinct(), Nil)
+    }
     val nearBase = candidates
       .join(bArr.select(col("batch_id"), col("sh").as("sb"), col("nb")), "batch_id")
       .join(idx("arrays").select(col("corpus_id"), col("sh").as("sc"), col("nc")),
@@ -817,9 +921,20 @@ object StandingIndex {
     val r3 = r2.join(nearBase.select("doc_id"), Seq("doc_id"), "left_anti")
       .cache()
 
-    // 2b. near within the remaining batch — sliver-local CC collapse
-    val nearBatch = Dedup.ccLabels(
-        Dedup.jaccardPairsFrom(r3).select("a_id", "b_id"))
+    // 2b. near within the remaining batch — sliver-local CC collapse. The
+    // banded form swaps the exact Σ df² self-join for the star-capped
+    // band candidates here too: on the vocabulary shapes this probe
+    // exists for, the SLIVER is itself corpus-proportional and the exact
+    // within-batch join inherits the same quadratic term.
+    val batchPairs =
+      if (banded) {
+        val r3Arr = bArr
+          .join(r3.select(col("doc_id").as("batch_id")), Seq("batch_id"),
+            "left_semi")
+          .select(col("batch_id").as("doc_id"), col("sh"))
+        Dedup.verifyPairs(Dedup.minhashMd5CandidatesFrom(r3Arr), r3Arr, t)
+      } else Dedup.jaccardPairsFrom(r3)
+    val nearBatch = Dedup.ccLabels(batchPairs.select("a_id", "b_id"))
       .filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_id"), lit("near_batch").as("decision"),
         col("lbl").as("ref_id"), nullJac, nullSplit)
@@ -849,20 +964,23 @@ object StandingIndex {
       .unionByName(nearBatch).unionByName(repDrop).unionByName(conDrop)
       .unionByName(admitted)
       .orderBy("doc_id")
-    (out, Seq(batch, bArr, exactBase, r2, r3, r4, r5, rep, con))
+    (out, Seq(batch, bArr, exactBase, r2, r3, r4, r5, rep, con) ++ candCaches)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental_indexed" -> (incrementalDedupIndexed _),
-    "pipeline_curate_incremental_indexed" -> (curateIncrementalIndexed _)
+    "pipeline_curate_incremental_indexed" -> (curateIncrementalIndexed _),
+    "pipeline_curate_incremental_banded" -> (curateIncrementalBanded _)
   )
 
   /** Same oracle as `dedup_incremental` — the indexed probe's contract is
     * bit-identical output from the materialized index. The incremental-
     * curation probe shares `pipeline_curate_incremental`'s oracle under
-    * the same contract. */
+    * the same contract; the banded probe has its own (the band candidates
+    * change the decision set by the band family's recall). */
   def oracles: Map[String, String] = Map(
     "dedup_incremental_indexed" -> Dedup.incrementalDedupSql,
-    "pipeline_curate_incremental_indexed" -> Pipeline.curateIncrementalSql
+    "pipeline_curate_incremental_indexed" -> Pipeline.curateIncrementalSql,
+    "pipeline_curate_incremental_banded" -> Pipeline.curateIncrementalBandedSql
   )
 }

@@ -539,15 +539,22 @@ object StreamingCurate {
     * bounded on long streams. Only the batch's decision list (sliver-
     * sized by construction) reaches the driver. */
   def curateIndexedStream(stream: Dataset[StreamingDedup.DocEvent],
-                          tag: String, compactEvery: Int = 0)
+                          tag: String, compactEvery: Int = 0,
+                          banded: Boolean = false)
                          (sink: (Seq[IndexedDecision], Long) => Unit): DataStreamWriter[Row] = {
     val appends = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.toDF().writeStream.foreachBatch { (mb0: DataFrame, batchId: Long) =>
       val s = mb0.sparkSession
       val mb = mb0.select("doc_id", "text").localCheckpoint()
-      // eager inside (localCheckpoint) — out is independent of mb's plan
-      val out = graft.operators.StandingIndex
-        .curateIncrementalIndexedFor(s, tag, mb)
+      // eager inside (localCheckpoint) — out is independent of mb's plan.
+      // `banded = true` probes through the band table instead of the
+      // prefix index — the adversarial-vocabulary stream topology (the
+      // batch probe's mean-df guard applies per micro-batch otherwise)
+      val out =
+        if (banded) graft.operators.StandingIndex
+          .curateIncrementalBandedFor(s, tag, mb)
+        else graft.operators.StandingIndex
+          .curateIncrementalIndexedFor(s, tag, mb)
       val decisions = out.select("doc_id", "decision", "ref_id", "jac", "split")
         .collect().map { r =>
           IndexedDecision(r.getLong(0), r.getString(1),

@@ -258,7 +258,13 @@ class StandingIndexSpec extends GraftSpec {
       assert(e1.getMessage.contains("neardup_minhash_md5"), e1.getMessage)
       val e2 = intercept[IllegalArgumentException](
         StandingIndex.curateIncrementalIndexedFor(spark, curTag, batch))
-      assert(e2.getMessage.contains("banded near_base"), e2.getMessage)
+      // the guard names its runnable remedy: the banded standing probe
+      assert(e2.getMessage.contains("pipeline_curate_incremental_banded"),
+        e2.getMessage)
+      // ...which really does run on the SAME guarded index (the banded
+      // candidate volume is bucket-capped, not vocabulary-shaped)
+      assert(StandingIndex.curateIncrementalBandedFor(spark, curTag, batch)
+        .count() > 0)
     } finally spark.conf.unset(key)
     // under the default bound the harness index runs
     assert(StandingIndex.incrementalDedupIndexed(spark, sf0001).count() > 0)
@@ -433,5 +439,127 @@ class StandingIndexSpec extends GraftSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }
+  }
+
+  test("banded probe candidates: hot standing buckets star-collapse to the minimum kept id") {
+    // the standing-bucket cap rule in isolation — the harness corpora
+    // never grow a > MaxBucket standing bucket (kept docs are near-dup-
+    // free, so their band buckets rarely collide: max observed bucket
+    // size at sf0.1 is 1), so the star branch is pinned here with
+    // synthetic band rows rather than left to luck
+    import spark.implicits._
+    val kb = ((1L to 70L).map(id => (id, 0, "HOT")) ++
+        Seq((100L, 1, "S"), (101L, 1, "S"))).toDF("corpus_id", "band", "bucket")
+    val pb = Seq((900L, 0, "HOT"), (900L, 1, "S"), (901L, 2, "MISS"))
+      .toDF("batch_id", "band", "bucket")
+    val (cand, caches) = StandingIndex.bandedProbeCandidates(pb, kb)
+    val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    caches.foreach(_.unpersist())
+    // HOT (70 > 64): only the bucket minimum; S (2 ≤ 64): full expansion;
+    // MISS (no standing rows): nothing
+    assert(got == Set((900L, 1L), (900L, 100L), (900L, 101L)), got)
+  }
+
+  test("banded standing probe: append lifecycle equals a fresh banded rebuild; plan reads curbands") {
+    import graft.operators.{Pipeline, StandingIndex}
+    val docs = Tables.documents(spark, sf0001)
+    val sfx = System.nanoTime()
+    val tag1 = s"curbandl1_$sfx"; val tag2 = s"curbandl2_$sfx"
+    StandingIndex.buildCurationFor(spark, sf0001, tag1)
+    val batch = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+    def dec(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(col("doc_id"), col("decision"), col("ref_id"),
+        round(col("jac"), 9).as("jac"), col("split"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+    val p1 = StandingIndex.curateIncrementalBandedFor(spark, tag1, batch).collect()
+    assert(p1.nonEmpty)
+    val admittedIds = p1.filter(_.getString(1) == "admitted").map(_.getLong(0)).toSet
+    assert(admittedIds.nonEmpty)
+    val admittedDocs = docs.filter(col("doc_id").isInCollection(admittedIds))
+
+    // append maintains curbands too (per-doc band rows of the admitted
+    // docs); the day-2 banded probe must equal a probe against a FRESH
+    // banded build over kept ∪ admitted
+    StandingIndex.appendCurationFor(spark, tag1, admittedDocs)
+    val day2 = dec(StandingIndex.curateIncrementalBandedFor(spark, tag1, batch))
+
+    val base = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 0)
+    val kept = Pipeline.keptDocsOf(spark, sf0001, base)(Pipeline.bandedNearPairs)
+    StandingIndex.buildCurationFromKept(spark,
+      kept.unionByName(admittedDocs),
+      docs.filter(col("doc_id") % 10 === 0), tag2)
+    val fresh = dec(StandingIndex.curateIncrementalBandedFor(spark, tag2, batch))
+    assert(day2 == fresh,
+      s"banded append drifted from rebuild: ${day2.diff(fresh).take(3)} vs ${fresh.diff(day2).take(3)}")
+
+    // replay idempotence: every admitted doc now collapses onto itself
+    val day2ByDoc = day2.map(_.split('|')).map(a => a(0).toLong -> a(1)).toMap
+    admittedIds.foreach { id =>
+      assert(day2ByDoc(id) == "exact_base", s"doc $id replayed as ${day2ByDoc(id)}")
+    }
+
+    // the candidate stage's plan reads the standing band table as a
+    // bucketed scan (pinned HERE because the full probe eagerly
+    // checkpoints nearBase — its internal scans don't appear in the
+    // decision table's executed plan)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bArr = graft.operators.Dedup.shingleArrays(batch)
+      val pb = graft.operators.Dedup.mdBandRows(bArr)
+        .select(col("doc_id").as("batch_id"), col("band"), col("bucket"))
+      val kb = spark.table(s"graft_idx_curbands_$tag1")
+      val (cand, caches) = StandingIndex.bandedProbeCandidates(pb, kb)
+      cand.collect()
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_idx_curbands"), plan.take(800))
+      val bandScanLines = plan.linesIterator
+        .filter(_.contains("graft_idx_curbands")).mkString("\n")
+      assert(plan.contains("Bucketed: true"), bandScanLines)
+      caches.foreach(_.unpersist())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
+  test("banded standing probe: delete removes the owner's band rows — probe equals rebuild over survivors") {
+    import graft.operators.{Pipeline, StandingIndex}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val sfx = System.nanoTime()
+    val tag1 = s"curbandd1_$sfx"; val tag2 = s"curbandd2_$sfx"
+    val base = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 0)
+    val kept = Pipeline.keptDocsOf(spark, sf0001, base)(Pipeline.bandedNearPairs)
+      .cache()
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    StandingIndex.buildCurationFromKept(spark, kept, bench, tag1)
+    val batch = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+    def dec(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(col("doc_id"), col("decision"), col("ref_id"),
+        round(col("jac"), 9).as("jac"), col("split"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+    val p1 = StandingIndex.curateIncrementalBandedFor(spark, tag1, batch).collect()
+    val refIds = p1.filter(r => r.getString(1) == "exact_base" ||
+        r.getString(1) == "near_base").map(_.getLong(2)).distinct.toSeq
+    val forget: Seq[Long] =
+      if (refIds.nonEmpty) refIds
+      else kept.select("doc_id").orderBy("doc_id").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+    val remaining = kept.filter(!col("doc_id").isInCollection(forget))
+    StandingIndex.deleteCurationFor(spark, tag1, forget.toDF("doc_id"), remaining)
+
+    // band rows leave with their owner
+    val leftBehind = spark.table(s"graft_idx_curbands_$tag1")
+      .filter(col("corpus_id").isInCollection(forget)).count()
+    assert(leftBehind == 0, s"$leftBehind band rows survived the delete")
+
+    val after = dec(StandingIndex.curateIncrementalBandedFor(spark, tag1, batch))
+    StandingIndex.buildCurationFromKept(spark, remaining, bench, tag2)
+    val fresh = dec(StandingIndex.curateIncrementalBandedFor(spark, tag2, batch))
+    assert(after == fresh,
+      s"banded delete drifted from rebuild: ${after.diff(fresh).take(3)} vs ${fresh.diff(after).take(3)}")
+    kept.unpersist()
   }
 }

@@ -463,4 +463,81 @@ class StreamingCurateSpec extends GraftSpec {
     }
     kept0.unpersist()
   }
+
+  test("durable-state curation stream, BANDED probe: one batch == the gated banded query; slicing == banded fold") {
+    // the adversarial-vocabulary stream topology: same durable-state
+    // loop, both near stages through the band family
+    // (curateIndexedStream(banded = true)) — pinned against the gated
+    // pipeline_curate_incremental_banded batch query and the day-by-day
+    // banded fold over fresh rebuilds, mirroring the prefix-probe spec
+    import graft.operators.{Pipeline, StandingIndex}
+    val docs = Tables.documents(spark, sf0001)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val base = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => DocEvent(r.getLong(0), r.getString(1))).sortBy(_.doc_id).toSeq
+    def r9(j: Double): Double = math.rint(j * 1e9) / 1e9
+    type Dec = (Long, String, Option[Long], Option[Double], Option[String])
+    def runStream(chunks: Seq[Seq[DocEvent]], tag: String, msId: Int): Seq[Dec] = {
+      val ms = MemoryStream[DocEvent](msId, spark, None)
+      val sink = scala.collection.mutable.ArrayBuffer.empty[Dec]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_curband").toString
+      val q = StreamingCurate.curateIndexedStream(ms.toDS(), tag,
+          banded = true) { (ds, _) =>
+        sink.synchronized {
+          sink ++= ds.map(d => (d.doc_id, d.decision, d.ref_id,
+            d.jac.map(r9), d.split))
+        }
+        ()
+      }.option("checkpointLocation", ckpt).start()
+      try chunks.foreach { c =>
+        if (c.nonEmpty) { ms.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      sink.synchronized(sink.toSeq).sortBy(_._1)
+    }
+    def decRows(df: org.apache.spark.sql.DataFrame): Seq[Dec] = df
+      .select("doc_id", "decision", "ref_id", "jac", "split")
+      .collect().map { r =>
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r9(r.getDouble(3))),
+          if (r.isNullAt(4)) None else Some(r.getString(4)))
+      }.sortBy(_._1).toSeq
+
+    // 1. single batch == the gated banded batch query
+    val tag1 = s"curbstream1_${System.nanoTime()}"
+    StandingIndex.buildCurationFor(spark, sf0001, tag1)
+    val one = runStream(Seq(delta), tag1, 374)
+    val batchRef = decRows(StandingIndex.curateIncrementalBanded(spark, sf0001))
+    assert(one == batchRef,
+      s"single-batch banded stream diverged from the gated query: " +
+      s"${one.diff(batchRef).take(3)} vs ${batchRef.diff(one).take(3)}")
+
+    // 2. a random slicing == the day-by-day BANDED fold over fresh rebuilds
+    val kept0 = Pipeline.keptDocsOf(spark, sf0001, base)(Pipeline.bandedNearPairs)
+      .cache()
+    val rnd = new scala.util.Random(29)
+    val chunks = splitChunks(delta, 2 + rnd.nextInt(3), rnd).filter(_.nonEmpty)
+    val tagS = s"curbstream_s29_${System.nanoTime()}"
+    StandingIndex.buildCurationFor(spark, sf0001, tagS)
+    val streamed = runStream(chunks, tagS, 375)
+    var admittedSoFar = Seq.empty[Long]
+    val folded = chunks.zipWithIndex.flatMap { case (slice, i) =>
+      val tagF = s"curbfold_${i}_${System.nanoTime()}"
+      val keptNow =
+        if (admittedSoFar.isEmpty) kept0
+        else kept0.unionByName(
+          docs.filter(col("doc_id").isInCollection(admittedSoFar)))
+      StandingIndex.buildCurationFromKept(spark, keptNow, bench, tagF)
+      val out = decRows(StandingIndex.curateIncrementalBandedFor(spark, tagF,
+        slice.map(e => (e.doc_id, e.text)).toDF("doc_id", "text")))
+      admittedSoFar ++= out.filter(_._2 == "admitted").map(_._1)
+      out
+    }.sortBy(_._1)
+    assert(streamed == folded,
+      s"banded stream diverged from the banded fold " +
+      s"(${streamed.diff(folded).take(3)} vs ${folded.diff(streamed).take(3)})")
+    kept0.unpersist()
+  }
 }
