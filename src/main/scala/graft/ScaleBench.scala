@@ -64,10 +64,10 @@ object ScaleBench {
     // standing-index twin (probe-only: the curve a deployment's day-2
     // run actually pays)
     "pipeline_curate_incremental", "pipeline_curate_incremental_indexed",
-    // round-16: the BANDED standing probe — the adversarial-vocabulary
-    // scale path the prefix probe's mean-df guard names; it must run
-    // (and stay flat) exactly where the indexed form refuses
-    "pipeline_curate_incremental_banded")
+    // round-16: the BANDED standing probes — the adversarial-vocabulary
+    // scale paths the prefix probes' mean-df guards name; they must run
+    // (and stay flat) exactly where the indexed forms refuse
+    "pipeline_curate_incremental_banded", "dedup_incremental_banded")
 
   /** Which standing-index build each target consumes — builds run only
     * for selected consumers (round 16: the build list was all-or-nothing,
@@ -75,7 +75,8 @@ object ScaleBench {
     * whose curated stage rides the now-tripwired exact kept build — for
     * a target list that never probes it). */
   private val BuildConsumers: Map[String, Set[String]] = Map(
-    "build_dedup_idx" -> Set("dedup_incremental", "dedup_incremental_indexed"),
+    "build_dedup_idx" -> Set("dedup_incremental", "dedup_incremental_indexed",
+                             "dedup_incremental_banded"),
     "build_audit_idx" -> Set("split_leakage_audit"),
     "build_ann_idx"   -> Set("ann_ivf_indexed"),
     "build_gram_idx"  -> Set("dedup_incremental_substring_indexed"),
@@ -112,7 +113,10 @@ object ScaleBench {
     "pipeline_curate_incremental_indexed" -> 2.5,
     // round-16: the banded standing probe, measured 1.36x at 10x
     // (5.82 -> 7.93 s) on the adversarial corpus it exists for
-    "pipeline_curate_incremental_banded"  -> 2.5)
+    "pipeline_curate_incremental_banded"  -> 2.5,
+    // round-16 measured 2.0x at 10x (1.68 -> 3.36 s — absolutes near
+    // the noise floor, hence the wide ceiling)
+    "dedup_incremental_banded"            -> 3.5)
 
   /** Ceilings for the HEAPS-vocabulary corpus pair (round 16, task:
     * the realistic-text gate). Calibrated from the round-16 measured
@@ -137,7 +141,9 @@ object ScaleBench {
     // round-16 measured 1.67x-2.55x at 10x across two quiet runs (the
     // sf0.1 denominator swings 5.15-7.10 s on this host) — ceiling at
     // ~1.4x the worst observation, same discipline as ER-lsh above
-    "pipeline_curate_incremental_banded"  -> 3.5)
+    "pipeline_curate_incremental_banded"  -> 3.5,
+    // round-16 measured 1.10x at 10x (2.67 -> 2.95 s, noise-floor range)
+    "dedup_incremental_banded"            -> 3.0)
 
   def main(args: Array[String]): Unit = {
     val (flags, dirs) = args.partition(_.startsWith("--"))

@@ -1619,6 +1619,95 @@ object Dedup {
       |UNION ALL SELECT batch_id, corpus_id, kind, jac FROM near
       |ORDER BY batch_id""".stripMargin
 
+  /** [[graft.operators.StandingIndex.incrementalDedupBanded]]'s oracle:
+    * the exact digest stage verbatim, the near stage through the
+    * md5-minhash band family — probe- and corpus-side band rows from the
+    * same signature chain as every banded oracle, hot CORPUS buckets
+    * (> [[MaxBucket]] members) star-collapsed to their minimum corpus
+    * id, then the exact-verify + best-match tail. Mid-chain CTEs pinned
+    * MATERIALIZED (cbands feeds cbstats AND the candidate join; DuckDB
+    * re-inlines per reference otherwise). */
+  val incrementalDedupBandedSql: String =
+    s"""WITH batch AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+      |corpus AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+      |ex AS (
+      |  SELECT b.doc_id AS batch_id, min(c.doc_id) AS corpus_id
+      |  FROM batch b JOIN corpus c
+      |    ON md5(b.text) = md5(c.text) AND length(b.text) = length(c.text)
+      |  GROUP BY 1
+      |),
+      |bsh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM batch
+      |        WHERE doc_id NOT IN (SELECT batch_id FROM ex)),
+      |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |csh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+      |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) g
+      |  WHERE len(tk) >= 3
+      |),
+      |bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
+      |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+      |bmh AS (
+      |  SELECT doc_id, i,
+      |         min(('0x' || substring(md5(s || '#' || i), 1, 15))::BIGINT) AS mh
+      |  FROM bsh, LATERAL (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS i) seeds
+      |  GROUP BY doc_id, i
+      |),
+      |bbands AS MATERIALIZED (
+      |  SELECT doc_id, i // $BandRows AS band,
+      |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+      |  FROM bmh GROUP BY doc_id, i // $BandRows
+      |),
+      |cmh AS (
+      |  SELECT doc_id, i,
+      |         min(('0x' || substring(md5(s || '#' || i), 1, 15))::BIGINT) AS mh
+      |  FROM csh, LATERAL (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS i) seeds
+      |  GROUP BY doc_id, i
+      |),
+      |cbands AS MATERIALIZED (
+      |  SELECT doc_id, i // $BandRows AS band,
+      |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+      |  FROM cmh GROUP BY doc_id, i // $BandRows
+      |),
+      |cbstats AS MATERIALIZED (
+      |  SELECT band, bucket, count(*) AS ksz, min(doc_id) AS kmin
+      |  FROM cbands GROUP BY 1, 2
+      |),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      |  FROM bbands b JOIN cbstats s USING (band, bucket)
+      |                JOIN cbands c ON c.band = s.band AND c.bucket = s.bucket
+      |  WHERE s.ksz <= $MaxBucket
+      |  UNION
+      |  SELECT DISTINCT b.doc_id, s.kmin
+      |  FROM bbands b JOIN cbstats s USING (band, bucket)
+      |  WHERE s.ksz > $MaxBucket
+      |),
+      |common AS (
+      |  SELECT d.batch_id, d.corpus_id, count(*) AS c
+      |  FROM cand d JOIN bsh b ON b.doc_id = d.batch_id
+      |              JOIN csh c ON c.doc_id = d.corpus_id AND c.s = b.s
+      |  GROUP BY 1, 2
+      |),
+      |near AS (
+      |  SELECT batch_id, corpus_id, 'near' AS kind,
+      |         c * 1.0 / (bn.n + cn.n - c) AS jac
+      |  FROM common JOIN bsz bn ON batch_id = bn.doc_id
+      |              JOIN csz cn ON corpus_id = cn.doc_id
+      |  WHERE c * 1.0 / (bn.n + cn.n - c) >= 0.5
+      |  QUALIFY row_number() OVER (PARTITION BY batch_id
+      |                             ORDER BY c * 1.0 / (bn.n + cn.n - c) DESC,
+      |                                      corpus_id) = 1
+      |)
+      |SELECT batch_id, corpus_id, 'exact' AS kind, CAST(1.0 AS DOUBLE) AS jac
+      |FROM ex
+      |UNION ALL SELECT batch_id, corpus_id, kind, jac FROM near
+      |ORDER BY batch_id""".stripMargin
+
   // --------------------------------------------------- bloom prefilter
   /** Bloom-filter bits (2^16) — at sf0.1's ~4.3k-doc corpus × k=4 the fill
     * is ~24% → FPR ≈ 0.3%; at 100 TB m scales to ~10 bits/key as usual. */

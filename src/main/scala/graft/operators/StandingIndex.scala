@@ -152,7 +152,8 @@ object StandingIndex {
     * overwrite staging of one can delete files the other just committed. */
   /** Table names of the four index tables for `tag`. */
   private def tableNames(tag: String): Seq[String] =
-    Seq("digests", "dfreq", "prefix", "arrays").map(n => s"graft_idx_${n}_$tag")
+    Seq("digests", "dfreq", "prefix", "arrays", "bands")
+      .map(n => s"graft_idx_${n}_$tag")
 
   def ensureBuilt(s: SparkSession, dir: String): String = built.synchronized {
     val k = (s, dir)
@@ -237,6 +238,14 @@ object StandingIndex {
       .select(col("corpus_id"), col("cn"), explode(col("pf")).as("e"))
       .select(col("corpus_id"), col("cn"), col("e.s").as("s"))
     save(prefix, tag, s"${p}prefix", "s", "overwrite")
+
+    // the md5-minhash band rows ([[Dedup.mdBandRows]]), bucketed by band
+    // bucket — the standing half of the BANDED probes' R-S candidate
+    // join. Per-doc function of content, so appends extend and deletes
+    // filter this table with no global recompute.
+    save(Dedup.mdBandRows(cArr.select(col("corpus_id").as("doc_id"), col("sh")))
+        .select(col("doc_id").as("corpus_id"), col("band"), col("bucket")),
+      tag, s"${p}bands", "bucket", "overwrite")
   }
 
   /** Append newly accepted documents to an existing standing index — the
@@ -293,6 +302,10 @@ object StandingIndex {
       .select(col("corpus_id"), col("cn"), explode(col("pf")).as("e"))
       .select(col("corpus_id"), col("cn"), col("e.s").as("s"))
     save(prefix, tag, s"${p}prefix", "s", "append")
+    // band rows for the appended docs — per-doc, so append-only
+    save(Dedup.mdBandRows(cArr.select(col("corpus_id").as("doc_id"), col("sh")))
+        .select(col("doc_id").as("corpus_id"), col("band"), col("bucket")),
+      tag, s"${p}bands", "bucket", "append")
   }
 
   /** Dir-keyed convenience over [[appendFor]]: append to the index of the
@@ -362,12 +375,11 @@ object StandingIndex {
       "corpus_id")
     rewrite("prefix",
       tbl("prefix").join(broadcast(del), Seq("corpus_id"), "left_anti"), "s")
-    // curation family only: the banded probe's standing band rows leave
-    // with their owner (bucket-local filter, like arrays/prefix)
-    if (p == "cur")
-      rewrite("bands",
-        tbl("bands").join(broadcast(del), Seq("corpus_id"), "left_anti"),
-        "bucket")
+    // the banded probes' standing band rows leave with their owner
+    // (bucket-local filter, like arrays/prefix)
+    rewrite("bands",
+      tbl("bands").join(broadcast(del), Seq("corpus_id"), "left_anti"),
+      "bucket")
     org.apache.spark.sql.GraftShims.unpersistCheckpoint(affected)
   }
 
@@ -440,7 +452,7 @@ object StandingIndex {
   def incrementalDedupIndexed(s: SparkSession, dir: String): DataFrame = {
     val tag = ensureBuilt(s, dir)
     guardPrefixProbe(s, tag, "", "dedup_incremental_indexed",
-      "the banded/bloom probes (neardup_minhash_md5, dedup_bloom_prefilter)")
+      "dedup_incremental_banded (the banded standing probe)")
     def idx(name: String): DataFrame = s.table(s"graft_idx_${name}_$tag")
     val t = Threshold
 
@@ -635,15 +647,6 @@ object StandingIndex {
                                            benchDocs: DataFrame,
                                            tag: String): Unit = {
     writeProbeTables(kept, tag, "cur")
-    // the kept side's md5-minhash band rows ([[Dedup.mdBandRows]]),
-    // bucketed by band bucket — the standing half of the BANDED probe's
-    // R-S candidate join ([[curateIncrementalBanded]]). Band rows are a
-    // pure per-doc function of content, so appends extend and deletes
-    // filter this table with no global recompute (the growing-index
-    // property).
-    save(Dedup.mdBandRows(Dedup.shingleArrays(kept))
-        .select(col("doc_id").as("corpus_id"), col("band"), col("bucket")),
-      tag, "curbands", "bucket", "overwrite")
     save(Dedup.shingles(benchDocs).select("s").distinct(),
       tag, "curbench", "s", "overwrite")
   }
@@ -666,13 +669,7 @@ object StandingIndex {
 
   private[graft] def appendCurationFor(s: SparkSession, tag: String,
                                        docs: DataFrame): Unit =
-    curBuilt.synchronized {
-      appendProbeTables(s, tag, docs, "cur")
-      // band rows for the admitted docs — per-doc, so append-only
-      save(Dedup.mdBandRows(Dedup.shingleArrays(docs))
-          .select(col("doc_id").as("corpus_id"), col("band"), col("bucket")),
-        tag, "curbands", "bucket", "append")
-    }
+    curBuilt.synchronized { appendProbeTables(s, tag, docs, "cur") }
 
   /** Compact the standing probe tables for `tag` (family prefix `p`: ""
     * = dedup index, "cur" = curation index) — the maintenance step that
@@ -699,9 +696,8 @@ object StandingIndex {
               targetFileMB: Int = 128): Seq[(String, Int, Int)] = {
     val lock = if (p == "cur") curBuilt else built
     lock.synchronized {
-      (Seq((s"${p}digests", "h"), (s"${p}arrays", "corpus_id"),
-           (s"${p}prefix", "s")) ++
-        (if (p == "cur") Seq((s"${p}bands", "bucket")) else Nil))
+      Seq((s"${p}digests", "h"), (s"${p}arrays", "corpus_id"),
+          (s"${p}prefix", "s"), (s"${p}bands", "bucket"))
         .map { case (name, bucketCol) =>
         val path = new org.apache.hadoop.fs.Path(tablePath(s, tag, name))
         val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -790,6 +786,65 @@ object StandingIndex {
     * plan-pin spec can assert the cur* scans stay bucketed (the public
     * form checkpoints the result, which hides the joins behind an
     * ExistingRDD scan). */
+  /** The BANDED standing dedup probe — [[incrementalDedupIndexed]] with
+    * the near stage riding the md5-minhash band family instead of the
+    * lossless prefix filter: the batch sliver's band rows R-S-join the
+    * standing `bands` table (hot corpus buckets star-collapsed to their
+    * minimum corpus id), survivors verify exact full-set Jaccard ≥ 0.5
+    * against the bucketed `arrays` table, best corpus match wins (same
+    * tie rules). The exact digest stage is identical. This is the dedup
+    * family's symmetric twin of [[curateIncrementalBanded]]: the prefix
+    * probe's mean-df guard refuses a saturated-vocabulary index; this
+    * probe's candidate volume is bucket-capped at any vocabulary shape,
+    * so daily dedup keeps running there. Own oracle
+    * ([[Dedup.incrementalDedupBandedSql]]) — banding, star cap and
+    * verification hash-gated end-to-end; recall is the band family's
+    * (`dedup_minhash_recall`). */
+  def incrementalDedupBanded(s: SparkSession, dir: String): DataFrame =
+    incrementalDedupBandedFor(s, ensureBuilt(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 7 === 0))
+
+  /** [[incrementalDedupBanded]] against an explicit tag + batch frame —
+    * the lifecycle/spec surface. */
+  private[graft] def incrementalDedupBandedFor(s: SparkSession, tag: String,
+                                               batch: DataFrame): DataFrame = {
+    def idx(name: String): DataFrame = s.table(s"graft_idx_${name}_$tag")
+    val t = Threshold
+    val exact = batch
+      .select(col("doc_id").as("batch_id"), md5(col("text")).as("h"),
+        length(col("text")).as("len"))
+      .join(idx("digests"), Seq("h", "len"))
+      .groupBy("batch_id").agg(min("corpus_id").as("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        lit("exact").as("kind"), lit(1.0).as("jac"))
+      .cache() // feeds both the output union and the left_anti below
+    val rest = batch.join(
+      exact.select(col("batch_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val bArr = Dedup.shingleArrays(rest).select(
+      col("doc_id").as("batch_id"), col("sh"),
+      size(col("sh")).cast("long").as("nb"))
+      .cache() // read twice: band rows + exact verify
+    val pb = Dedup.mdBandRows(
+        bArr.select(col("batch_id").as("doc_id"), col("sh")))
+      .select(col("doc_id").as("batch_id"), col("band"), col("bucket"))
+    val (cand, candCaches) = bandedProbeCandidates(pb, idx("bands"))
+    val best = cand
+      .join(bArr.select(col("batch_id"), col("sh").as("sb"), col("nb")), "batch_id")
+      .join(idx("arrays").select(col("corpus_id"), col("sh").as("sc"), col("nc")),
+        "corpus_id")
+      .withColumn("c", size(array_intersect(col("sb"), col("sc"))).cast("long"))
+      .withColumn("jac",
+        col("c").cast("double") / (col("nb") + col("nc") - col("c")))
+      .filter(col("jac") >= t)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("batch_id").orderBy(col("jac").desc, col("corpus_id"))))
+      .filter(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id"), lit("near").as("kind"), col("jac"))
+    val out = exact.unionByName(best).orderBy("batch_id").localCheckpoint()
+    exact.unpersist(); bArr.unpersist(); candCaches.foreach(_.unpersist())
+    out
+  }
+
   /** The banded R-S candidate rule, factored for the cap spec: probe band
     * rows (batch_id, band, bucket) × standing band rows (corpus_id, band,
     * bucket) → distinct (batch_id, corpus_id) candidates. A standing
@@ -969,6 +1024,7 @@ object StandingIndex {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental_indexed" -> (incrementalDedupIndexed _),
+    "dedup_incremental_banded" -> (incrementalDedupBanded _),
     "pipeline_curate_incremental_indexed" -> (curateIncrementalIndexed _),
     "pipeline_curate_incremental_banded" -> (curateIncrementalBanded _)
   )
@@ -980,6 +1036,7 @@ object StandingIndex {
     * change the decision set by the band family's recall). */
   def oracles: Map[String, String] = Map(
     "dedup_incremental_indexed" -> Dedup.incrementalDedupSql,
+    "dedup_incremental_banded" -> Dedup.incrementalDedupBandedSql,
     "pipeline_curate_incremental_indexed" -> Pipeline.curateIncrementalSql,
     "pipeline_curate_incremental_banded" -> Pipeline.curateIncrementalBandedSql
   )

@@ -255,7 +255,9 @@ class StandingIndexSpec extends GraftSpec {
     try {
       val e1 = intercept[IllegalArgumentException](
         StandingIndex.incrementalDedupIndexed(spark, sf0001))
-      assert(e1.getMessage.contains("neardup_minhash_md5"), e1.getMessage)
+      assert(e1.getMessage.contains("dedup_incremental_banded"), e1.getMessage)
+      // the named remedy runs on the SAME guarded index
+      assert(StandingIndex.incrementalDedupBanded(spark, sf0001).count() > 0)
       val e2 = intercept[IllegalArgumentException](
         StandingIndex.curateIncrementalIndexedFor(spark, curTag, batch))
       // the guard names its runnable remedy: the banded standing probe
@@ -439,6 +441,53 @@ class StandingIndexSpec extends GraftSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }
+  }
+
+  test("banded dedup probe: append/delete lifecycle equals fresh rebuilds") {
+    // the dedup family's banded standing probe (the symmetric twin of
+    // the curation one): build on corpus A, append B, banded probe ==
+    // banded probe of a fresh A ∪ B index; delete a subset (including a
+    // doc with a surviving twin), probe == fresh survivor index. Small
+    // vocab → dense Jaccard boundary cases + real band collisions.
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val rnd = new scala.util.Random(13)
+    def mkDoc(): String =
+      (0 until rnd.nextInt(13)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpusA = (0L until 40L).map(i => (i, mkDoc()))
+    val corpusB = (40L until 69L).map(i => (i, mkDoc())) :+ (69L, corpusA.head._2)
+    val batch = ((100L until 130L).map(i => (i, mkDoc())) :+ (131L, corpusA.head._2))
+      .toDF("doc_id", "text")
+    def probe(tag: String): Set[(Long, Long, String, Double)] =
+      StandingIndex.incrementalDedupBandedFor(spark, tag, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          math.rint(r.getDouble(3) * 1e9) / 1e9)).toSet
+
+    val sfx = System.nanoTime()
+    val tagApp = s"bandapp_$sfx"; val tagFresh = s"bandfresh_$sfx"
+    StandingIndex.buildFor(spark, corpusA.toDF("doc_id", "text"), tagApp)
+    StandingIndex.appendFor(spark, tagApp, corpusB.toDF("doc_id", "text"))
+    StandingIndex.buildFor(spark, (corpusA ++ corpusB).toDF("doc_id", "text"), tagFresh)
+    val got = probe(tagApp); val expected = probe(tagFresh)
+    assert(got == expected, s"appended banded probe diverges " +
+      s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
+    assert(got.exists(d => d._1 == 131L && d._3 == "exact"),
+      "planted cross-segment twin must resolve through the digest min-agg")
+
+    // delete half: forget doc 0 (content survives via 69) + a random few
+    val full = corpusA ++ corpusB
+    val delIds = (rnd.shuffle((1L until 69L).toList).take(10) :+ 0L).distinct
+    val remaining = full.filterNot(d => delIds.contains(d._1))
+    StandingIndex.deleteFor(spark, tagFresh, delIds.toDF("doc_id"),
+      remaining.toDF("doc_id", "text"))
+    val tagSurv = s"bandsurv_$sfx"
+    StandingIndex.buildFor(spark, remaining.toDF("doc_id", "text"), tagSurv)
+    val afterDel = probe(tagFresh); val freshSurv = probe(tagSurv)
+    assert(afterDel == freshSurv, s"deleted banded probe diverges " +
+      s"(missing=${(freshSurv -- afterDel).take(3)}, extra=${(afterDel -- freshSurv).take(3)})")
+    // band rows left with their owners
+    assert(spark.table(s"graft_idx_bands_$tagFresh")
+      .filter(col("corpus_id").isInCollection(delIds)).count() == 0)
   }
 
   test("banded probe candidates: hot standing buckets star-collapse to the minimum kept id") {
