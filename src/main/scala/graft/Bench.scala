@@ -112,6 +112,10 @@ object Bench {
     // standalone cold/warm runs can't reproduce. The driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name would silently bench nothing (the ScaleBench --flags
+    // lesson): fail loudly instead
+    only.foreach(_.foreach(n => require(SparkEntry.queries.contains(n),
+      s"SPARK_GRAFT_BENCH_ONLY names unknown query: $n")))
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     final case class Obs(elapsed: Double, startEpochMs: Long, load: Double, other: Double)

@@ -28,6 +28,10 @@ object Verify {
     // the driver never sets it, so its runs always cover every query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name would silently dump nothing (the ScaleBench --flags
+    // lesson): fail loudly instead
+    only.foreach(_.foreach(n => require(SparkEntry.queries.contains(n),
+      s"SPARK_GRAFT_ONLY names unknown query: $n")))
     var qIdx = 0
     // violations of the in-repo no-oracle gate (SparkEntry
     // .noOracleExpectations) — collected so the dump completes and every
