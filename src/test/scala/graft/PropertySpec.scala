@@ -502,6 +502,18 @@ class PropertySpec extends GraftSpec {
           assert(got == want, s"schedule $si step $step (${soFar.size} docs): " +
             s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
         } finally fresh.release()
+        // the BANDED probe must hold the same invariant mid-schedule: the
+        // maintained bands table vs a fresh standing rebuild
+        def banded(t: String) = StandingIndex
+          .incrementalDedupBandedFor(spark, t, batch.toDF("doc_id", "text"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            math.rint(r.getDouble(3) * 1e9) / 1e9)).toSet
+        val freshTag = s"prop_sched_fresh_${si}_$step"
+        StandingIndex.buildFor(spark, soFar.toDF("doc_id", "text"), freshTag)
+        val gotB = banded(tag); val wantB = banded(freshTag)
+        assert(gotB == wantB, s"schedule $si step $step banded: " +
+          s"missing=${(wantB -- gotB).take(3)} extra=${(gotB -- wantB).take(3)}")
       }
       probeAndCheck(0)
       val rnd = new scala.util.Random(77L + si)
