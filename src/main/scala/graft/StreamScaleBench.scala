@@ -101,6 +101,17 @@ object StreamScaleBench {
           (_, _) => ()
         }
       }
+      // 1c. the same durable topology through the BANDED probe (round 16)
+      // — the adversarial-vocabulary stream; own standing tag so the
+      // prefix run's appends don't seed this one's state
+      val curTagB = s"sscale_curb_${System.nanoTime()}"
+      graft.operators.StandingIndex.buildCurationFor(spark, dir, curTagB)
+      drive(dir, "curate_indexed_banded",
+        docRows.filter(d => d._1 % 10 != 0 && d._1 % 7 == 0)
+          .map(d => DocEvent(d._1, d._2))) { ds =>
+        StreamingCurate.curateIndexedStream(ds, curTagB, compactEvery = 8,
+          banded = true) { (_, _) => () }
+      }
       // 2. standing-index dedup probe (index = 6/7 of the corpus, untimed)
       val idx = StreamingDedup.buildStandingIndex(
         Tables.documents(spark, dir).filter(col("doc_id") % 7 =!= 0))
