@@ -307,7 +307,7 @@ object Similarity {
     * output is a subset of the exact query with bounded recall. */
   def cosineNearDupLsh(s: SparkSession, dir: String): DataFrame = {
     guardExactBaseline(s, dir, "emb_neardup_cosine_lsh",
-      "the standing IVF machinery (ann_ivf_indexed; emb_kmeans_fit + per-cluster dedup)")
+      "the standing IVF machinery (ann_ivf_indexed; semantic_dedup_ivf for near-dup pairs)")
     srpNearDupPairs(embeddings(s, dir).withColumn("bucket", srpBucket(col("v"))))
   }
 
@@ -341,7 +341,7 @@ object Similarity {
     * path (one hash vs an md5 digest per (plane, dim) product). */
   def cosineNearDupSrpMd5(s: SparkSession, dir: String): DataFrame = {
     guardExactBaseline(s, dir, "emb_neardup_srp_md5",
-      "the standing IVF machinery (ann_ivf_indexed; emb_kmeans_fit + per-cluster dedup)")
+      "the standing IVF machinery (ann_ivf_indexed; semantic_dedup_ivf for near-dup pairs)")
     srpNearDupPairs(embeddings(s, dir).withColumn("bucket", srpMd5Bucket(col("v"))))
   }
 
@@ -412,7 +412,7 @@ object Similarity {
     * hash gate instead of trusted. */
   def cosineNearDupSignGrid(s: SparkSession, dir: String): DataFrame = {
     guardExactBaseline(s, dir, "emb_neardup_signgrid",
-      "the standing IVF machinery (ann_ivf_indexed; emb_kmeans_fit + per-cluster dedup)")
+      "the standing IVF machinery (ann_ivf_indexed; semantic_dedup_ivf for near-dup pairs)")
     signGridPairs(s, dir)
       .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score_r"))
       .orderBy("a_id", "b_id")
@@ -485,7 +485,7 @@ object Similarity {
     * DuckDB recursive-CTE closure, not trusted. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     guardExactBaseline(s, dir, "semantic_dedup",
-      "IVF-clustered SemDeDup (emb_kmeans_fit cells + per-cluster dedup; ann_ivf_indexed)")
+      "semantic_dedup_ivf (IVF-clustered SemDeDup: emb_kmeans_fit cells + per-cluster dedup)")
     val labels = Dedup.ccLabels(signGridPairs(s, dir).select("a_id", "b_id"))
       .withColumnRenamed("id", "vec_id")
     embeddings(s, dir).select(col("vec_id"))
@@ -604,6 +604,73 @@ object Similarity {
        |FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.vec_id
        |ORDER BY e.vec_id""".stripMargin
   }
+
+  /** IVF-clustered SemDeDup — the at-scale semantic dedup that the
+    * [[semanticDedup]] tripwire names (Abbas et al. 2023 run exactly this
+    * shape: k-means the corpus embeddings, then dedup WITHIN each
+    * cluster). Same output contract as [[semanticDedup]] — a per-vector
+    * decision table (vec_id, cluster_rep, kept) — but the candidate
+    * generator is the full Lloyd fit ([[kmeansAssignments]], the
+    * `emb_kmeans_fit` assignment) instead of the fixed 2⁸-cell sign grid:
+    * the centroid universe GROWS with the corpus (k = ⌈n/200⌉ seed rule),
+    * so cell occupancy stays ~200 and per-cell pairs stay
+    * occupancy-bounded at any corpus size — the property the fixed grid
+    * lacks (occupancy n/2⁸ ⇒ candidates ~n²/2⁸ past saturation; run M
+    * measured the 45+ GB spill at 200 k vectors). Per-cell scoring is a
+    * self-equi-join on c_id (shuffle carries n rows per side, pairs are
+    * generated and filtered inside the join — never materialized through
+    * an exchange), then the shared CC collapse ([[Dedup.ccLabels]]) and
+    * min-id representative rule. Approximation (a cross-cell near-dup
+    * pair is missed — SemDeDup's own trade) is deterministic arithmetic
+    * end-to-end, so the WHOLE pipeline is oracle-checked against the
+    * unrolled-Lloyd DuckDB twin, not trusted. */
+  def semanticDedupIvf(s: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansAssignments(s, dir, KmeansIters)
+    val pairs = assigned.select(col("c_id"), col("vec_id").as("a_id"), col("v").as("va"))
+      .join(assigned.select(col("c_id"), col("vec_id").as("b_id"), col("v").as("vb")),
+            Seq("c_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .filter(col("score") >= 0.4)
+    val labels = Dedup.ccLabels(pairs.select("a_id", "b_id"))
+      .withColumnRenamed("id", "vec_id")
+    embeddings(s, dir).select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("cluster_rep"),
+        (coalesce(col("lbl"), col("vec_id")) === col("vec_id")).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** [[semanticDedupIvf]]'s twin: the shared unrolled-Lloyd chain
+    * ([[kmeansCtes]] — the same CTEs the `emb_kmeans_fit` gate proved
+    * bit-identical) nested inside the pair CTE, then the recursive-CTE
+    * connected-components closure of [[semanticDedupSql]]. */
+  lazy val semanticDedupIvfSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  $kmeansCtes
+       |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM a3 x JOIN a3 y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+       |  WHERE list_dot_product(x.v, y.v) /
+       |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4
+       |),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+       |),
+       |lbl AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS rep
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT e.vec_id, coalesce(l.rep, e.vec_id) AS cluster_rep,
+       |       coalesce(l.rep, e.vec_id) = e.vec_id AS kept
+       |FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.vec_id
+       |ORDER BY e.vec_id""".stripMargin
 
   // ----------------------------------------------------------------- IVF
   private val NProbe = 2
@@ -1008,16 +1075,25 @@ object Similarity {
   private[graft] def kmeansAssignments(s: SparkSession, dir: String, iters: Int): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val e = embeddings(s, dir).select(col("vec_id"), col("v")).cache()
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+    // argmin per vector as min(struct(d2, c_id, v)) — lexicographic struct
+    // ordering is exactly the rank-1 window's (d2 asc, ties to c_id; c_id
+    // is unique per candidate so v is never compared), but a hash aggregate
+    // combines MAP-SIDE: the broadcast-nested-loop join emits n·k rows
+    // inside each input partition and the partial min collapses them to
+    // one row per local vec_id before any exchange. The window form
+    // shuffled all n·k rows WITH their 64-dim vectors — ~110 GB at the
+    // second-decade corpus (200 k vecs × 1 k centroids), the same cliff
+    // family run M measured elsewhere; the aggregate shuffles n narrow
+    // pre-reduced rows.
+    def assign(cent: DataFrame): DataFrame =
       e.join(broadcast(cent), lit(true))
         .withColumn("d2",
           dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv")) +
             dot(col("cv"), col("cv")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("vec_id"), col("v"), col("c_id"), col("d2"))
-    }
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("c_id"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.v").as("v"), col("m.c_id").as("c_id"),
+                col("m.d2").as("d2"))
     var cent = e.filter(col("vec_id") % 200 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     for (_ <- 1 until iters) {
@@ -1911,6 +1987,7 @@ object Similarity {
     "emb_neardup_srp_md5" -> (cosineNearDupSrpMd5 _),
     "emb_neardup_signgrid" -> (cosineNearDupSignGrid _),
     "semantic_dedup"       -> (semanticDedup _),
+    "semantic_dedup_ivf"   -> (semanticDedupIvf _),
     "semantic_decontaminate" -> (semanticDecontaminate _),
     "emb_quantize_int8"    -> (quantizeInt8 _)
   )
@@ -1944,6 +2021,7 @@ object Similarity {
     // the census over the md5 planes is fully deterministic cross-engine
     "ann_bucket_stats"     -> bucketStatsSql,
     "semantic_dedup"       -> semanticDedupSql,
+    "semantic_dedup_ivf"   -> semanticDedupIvfSql,
     "semantic_decontaminate" -> semanticDecontaminateSql,
     "emb_quantize_int8"    -> quantizeInt8Sql
     // lsh variants: hash-dependent bucketing → rows-only gate

@@ -396,6 +396,57 @@ class SimilaritySpec extends GraftSpec {
     assert(decisions.count(!_._3) > 0)
   }
 
+  test("semantic_dedup_ivf RUNS where the fixed-grid form refuses, with the same decision contract") {
+    // the run-R discipline: the tripwire's named remedy must actually run
+    // on a corpus the guarded form refuses — not just be named in prose
+    val key = "spark.graft.exactBaseline.maxRows"
+    spark.conf.set(key, "10")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.semanticDedup(spark, sf0001).collect()
+      }
+      assert(ex.getMessage.contains("semantic_dedup_ivf"), ex.getMessage)
+      // the IVF-clustered remedy runs on the SAME refused corpus: its
+      // candidate universe (kmeans cells) grows with the corpus, so it
+      // carries no tripwire
+      val decisions = Similarity.semanticDedupIvf(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      val total = Tables.embeddings(spark, sf0001).count()
+      assert(decisions.length == total, "every vector gets a decision row")
+      assert(decisions.forall { case (id, r, kept) => kept == (id == r) })
+      val keptSet = decisions.filter(_._3).map(_._1).toSet
+      assert(decisions.map(_._2).toSet.subsetOf(keptSet),
+        "every cluster_rep is itself kept")
+      assert(decisions.forall { case (id, r, _) => r <= id },
+        "min-label semantics: rep <= member")
+      // the harness fixture plants near-dups → something must be dropped
+      assert(decisions.count(!_._3) > 0)
+    } finally spark.conf.unset(key)
+  }
+
+  test("semantic_dedup_ivf pairs stage: within-cell pairs are a subset of exact cosine >= 0.4") {
+    // every (a,b) collapsed into one component must be a genuine exact
+    // near-dup pair (the kmeans cells only BLOCK; verification is exact),
+    // so non-singleton components never link vectors below the threshold
+    // unless transitively connected
+    val exact = Similarity.cosineNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val decisions = Similarity.semanticDedupIvf(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byRep = decisions.groupBy(_._2).values.filter(_.length > 1)
+    // within each component, at least a spanning set of exact pairs must
+    // exist: check every member participates in >= 1 exact pair with
+    // another member of the same component
+    byRep.foreach { comp =>
+      val ids = comp.map(_._1).toSet
+      ids.foreach { id =>
+        assert(ids.exists(o => o != id &&
+          (exact.contains((math.min(id, o), math.max(id, o))))),
+          s"member $id of component ${comp.head._2} has no exact near-dup edge inside it")
+      }
+    }
+  }
+
   test("int8 quantization: codes in range, quantization error within half a step") {
     val vecs = Tables.embeddings(spark, sf0001)
       .selectExpr("vec_id", "cast(embedding as array<double>) v")
