@@ -305,6 +305,12 @@ object Pipeline {
       .localCheckpoint()
     batch.unpersist(); kept.unpersist(); bArr.unpersist(); cArr.unpersist()
     rep.unpersist(); con.unpersist(); r2.unpersist(); r3.unpersist()
+    // the intermediate checkpoints fed `out`, which is itself checkpointed
+    // above — release their blocks now instead of at ContextCleaner
+    // leisure (they linger in the block manager across long banded
+    // streams / bench loops otherwise; the deleteProbeTables pattern)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(nearBase)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(nearBatch)
     out
   }
 
@@ -726,7 +732,18 @@ object Pipeline {
          "basekept", "r1", "r2", "psh", "psizes", "r3",
          "msh", "repflag", "decon", "allsh", "nearbase", "nearbatch")
       ++ extraPins)
-      .foldLeft(spliced)((s, c) => s.replace(s"$c AS (", s"$c AS MATERIALIZED ("))
+      .foldLeft(spliced) { (s, c) =>
+        val pinned = s.replace(s"$c AS (", s"$c AS MATERIALIZED (")
+        // a pin that matches nothing means a CTE was renamed out from
+        // under the list — the failure mode is unbounded re-inlining in
+        // the oracle, discovered only as a verify-time perf cliff; fail
+        // at object init instead ("bmbands"/"bmjoined" deliberately also
+        // substring-match the within-batch builder's "bbmbands"/
+        // "bbmjoined" — both need the pin)
+        require(pinned != s,
+          s"CTE pin '$c' matched nothing in the incremental-curation oracle")
+        pinned
+      }
   }
 
   val curateIncrementalSql: String =

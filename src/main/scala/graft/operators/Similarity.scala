@@ -623,7 +623,15 @@ object Similarity {
     * min-id representative rule. Approximation (a cross-cell near-dup
     * pair is missed — SemDeDup's own trade) is deterministic arithmetic
     * end-to-end, so the WHOLE pipeline is oracle-checked against the
-    * unrolled-Lloyd DuckDB twin, not trusted. */
+    * unrolled-Lloyd DuckDB twin, not trusted.
+    *
+    * Scale honesty: the Lloyd assignment itself is n·k work with
+    * k = n/200 under the seed rule — an n²/200 term. Measured (run S)
+    * it is still amortizing at the second decade (per-vector cost FALLS
+    * 0.72 → 0.42 ms across sf1 → sf10; 84.96 s at the 200 k-vector
+    * corpus the sign grid dies on), and at deployment the centroid
+    * count is frozen or √n-sampled exactly as the standing IVF build
+    * freezes its coarse quantizer — the operator shape is unchanged. */
   def semanticDedupIvf(s: SparkSession, dir: String): DataFrame = {
     val assigned = kmeansAssignments(s, dir, KmeansIters)
     val pairs = assigned.select(col("c_id"), col("vec_id").as("a_id"), col("v").as("va"))
@@ -1075,25 +1083,31 @@ object Similarity {
   private[graft] def kmeansAssignments(s: SparkSession, dir: String, iters: Int): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val e = embeddings(s, dir).select(col("vec_id"), col("v")).cache()
-    // argmin per vector as min(struct(d2, c_id, v)) — lexicographic struct
-    // ordering is exactly the rank-1 window's (d2 asc, ties to c_id; c_id
-    // is unique per candidate so v is never compared), but a hash aggregate
-    // combines MAP-SIDE: the broadcast-nested-loop join emits n·k rows
-    // inside each input partition and the partial min collapses them to
-    // one row per local vec_id before any exchange. The window form
-    // shuffled all n·k rows WITH their 64-dim vectors — ~110 GB at the
-    // second-decade corpus (200 k vecs × 1 k centroids), the same cliff
-    // family run M measured elsewhere; the aggregate shuffles n narrow
-    // pre-reduced rows.
-    def assign(cent: DataFrame): DataFrame =
-      e.join(broadcast(cent), lit(true))
-        .withColumn("d2",
-          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv")) +
-            dot(col("cv"), col("cv")))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("c_id"), col("v"))).as("m"))
-        .select(col("vec_id"), col("m.v").as("v"), col("m.c_id").as("c_id"),
+    // argmin per vector as min(struct(d2, c_id)) — lexicographic struct
+    // ordering is exactly the rank-1 window's (d2 asc, ties to c_id), and
+    // the partial aggregate collapses the n·k broadcast-join rows to one
+    // NARROW row per local vec_id before any exchange (the join emits a
+    // vector's k candidate rows inside one input partition). Two traps
+    // this formulation avoids, both measured fatal at the second-decade
+    // corpus (200 k vecs × 1 k centroids): the rank-1 window shuffles all
+    // n·k rows with their 64-dim vectors (~110 GB); and putting v INSIDE
+    // the min struct makes the struct-typed aggregate a SortAggregate
+    // whose per-partition partial sort again buffers n·k wide rows
+    // (measured: GC-locker death at sf10 under a 48 g heap). The narrow
+    // (d2, c_id) struct sorts 16-byte rows over input already clustered
+    // by vec_id; v is joined back at n rows.
+    def assign(cent: DataFrame): DataFrame = {
+      val m = e.join(broadcast(cent), lit(true))
+        .select(col("vec_id"),
+          struct(
+            (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv")) +
+              dot(col("cv"), col("cv"))).as("d2"),
+            col("c_id")).as("dc"))
+        .groupBy("vec_id").agg(min(col("dc")).as("m"))
+      e.join(m, "vec_id")
+        .select(col("vec_id"), col("v"), col("m.c_id").as("c_id"),
                 col("m.d2").as("d2"))
+    }
     var cent = e.filter(col("vec_id") % 200 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     for (_ <- 1 until iters) {

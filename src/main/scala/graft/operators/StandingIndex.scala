@@ -435,18 +435,74 @@ object StandingIndex {
     * their dfreq in-run (no footers to read) — they are the oracle
     * twins; a deployment runs THESE guarded indexed forms. */
   private val MaxMeanPrefixDfKey = "spark.graft.prefixProbe.maxMeanDf"
-  private def guardPrefixProbe(s: SparkSession, tag: String, p: String,
-                               what: String, alt: String): Unit = {
-    val max = s.conf.getOption(MaxMeanPrefixDfKey).map(_.toDouble).getOrElse(128.0)
+  private def maxMeanPrefixDf(s: SparkSession): Double =
+    s.conf.getOption(MaxMeanPrefixDfKey).map(_.toDouble).getOrElse(128.0)
+  private def meanPrefixDf(s: SparkSession, tag: String, p: String): Double = {
     val prefixRows = Tables.footerRowCountAt(s, tablePath(s, tag, s"${p}prefix"))
     val dfreqRows = Tables.footerRowCountAt(s, tablePath(s, tag, s"${p}dfreq")).max(1L)
-    val mean = prefixRows.toDouble / dfreqRows
+    prefixRows.toDouble / dfreqRows
+  }
+  private def guardPrefixProbe(s: SparkSession, tag: String, p: String,
+                               what: String, alt: String): Unit = {
+    val max = maxMeanPrefixDf(s)
+    val mean = meanPrefixDf(s, tag, p)
     require(mean <= max,
       f"$what: the standing prefix index has mean per-shingle df $mean%.0f " +
-      f"($prefixRows prefix rows over $dfreqRows distinct shingles) > $max%.0f — " +
+      f"(prefix rows over distinct shingles, parquet-footer statistic) > $max%.0f — " +
       "a near-fixed vocabulary at this corpus size makes the lossless prefix " +
       f"candidate stream ~quadratic (measured: 70+ GB spill at 100x rows). " +
       s"Use $alt at this vocabulary shape, or raise $MaxMeanPrefixDfKey deliberately.")
+  }
+
+  /** Last routing decision per "family/tag" — observability hook for the
+    * auto-routed probes below (the spec pins it; a deployment greps the
+    * log line). */
+  private[graft] val lastAutoRoute =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private lazy val autoLog = org.slf4j.LoggerFactory.getLogger("graft.StandingIndex")
+
+  /** Pick prefix vs banded from the SAME zero-job footer statistic the
+    * [[guardPrefixProbe]] refusal reads — so a deployment gets the right
+    * plan for its vocabulary shape without catching exceptions: growing
+    * vocabulary (mean prefix df under the threshold) → the lossless
+    * prefix probe; saturated vocabulary → the bucket-capped banded
+    * probe. The decision is logged and recorded in [[lastAutoRoute]]. */
+  private def autoRoute(s: SparkSession, tag: String, p: String,
+                        family: String): String = {
+    val mean = meanPrefixDf(s, tag, p)
+    val max = maxMeanPrefixDf(s)
+    val route = if (mean <= max) "prefix" else "banded"
+    lastAutoRoute.put(s"$family/$tag", route)
+    autoLog.info(f"$family: routed to $route probe " +
+      f"(mean prefix df $mean%.1f vs threshold $max%.0f, index $tag)")
+    route
+  }
+
+  /** Auto-routed standing dedup probe: [[incrementalDedupIndexed]] when
+    * the index's vocabulary is still growing, [[incrementalDedupBanded]]
+    * once it has saturated — same decision statistic as the guard, so
+    * this form NEVER refuses; it runs the plan the refusal would have
+    * named. At oracle scales the harness vocabulary routes to the
+    * prefix probe (mean df ≤ 40 vs threshold 128), so the gated output
+    * is [[Dedup.incrementalDedupSql]]'s; the banded route is spec-pinned
+    * equal to the banded query's gated output. */
+  def incrementalDedupAuto(s: SparkSession, dir: String): DataFrame = {
+    val tag = ensureBuilt(s, dir)
+    autoRoute(s, tag, "", "dedup_incremental_auto") match {
+      case "prefix" => incrementalDedupIndexed(s, dir)
+      case _        => incrementalDedupBanded(s, dir)
+    }
+  }
+
+  /** Auto-routed incremental curation — [[incrementalDedupAuto]]'s
+    * composed-pipeline sibling over the `cur*` index. */
+  def curateIncrementalAuto(s: SparkSession, dir: String): DataFrame = {
+    val tag = ensureCurationBuilt(s, dir)
+    autoRoute(s, tag, "cur", "pipeline_curate_incremental_auto") match {
+      case "prefix" => curateIncrementalIndexed(s, dir)
+      case _        => curateIncrementalBanded(s, dir)
+    }
   }
 
   def incrementalDedupIndexed(s: SparkSession, dir: String): DataFrame = {
@@ -745,9 +801,14 @@ object StandingIndex {
     val (out0, caches) = curateIndexedPlan(s, tag, batch0)
     // the decision table is tiny (one row per batch doc) — materialize it
     // eagerly so the fat caches can be released now (the bandedNearPairs
-    // pattern)
+    // pattern); checkpointed intermediates additionally need their
+    // RDD blocks dropped (runs once per micro-batch on the durable
+    // curation stream — leaked checkpoints would accumulate per batch)
     val out = out0.localCheckpoint()
-    caches.foreach(_.unpersist())
+    caches.foreach { c =>
+      c.unpersist()
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(c)
+    }
     out
   }
 
@@ -778,7 +839,10 @@ object StandingIndex {
                                                 batch0: DataFrame): DataFrame = {
     val (out0, caches) = curateIndexedPlan(s, tag, batch0, banded = true)
     val out = out0.localCheckpoint()
-    caches.foreach(_.unpersist())
+    caches.foreach { c =>
+      c.unpersist()
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(c)
+    }
     out
   }
 
@@ -1019,14 +1083,20 @@ object StandingIndex {
       .unionByName(nearBatch).unionByName(repDrop).unionByName(conDrop)
       .unionByName(admitted)
       .orderBy("doc_id")
-    (out, Seq(batch, bArr, exactBase, r2, r3, r4, r5, rep, con) ++ candCaches)
+    // nearBase rides along so callers can release its CHECKPOINT blocks
+    // (plain unpersist() consults only the SQL cache manager and misses
+    // LogicalRDD blocks — GraftShims.unpersistCheckpoint finds them)
+    (out, Seq(batch, bArr, exactBase, r2, r3, r4, r5, rep, con, nearBase)
+      ++ candCaches)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental_indexed" -> (incrementalDedupIndexed _),
     "dedup_incremental_banded" -> (incrementalDedupBanded _),
+    "dedup_incremental_auto" -> (incrementalDedupAuto _),
     "pipeline_curate_incremental_indexed" -> (curateIncrementalIndexed _),
-    "pipeline_curate_incremental_banded" -> (curateIncrementalBanded _)
+    "pipeline_curate_incremental_banded" -> (curateIncrementalBanded _),
+    "pipeline_curate_incremental_auto" -> (curateIncrementalAuto _)
   )
 
   /** Same oracle as `dedup_incremental` — the indexed probe's contract is
@@ -1037,7 +1107,12 @@ object StandingIndex {
   def oracles: Map[String, String] = Map(
     "dedup_incremental_indexed" -> Dedup.incrementalDedupSql,
     "dedup_incremental_banded" -> Dedup.incrementalDedupBandedSql,
+    // the harness vocabulary routes the auto forms to the prefix probe at
+    // every oracle scale (mean df ≤ 40 vs threshold 128), so their gated
+    // output is the prefix probes'; the banded route is spec-pinned
+    "dedup_incremental_auto" -> Dedup.incrementalDedupSql,
     "pipeline_curate_incremental_indexed" -> Pipeline.curateIncrementalSql,
-    "pipeline_curate_incremental_banded" -> Pipeline.curateIncrementalBandedSql
+    "pipeline_curate_incremental_banded" -> Pipeline.curateIncrementalBandedSql,
+    "pipeline_curate_incremental_auto" -> Pipeline.curateIncrementalSql
   )
 }

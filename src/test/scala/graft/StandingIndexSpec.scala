@@ -272,6 +272,38 @@ class StandingIndexSpec extends GraftSpec {
     assert(StandingIndex.incrementalDedupIndexed(spark, sf0001).count() > 0)
   }
 
+  test("auto-routed probes pick prefix vs banded from the footer statistic and equal the routed target") {
+    // the dispatcher uses the SAME zero-job statistic the guard reads, so
+    // a deployment gets the right plan without catching exceptions; both
+    // route choices are pinned, each against its gated target's output
+    val key = "spark.graft.prefixProbe.maxMeanDf"
+    val dedupTag = StandingIndex.ensureBuilt(spark, sf0001)
+    val curTag = StandingIndex.ensureCurationBuilt(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // growing-vocabulary shape (harness default): routes to prefix
+    assert(rows(StandingIndex.incrementalDedupAuto(spark, sf0001)) ==
+           rows(StandingIndex.incrementalDedupIndexed(spark, sf0001)))
+    assert(StandingIndex.lastAutoRoute.get(s"dedup_incremental_auto/$dedupTag") == "prefix")
+    assert(rows(StandingIndex.curateIncrementalAuto(spark, sf0001)) ==
+           rows(StandingIndex.curateIncrementalIndexed(spark, sf0001)))
+    assert(StandingIndex.lastAutoRoute.get(s"pipeline_curate_incremental_auto/$curTag") == "prefix")
+    // saturated-vocabulary shape (driven through the same statistic the
+    // guard spec uses: mean df above the threshold): routes to banded —
+    // and RUNS where the guarded form refuses
+    spark.conf.set(key, "0.1")
+    try {
+      intercept[IllegalArgumentException](
+        StandingIndex.incrementalDedupIndexed(spark, sf0001))
+      assert(rows(StandingIndex.incrementalDedupAuto(spark, sf0001)) ==
+             rows(StandingIndex.incrementalDedupBanded(spark, sf0001)))
+      assert(StandingIndex.lastAutoRoute.get(s"dedup_incremental_auto/$dedupTag") == "banded")
+      assert(rows(StandingIndex.curateIncrementalAuto(spark, sf0001)) ==
+             rows(StandingIndex.curateIncrementalBanded(spark, sf0001)))
+      assert(StandingIndex.lastAutoRoute.get(s"pipeline_curate_incremental_auto/$curTag") == "banded")
+    } finally spark.conf.unset(key)
+  }
+
   test("appended on-disk index decides identically to a fresh full index") {
     // index maintenance: build on corpus A, append corpus B, probe — must
     // equal a fresh index over A ∪ B (itself proven against an all-pairs

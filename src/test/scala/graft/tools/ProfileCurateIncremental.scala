@@ -1,18 +1,24 @@
 package graft.tools
 
 // Scratch stage profiler for pipeline_curate_incremental (not a test; run
-// via `sbt "Test/runMain graft.tools.ProfileCurateIncremental"`). Times
-// each stage of the incremental-curation build+probe in isolation so
+// via `sbt -J-Xmx16g "Test/runMain graft.tools.ProfileCurateIncremental"`).
+// The heap MUST come from the launcher (-J-Xmx16g): in local mode the
+// driver JVM is already running when the session is created, so a
+// spark.driver.memory config here would be silently ignored and the
+// stage timings would be skewed by the default sbt heap. Times each
+// stage of the incremental-curation build+probe in isolation so
 // optimization targets the measured hot stage, not a guess.
 object ProfileCurateIncremental {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.functions._
+    require(Runtime.getRuntime.maxMemory() > (8L << 30),
+      "launch with a >=16g heap (sbt -J-Xmx16g ...): local-mode sessions " +
+      "cannot raise driver memory after JVM start")
     val spark = SparkSession.builder()
       .appName("profile-curate-incremental").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
