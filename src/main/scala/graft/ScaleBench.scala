@@ -194,6 +194,10 @@ object ScaleBench {
     "pipeline_training_set_lsh"           -> 9.5,
     "pipeline_curate_incremental"         -> 9.5,
     "pipeline_curate_incremental_indexed" -> 12.5,
+    // provisional from the adversarial-corpus d2 (3.1x / 4.4x) until the
+    // heaps sf10 cells are measured this round (runs T/U)
+    "pipeline_curate_incremental_banded"  -> 5.5,
+    "dedup_incremental_banded"            -> 7.0,
     "semantic_dedup_ivf"                  -> 9.5)
 
   def main(args: Array[String]): Unit = {

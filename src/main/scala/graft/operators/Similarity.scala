@@ -838,6 +838,99 @@ object Similarity {
        |FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.n_id = t.n_id
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
 
+  /** Query-sample size for [[annRecallSampled]] — fixed, so the exact
+    * side stays |sample|·n (linear in the corpus) at any scale. */
+  private val RecallSampleQ = 32
+
+  /** Index acceptance at ANY corpus size: recall@[[K]] of the STANDING
+    * IVF index against exact ground truth computed for a content-stable
+    * md5-sliced query sample (lowest [[RecallSampleQ]] vec_ids by
+    * md5(vec_id), ties to vec_id — the `prep_*` content-stable
+    * convention). [[annRecallReport]] inherits the brute-force guard by
+    * design, so past the tripwire the index had no runnable acceptance
+    * check; this is how production recall evals actually run — exact
+    * top-k over the full corpus for a FIXED-SIZE drawn sample (one
+    * broadcast pass, |sample|·n scored pairs, linear in n; at 100 TB the
+    * per-query top-k window becomes the bounded-heap aggregate
+    * `ann_heap_topk` proves identical), index side served from the
+    * standing bucketed lists ([[ivfProbe]] — whose probe-equals-per-
+    * query-plan contract `ann_ivf_indexed` hash-gates). Both sides are
+    * deterministic → the whole report is oracle-checked, at every scale
+    * the driver runs. */
+  def annRecallSampled(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .orderBy(md5(col("q_id").cast("string")), col("q_id"))
+      .limit(RecallSampleQ)
+    val wT = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val truth = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(wT))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val tag = ensureAnnIndex(s, dir)
+    val approx = ivfProbe(s, tag, q)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits") / lit(K.toDouble), 6).as("recall_at_k"))
+      .orderBy("q_id")
+  }
+
+  val annRecallSampledSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $RecallSampleQ),
+       |truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, e.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             list_dot_product(q.qv, e.v) /
+       |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+       |             DESC, e.vec_id) AS rnk
+       |    FROM q JOIN e ON e.vec_id <> q.q_id
+       |  ) WHERE rnk <= $K
+       |),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 200 = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, c_id FROM (
+       |    SELECT e.vec_id, e.v, cent.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_dot_product(e.v, cent.cv) /
+       |               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+       |             DESC, cent.c_id) AS c_rnk
+       |    FROM e CROSS JOIN cent
+       |  ) WHERE c_rnk = 1
+       |),
+       |probes AS (
+       |  SELECT q_id, qv, c_id FROM (
+       |    SELECT q.q_id, q.qv, cent.c_id,
+       |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |             list_dot_product(q.qv, cent.cv) /
+       |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+       |             DESC, cent.c_id) AS p_rnk
+       |    FROM q CROSS JOIN cent
+       |  ) WHERE p_rnk <= $NProbe
+       |),
+       |approx AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT p.q_id, a.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |             list_dot_product(p.qv, a.v) /
+       |               (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))
+       |             DESC, a.vec_id) AS rnk
+       |    FROM probes p JOIN assigned a USING (c_id)
+       |    WHERE a.vec_id <> p.q_id
+       |  ) WHERE rnk <= $K
+       |)
+       |SELECT t.q_id,
+       |       CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       round(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) / $K.0, 6) AS recall_at_k
+       |FROM truth t LEFT JOIN approx a ON a.q_id = t.q_id AND a.n_id = t.n_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+
   // -------------------------------------------------- standing IVF index
   /** ANN index builds already done, keyed by (session, dir) — same memo
     * discipline as [[StandingIndex.ensureBuilt]]. */
@@ -1991,6 +2084,7 @@ object Similarity {
     "ann_ivf_topk"    -> (ivfTopK _),
     "ann_ivf_indexed" -> (ivfIndexedTopK _),
     "ann_recall_report" -> (annRecallReport _),
+    "ann_recall_sampled" -> (annRecallSampled _),
     "emb_label_centroids" -> (labelCentroids _),
     "emb_kmeans_fit"  -> (kmeansFit _),
     "emb_prune_prototypes" -> (pruneGroupPrototypes _),
@@ -2018,6 +2112,7 @@ object Similarity {
     "ann_heap_topk"  -> bruteForceTopKSql,
     "ann_ivf_topk"   -> ivfTopKSql,
     "ann_recall_report" -> annRecallReportSql,
+    "ann_recall_sampled" -> annRecallSampledSql,
     // the standing-index probe must reproduce the per-query plan's output
     // EXACTLY — same oracle, hash-compared (the dedup index's pattern)
     "ann_ivf_indexed" -> ivfTopKSql,

@@ -424,6 +424,28 @@ class SimilaritySpec extends GraftSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("sampled ANN recall runs past the exact-baseline tripwire with a fixed-size sample") {
+    // ann_recall_report inherits the brute-force guard by design, so past
+    // the tripwire index acceptance previously had no runnable form; the
+    // sampled report's exact side is |sample|*n — linear — and must run
+    // on a corpus the full report refuses
+    val key = "spark.graft.exactBaseline.maxRows"
+    spark.conf.set(key, "10")
+    try {
+      intercept[IllegalArgumentException](
+        Similarity.annRecallReport(spark, sf0001).collect())
+      val rows = Similarity.annRecallSampled(spark, sf0001).collect()
+      assert(rows.length == 32, "content-stable fixed-size sample")
+      rows.foreach { r =>
+        assert(r.getLong(1) >= 0 && r.getLong(1) <= 5)
+        assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      }
+      // the sample must hit SOME true neighbors (the IVF probe's measured
+      // recall at this scale is well above zero)
+      assert(rows.map(_.getLong(1)).sum > 0)
+    } finally spark.conf.unset(key)
+  }
+
   test("semantic_dedup_ivf pairs stage: within-cell pairs are a subset of exact cosine >= 0.4") {
     // every (a,b) collapsed into one component must be a genuine exact
     // near-dup pair (the kmeans cells only BLOCK; verification is exact),
