@@ -119,7 +119,10 @@ object ScaleBench {
     "pipeline_curate_incremental_banded"  -> 2.5,
     // round-16 measured 2.0x at 10x (1.68 -> 3.36 s — absolutes near
     // the noise floor, hence the wide ceiling)
-    "dedup_incremental_banded"            -> 3.5)
+    "dedup_incremental_banded"            -> 3.5,
+    // round-17 run S measured 2.5x at 10x (5.79 -> 14.42 s, sf1 pass
+    // under residual load; quiet probe 11.04)
+    "semantic_dedup_ivf"                  -> 4.0)
 
   /** Ceilings for the HEAPS-vocabulary corpus pair (round 16, task:
     * the realistic-text gate). Calibrated from the round-16 measured
@@ -146,7 +149,9 @@ object ScaleBench {
     // ~1.4x the worst observation, same discipline as ER-lsh above
     "pipeline_curate_incremental_banded"  -> 3.5,
     // round-16 measured 1.10x at 10x (2.67 -> 2.95 s, noise-floor range)
-    "dedup_incremental_banded"            -> 3.0)
+    "dedup_incremental_banded"            -> 3.0,
+    // embeddings are vocabulary-independent: same ceiling as harness
+    "semantic_dedup_ivf"                  -> 4.0)
 
   /** SECOND-decade (sf1 → sf10) growth ceilings — harness/adversarial
     * vocabulary. Round 16 measured the 100×-row corpus but gated only
