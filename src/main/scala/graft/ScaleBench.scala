@@ -262,8 +262,21 @@ object ScaleBench {
         "build_ann_idx"   -> (() => { graft.operators.Similarity.ensureAnnIndex(spark, dir); () }),
         "build_gram_idx"  -> (() => { graft.operators.SubstringDedup.ensureGramIndex(spark, dir); () }),
         "build_cur_idx"   -> (() => { graft.operators.StandingIndex.ensureCurationBuilt(spark, dir); () }))
+      // A guard refusal (exact-baseline tripwire, mean-df statistic) is a
+      // deliberate, instant, zero-job outcome at the over-scale corpora —
+      // record it as `refused` instead of crashing the sweep, so the full
+      // target list can ride a 3-dir run: the exact forms refuse sf10 BY
+      // DESIGN (their guard specs pin the behavior) while their banded
+      // twins measure. A d2-GATED family that refuses still fails the
+      // gate below (missing from the step's results).
+      def refusal(name: String, e: IllegalArgumentException): Option[Double] = {
+        System.err.println(s"[scale] $dir: $name REFUSED: ${e.getMessage.take(160)}")
+        None
+      }
       val builds = buildFns.collect {
-        case (name, fn) if want(name) => name -> time(fn())
+        case (name, fn) if want(name) =>
+          try name -> Some(time(fn()))
+          catch { case e: IllegalArgumentException => name -> refusal(name, e) }
       }
       val queries = targets.map { name =>
         val fn = SparkEntry.queries(name)
@@ -271,23 +284,33 @@ object ScaleBench {
           // progress marker: when a run dies mid-corpus (OOM, disk-full
           // spill), stderr names the query that was executing
           System.err.println(s"[scale] $dir: $name pass $i")
-          val t = time(fn(spark, dir).count())
-          spark.catalog.clearCache()
-          graft.operators.Ranks.releaseAll()
-          t
+          try {
+            val t = Some(time(fn(spark, dir).count()))
+            spark.catalog.clearCache()
+            graft.operators.Ranks.releaseAll()
+            t
+          } catch { case e: IllegalArgumentException => refusal(name, e) }
         }
         System.gc()
         name -> obs
       }
       val json =
         s"""{"dir":"$dir","n_docs":$nDocs,""" +
-        builds.map { case (k, v) => s""""$k":${r2(v)}""" }.mkString("", ",", if (builds.isEmpty) "" else ",") +
-        queries.map { case (k, os) =>
-          s""""$k":{"min":${r2(os.min)},"passes":[${os.map(r2).mkString(",")}]}"""
+        builds.map {
+          case (k, Some(v)) => s""""$k":${r2(v)}"""
+          case (k, None)    => s""""$k":"refused""""
+        }.mkString("", ",", if (builds.isEmpty) "" else ",") +
+        queries.map {
+          case (k, os) if os.forall(_.isDefined) =>
+            val ts = os.flatten
+            s""""$k":{"min":${r2(ts.min)},"passes":[${ts.map(r2).mkString(",")}]}"""
+          case (k, _) => s""""$k":{"refused":true}"""
         }.mkString("", ",", "") + "}"
       println(json)
       System.out.flush()
-      results += ((dir, nDocs, queries.map { case (k, os) => k -> os.min }.toMap))
+      results += ((dir, nDocs, queries.collect {
+        case (k, os) if os.forall(_.isDefined) => k -> os.flatten.min
+      }.toMap))
     }
     spark.stop()
     if (assertMode) {
@@ -307,10 +330,17 @@ object ScaleBench {
           val dataRatio = n1.toDouble / n0
           require(dataRatio >= 7 && dataRatio <= 13,
             f"--assert ceilings are calibrated for the ~10x step; got $d0 -> $d1 = $dataRatio%.1fx rows")
+          // a family with a ceiling for THIS step that refused (or died)
+          // at either end is a gate failure, not a silent skip — a
+          // regression that turns a gated family into a refusal must not
+          // pass the gate it used to be measured under
+          val missing = targets.filter(t => caps.contains(t) &&
+            !(q0.contains(t) && q1.contains(t)))
+            .map(t => s"d${step + 1} $t is ceiling-gated but refused/absent at $d0 or $d1")
           val gated = targets.filter(t => caps.contains(t) &&
             q0.contains(t) && q1.contains(t))
           gatedTotal += gated.size
-          gated.flatMap { t =>
+          missing ++ gated.flatMap { t =>
             val ratio = q1(t) / q0(t)
             val cap = caps(t)
             System.err.println(f"[scale-gate d${step + 1}] $t: ${q0(t)}%.2f s -> ${q1(t)}%.2f s " +
