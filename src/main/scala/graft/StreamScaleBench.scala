@@ -39,6 +39,17 @@ object StreamScaleBench {
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH_DOCS", "750").toInt
+    // optional topology subset (comma-separated names) — the sf10
+    // rehearsal drives the durable standing-table topologies without
+    // paying the 600-batch growing-index sweep each time; unknown names
+    // fail loudly (the ONLY-filter convention, commit 4f059a1)
+    val KnownTopologies =
+      Set("curate_banded", "curate", "curate_indexed", "curate_indexed_banded", "dedup")
+    val onlyTopos = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    onlyTopos.foreach(ts => ts.foreach(t =>
+      require(KnownTopologies(t), s"unknown topology in SPARK_GRAFT_STREAM_ONLY: $t")))
+    def wantTopo(name: String): Boolean = onlyTopos.forall(_.contains(name))
     var msId = 4200
     def drive[T: org.apache.spark.sql.Encoder](dir: String, name: String, items: Seq[T])
         (mk: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
@@ -75,13 +86,14 @@ object StreamScaleBench {
       // exact lex-prefix probe measured 2.53 → 19.6 s/batch over 60 sf1
       // batches — SCALE.md). Set SPARK_GRAFT_STREAM_EXACT=1 to also
       // drive the exact form for the A/B curve.
-      val benchSh = StreamingCurate.benchmarkShingles(
+      lazy val benchSh = StreamingCurate.benchmarkShingles(
         Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0))
       val curateDocs = docRows.filter(_._1 % 10 != 0).map(d => DocEvent(d._1, d._2))
-      drive(dir, "curate_banded", curateDocs) { ds =>
-        StreamingCurate.curateStream(ds, benchSh, banded = true) { (_, _) => () }
-      }
-      if (sys.env.get("SPARK_GRAFT_STREAM_EXACT").contains("1"))
+      if (wantTopo("curate_banded"))
+        drive(dir, "curate_banded", curateDocs) { ds =>
+          StreamingCurate.curateStream(ds, benchSh, banded = true) { (_, _) => () }
+        }
+      if (sys.env.get("SPARK_GRAFT_STREAM_EXACT").contains("1") && wantTopo("curate"))
         drive(dir, "curate", curateDocs) { ds =>
           StreamingCurate.curateStream(ds, benchSh) { (_, _) => () }
         }
@@ -92,34 +104,40 @@ object StreamScaleBench {
       // per-batch curve is what a deployment pays continuously. Probe
       // cost must track the batch; appends fragment files, which the
       // in-stream compaction cadence (every 8 appends) bounds.
-      val curTag = s"sscale_cur_${System.nanoTime()}"
-      graft.operators.StandingIndex.buildCurationFor(spark, dir, curTag)
-      drive(dir, "curate_indexed",
-        docRows.filter(d => d._1 % 10 != 0 && d._1 % 7 == 0)
-          .map(d => DocEvent(d._1, d._2))) { ds =>
-        StreamingCurate.curateIndexedStream(ds, curTag, compactEvery = 8) {
-          (_, _) => ()
+      if (wantTopo("curate_indexed")) {
+        val curTag = s"sscale_cur_${System.nanoTime()}"
+        graft.operators.StandingIndex.buildCurationFor(spark, dir, curTag)
+        drive(dir, "curate_indexed",
+          docRows.filter(d => d._1 % 10 != 0 && d._1 % 7 == 0)
+            .map(d => DocEvent(d._1, d._2))) { ds =>
+          StreamingCurate.curateIndexedStream(ds, curTag, compactEvery = 8) {
+            (_, _) => ()
+          }
         }
       }
       // 1c. the same durable topology through the BANDED probe (round 16)
       // — the adversarial-vocabulary stream; own standing tag so the
       // prefix run's appends don't seed this one's state
-      val curTagB = s"sscale_curb_${System.nanoTime()}"
-      graft.operators.StandingIndex.buildCurationFor(spark, dir, curTagB)
-      drive(dir, "curate_indexed_banded",
-        docRows.filter(d => d._1 % 10 != 0 && d._1 % 7 == 0)
-          .map(d => DocEvent(d._1, d._2))) { ds =>
-        StreamingCurate.curateIndexedStream(ds, curTagB, compactEvery = 8,
-          banded = true) { (_, _) => () }
+      if (wantTopo("curate_indexed_banded")) {
+        val curTagB = s"sscale_curb_${System.nanoTime()}"
+        graft.operators.StandingIndex.buildCurationFor(spark, dir, curTagB)
+        drive(dir, "curate_indexed_banded",
+          docRows.filter(d => d._1 % 10 != 0 && d._1 % 7 == 0)
+            .map(d => DocEvent(d._1, d._2))) { ds =>
+          StreamingCurate.curateIndexedStream(ds, curTagB, compactEvery = 8,
+            banded = true) { (_, _) => () }
+        }
       }
       // 2. standing-index dedup probe (index = 6/7 of the corpus, untimed)
-      val idx = StreamingDedup.buildStandingIndex(
-        Tables.documents(spark, dir).filter(col("doc_id") % 7 =!= 0))
-      drive(dir, "dedup",
-        docRows.filter(_._1 % 7 == 0).map(d => DocEvent(d._1, d._2))) { ds =>
-        StreamingDedup.incrementalDedupStream(ds, idx) { (df, _) => df.count(); () }
+      if (wantTopo("dedup")) {
+        val idx = StreamingDedup.buildStandingIndex(
+          Tables.documents(spark, dir).filter(col("doc_id") % 7 =!= 0))
+        drive(dir, "dedup",
+          docRows.filter(_._1 % 7 == 0).map(d => DocEvent(d._1, d._2))) { ds =>
+          StreamingDedup.incrementalDedupStream(ds, idx) { (df, _) => df.count(); () }
+        }
+        idx.release()
       }
-      idx.release()
       spark.catalog.clearCache()
       System.gc()
     }
