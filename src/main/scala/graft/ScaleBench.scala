@@ -262,6 +262,24 @@ object ScaleBench {
         "build_ann_idx"   -> (() => { graft.operators.Similarity.ensureAnnIndex(spark, dir); () }),
         "build_gram_idx"  -> (() => { graft.operators.SubstringDedup.ensureGramIndex(spark, dir); () }),
         "build_cur_idx"   -> (() => { graft.operators.StandingIndex.ensureCurationBuilt(spark, dir); () }))
+      // The per-run PREFIX-rebuild forms compute their dfreq in-run (no
+      // standing-index footers), so the mean-df guard cannot see them —
+      // and on the NEAR-FIXED (adversarial) vocabulary at 100x rows their
+      // lossless candidate stream is the measured 70+ GB disk-killer (run
+      // M, twice). The rehearsal harness knows the vocabulary mode from
+      // its own flag: skip exactly these two families on the adversarial
+      // corpora past the saturation decade, loudly. (On the heaps gate
+      // they RUN and are d2-gated — run T; a deployment runs the guarded
+      // indexed/auto/banded forms, as the guard scaladoc states.)
+      val perRunPrefixForms = Set("dedup_incremental", "pipeline_curate_incremental")
+      val skipUnguarded: Set[String] =
+        if (!heapsMode && nDocs > 100000)
+          perRunPrefixForms.intersect(targets.toSet)
+        else Set.empty
+      skipUnguarded.foreach(t => System.err.println(
+        s"[scale] $dir: $t SKIPPED (unguarded per-run prefix rebuild on a " +
+        "saturated vocabulary at 100x rows = the run-M 70+ GB spill; use the " +
+        "indexed/auto/banded forms at this shape)"))
       // A guard refusal (exact-baseline tripwire, mean-df statistic) is a
       // deliberate, instant, zero-job outcome at the over-scale corpora —
       // record it as `refused` instead of crashing the sweep, so the full
@@ -278,7 +296,7 @@ object ScaleBench {
           try name -> Some(time(fn()))
           catch { case e: IllegalArgumentException => name -> refusal(name, e) }
       }
-      val queries = targets.map { name =>
+      val queries = targets.filterNot(skipUnguarded).map { name =>
         val fn = SparkEntry.queries(name)
         val obs = (1 to 2).map { i =>
           // progress marker: when a run dies mid-corpus (OOM, disk-full
