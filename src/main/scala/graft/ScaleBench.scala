@@ -117,12 +117,15 @@ object ScaleBench {
     // round-16: the banded standing probe, measured 1.36x at 10x
     // (5.82 -> 7.93 s) on the adversarial corpus it exists for
     "pipeline_curate_incremental_banded"  -> 2.5,
-    // round-16 measured 2.0x at 10x (1.68 -> 3.36 s — absolutes near
-    // the noise floor, hence the wide ceiling)
-    "dedup_incremental_banded"            -> 3.5,
-    // round-17 run S measured 2.5x at 10x (5.79 -> 14.42 s, sf1 pass
-    // under residual load; quiet probe 11.04)
-    "semantic_dedup_ivf"                  -> 4.0)
+    // measured 2.0x (r16, 1.68 -> 3.36) and 4.34x (r17 close, 0.85 ->
+    // 3.70): the sf0.1 denominator is sub-second and swings 2x across
+    // quiet same-HEAD runs, so the ceiling sits at ~1.4x the worst
+    // observation (the ER-lsh discipline), not 1.6x a single run
+    "dedup_incremental_banded"            -> 6.0,
+    // measured 2.5x / 4.17x across three same-HEAD runs (sf1
+    // observations swing 11.04-23.73 s with identical plans) — ~1.4x
+    // the worst observation
+    "semantic_dedup_ivf"                  -> 6.0)
 
   /** Ceilings for the HEAPS-vocabulary corpus pair (round 16, task:
     * the realistic-text gate). Calibrated from the round-16 measured
@@ -148,10 +151,12 @@ object ScaleBench {
     // sf0.1 denominator swings 5.15-7.10 s on this host) — ceiling at
     // ~1.4x the worst observation, same discipline as ER-lsh above
     "pipeline_curate_incremental_banded"  -> 3.5,
-    // round-16 measured 1.10x at 10x (2.67 -> 2.95 s, noise-floor range)
-    "dedup_incremental_banded"            -> 3.0,
+    // round-16 measured 1.10x at 10x (2.67 -> 2.95 s, noise-floor
+    // range); run T's contended 3.37x shows the sub-second denominator
+    // swing — harness discipline applies (~1.4x worst observation)
+    "dedup_incremental_banded"            -> 5.0,
     // embeddings are vocabulary-independent: same ceiling as harness
-    "semantic_dedup_ivf"                  -> 4.0)
+    "semantic_dedup_ivf"                  -> 6.0)
 
   /** SECOND-decade (sf1 → sf10) growth ceilings — harness/adversarial
     * vocabulary. Round 16 measured the 100×-row corpus but gated only
