@@ -798,17 +798,18 @@ object StandingIndex {
     * private tags route through here. */
   private[graft] def curateIncrementalIndexedFor(s: SparkSession, tag: String,
                                                  batch0: DataFrame): DataFrame = {
-    val (out0, caches) = curateIndexedPlan(s, tag, batch0)
+    val (out0, caches, ckpts) = curateIndexedPlan(s, tag, batch0)
     // the decision table is tiny (one row per batch doc) — materialize it
     // eagerly so the fat caches can be released now (the bandedNearPairs
-    // pattern); checkpointed intermediates additionally need their
-    // RDD blocks dropped (runs once per micro-batch on the durable
-    // curation stream — leaked checkpoints would accumulate per batch)
+    // pattern); the plan's OWN checkpoints additionally need their RDD
+    // blocks dropped (runs once per micro-batch on the durable curation
+    // stream — leaked checkpoints would accumulate per batch). Only the
+    // plan's own: unpersistCheckpoint digs to the first LogicalRDD, and
+    // aiming it at a cache would release the CALLER's checkpointed input
+    // (the stream's micro-batch frame) out from under the append stage.
     val out = out0.localCheckpoint()
-    caches.foreach { c =>
-      c.unpersist()
-      org.apache.spark.sql.GraftShims.unpersistCheckpoint(c)
-    }
+    caches.foreach(_.unpersist())
+    ckpts.foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
     out
   }
 
@@ -837,12 +838,10 @@ object StandingIndex {
     * [[curateIncrementalIndexedFor]]. */
   private[graft] def curateIncrementalBandedFor(s: SparkSession, tag: String,
                                                 batch0: DataFrame): DataFrame = {
-    val (out0, caches) = curateIndexedPlan(s, tag, batch0, banded = true)
+    val (out0, caches, ckpts) = curateIndexedPlan(s, tag, batch0, banded = true)
     val out = out0.localCheckpoint()
-    caches.foreach { c =>
-      c.unpersist()
-      org.apache.spark.sql.GraftShims.unpersistCheckpoint(c)
-    }
+    caches.foreach(_.unpersist())
+    ckpts.foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
     out
   }
 
@@ -937,7 +936,7 @@ object StandingIndex {
   private[graft] def curateIndexedPlan(s: SparkSession, tag: String,
                                        batch0: DataFrame,
                                        banded: Boolean = false)
-      : (DataFrame, Seq[DataFrame]) = {
+      : (DataFrame, Seq[DataFrame], Seq[DataFrame]) = {
     def idx(name: String): DataFrame = s.table(s"graft_idx_cur${name}_$tag")
     val t = Threshold
     // the banded probe is the guard's named remedy — its candidate volume
@@ -1083,11 +1082,13 @@ object StandingIndex {
       .unionByName(nearBatch).unionByName(repDrop).unionByName(conDrop)
       .unionByName(admitted)
       .orderBy("doc_id")
-    // nearBase rides along so callers can release its CHECKPOINT blocks
-    // (plain unpersist() consults only the SQL cache manager and misses
-    // LogicalRDD blocks — GraftShims.unpersistCheckpoint finds them)
-    (out, Seq(batch, bArr, exactBase, r2, r3, r4, r5, rep, con, nearBase)
-      ++ candCaches)
+    // nearBase returns in its own slot so callers can release its
+    // CHECKPOINT blocks precisely (plain unpersist() consults only the
+    // SQL cache manager and misses LogicalRDD blocks; aiming
+    // unpersistCheckpoint at the caches would dig through to the
+    // caller's own checkpointed input frame)
+    (out, Seq(batch, bArr, exactBase, r2, r3, r4, r5, rep, con) ++ candCaches,
+      Seq(nearBase))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -226,7 +226,7 @@ class StandingIndexSpec extends GraftSpec {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val (probe, caches) = StandingIndex.curateIndexedPlan(spark, tag, batch)
+      val (probe, caches, planCkpts) = StandingIndex.curateIndexedPlan(spark, tag, batch)
       probe.collect()
       val plan = probe.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), plan.take(1200))
@@ -436,7 +436,7 @@ class StandingIndexSpec extends GraftSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val batch = Tables.documents(spark, sf0001)
         .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
-      val (probe, caches) = StandingIndex.curateIndexedPlan(spark, tag, batch)
+      val (probe, caches, planCkpts) = StandingIndex.curateIndexedPlan(spark, tag, batch)
       probe.collect()
       val plan = probe.queryExecution.executedPlan.toString
       assert(plan.contains("graft_idx_cur"), plan.take(800))
