@@ -92,6 +92,7 @@ object Bench {
     graft.operators.Similarity.ensureAnnIndex(spark, sfDir)
     graft.operators.SubstringDedup.ensureGramIndex(spark, sfDir)
     graft.operators.StandingIndex.ensureCurationBuilt(spark, sfDir)
+    graft.operators.Similarity.ensureSemDedupIndex(spark, sfDir)
     val standingBuildSec = (System.nanoTime() - buildT0) / 1e9
     System.err.println(f"[bench] standing-index builds: $standingBuildSec%.2f s (untimed setup)")
     val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "4").toInt.max(1)
@@ -299,6 +300,12 @@ object Bench {
     val passTotals = (0 until passes).map(p => obs.values.map(os => os(p).elapsed).sum)
     val total = if (minByQ.nonEmpty) minByQ.values.sum else 0.0
     val bySlowest = minByQ.toSeq.sortBy { case (k, v) => (-v, k) }
+    // which plan each auto-routed query actually ran (r17 verdict task 7:
+    // observability to the artifact layer, so a route flip across rounds
+    // is diffable from BENCH_r{N}.json / BENCH_FULL.json alone)
+    val routesJson = graft.operators.StandingIndex.autoRouteSummary.toSeq.sorted
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val routesInline = if (routesJson == "{}") "" else s""""routes":$routesJson,"""
     scala.util.Try {
       val qsFull = bySlowest.map { case (k, _) =>
         val os = obs(k)
@@ -318,6 +325,7 @@ object Bench {
           else "") +
          s""""n_contended":${contendedQ.size},"contended_frac_threshold":$ContendedFrac,""" +
          s""""load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},""" +
+         routesInline +
          s""""queries":$qsFull,"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
     }.recover { case e => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     // chars for the queries map: the whole line must survive the driver's
@@ -325,7 +333,7 @@ object Bench {
     // (variable: ~120 chars/topology, and absent entirely when skipped)
     // plus ~330 chars of fixed prefix/suffix from the 2000 budget, with a
     // floor so at least the slowest queries always appear
-    val rawBudget = 2000 - 330 -
+    val rawBudget = 2000 - 330 - routesInline.length -
       (if (streamingJson.nonEmpty) streamingJson.length + 14 else 0)
     // if the streaming blob alone eats past the floor, the whole line
     // would exceed the driver's 2000-char tail capture and truncate at
@@ -338,7 +346,7 @@ object Bench {
           "would overflow the 2000-char tail line — omitted inline, see BENCH_FULL.json")
         ""
       }
-    val budget = math.max(400, 2000 - 330 -
+    val budget = math.max(400, 2000 - 330 - routesInline.length -
       (if (streamingInline.nonEmpty) streamingInline.length + 14 else 0))
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2
@@ -354,7 +362,7 @@ object Bench {
       (if (omitted.nonEmpty)
          Seq("\"_omitted_fast\":{\"n\":" + omitted.length + ",\"sum\":" + r2(omitted.map(_._2).sum) + "}")
        else Nil)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${minByQ.size},"passes":$passes,"pass1_total":${r2(passTotals.head)},"standing_build_sec":${r2(standingBuildSec)},${if (streamingInline.nonEmpty) s"\"streaming\":$streamingInline," else ""}"n_contended":${contendedQ.size},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${minByQ.size},"passes":$passes,"pass1_total":${r2(passTotals.head)},"standing_build_sec":${r2(standingBuildSec)},${if (streamingInline.nonEmpty) s"\"streaming\":$streamingInline," else ""}$routesInline"n_contended":${contendedQ.size},"load_start":${r2(loadStart)},"load_end":${r2(loadEnd)},"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

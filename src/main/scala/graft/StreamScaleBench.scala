@@ -93,7 +93,13 @@ object StreamScaleBench {
         drive(dir, "curate_banded", curateDocs) { ds =>
           StreamingCurate.curateStream(ds, benchSh, banded = true) { (_, _) => () }
         }
-      if (sys.env.get("SPARK_GRAFT_STREAM_EXACT").contains("1") && wantTopo("curate"))
+      // the exact form is opt-in (SPARK_GRAFT_STREAM_EXACT=1 for the A/B
+      // curve) — but naming it EXPLICITLY in SPARK_GRAFT_STREAM_ONLY is
+      // the same opt-in: an explicitly requested topology must run, not
+      // silently no-op behind a second flag
+      val wantExact = sys.env.get("SPARK_GRAFT_STREAM_EXACT").contains("1") ||
+        onlyTopos.exists(_.contains("curate"))
+      if (wantExact && wantTopo("curate"))
         drive(dir, "curate", curateDocs) { ds =>
           StreamingCurate.curateStream(ds, benchSh) { (_, _) => () }
         }

@@ -94,6 +94,12 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/no_oracle_gate.json"),
       gateRecords.sorted.mkString("{", ",", "}"))
+    // which plan each auto-routed query actually ran (r17 verdict task 7:
+    // the route choice was only an in-process map + log line; as a dump
+    // artifact a route flip across rounds is diffable like everything else)
+    Files.writeString(Paths.get(s"$outDir/routes.json"),
+      graft.operators.StandingIndex.autoRouteSummary.toSeq.sorted
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
     if (gateViolations.nonEmpty) {
       gateViolations.foreach(v => System.err.println(s"[no-oracle gate] $v"))

@@ -1520,7 +1520,8 @@ object Dedup {
     // exact full-set verification of the prefix-filtered candidates: join
     // both arrays back, score, keep ≥ t, best corpus match per batch doc
     // (highest Jaccard, ties to lowest corpus_id)
-    val best = incrementalNearCandidates(bArr, cArr, 0.5)
+    val best = incrementalNearCandidates(bArr, cArr, 0.5,
+        "dedup_incremental", "dedup_incremental_banded (the banded standing probe)")
       .join(bArr.select(col("batch_id"), col("sh").as("sb"), col("nb")), "batch_id")
       .join(cArr.select(col("corpus_id"), col("sh").as("sc"), col("nc")), "corpus_id")
       .withColumn("c", size(array_intersect(col("sb"), col("sc"))).cast("long"))
@@ -1545,9 +1546,25 @@ object Dedup {
     * prefix(c) ≠ ∅ under the shared order. The symmetric length filter
     * (t·|b| ≤ |c| ∧ t·|c| ≤ |b|) prunes before the distinct. Inputs are
     * (id, sh array, size) frames; output (batch_id, corpus_id) pairs for
-    * exact verification. */
+    * exact verification.
+    *
+    * SATURATION GUARD (round 18 — the last unguarded Σ df²-class path):
+    * the per-run rebuild forms compute their dfreq in-run, so the
+    * standing-index footer guard cannot see them — on a saturated
+    * vocabulary at 100× rows they scheduled the measured 70+ GB
+    * disk-filling spill (SCALE.md run M/U) that every standing sibling
+    * already refuses. Before committing to the candidate join (the
+    * quadratic stage), this computes the SAME statistic the footer guard
+    * reads — corpus-side prefix rows over distinct shingles — from the
+    * two frames the prefix path materializes anyway (the cached prefix
+    * index and the cached dfreq), and refuses over the shared threshold
+    * naming `alt` (the banded twin, which RUNS on the refused corpus —
+    * spec-pinned). Cost: the two counts materialize caches the join
+    * would fill one job later; the statistic itself is free. */
   private[graft] def incrementalNearCandidates(bArr: DataFrame, cArr: DataFrame,
-                                               t: Double): DataFrame = {
+                                               t: Double,
+                                               what: String = "incremental near candidates",
+                                               alt: String = "the banded standing probe"): DataFrame = {
     // ONE side-tagged union builds both prefix indexes in a single df-join
     // + groupBy pipeline (two per-side pipelines would pay the df join and
     // the per-doc re-sort twice); the cached exploded index is then split
@@ -1558,7 +1575,9 @@ object Dedup {
         explode(col("sh")).as("s"))
       .unionByName(cArr.select(col("corpus_id").as("id"), lit(false).as("isB"),
         explode(col("sh")).as("s")))
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // dfreq cached: the guard below counts it (distinct-shingle
+    // denominator) and the prefix-index join reads it — one computation
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df")).cache()
     val idx = sh.join(dfreq, "s")
       .groupBy("id", "isB")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
@@ -1568,6 +1587,27 @@ object Dedup {
       .select(col("id"), col("isB"), col("n"), explode(col("pf")).as("e"))
       .select(col("id"), col("isB"), col("n"), col("e.s").as("s"))
       .cache()
+    // in-run saturation guard — computing dfreq is linear in total
+    // shingle rows (safe at any vocabulary shape); the CANDIDATE JOIN
+    // below is the Σ dfB·dfC stage the guard exists to stop. The
+    // numerator (corpus-side prefix rows) is ANALYTIC — each doc with
+    // n ≥ 1 shingles contributes exactly n − ⌈t·n⌉ + 1 prefix rows — so
+    // a refusal pays one agg over the cached size column plus the dfreq
+    // count (which fills the cache the prefix join reads on pass),
+    // never the index materialization. Measured on the real corpora
+    // (ProbeSaturationStat, round 18): harness sf0.1 = 4.2, sf1 = 39.6,
+    // heaps sf10 = 0.6, adversarial sf10 = 396 — identical to the
+    // standing footer statistic, so the shared 128 threshold transfers.
+    val prefixRows = cArr
+      .select(size(col("sh")).cast("long").as("n"))
+      .select(when(col("n") > 0,
+        col("n") - ceil(lit(t) * col("n")).cast("long") + 1L)
+        .otherwise(lit(0L)).as("p"))
+      .agg(coalesce(sum("p"), lit(0L)).as("p")).head.getLong(0)
+    val dfreqRows = dfreq.count().max(1L)
+    StandingIndex.guardMeanPrefixDf(bArr.sparkSession,
+      prefixRows.toDouble / dfreqRows,
+      "computed in-run before the candidate join", what, alt)
     idx.filter(col("isB"))
       .select(col("id").as("batch_id"), col("n").as("bn"), col("s"))
       .join(idx.filter(!col("isB"))

@@ -252,7 +252,9 @@ object Pipeline {
     val cArr = Dedup.shingleArrays(kept).select(
       col("doc_id").as("corpus_id"), col("sh"),
       size(col("sh")).cast("long").as("nc")).cache()
-    val nearBase = Dedup.incrementalNearCandidates(bArr, cArr, 0.5)
+    val nearBase = Dedup.incrementalNearCandidates(bArr, cArr, 0.5,
+        "pipeline_curate_incremental",
+        "pipeline_curate_incremental_banded (the banded standing probe)")
       .join(bArr.select(col("batch_id"), col("sh").as("sb"), col("nb")), "batch_id")
       .join(cArr.select(col("corpus_id"), col("sh").as("sc"), col("nc")), "corpus_id")
       .withColumn("c", size(array_intersect(col("sb"), col("sc"))).cast("long"))

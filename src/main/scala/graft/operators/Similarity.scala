@@ -629,9 +629,10 @@ object Similarity {
     * k = n/200 under the seed rule — an n²/200 term. Measured (run S)
     * it is still amortizing at the second decade (per-vector cost FALLS
     * 0.72 → 0.42 ms across sf1 → sf10; 84.96 s at the 200 k-vector
-    * corpus the sign grid dies on), and at deployment the centroid
-    * count is frozen or √n-sampled exactly as the standing IVF build
-    * freezes its coarse quantizer — the operator shape is unchanged. */
+    * corpus the sign grid dies on), and the deployment form — centroids
+    * FROZEN into a standing bucketed table, delta-sized per-run work —
+    * is the GATED [[semanticDedupIvfIndexed]] (round 18), so the Lloyd
+    * term never reaches a day-2 pipeline. */
   def semanticDedupIvf(s: SparkSession, dir: String): DataFrame = {
     val assigned = kmeansAssignments(s, dir, KmeansIters)
     val pairs = assigned.select(col("c_id"), col("vec_id").as("a_id"), col("v").as("va"))
@@ -679,6 +680,218 @@ object Similarity {
        |       coalesce(l.rep, e.vec_id) = e.vec_id AS kept
        |FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.vec_id
        |ORDER BY e.vec_id""".stripMargin
+
+  // ----------------------------- standing semantic-dedup index (round 18)
+
+  /** Semantic-dedup index builds done, keyed by (session, dir) — the
+    * [[ensureAnnIndex]] memo discipline. */
+  private val semBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** Materialize [[semanticDedupIvfIndexed]]'s standing half: the FROZEN
+    * coarse quantizer (`semc`) and the centroid-assigned BASE vectors
+    * (`sema`, bucketed by cell id), built once per (session, corpus) over
+    * the base split (vec_id % 7 != 0 — the same daily-delta convention as
+    * `dedup_incremental`). Centroids are the deterministic base subset
+    * vec_id % 200 == 0 — exactly the [[buildAnnFor]] rule, so the whole
+    * index is engine-reproducible and the probe fully oracle-checked; at
+    * deployment the subset rule is a k-means fit, but the operator shape
+    * (frozen quantizer + bucketed lists) is identical. This is the
+    * deployment form the [[semanticDedupIvf]] scaladoc promises: the
+    * per-run Lloyd fit (n·k with k = n/200, an n²/200 term) leaves the
+    * gated path — day-2 semantic dedup pays ONLY delta-sized work. */
+  def ensureSemDedupIndex(s: SparkSession, dir: String): String =
+    semBuilt.synchronized {
+      val k = (s, dir)
+      val existing = semBuilt.get(k)
+      if (existing != null) existing
+      else if ({ val t = StandingIndex.tagOf(dir)
+                 Seq(s"graft_idx_semc_$t", s"graft_idx_sema_$t")
+                   .forall(s.catalog.tableExists) }) {
+        val tag = StandingIndex.tagOf(dir); semBuilt.put(k, tag); tag
+      } else {
+        val tag = StandingIndex.tagOf(dir)
+        buildSemDedupFor(embeddings(s, dir).filter(col("vec_id") % 7 =!= 0), tag)
+        semBuilt.put(k, tag)
+        tag
+      }
+    }
+
+  /** Write the frozen-centroid + assigned-base tables for `base` under
+    * `tag` (overwrite) — exposed within the package so specs can index
+    * arbitrary corpora (the [[StandingIndex.buildFor]] pattern). */
+  private[graft] def buildSemDedupFor(base: DataFrame, tag: String): Unit = {
+    val cent = base.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    StandingIndex.save(cent, tag, "semc", "c_id", "overwrite")
+    StandingIndex.save(assignToCentroids(base, cent), tag, "sema", "c_id",
+      "overwrite")
+  }
+
+  /** Append newly-embedded vectors to the standing semantic-dedup index:
+    * assign against the FROZEN stored centroids (broadcast; one narrow
+    * pass over the batch), bucket-append to `sema` — the
+    * [[appendAnnFor]] lifecycle. `SimilaritySpec` asserts a probe over
+    * build(A)+append(B) equals a fresh index with the same centroid
+    * set. */
+  private[graft] def appendSemDedupFor(s: SparkSession, tag: String,
+                                       vecs: DataFrame): Unit =
+    semBuilt.synchronized {
+      val cent = s.table(s"graft_idx_semc_$tag")
+      StandingIndex.save(assignToCentroids(vecs, cent), tag, "sema", "c_id",
+        "append")
+    }
+
+  /** Delete vectors from the standing semantic-dedup index — anti-join
+    * out of the bucketed lists, centroids FROZEN (the [[deleteAnnFor]]
+    * semantics and privacy boundary: forgetting a vector the quantizer
+    * was trained on is a retrain = rebuild). */
+  private[graft] def deleteSemDedupFor(s: SparkSession, tag: String,
+                                       ids: DataFrame): Unit =
+    semBuilt.synchronized {
+      val kept = s.table(s"graft_idx_sema_$tag")
+        .join(broadcast(ids.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      StandingIndex.save(kept, tag, "sema", "c_id", "overwrite")
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(kept)
+    }
+
+  /** Incremental IVF SemDeDup from the standing index — the day-2 form
+    * of [[semanticDedupIvf]] (r17 verdict task 5): the delta sliver
+    * (vec_id % 7 == 0) is assigned against the FROZEN stored centroids
+    * and deduplicated against the standing base lists, so the per-run
+    * cost is delta-sized — no Lloyd re-fit, no base re-scan beyond the
+    * bucketed cells the delta actually touches (the pair joins key on
+    * c_id, so only occupied delta cells participate, and the `sema` side
+    * reads bucket-local). Two stages, in the
+    * [[Pipeline.curateIncremental]] stage order:
+    *
+    *  1. base hit — best standing base vector with cosine ≥ 0.4 in the
+    *     delta vector's cell (highest score, ties to lowest base id);
+    *  2. delta CC — remaining delta vectors pair within their cells
+    *     (exact cosine ≥ 0.4, generated inside the c_id equi-join) and
+    *     collapse by connected components to the component min.
+    *
+    * Output contract matches [[semanticDedup]]: one row per DELTA vector
+    * (vec_id, cluster_rep, kept) with cluster_rep the stage-1 base match,
+    * else the stage-2 component label, else self. Incremental semantics
+    * on purpose (a component cannot bridge through a base-matched delta
+    * vector — the [[Dedup.incrementalDedup]] trade); the oracle pins the
+    * incremental result row-for-row, and the lifecycle specs pin
+    * append/delete-then-probe equal to a same-centroid rebuild. */
+  def semanticDedupIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val tag = ensureSemDedupIndex(s, dir)
+    semanticDedupIvfIndexedFor(s, tag,
+      embeddings(s, dir).filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), col("v")))
+  }
+
+  /** [[semanticDedupIvfIndexed]] against an arbitrary standing tag and
+    * delta frame — the lifecycle specs probe appended/deleted indexes
+    * through this (the [[StandingIndex]] `...For` pattern). */
+  private[graft] def semanticDedupIvfIndexedFor(s: SparkSession, tag: String,
+                                                delta: DataFrame): DataFrame = {
+    val cent = s.table(s"graft_idx_semc_$tag")
+    val lists = s.table(s"graft_idx_sema_$tag")
+    // frozen assignment: the tiny centroid table broadcasts; one narrow
+    // pass over the delta. Cached: feeds stage 1, the anti-join, and
+    // both sides of the stage-2 pair join.
+    val dAssigned = assignToCentroids(delta, cent).cache()
+    val wBest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("b_id"))
+    val baseHit = dAssigned
+      .join(lists.select(col("c_id"), col("vec_id").as("b_id"), col("v").as("bv")),
+            Seq("c_id"))
+      .withColumn("score", cosine(col("v"), col("bv")))
+      .filter(col("score") >= 0.4)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("b_id").as("base_rep"))
+      .cache()
+    val r2 = dAssigned.join(baseHit.select("vec_id"), Seq("vec_id"), "left_anti")
+    val pairs = r2.select(col("c_id"), col("vec_id").as("a_id"), col("v").as("va"))
+      .join(r2.select(col("c_id"), col("vec_id").as("b_id"), col("v").as("vb")),
+            Seq("c_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("va"), col("vb")) >= 0.4)
+    val ccRep = Dedup.ccLabels(pairs.select("a_id", "b_id"))
+      .withColumnRenamed("id", "vec_id")
+    delta.select(col("vec_id"))
+      .join(baseHit, Seq("vec_id"), "left")
+      .join(ccRep, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("base_rep"), col("lbl"), col("vec_id")).as("cluster_rep"),
+        (coalesce(col("base_rep"), col("lbl"), col("vec_id")) === col("vec_id"))
+          .as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** [[semanticDedupIvfIndexed]]'s twin: the frozen base quantizer +
+    * both assignments as plain CTEs (the deterministic % 200 centroid
+    * rule needs no Lloyd unrolling), stage-1 best-base-match, then the
+    * recursive-CC closure over the remaining delta. */
+  val semanticDedupIvfIndexedSql: String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |base AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+       |delta AS (SELECT * FROM e WHERE vec_id % 7 = 0),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id % 200 = 0),
+       |ab AS (
+       |  SELECT vec_id, v, c_id FROM (
+       |    SELECT b.vec_id, b.v, cent.c_id,
+       |           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |             ${cos("b.v", "cent.cv")} DESC, cent.c_id) AS rnk
+       |    FROM base b CROSS JOIN cent
+       |  ) WHERE rnk = 1
+       |),
+       |ad AS (
+       |  SELECT vec_id, v, c_id FROM (
+       |    SELECT d.vec_id, d.v, cent.c_id,
+       |           row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |             ${cos("d.v", "cent.cv")} DESC, cent.c_id) AS rnk
+       |    FROM delta d CROSS JOIN cent
+       |  ) WHERE rnk = 1
+       |),
+       |basehit AS (
+       |  SELECT vec_id, b_id AS base_rep FROM (
+       |    SELECT d.vec_id, a.vec_id AS b_id,
+       |           row_number() OVER (PARTITION BY d.vec_id ORDER BY
+       |             ${cos("d.v", "a.v")} DESC, a.vec_id) AS rn
+       |    FROM ad d JOIN ab a USING (c_id)
+       |    WHERE ${cos("d.v", "a.v")} >= 0.4
+       |  ) WHERE rn = 1
+       |),
+       |r2 AS (
+       |  SELECT * FROM ad WHERE vec_id NOT IN (SELECT vec_id FROM basehit)
+       |),
+       |pairs AS (
+       |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM r2 x JOIN r2 y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+       |  WHERE ${cos("x.v", "y.v")} >= 0.4
+       |),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+       |),
+       |lbl AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS rep
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT d.vec_id,
+       |       coalesce(h.base_rep, l.rep, d.vec_id) AS cluster_rep,
+       |       coalesce(h.base_rep, l.rep, d.vec_id) = d.vec_id AS kept
+       |FROM delta d
+       |LEFT JOIN basehit h ON h.vec_id = d.vec_id
+       |LEFT JOIN lbl l ON l.vec_id = d.vec_id
+       |ORDER BY d.vec_id""".stripMargin
+  }
 
   // ----------------------------------------------------------------- IVF
   private val NProbe = 2
@@ -2096,6 +2309,7 @@ object Similarity {
     "emb_neardup_signgrid" -> (cosineNearDupSignGrid _),
     "semantic_dedup"       -> (semanticDedup _),
     "semantic_dedup_ivf"   -> (semanticDedupIvf _),
+    "semantic_dedup_ivf_indexed" -> (semanticDedupIvfIndexed _),
     "semantic_decontaminate" -> (semanticDecontaminate _),
     "emb_quantize_int8"    -> (quantizeInt8 _)
   )
@@ -2131,6 +2345,7 @@ object Similarity {
     "ann_bucket_stats"     -> bucketStatsSql,
     "semantic_dedup"       -> semanticDedupSql,
     "semantic_dedup_ivf"   -> semanticDedupIvfSql,
+    "semantic_dedup_ivf_indexed" -> semanticDedupIvfIndexedSql,
     "semantic_decontaminate" -> semanticDecontaminateSql,
     "emb_quantize_int8"    -> quantizeInt8Sql
     // lsh variants: hash-dependent bucketing → rows-only gate

@@ -432,8 +432,12 @@ object StandingIndex {
     * and names the bounded-candidate paths instead of quietly
     * scheduling the shuffle. The per-run rebuild forms
     * (`dedup_incremental`, `pipeline_curate_incremental`) compute
-    * their dfreq in-run (no footers to read) — they are the oracle
-    * twins; a deployment runs THESE guarded indexed forms. */
+    * their dfreq in-run (no footers to read, so this footer guard
+    * cannot see them) — round 18: they carry the SAME statistic and
+    * threshold computed IN-RUN from the frames their prefix path
+    * materializes anyway ([[Dedup.incrementalNearCandidates]]), via
+    * [[guardMeanPrefixDf]] below, so the per-run oracle twins refuse
+    * the same corpora the standing probes do. */
   private val MaxMeanPrefixDfKey = "spark.graft.prefixProbe.maxMeanDf"
   private def maxMeanPrefixDf(s: SparkSession): Double =
     s.conf.getOption(MaxMeanPrefixDfKey).map(_.toDouble).getOrElse(128.0)
@@ -442,23 +446,46 @@ object StandingIndex {
     val dfreqRows = Tables.footerRowCountAt(s, tablePath(s, tag, s"${p}dfreq")).max(1L)
     prefixRows.toDouble / dfreqRows
   }
-  private def guardPrefixProbe(s: SparkSession, tag: String, p: String,
-                               what: String, alt: String): Unit = {
+  /** Shared refusal on the saturation statistic — `how` names where the
+    * statistic came from (parquet footers for the standing probes, the
+    * in-run cached frames for the per-run rebuild forms). */
+  private[graft] def guardMeanPrefixDf(s: SparkSession, mean: Double,
+                                       how: String, what: String,
+                                       alt: String): Unit = {
     val max = maxMeanPrefixDf(s)
-    val mean = meanPrefixDf(s, tag, p)
     require(mean <= max,
-      f"$what: the standing prefix index has mean per-shingle df $mean%.0f " +
-      f"(prefix rows over distinct shingles, parquet-footer statistic) > $max%.0f — " +
+      f"$what: the prefix index has mean per-shingle df $mean%.0f " +
+      f"(prefix rows over distinct shingles, $how) > $max%.0f — " +
       "a near-fixed vocabulary at this corpus size makes the lossless prefix " +
       f"candidate stream ~quadratic (measured: 70+ GB spill at 100x rows). " +
       s"Use $alt at this vocabulary shape, or raise $MaxMeanPrefixDfKey deliberately.")
   }
+  private def guardPrefixProbe(s: SparkSession, tag: String, p: String,
+                               what: String, alt: String): Unit =
+    guardMeanPrefixDf(s, meanPrefixDf(s, tag, p),
+      "zero-job parquet-footer statistic", what, alt)
 
   /** Last routing decision per "family/tag" — observability hook for the
     * auto-routed probes below (the spec pins it; a deployment greps the
     * log line). */
   private[graft] val lastAutoRoute =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Family → chosen route, collapsed over index tags — the
+    * artifact-layer view of [[lastAutoRoute]]: Bench and Verify embed it
+    * in their JSON artifacts so which plan a routed query actually ran is
+    * diffable across rounds from the artifacts alone (not just a log
+    * line). "mixed" marks a family that routed differently across the
+    * session's index tags. */
+  private[graft] def autoRouteSummary: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    lastAutoRoute.asScala.toSeq
+      .groupBy(_._1.split('/').head)
+      .map { case (fam, kvs) =>
+        val rs = kvs.map(_._2).distinct
+        fam -> (if (rs.size == 1) rs.head else "mixed")
+      }
+  }
 
   private lazy val autoLog = org.slf4j.LoggerFactory.getLogger("graft.StandingIndex")
 

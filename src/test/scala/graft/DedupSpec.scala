@@ -382,4 +382,32 @@ class DedupSpec extends GraftSpec {
     // default bound: the harness corpus runs
     assert(Dedup.jaccardNearDup(spark, sf0001).limit(1).count() == 1)
   }
+
+  test("per-run prefix-rebuild forms refuse a saturated vocabulary IN-RUN, naming a banded remedy that runs") {
+    // run U killed the first 3-dir harness sweep at 28 GB disk and
+    // climbing: the per-run rebuild forms compute their dfreq in-run, so
+    // no standing-index footer guard saw them. They now compute the SAME
+    // saturation statistic (corpus-side prefix rows / distinct shingles)
+    // from their own materialized frames BEFORE the candidate join, and
+    // refuse over the shared threshold naming the banded standing twin —
+    // which must RUN at the refused shape (the run-R discipline)
+    import graft.operators.{Pipeline, StandingIndex}
+    val key = "spark.graft.prefixProbe.maxMeanDf"
+    spark.conf.set(key, "0.1") // sf0.001's in-run mean is well above this
+    try {
+      val e1 = intercept[IllegalArgumentException](
+        Dedup.incrementalDedup(spark, sf0001))
+      assert(e1.getMessage.contains("dedup_incremental_banded"), e1.getMessage)
+      assert(e1.getMessage.contains("computed in-run"), e1.getMessage)
+      assert(StandingIndex.incrementalDedupBanded(spark, sf0001).count() > 0)
+      val e2 = intercept[IllegalArgumentException](
+        Pipeline.curateIncremental(spark, sf0001))
+      assert(e2.getMessage.contains("pipeline_curate_incremental_banded"),
+        e2.getMessage)
+      assert(StandingIndex.curateIncrementalBanded(spark, sf0001).count() > 0)
+    } finally spark.conf.unset(key)
+    // under the default bound both per-run oracle twins run
+    assert(Dedup.incrementalDedup(spark, sf0001).count() > 0)
+    assert(Pipeline.curateIncremental(spark, sf0001).count() > 0)
+  }
 }

@@ -619,6 +619,74 @@ class SimilaritySpec extends GraftSpec {
       "a deleted vector resurfaced as a neighbor")
   }
 
+  test("standing semantic-dedup index: planted stage semantics; append/delete equal a same-centroid rebuild") {
+    // the day-2 semantic dedup (round 18): frozen centroids + bucketed
+    // base lists, delta-sized per-run work. Axis-aligned vectors make
+    // every cosine deterministic: same axis = exactly 1.0, cross axis
+    // ~0.02 (never a candidate at t = 0.4), alternating-sign directions
+    // ~0 against the all-positive base.
+    import spark.implicits._
+    def axisVec(axis: Int): Seq[Double] =
+      Seq.tabulate(8)(i => if (i == axis) 10.0 else 0.1)
+    val altVec: Seq[Double] = Seq.tabulate(8)(i => if (i % 2 == 0) 10.0 else -10.0)
+    val alt2Vec: Seq[Double] = Seq.tabulate(8)(i => if (i % 4 < 2) 10.0 else -10.0)
+    def df(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "v")
+    val baseA = (Seq(0L, 200L, 400L) ++ (1L to 149L)).map(id => (id, axisVec((id % 8).toInt)))
+    // stage semantics: 1001 copies base axis 1 (base hit -> lowest
+    // same-axis base id = 1); 1002/1003 share a direction absent from the
+    // base (delta CC -> component min 1002); 1004 is orthogonal to
+    // everything (kept singleton)
+    val delta = df(Seq(1001L -> axisVec(1), 1002L -> altVec,
+                       1003L -> altVec, 1004L -> alt2Vec))
+    Similarity.buildSemDedupFor(df(baseA), "spec_sem")
+    def probe(tag: String) =
+      Similarity.semanticDedupIvfIndexedFor(spark, tag, delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val got = probe("spec_sem")
+    assert(got == Seq((1001L, 1L, false), (1002L, 1002L, true),
+                      (1003L, 1002L, false), (1004L, 1004L, true)), got)
+    // append: arrivals on the 1002 direction join the standing side and
+    // become findable reps; probe equals a fresh rebuild over A∪B (B has
+    // no % 200 == 0 ids, so the fresh centroid set is identical)
+    val baseB = (301L to 305L).map(id => (id, altVec))
+    Similarity.appendSemDedupFor(spark, "spec_sem", df(baseB))
+    Similarity.buildSemDedupFor(df(baseA ++ baseB), "spec_semfresh")
+    val appended = probe("spec_sem")
+    assert(appended == probe("spec_semfresh"),
+      s"appended-index probe diverges from fresh rebuild: $appended")
+    assert(appended.contains((1002L, 301L, false)),
+      s"appended vectors must be findable as standing reps: $appended")
+    // delete: the axis-1 twins 1 and 9 leave the lists (centroids stay
+    // frozen); 1001's rep falls to the next-lowest axis-1 survivor, and
+    // the probe equals a fresh same-centroid rebuild over the survivors
+    Similarity.deleteSemDedupFor(spark, "spec_sem", Seq(1L, 9L, 301L, 302L,
+      303L, 304L, 305L).toDF("vec_id"))
+    Similarity.buildSemDedupFor(
+      df(baseA.filterNot(v => Seq(1L, 9L).contains(v._1))), "spec_semdelfresh")
+    val deleted = probe("spec_sem")
+    assert(deleted == probe("spec_semdelfresh"),
+      s"deleted-from probe diverges from fresh survivor rebuild: $deleted")
+    assert(deleted.contains((1001L, 17L, false)),
+      s"rep must fall to the next-lowest surviving twin: $deleted")
+  }
+
+  test("semantic_dedup_ivf_indexed reads the standing lists bucketed (no corpus reshuffle)") {
+    // the 100 TB claim: per-run work is delta-sized — the bucketed sema
+    // table must be read on its bucket key, never re-shuffled
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Similarity.semanticDedupIvfIndexed(spark, sf0001)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(1200))
+      assert(!plan.contains("Bucketed: false"),
+        plan.linesIterator.filter(_.contains("Bucketed: false")).mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
   test("hard-negative mining matches an independent pure-Scala reference") {
     val rows = Similarity.hardNegatives(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3),
