@@ -81,7 +81,10 @@ object ScaleBench {
     * whose curated stage rides the now-tripwired exact kept build — for
     * a target list that never probes it). */
   private val BuildConsumers: Map[String, Set[String]] = Map(
-    "build_dedup_idx" -> Set("dedup_incremental", "dedup_incremental_indexed",
+    // NOTE: dedup_incremental (the per-run rebuild form) is NOT a
+    // consumer — it builds its own frames in-run; listing it here made
+    // targeted runs pay the 737 s sf10 standing build for nothing
+    "build_dedup_idx" -> Set("dedup_incremental_indexed",
                              "dedup_incremental_banded"),
     "build_audit_idx" -> Set("split_leakage_audit"),
     "build_ann_idx"   -> Set("ann_ivf_indexed"),
@@ -135,7 +138,9 @@ object ScaleBench {
     // measured 2.5x / 4.17x across three same-HEAD runs (sf1
     // observations swing 11.04-23.73 s with identical plans) — ~1.4x
     // the worst observation
-    "semantic_dedup_ivf"                  -> 6.0)
+    "semantic_dedup_ivf"                  -> 6.0,
+    // round-18 measured 1.16x at 10x (1.58 -> 1.84 s, sub-floor probe)
+    "semantic_dedup_ivf_indexed"          -> 3.5)
 
   /** Ceilings for the HEAPS-vocabulary corpus pair (round 16, task:
     * the realistic-text gate). Calibrated from the round-16 measured
@@ -166,7 +171,9 @@ object ScaleBench {
     // swing — harness discipline applies (~1.4x worst observation)
     "dedup_incremental_banded"            -> 5.0,
     // embeddings are vocabulary-independent: same ceiling as harness
-    "semantic_dedup_ivf"                  -> 6.0)
+    "semantic_dedup_ivf"                  -> 6.0,
+    // round-18 measured 0.96x at 10x (2.27 -> 2.17 s)
+    "semantic_dedup_ivf_indexed"          -> 3.5)
 
   /** SECOND-decade (sf1 → sf10) growth ceilings — harness/adversarial
     * vocabulary. Round 16 measured the 100×-row corpus but gated only
@@ -194,7 +201,10 @@ object ScaleBench {
     "pipeline_training_set_lsh"           -> 8.5,
     "pipeline_curate_incremental_banded"  -> 5.5,
     "dedup_incremental_banded"            -> 7.0,
-    "semantic_dedup_ivf"                  -> 9.5)
+    "semantic_dedup_ivf"                  -> 9.5,
+    // round-18 measured 3.44x at 100x rows (1.84 -> 6.33 s — the probe
+    // stays delta-sized where the per-run Lloyd form pays 68.74 s)
+    "semantic_dedup_ivf_indexed"          -> 5.5)
 
   /** Second-decade ceilings, Heaps-law corpus pair (_sf1 → _sf10). The
     * growing vocabulary keeps the prefix probes linear, so the full
@@ -221,7 +231,9 @@ object ScaleBench {
     // observation
     "pipeline_curate_incremental_banded"  -> 5.5,
     "dedup_incremental_banded"            -> 7.0,
-    "semantic_dedup_ivf"                  -> 9.5)
+    "semantic_dedup_ivf"                  -> 9.5,
+    // round-18 measured 3.0x at 100x rows (2.17 -> 6.50 s)
+    "semantic_dedup_ivf_indexed"          -> 5.5)
 
   def main(args: Array[String]): Unit = {
     val (flags, dirs) = args.partition(_.startsWith("--"))
