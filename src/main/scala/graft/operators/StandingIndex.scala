@@ -453,6 +453,11 @@ object StandingIndex {
                                        how: String, what: String,
                                        alt: String): Unit = {
     val max = maxMeanPrefixDf(s)
+    // pass-side observability: the round-18 adversarial-sf10 demo showed
+    // the statistic is FRAME-specific (the dedup probe's 6/7-corpus side
+    // reads 396 and refuses; the curation probe's kept-set side stays
+    // under threshold on the same corpus and runs) — log what was read
+    autoLog.info(f"$what: mean per-shingle prefix df $mean%.1f vs threshold $max%.0f ($how)")
     require(mean <= max,
       f"$what: the prefix index has mean per-shingle df $mean%.0f " +
       f"(prefix rows over distinct shingles, $how) > $max%.0f — " +
