@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   *    same vocabulary/length/near-dup distribution, so per-doc work is
   *    comparable across scale);
   *  - per corpus: time each standing-index build (dedup, leakage-audit,
-  *    ANN-IVF, substring-gram — the once-per-corpus session setup), then
-  *    each target query twice; the per-query MIN is the steady-state
-  *    number (same attribution discipline as [[Bench]]);
+  *    ANN-IVF, substring-gram, semantic-dedup — the once-per-corpus
+  *    session setup), then each target query 3× on the small dirs
+  *    (≤ 100 k docs — the gate denominators, stabilized round 18) and
+  *    2× on the large; the per-query MIN is the steady-state number
+  *    (same attribution discipline as [[Bench]]);
   *  - targets: the most composed document/embedding pipelines — exactly
   *    the queries whose scaling a quadratic candidate generator or an
   *    unbounded fixpoint would wreck first — plus, for each, its
@@ -33,14 +35,16 @@ import org.apache.spark.sql.SparkSession
   *
   * `--assert` turns the rehearsal into a GATE: with ≥ 2 dirs ordered by
   * scale, the measured growth ratio min(last)/min(first) of every gated
-  * family must stay under its pinned ceiling ([[AssertCeilings]]) — a
-  * regression to a quadratic candidate stream exits non-zero instead of
-  * merely printing a bad curve. Ceilings are pinned for the ~10× step
-  * (sf0.1 → sf1) with ~1.6× headroom over the round-13/15 measured
-  * ratios: generous to host noise, far under the ≥ 3× blowup a
-  * quadratic term shows at 10× data. The run REFUSES dir pairs whose
-  * row ratio is outside [7, 13] so the ceilings always gate the step
-  * they were calibrated for.
+  * family must stay under its pinned ceiling — a regression to a
+  * quadratic candidate stream exits non-zero instead of merely printing
+  * a bad curve. Each consecutive pair is a ~10× step gated under the
+  * ceiling map for ITS decade, inferred from the step's own row count
+  * (> 25 k docs at the small end → the d2 maps), so a focused 2-dir
+  * `sf1 sf10` run gates correctly. Ceilings carry ~1.4–1.6× headroom
+  * over the measured ratios: generous to host noise, far under the
+  * ≥ 3× blowup a quadratic term shows at 10× data. The run REFUSES dir
+  * pairs whose row ratio is outside [7, 13] so the ceilings always
+  * gate the step they were calibrated for.
   */
 object ScaleBench {
   private val Targets = Seq(
