@@ -39,6 +39,10 @@ object StreamScaleBench {
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val batchSize = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH_DOCS", "750").toInt
+    // compaction cadence for the durable topologies (default matches the
+    // gate runs; the round-18 V2 A/B varies it to attribute the banded
+    // stream's age slope: file-count growth vs band-table row growth)
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_STREAM_COMPACT_EVERY", "8").toInt
     // optional topology subset (comma-separated names) — the sf10
     // rehearsal drives the durable standing-table topologies without
     // paying the 600-batch growing-index sweep each time; unknown names
@@ -116,7 +120,7 @@ object StreamScaleBench {
         drive(dir, "curate_indexed",
           docRows.filter(d => d._1 % 10 != 0 && d._1 % 7 == 0)
             .map(d => DocEvent(d._1, d._2))) { ds =>
-          StreamingCurate.curateIndexedStream(ds, curTag, compactEvery = 8) {
+          StreamingCurate.curateIndexedStream(ds, curTag, compactEvery = compactEvery) {
             (_, _) => ()
           }
         }
@@ -130,7 +134,7 @@ object StreamScaleBench {
         drive(dir, "curate_indexed_banded",
           docRows.filter(d => d._1 % 10 != 0 && d._1 % 7 == 0)
             .map(d => DocEvent(d._1, d._2))) { ds =>
-          StreamingCurate.curateIndexedStream(ds, curTagB, compactEvery = 8,
+          StreamingCurate.curateIndexedStream(ds, curTagB, compactEvery = compactEvery,
             banded = true) { (_, _) => () }
         }
       }
