@@ -453,7 +453,15 @@ object Dedup {
     * computes the same stats in one shuffle, but each *use* of the result
     * re-executes it — the self-join's two sides plus the star branch cost
     * three window shuffles; the groupBy form is computed once.) */
-  private[graft] def bucketCandidates(rows: DataFrame, k1: String, k2: String): DataFrame = {
+  private[graft] def bucketCandidates(rows: DataFrame, k1: String, k2: String): DataFrame =
+    bucketCandidatesPlan(rows, k1, k2)._1
+
+  /** [[bucketCandidates]] with its internal cache handle exposed — for
+    * callers that run per micro-batch (the standing semantic probe, the
+    * streams) and must release the diamond cache once the candidate join
+    * materializes, instead of leaking one cached sliver per call. */
+  private[graft] def bucketCandidatesPlan(rows: DataFrame, k1: String,
+                                          k2: String): (DataFrame, DataFrame) = {
     val bstats = rows.groupBy(k1, k2)
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
       .filter(col("bsz") >= 2)
@@ -471,7 +479,7 @@ object Dedup {
     val starPairs = joined
       .filter(col("bsz") > MaxBucket && col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("a_id"), col("doc_id").as("b_id"))
-    smallPairs.union(starPairs).distinct()
+    (smallPairs.union(starPairs).distinct(), joined)
   }
 
   /** Single-key form of [[bucketCandidates]] — for candidate generators
@@ -483,6 +491,12 @@ object Dedup {
     * self-join is quadratic in the bucket size. */
   private[graft] def bucketCandidates(rows: DataFrame, key: String): DataFrame =
     bucketCandidates(rows.withColumn("__band", lit(0)), "__band", key)
+
+  /** Single-key [[bucketCandidatesPlan]] — cache handle exposed, for
+    * per-micro-batch callers (see the two-key form). */
+  private[graft] def bucketCandidatesPlan(rows: DataFrame,
+                                          key: String): (DataFrame, DataFrame) =
+    bucketCandidatesPlan(rows.withColumn("__band", lit(0)), "__band", key)
 
   /** MinHash + LSH near-dup pairs, exact-verified.
     * Pipeline: per-row shingle arrays → k minhashes (explode + one

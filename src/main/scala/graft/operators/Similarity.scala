@@ -38,7 +38,7 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  private def embeddings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
 
@@ -756,6 +756,96 @@ object Similarity {
       org.apache.spark.sql.GraftShims.unpersistCheckpoint(kept)
     }
 
+  private lazy val semLog = org.slf4j.LoggerFactory.getLogger("graft.Similarity")
+
+  /** Probe-time acceptance threshold on the frozen quantizer's hottest
+    * cell. The designed occupancy of the `semc`/`sema` index is ~200
+    * vectors per cell (one centroid per 200 base vectors — the
+    * [[buildAnnFor]] rule; a deployment's k-means fit targets the same
+    * ratio), so the default leaves >two decades of headroom: only true
+    * quantizer drift or a duplicate-saturated append stream crosses it.
+    * Stage 1 of the standing probe pays one cosine per (delta vector ×
+    * base vector) inside each shared cell, so max cell mass IS the
+    * per-delta-vector probe cost bound — at the default, the hottest
+    * admissible cell costs ~65 k 8-dim cosines per delta vector landing
+    * in it, the knee where per-vector cost stops being interactive. */
+  private val MaxCellMassKey = "spark.graft.semanticProbe.maxCellMass"
+  private[graft] val DefaultMaxCellMass = 65536L
+  private def maxCellMassConf(s: SparkSession): Long =
+    s.conf.getOption(MaxCellMassKey).map(_.toLong).getOrElse(DefaultMaxCellMass)
+
+  /** Acceptance guard on the FROZEN semantic quantizer — the
+    * [[StandingIndex.guardMeanPrefixDf]] discipline for the `semc`/`sema`
+    * index: `ann_recall_sampled` plays this role for the ANN index; a
+    * frozen semantic quantizer under a drifted append stream silently
+    * degrades cells with nothing equivalent. One skinny bucket-local
+    * aggregation over the standing lists (`c_id` is the bucket key, so
+    * the groupBy is exchange-free) reads the exact current occupancy;
+    * past the threshold the probe refuses NAMING the remedies instead of
+    * scheduling the hot-cell joins. Pass or fail, the statistic is
+    * logged ([[semanticIndexReport]] is the gated observability twin). */
+  private[graft] def guardSemanticCellMass(s: SparkSession, lists: DataFrame,
+                                           tag: String, what: String): Unit = {
+    val mx = lists.groupBy("c_id").agg(count(lit(1)).as("m"))
+      .agg(coalesce(max(col("m")), lit(0L)).as("mx")).head.getLong(0)
+    val allowed = maxCellMassConf(s)
+    semLog.info(s"$what: max standing cell mass $mx vs threshold $allowed (index $tag)")
+    require(mx <= allowed,
+      s"$what: the frozen semantic quantizer's hottest cell holds $mx vectors " +
+      s"> $allowed — a drifted or duplicate-saturated append stream has degraded " +
+      "the index (the standing probe pays cell-mass cosines per delta vector " +
+      "landing in that cell). Rebuild the quantizer over the current base " +
+      "(buildSemDedupFor), or run semantic_dedup_ivf (the growing-k, " +
+      s"occupancy-bounded form), or raise $MaxCellMassKey deliberately.")
+  }
+
+  /** Standing semantic-index acceptance report — the `ann_recall_sampled`
+    * analog for the frozen `semc`/`sema` quantizer (round 19): occupancy
+    * statistics over the standing cell lists plus the acceptance verdict
+    * the probe-time guard ([[guardSemanticCellMass]]) enforces. One
+    * bucket-local aggregation (the lists are bucketed by `c_id`), linear
+    * in index size at any corpus scale; a deployment runs this after
+    * each append/compact cycle and alerts on `accepted = false` BEFORE a
+    * probe refuses. Fully oracle-checked: occupancy is a deterministic
+    * function of the frozen %-rule quantizer, so DuckDB reproduces every
+    * figure exactly. */
+  def semanticIndexReport(s: SparkSession, dir: String): DataFrame = {
+    val tag = ensureSemDedupIndex(s, dir)
+    val occ = s.table(s"graft_idx_sema_$tag")
+      .groupBy("c_id").agg(count(lit(1)).as("m"))
+    occ.agg(
+        count(lit(1)).cast("long").as("n_cells"),
+        sum("m").cast("long").as("n_vecs"),
+        max("m").cast("long").as("max_mass"),
+        round(avg("m"), 6).as("mean_mass"))
+      .select(col("n_cells"), col("n_vecs"), col("max_mass"), col("mean_mass"),
+        (col("max_mass") <= lit(maxCellMassConf(s))).as("accepted"))
+  }
+
+  /** [[semanticIndexReport]]'s DuckDB twin — the frozen %-rule quantizer
+    * assignment as a CTE, then the same occupancy aggregate; the
+    * acceptance threshold mirrors [[DefaultMaxCellMass]]. */
+  val semanticIndexReportSql: String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |base AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM base WHERE vec_id % 200 = 0),
+       |ab AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT b.vec_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |             ${cos("b.v", "cent.cv")} DESC, cent.c_id) AS rnk
+       |    FROM base b CROSS JOIN cent
+       |  ) WHERE rnk = 1
+       |),
+       |occ AS (SELECT c_id, count(*) AS m FROM ab GROUP BY c_id)
+       |SELECT count(*)::BIGINT AS n_cells, sum(m)::BIGINT AS n_vecs,
+       |       max(m)::BIGINT AS max_mass, round(avg(m), 6) AS mean_mass,
+       |       max(m) <= $DefaultMaxCellMass AS accepted
+       |FROM occ""".stripMargin
+  }
+
   /** Incremental IVF SemDeDup from the standing index — the day-2 form
     * of [[semanticDedupIvf]] (r17 verdict task 5): the delta sliver
     * (vec_id % 7 == 0) is assigned against the FROZEN stored centroids
@@ -788,11 +878,36 @@ object Similarity {
 
   /** [[semanticDedupIvfIndexed]] against an arbitrary standing tag and
     * delta frame — the lifecycle specs probe appended/deleted indexes
-    * through this (the [[StandingIndex]] `...For` pattern). */
+    * through this (the [[StandingIndex]] `...For` pattern). The decision
+    * table is delta-sized (one row per delta vector) — materialize it
+    * eagerly and release the fat caches now (the
+    * [[StandingIndex.curateIncrementalIndexedFor]] pattern: this runs
+    * once per micro-batch on the semantic stream, and leaked caches
+    * would accumulate per batch). */
   private[graft] def semanticDedupIvfIndexedFor(s: SparkSession, tag: String,
                                                 delta: DataFrame): DataFrame = {
+    val (out0, caches) = semanticDedupIvfIndexedPlan(s, tag, delta)
+    val out = out0.localCheckpoint()
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** The probe's LAZY plan + its cache handles — split out so the
+    * plan-pin spec can assert the `sema` scan stays bucketed (the public
+    * form checkpoints the delta-sized result, which hides the joins
+    * behind an ExistingRDD scan) — the [[StandingIndex]] plan/probe
+    * convention. */
+  private[graft] def semanticDedupIvfIndexedPlan(s: SparkSession, tag: String,
+      delta: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val cent = s.table(s"graft_idx_semc_$tag")
     val lists = s.table(s"graft_idx_sema_$tag")
+    // acceptance guard on the FROZEN quantizer (round 19): a drifted or
+    // duplicate-saturated append stream concentrates mass into few cells;
+    // past the threshold the probe refuses instead of scheduling the
+    // hot-cell joins (stage 1 pays base-cell-mass cosines PER delta
+    // vector in that cell). semantic_index_report is the observability
+    // twin of this statistic.
+    guardSemanticCellMass(s, lists, tag, "semantic_dedup_ivf_indexed")
     // frozen assignment: the tiny centroid table broadcasts; one narrow
     // pass over the delta. Cached: feeds stage 1, the anti-join, and
     // both sides of the stage-2 pair join.
@@ -809,14 +924,25 @@ object Similarity {
       .select(col("vec_id"), col("b_id").as("base_rep"))
       .cache()
     val r2 = dAssigned.join(baseHit.select("vec_id"), Seq("vec_id"), "left_anti")
-    val pairs = r2.select(col("c_id"), col("vec_id").as("a_id"), col("v").as("va"))
-      .join(r2.select(col("c_id"), col("vec_id").as("b_id"), col("v").as("vb")),
-            Seq("c_id"))
-      .filter(col("a_id") < col("b_id"))
+    // stage-2 within-cell pairs ride the SAME star-capped candidate
+    // generator as every sibling family ([[Dedup.MaxBucket]], round 19):
+    // the quantizer is FROZEN, so a duplicate-heavy delta — the exact
+    // input semantic dedup exists for — concentrates into few cells, and
+    // an uncapped all-pairs join goes quadratic in cell occupancy. Cells
+    // ≤ cap expand to all pairs; hot cells collapse to star spokes
+    // around the cell's minimum delta id (linear, cluster stays
+    // connected through the hub — CC recovers the full component), and
+    // every candidate still passes the exact cosine before any decision.
+    // The cap is mirrored in [[semanticDedupIvfIndexedSql]].
+    val (cand, candCache) = Dedup.bucketCandidatesPlan(
+      r2.select(col("vec_id").as("doc_id"), col("c_id")), "c_id")
+    val pairs = cand
+      .join(r2.select(col("vec_id").as("a_id"), col("v").as("va")), Seq("a_id"))
+      .join(r2.select(col("vec_id").as("b_id"), col("v").as("vb")), Seq("b_id"))
       .filter(cosine(col("va"), col("vb")) >= 0.4)
     val ccRep = Dedup.ccLabels(pairs.select("a_id", "b_id"))
       .withColumnRenamed("id", "vec_id")
-    delta.select(col("vec_id"))
+    val out = delta.select(col("vec_id"))
       .join(baseHit, Seq("vec_id"), "left")
       .join(ccRep, Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -824,12 +950,16 @@ object Similarity {
         (coalesce(col("base_rep"), col("lbl"), col("vec_id")) === col("vec_id"))
           .as("kept"))
       .orderBy("vec_id")
+    (out, Seq(dAssigned, baseHit, candCache))
   }
 
   /** [[semanticDedupIvfIndexed]]'s twin: the frozen base quantizer +
     * both assignments as plain CTEs (the deterministic % 200 centroid
     * rule needs no Lloyd unrolling), stage-1 best-base-match, then the
-    * recursive-CC closure over the remaining delta. */
+    * star-capped within-cell candidates (cells > [[Dedup.MaxBucket]]
+    * collapse to spokes around the cell-min delta id — the
+    * [[Dedup.bucketCandidates]] semantics, mirrored so the cap itself is
+    * hash-gated) and the recursive-CC closure over the remaining delta. */
   val semanticDedupIvfIndexedSql: String = {
     def cos(a: String, b: String): String =
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -866,9 +996,25 @@ object Similarity {
        |r2 AS (
        |  SELECT * FROM ad WHERE vec_id NOT IN (SELECT vec_id FROM basehit)
        |),
-       |pairs AS (
+       |r2s AS (
+       |  SELECT c_id, count(*) AS bsz, min(vec_id) AS bmin
+       |  FROM r2 GROUP BY c_id
+       |),
+       |cand AS (
        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
        |  FROM r2 x JOIN r2 y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+       |  JOIN r2s s ON s.c_id = x.c_id
+       |  WHERE s.bsz <= ${Dedup.MaxBucket}
+       |  UNION
+       |  SELECT s.bmin AS a_id, r.vec_id AS b_id
+       |  FROM r2 r JOIN r2s s ON s.c_id = r.c_id
+       |  WHERE s.bsz > ${Dedup.MaxBucket} AND r.vec_id <> s.bmin
+       |),
+       |pairs AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cand c
+       |  JOIN r2 x ON x.vec_id = c.a_id
+       |  JOIN r2 y ON y.vec_id = c.b_id
        |  WHERE ${cos("x.v", "y.v")} >= 0.4
        |),
        |edges AS (
@@ -2310,6 +2456,7 @@ object Similarity {
     "semantic_dedup"       -> (semanticDedup _),
     "semantic_dedup_ivf"   -> (semanticDedupIvf _),
     "semantic_dedup_ivf_indexed" -> (semanticDedupIvfIndexed _),
+    "semantic_index_report" -> (semanticIndexReport _),
     "semantic_decontaminate" -> (semanticDecontaminate _),
     "emb_quantize_int8"    -> (quantizeInt8 _)
   )
@@ -2346,6 +2493,7 @@ object Similarity {
     "semantic_dedup"       -> semanticDedupSql,
     "semantic_dedup_ivf"   -> semanticDedupIvfSql,
     "semantic_dedup_ivf_indexed" -> semanticDedupIvfIndexedSql,
+    "semantic_index_report" -> semanticIndexReportSql,
     "semantic_decontaminate" -> semanticDecontaminateSql,
     "emb_quantize_int8"    -> quantizeInt8Sql
     // lsh variants: hash-dependent bucketing → rows-only gate

@@ -672,19 +672,89 @@ class SimilaritySpec extends GraftSpec {
 
   test("semantic_dedup_ivf_indexed reads the standing lists bucketed (no corpus reshuffle)") {
     // the 100 TB claim: per-run work is delta-sized — the bucketed sema
-    // table must be read on its bucket key, never re-shuffled
+    // table must be read on its bucket key, never re-shuffled. The PLAN
+    // variant is probed (the public form checkpoints the delta-sized
+    // result, hiding the joins behind an ExistingRDD scan — the
+    // StandingIndex plan-pin convention).
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val probe = Similarity.semanticDedupIvfIndexed(spark, sf0001)
+      val tag = Similarity.ensureSemDedupIndex(spark, sf0001)
+      val delta = Similarity.embeddings(spark, sf0001)
+        .filter(col("vec_id") % 7 === 0).select(col("vec_id"), col("v"))
+      val (probe, caches) = Similarity.semanticDedupIvfIndexedPlan(spark, tag, delta)
       probe.collect()
       val plan = probe.queryExecution.executedPlan.toString
+      caches.foreach(_.unpersist())
       assert(plan.contains("Bucketed: true"), plan.take(1200))
       assert(!plan.contains("Bucketed: false"),
         plan.linesIterator.filter(_.contains("Bucketed: false")).mkString("\n"))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }
+  }
+
+  test("semantic probe star-caps hot cells: a >MaxBucket duplicate clique still collapses to its min") {
+    // the round-19 scale fix: the quantizer is FROZEN, so a
+    // duplicate-heavy delta concentrates into few cells — the within-cell
+    // pair stage must ride the star-capped candidate generator, not an
+    // uncapped all-pairs join. 70 identical-direction delta vectors (> the
+    // 64 cap) share one cell with no base twin: the star spokes around the
+    // cell-min id (cosine exactly 1.0 on every spoke) must reconnect the
+    // whole clique, so CC labels every member with the min — byte-equal to
+    // what uncapped all-pairs would decide, at linear candidate cost.
+    import spark.implicits._
+    def axisVec(axis: Int): Seq[Double] =
+      Seq.tabulate(8)(i => if (i == axis) 10.0 else 0.1)
+    val altVec: Seq[Double] = Seq.tabulate(8)(i => if (i % 2 == 0) 10.0 else -10.0)
+    def df(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "v")
+    val base = (Seq(0L, 200L, 400L) ++ (1L to 149L)).map(id => (id, axisVec((id % 8).toInt)))
+    Similarity.buildSemDedupFor(df(base), "spec_semstar")
+    // clique on a direction absent from the base (alternating signs —
+    // ~0 cosine against every all-positive base vector): no stage-1 hit,
+    // all 70 land in one frozen cell and meet in stage 2
+    val clique = (2001L to 2070L).map(id => (id, altVec))
+    val got = Similarity.semanticDedupIvfIndexedFor(spark, "spec_semstar",
+        df(clique :+ (3001L -> axisVec(3))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val expected = clique.map { case (id, _) =>
+      (id, 2001L, id == 2001L) } :+ ((3001L, 3L, false))
+    // 3001 copies base axis 3 → stage-1 hit on the lowest same-axis base
+    // id (3); the clique collapses to 2001 via the star spokes
+    assert(got.sortBy(_._1) == expected.sortBy(_._1),
+      s"star-capped clique must fully collapse: ${got.filterNot(expected.contains).take(5)}")
+  }
+
+  test("semantic probe refuses a hot-cell index past the mass threshold and names the remedy; report flags it") {
+    // the round-19 acceptance guard: a duplicate-saturated append stream
+    // concentrates mass into one frozen cell; past the configured
+    // threshold the probe must refuse (naming semantic_dedup_ivf and the
+    // rebuild path) rather than schedule the hot-cell joins — and the
+    // remedy must RUN on the same shape (run-R discipline).
+    import spark.implicits._
+    def axisVec(axis: Int): Seq[Double] =
+      Seq.tabulate(8)(i => if (i == axis) 10.0 else 0.1)
+    def df(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "v")
+    // 40 base vectors on one axis → one cell holds all 40 (plus the
+    // centroid rule's own id 0/200)
+    val base = (Seq(0L, 200L) ++ (1L to 40L)).map(id => (id, axisVec(1)))
+    Similarity.buildSemDedupFor(df(base), "spec_semhot")
+    val delta = df(Seq(5001L -> axisVec(1)))
+    val key = "spark.graft.semanticProbe.maxCellMass"
+    try {
+      spark.conf.set(key, "8")
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.semanticDedupIvfIndexedFor(spark, "spec_semhot", delta)
+      }
+      assert(ex.getMessage.contains("semantic_dedup_ivf") &&
+             ex.getMessage.contains("buildSemDedupFor") &&
+             ex.getMessage.contains(key),
+        s"refusal must name the remedies and the knob: ${ex.getMessage}")
+    } finally spark.conf.unset(key)
+    // default threshold: same probe runs (42 << 65536)
+    val ok = Similarity.semanticDedupIvfIndexedFor(spark, "spec_semhot", delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(ok == Seq((5001L, 0L, false)), ok.toString)
   }
 
   test("hard-negative mining matches an independent pure-Scala reference") {
