@@ -140,6 +140,22 @@ object StandingIndex {
     m.getFileSystem(s.sparkContext.hadoopConfiguration).delete(m, false)
   }
 
+  /** Collapse multi-segment digest hits to the lowest corpus twin — paid
+    * ONLY when the index is actually maintained (round 19): a pristine
+    * build pre-mins its digests to one row per content
+    * ([[writeProbeTables]]), so each probe doc matches at most one row
+    * and the re-collapse shuffle is a pure per-probe tax; the zero-job
+    * MAINTAINED-marker read decides. Both maintenance paths
+    * ([[appendFor]]/[[deleteFor]] and their `cur` twins) set the marker
+    * before touching any table, and the lifecycle specs' planted
+    * cross-segment twins exercise the agg branch. */
+  private def minAcrossSegments(s: SparkSession, tag: String, p: String,
+                                hits: DataFrame, key: String,
+                                out: String): DataFrame =
+    if (isMaintained(s, tag, p))
+      hits.groupBy(key).agg(min("corpus_id").as(out))
+    else hits.select(col(key), col("corpus_id").as(out))
+
   /** The corpus split this index covers — must match
     * [[Dedup.incrementalDedup]]'s (doc_id % 7 <> 0). */
   private def corpusOf(s: SparkSession, dir: String): DataFrame =
@@ -546,14 +562,13 @@ object StandingIndex {
 
     val batch = Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
     // exact probe: each digest is pre-min'd PER SEGMENT, and appends may
-    // add a second segment row for a digest — the min-agg re-collapses to
-    // the batch operator's lowest-twin rule (a near-no-op on a fresh
-    // index: one row per group)
-    val exact = batch
-      .select(col("doc_id").as("batch_id"), md5(col("text")).as("h"),
-        length(col("text")).as("len"))
-      .join(idx("digests"), Seq("h", "len"))
-      .groupBy("batch_id").agg(min("corpus_id").as("corpus_id"))
+    // add a second segment row for a digest — [[minAcrossSegments]]
+    // re-collapses to the batch operator's lowest-twin rule only when the
+    // MAINTAINED marker says segments can actually exist
+    val exact = minAcrossSegments(s, tag, "", batch
+        .select(col("doc_id").as("batch_id"), md5(col("text")).as("h"),
+          length(col("text")).as("len"))
+        .join(idx("digests"), Seq("h", "len")), "batch_id", "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
         lit("exact").as("kind"), lit(1.0).as("jac"))
       .cache() // feeds both the output union and the left_anti below
@@ -905,11 +920,10 @@ object StandingIndex {
                                                batch: DataFrame): DataFrame = {
     def idx(name: String): DataFrame = s.table(s"graft_idx_${name}_$tag")
     val t = Threshold
-    val exact = batch
-      .select(col("doc_id").as("batch_id"), md5(col("text")).as("h"),
-        length(col("text")).as("len"))
-      .join(idx("digests"), Seq("h", "len"))
-      .groupBy("batch_id").agg(min("corpus_id").as("corpus_id"))
+    val exact = minAcrossSegments(s, tag, "", batch
+        .select(col("doc_id").as("batch_id"), md5(col("text")).as("h"),
+          length(col("text")).as("len"))
+        .join(idx("digests"), Seq("h", "len")), "batch_id", "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
         lit("exact").as("kind"), lit(1.0).as("jac"))
       .cache() // feeds both the output union and the left_anti below
@@ -993,11 +1007,10 @@ object StandingIndex {
     // incrementalDedupIndexed's `exact`; uncached, every downstream stage
     // re-evaluates the whole cascade and the planner disables the
     // bucketed digest scans it then sees many copies of
-    val exactBase = batch
-      .select(col("doc_id"), md5(col("text")).as("h"),
-        length(col("text")).as("len"))
-      .join(idx("digests"), Seq("h", "len"))
-      .groupBy("doc_id").agg(min("corpus_id").as("ref_id"))
+    val exactBase = minAcrossSegments(s, tag, "cur", batch
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          length(col("text")).as("len"))
+        .join(idx("digests"), Seq("h", "len")), "doc_id", "ref_id")
       .select(col("doc_id"), lit("exact_base").as("decision"),
         col("ref_id"), lit(1.0).as("jac"), nullSplit)
       .cache()
