@@ -1534,8 +1534,9 @@ object Dedup {
     // exact full-set verification of the prefix-filtered candidates: join
     // both arrays back, score, keep ≥ t, best corpus match per batch doc
     // (highest Jaccard, ties to lowest corpus_id)
-    val best = incrementalNearCandidates(bArr, cArr, 0.5,
+    val (nearCand, nearCaches) = incrementalNearCandidates(bArr, cArr, 0.5,
         "dedup_incremental", "dedup_incremental_banded (the banded standing probe)")
+    val best = nearCand
       .join(bArr.select(col("batch_id"), col("sh").as("sb"), col("nb")), "batch_id")
       .join(cArr.select(col("corpus_id"), col("sh").as("sc"), col("nc")), "corpus_id")
       .withColumn("c", size(array_intersect(col("sb"), col("sc"))).cast("long"))
@@ -1546,7 +1547,13 @@ object Dedup {
         Window.partitionBy("batch_id").orderBy(col("jac").desc, col("corpus_id"))))
       .filter(col("rn") === 1)
       .select(col("batch_id"), col("corpus_id"), lit("near").as("kind"), col("jac"))
-    exact.unionByName(best).orderBy("batch_id")
+    // the output is sliver-sized (≤1 row per duplicated batch doc) —
+    // materialize eagerly and release every cache this run pinned (round
+    // 19, advisor: dfreq/idx leaked for the session lifetime before)
+    val out = exact.unionByName(best).orderBy("batch_id").localCheckpoint()
+    exact.unpersist(); bArr.unpersist(); cArr.unpersist()
+    nearCaches.foreach(_.unpersist())
+    out
   }
 
   /** Prefix-filtered batch→corpus candidate pairs — the R-S–join form of
@@ -1578,7 +1585,8 @@ object Dedup {
   private[graft] def incrementalNearCandidates(bArr: DataFrame, cArr: DataFrame,
                                                t: Double,
                                                what: String = "incremental near candidates",
-                                               alt: String = "the banded standing probe"): DataFrame = {
+                                               alt: String = "the banded standing probe")
+      : (DataFrame, Seq[DataFrame]) = {
     // ONE side-tagged union builds both prefix indexes in a single df-join
     // + groupBy pipeline (two per-side pipelines would pay the df join and
     // the per-doc re-sort twice); the cached exploded index is then split
@@ -1589,9 +1597,14 @@ object Dedup {
         explode(col("sh")).as("s"))
       .unionByName(cArr.select(col("corpus_id").as("id"), lit(false).as("isB"),
         explode(col("sh")).as("s")))
-    // dfreq cached: the guard below counts it (distinct-shingle
-    // denominator) and the prefix-index join reads it — one computation
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df")).cache()
+    // dfreq cached: the guard below counts it (CORPUS-side distinct
+    // shingles — dfc carries the per-side split) and the prefix-index
+    // join reads it — one computation. The prefix ORDER stays the union
+    // df: both sides must share one total order; the split is guard-only.
+    val dfreq = sh.groupBy("s")
+      .agg(count(lit(1)).as("df"),
+        count(when(!col("isB"), lit(1))).as("dfc"))
+      .cache()
     val idx = sh.join(dfreq, "s")
       .groupBy("id", "isB")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
@@ -1605,29 +1618,43 @@ object Dedup {
     // shingle rows (safe at any vocabulary shape); the CANDIDATE JOIN
     // below is the Σ dfB·dfC stage the guard exists to stop. The
     // numerator (corpus-side prefix rows) is ANALYTIC — each doc with
-    // n ≥ 1 shingles contributes exactly n − ⌈t·n⌉ + 1 prefix rows — so
-    // a refusal pays one agg over the cached size column plus the dfreq
-    // count (which fills the cache the prefix join reads on pass),
-    // never the index materialization. Measured on the real corpora
-    // (ProbeSaturationStat, round 18): harness sf0.1 = 4.2, sf1 = 39.6,
-    // heaps sf10 = 0.6, adversarial sf10 = 396 — identical to the
-    // standing footer statistic, so the shared 128 threshold transfers.
+    // n ≥ 1 shingles contributes exactly n − ⌈t·n⌉ + 1 prefix rows — and
+    // the denominator counts CORPUS-side distinct shingles only (round
+    // 19, advisor: a batch sliver with many novel shingles inflated the
+    // union denominator and made the in-run guard more permissive than
+    // the standing one; both terms now match the footer statistic's
+    // definition exactly), so a refusal pays one agg over the cached
+    // size column plus the dfreq count (which fills the cache the prefix
+    // join reads on pass), never the index materialization. Measured on
+    // the real corpora (ProbeSaturationStat, round 18, union
+    // denominator): harness sf0.1 = 4.2, sf1 = 39.6, heaps sf10 = 0.6,
+    // adversarial sf10 = 396 — the corpus-only denominator can only
+    // nudge these UP (≤ 7/6 on the harness split), preserving the 3×
+    // margins on the shared 128 threshold.
     val prefixRows = cArr
       .select(size(col("sh")).cast("long").as("n"))
       .select(when(col("n") > 0,
         col("n") - ceil(lit(t) * col("n")).cast("long") + 1L)
         .otherwise(lit(0L)).as("p"))
       .agg(coalesce(sum("p"), lit(0L)).as("p")).head.getLong(0)
-    val dfreqRows = dfreq.count().max(1L)
-    StandingIndex.guardMeanPrefixDf(bArr.sparkSession,
-      prefixRows.toDouble / dfreqRows,
-      "computed in-run before the candidate join", what, alt)
-    idx.filter(col("isB"))
+    val dfreqRows = dfreq.filter(col("dfc") > 0).count().max(1L)
+    try {
+      StandingIndex.guardMeanPrefixDf(bArr.sparkSession,
+        prefixRows.toDouble / dfreqRows,
+        "computed in-run before the candidate join", what, alt)
+    } catch { case e: Throwable =>
+      // refusal paths (ScaleBench's especially) repeat without a
+      // clearCache — release the two materialized caches before
+      // propagating, or they accumulate for the session lifetime
+      dfreq.unpersist(); idx.unpersist(); throw e
+    }
+    val cand = idx.filter(col("isB"))
       .select(col("id").as("batch_id"), col("n").as("bn"), col("s"))
       .join(idx.filter(!col("isB"))
         .select(col("id").as("corpus_id"), col("n").as("cn"), col("s")), "s")
       .filter(col("bn") * t <= col("cn") && col("cn") * t <= col("bn"))
       .select("batch_id", "corpus_id").distinct()
+    (cand, Seq(dfreq, idx))
   }
 
   val incrementalDedupSql: String =

@@ -252,9 +252,10 @@ object Pipeline {
     val cArr = Dedup.shingleArrays(kept).select(
       col("doc_id").as("corpus_id"), col("sh"),
       size(col("sh")).cast("long").as("nc")).cache()
-    val nearBase = Dedup.incrementalNearCandidates(bArr, cArr, 0.5,
+    val (nearCand, nearCaches) = Dedup.incrementalNearCandidates(bArr, cArr, 0.5,
         "pipeline_curate_incremental",
         "pipeline_curate_incremental_banded (the banded standing probe)")
+    val nearBase = nearCand
       .join(bArr.select(col("batch_id"), col("sh").as("sb"), col("nb")), "batch_id")
       .join(cArr.select(col("corpus_id"), col("sh").as("sc"), col("nc")), "corpus_id")
       .withColumn("c", size(array_intersect(col("sb"), col("sc"))).cast("long"))
@@ -269,6 +270,10 @@ object Pipeline {
       // eager + tiny (≤1 row per batch doc): cuts the probe lineage so it
       // runs exactly once
       .localCheckpoint()
+    // the prefix index + dfreq caches fed ONLY the candidate join, which
+    // nearBase's eager checkpoint just materialized — release them here
+    // (round 19, advisor: they leaked for the session lifetime before)
+    nearCaches.foreach(_.unpersist())
     val r3 = r2.join(nearBase.select("doc_id"), Seq("doc_id"), "left_anti")
       .cache()
 

@@ -84,8 +84,10 @@ class DedupSpec extends GraftSpec {
       .join(cArr.select(col("corpus_id"), explode(col("sh")).as("s")), "s")
       .select("batch_id", "corpus_id").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pref = Dedup.incrementalNearCandidates(bArr, cArr, 0.5)
+    val (prefCand, prefCaches) = Dedup.incrementalNearCandidates(bArr, cArr, 0.5)
+    val pref = prefCand
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    prefCaches.foreach(_.unpersist())
     assert(pref.subsetOf(full), s"prefix invented pairs: ${(pref -- full).take(5)}")
     assert(pref.size < full.size,
       s"prefix index must prune the candidate space: $full vs $pref")
