@@ -118,6 +118,23 @@ object ScaleBench {
     * the small dirs (denominator stabilization), below. */
   private val NoiseFloorSec = 5.0
 
+  /** Pinned per-family ABSOLUTE last-dir baselines for the sub-floor
+    * regime (round 19, advisor): with the floor at 5 s, a family whose
+    * last-dir cost sits under it passed on absolute cost REGARDLESS of
+    * ratio — so the smallest d1 steps pinned nothing. A sub-floor pass
+    * now additionally requires the last-dir cost stay within
+    * [[AbsPinFactor]]× the family's pinned quiet baseline (worst quiet
+    * observation across both vocabularies; families without a pin keep
+    * the floor-only rule). Where 3× the pin exceeds the floor the floor
+    * still binds — the pin is then documentation — but the genuinely
+    * sub-second probes (ann_ivf_indexed) are pinned at 3.6 s: a
+    * regression to 4.5 s that used to hide under the floor now fails. */
+  private val AbsPinFactor = 3.0
+  private val AbsPinSec: Map[String, Double] = Map(
+    "ann_ivf_indexed"            -> 1.2,  // 0.25-1.0 s measured d1, both vocabularies
+    "semantic_dedup_ivf_indexed" -> 2.3,  // 1.58-2.27 s measured d1
+    "dedup_incremental_banded"   -> 3.7)  // 0.85-3.70 s measured d1
+
   private val AssertCeilings: Map[String, Double] = Map(
     "dedup_incremental"                   -> 5.5,
     "dedup_incremental_substring_indexed" -> 4.0,
@@ -393,6 +410,15 @@ object ScaleBench {
           val dataRatio = n1.toDouble / n0
           require(dataRatio >= 7 && dataRatio <= 13,
             f"--assert ceilings are calibrated for the ~10x step; got $d0 -> $d1 = $dataRatio%.1fx rows")
+          // the decade maps are calibrated ONLY for the canonical
+          // ~5k/50k/500k-doc corpora — a legitimate ~10x pair at another
+          // scale (200k -> 2M, a future sf10 -> sf100) would pass the
+          // ratio check but gate under ceilings never calibrated for it;
+          // fail loudly instead (round 19, advisor)
+          require(n1 <= (if (n0 > 25000) 1300000 else 130000),
+            s"step $d0 -> $d1 ($n0 -> $n1 docs) is outside both calibrated " +
+            "decade regimes (d1 ~5k->50k, d2 ~50k->500k docs): calibrate a " +
+            "new ceiling map for this scale instead of gating under a stale one")
           // a family with a ceiling for THIS step that refused (or died)
           // at either end is a gate failure, not a silent skip — a
           // regression that turns a gated family into a refusal must not
@@ -415,11 +441,19 @@ object ScaleBench {
             // regression cannot hide under the floor — quadratic at 10x data
             // costs tens of seconds — so the gate passes any family whose
             // ABSOLUTE last-dir cost stays under the floor, and says so.
-            if (ratio > cap && q1(t) < NoiseFloorSec) {
+            val absBound = AbsPinSec.get(t)
+              .map(p => math.min(NoiseFloorSec, AbsPinFactor * p))
+              .getOrElse(NoiseFloorSec)
+            if (ratio > cap && q1(t) < absBound) {
               System.err.println(f"[scale-gate $dLabel] $t: ratio over ceiling but " +
-                f"${q1(t)}%.2f s < ${NoiseFloorSec}%.1f s noise floor — passed on absolute cost")
+                f"${q1(t)}%.2f s < $absBound%.1f s absolute bound " +
+                "(noise floor ∧ pinned-baseline cap) — passed on absolute cost")
               None
-            } else if (ratio > cap)
+            } else if (ratio > cap && q1(t) < NoiseFloorSec)
+              Some(f"$dLabel $t grew $ratio%.2fx > ceiling ${cap}%.1fx AND its " +
+                f"${q1(t)}%.2f s last-dir cost exceeds ${AbsPinFactor}x its " +
+                f"pinned quiet baseline ($absBound%.1f s) — not noise")
+            else if (ratio > cap)
               Some(f"$dLabel $t grew $ratio%.2fx > ceiling ${cap}%.1fx")
             else None
           }

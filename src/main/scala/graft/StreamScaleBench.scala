@@ -48,7 +48,8 @@ object StreamScaleBench {
     // paying the 600-batch growing-index sweep each time; unknown names
     // fail loudly (the ONLY-filter convention, commit 4f059a1)
     val KnownTopologies =
-      Set("curate_banded", "curate", "curate_indexed", "curate_indexed_banded", "dedup")
+      Set("curate_banded", "curate", "curate_indexed", "curate_indexed_banded",
+        "dedup", "semantic")
     val onlyTopos = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     onlyTopos.foreach(ts => ts.foreach(t =>
@@ -147,6 +148,26 @@ object StreamScaleBench {
           StreamingDedup.incrementalDedupStream(ds, idx) { (df, _) => df.count(); () }
         }
         idx.release()
+      }
+      // 3. standing semantic-dedup stream (round 19): frozen semc/sema
+      // built on the embedding base (untimed), the delta sliver streamed
+      // through the probe-then-append-kept topology — per-batch cost must
+      // track the batch (broadcast centroids + bucketed cell joins), not
+      // the growing base lists.
+      if (wantTopo("semantic")) {
+        import graft.streaming.StreamingServe
+        val semTag = s"sscale_sem_${System.nanoTime()}"
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        graft.operators.Similarity.buildSemDedupFor(
+          emb.filter(col("vec_id") % 7 =!= 0), semTag)
+        val deltaVecs = emb.filter(col("vec_id") % 7 === 0)
+          .collect().map(r =>
+            StreamingServe.VecQuery(r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_.q_id).toSeq
+        drive(dir, "semantic", deltaVecs) { ds =>
+          StreamingServe.semanticDedupStream(ds, semTag) { (_, _) => () }
+        }
       }
       spark.catalog.clearCache()
       System.gc()

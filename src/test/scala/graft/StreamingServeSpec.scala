@@ -88,4 +88,62 @@ class StreamingServeSpec extends GraftSpec {
         s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
     }
   }
+
+  test("continuous semantic dedup == day-by-day fold of the batch probe over same-centroid rebuilds") {
+    // the accretion proof for the semantic stream (round 19): streaming
+    // the delta in ordered micro-batches — probe, then append the KEPT
+    // vectors — must decide exactly what a manual fold decides, where
+    // each step probes a FRESH index rebuilt over base ∪ all previously
+    // kept (the centroid set is identical: no delta id is % 200 == 0).
+    // Slicing is arbitrary but ordered: the fold semantics are
+    // order-dependent by design (a later twin base-hits an earlier kept
+    // vector), unlike the stateless probes above.
+    import graft.streaming.StreamingServe.SemDecision
+    val rnd = new scala.util.Random(47)
+    def vec() = Seq.fill(8)(rnd.nextInt(10).toDouble + 0.1)
+    val base = (Seq(0L, 200L, 400L) ++ (1L to 149L)).map(id => (id, vec()))
+    // delta: fresh directions + planted duplicates of base vectors AND of
+    // earlier delta vectors (cross-batch twins once sliced)
+    val fresh = (2001L to 2024L).map(id => (id, vec()))
+    val deltaDups = Seq(2101L -> base(5)._2, 2102L -> fresh.head._2,
+      2103L -> fresh.head._2, 2104L -> fresh(3)._2)
+    val delta = rnd.shuffle(fresh ++ deltaDups).toIndexedSeq
+    def df(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "v")
+    for ((seed, msId) <- Seq((11, 381), (29, 382))) {
+      val r2 = new scala.util.Random(seed)
+      val cuts = (Seq.fill(2)(r2.nextInt(delta.length + 1)) :+ 0 :+ delta.length)
+        .sorted.distinct
+      val chunks = cuts.zip(cuts.tail).map { case (a, b) => delta.slice(a, b) }
+        .filter(_.nonEmpty)
+      // the manual fold: fresh same-centroid rebuild per step
+      var keptSoFar = Seq.empty[(Long, Seq[Double])]
+      val expected = chunks.zipWithIndex.flatMap { case (c, i) =>
+        val tag = s"spec_semfold_${seed}_$i"
+        Similarity.buildSemDedupFor(df(base ++ keptSoFar), tag)
+        val got = Similarity.semanticDedupIvfIndexedFor(spark, tag, df(c))
+          .collect().map(r => SemDecision(r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        keptSoFar ++= c.filter { case (id, _) => got.exists(d => d.vec_id == id && d.kept) }
+        got
+      }.toSet
+      assert(expected.exists(!_.kept), "fixture must contain duplicates")
+      // the stream over the same slicing
+      val tagS = s"spec_semstream_$seed"
+      Similarity.buildSemDedupFor(df(base), tagS)
+      val ms = MemoryStream[VecQuery](msId, spark, None)
+      val sink = scala.collection.mutable.ArrayBuffer[SemDecision]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_semserve").toString
+      val q = StreamingServe.semanticDedupStream(ms.toDS(), tagS) { (ds, _) =>
+        sink.synchronized { sink ++= ds }
+        ()
+      }.option("checkpointLocation", ckpt).start()
+      try chunks.foreach { c =>
+        ms.addData(c.map { case (id, v) => VecQuery(id, v) }: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = sink.synchronized(sink.toSet)
+      assert(got == expected,
+        s"seed=$seed: semantic stream diverges from the batch fold " +
+        s"(missing=${(expected -- got).take(3)}, extra=${(got -- expected).take(3)})")
+    }
+  }
 }
