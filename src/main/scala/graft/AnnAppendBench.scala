@@ -31,6 +31,7 @@ object AnnAppendBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", GraftExtensions.ExcludedOptimizerRules)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

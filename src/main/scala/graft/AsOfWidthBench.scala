@@ -46,6 +46,7 @@ object AsOfWidthBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", GraftExtensions.ExcludedOptimizerRules)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

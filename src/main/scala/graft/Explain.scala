@@ -22,6 +22,7 @@ object Explain {
       // multi-query sessions the per-task class probes dominate (measured
       // 60-90s/query late in bench runs). No artifacts are used — disable.
       .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", GraftExtensions.ExcludedOptimizerRules)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

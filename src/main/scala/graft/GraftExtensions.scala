@@ -16,6 +16,28 @@ import graft.functions.{DotProduct, DtwDistance, SimHashAgg, TopKByScore}
   * This is the standard Spark extension surface (same mechanism Delta/
   * Iceberg use) — no Spark internals patched, works on a plain Spark 4
   * distribution. */
+/** Session-level optimizer exclusions every graft session applies (the
+  * same one-liner discipline as `spark.sql.artifact.isolation.enabled`).
+  *
+  * `InferFiltersFromGenerate` synthesizes `size(e) > 0 AND isnotnull(e)`
+  * from every non-outer explode. For this engine's generators the array
+  * is a COMPUTED per-row expression (shingle transforms, winnow k-gram
+  * hash windows, minhash band structs), so the inferred filter embeds the
+  * full expression tree TWICE, and predicate pushdown then carries those
+  * copies below the fan-out repartition onto the single-task parquet scan
+  * stage: the hot expression ran 3x per row, two of the runs serialized
+  * on one core (measured on `neardup_simhash`'s shingle explode at sf0.1:
+  * 2.84 s -> 0.28 s for the explode+hash stage with the rule excluded;
+  * r19 optimization round). The filter can never help here: it never
+  * reaches PushedFilters (too complex for parquet), and a non-outer
+  * explode of an empty array already emits zero rows - the only thing it
+  * prunes is work the expression itself creates. Excluded in every
+  * session builder via this constant. */
+object GraftExtensions {
+  val ExcludedOptimizerRules: String =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   // SQL literals arrive as Literal of whatever integral type the parser

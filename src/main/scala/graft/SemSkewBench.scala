@@ -37,6 +37,7 @@ object SemSkewBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", GraftExtensions.ExcludedOptimizerRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -18,6 +18,7 @@ object Verify {
       // multi-query sessions the per-task class probes dominate (measured
       // 60-90s/query late in bench runs). No artifacts are used — disable.
       .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", GraftExtensions.ExcludedOptimizerRules)
       // events.ts is parquet TIMESTAMP(NANOS); read as LongType nanos
       // (graft.Tables.events converts to TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

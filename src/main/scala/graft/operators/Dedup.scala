@@ -768,19 +768,30 @@ object Dedup {
 
   /** Rightmost-min selection per w-window over [[winnowHashes]];
     * (doc_id, fp) distinct selected hashes.
-    * Two-step transform so each window SLICE materializes once — the
-    * single-expression form re-evaluated slice(hs, i, w) five times per
-    * window under codegen (no CSE inside lambda bodies; measured 6.8 s
-    * warm at sf0.1 vs ~2 s for this shape) */
-  private[graft] def winnowSelect(hashed: DataFrame): DataFrame =
+    *
+    * The selected VALUE is always the window MINIMUM — "rightmost" only
+    * disambiguates which POSITION is recorded, and positions are never
+    * kept here (fingerprints are value-distinct per doc). So the
+    * selection is a plain sliding `least` over [[WinnowW]] scalar
+    * lookups: no per-window slice materialization, no reverse /
+    * array_position scans — value-identical output to the literal
+    * rightmost-min formulation (r19 optimization: the slice form
+    * allocated w-element arrays ×3 per window under codegen; measured
+    * 3.1 s warm at sf0.1 vs ~1 s for this shape, same candidate set,
+    * hash-gate unchanged). Docs with fewer than w hashes yield their
+    * single whole-array minimum, exactly as slice(hs, i, w) degraded
+    * at the boundary. */
+  private[graft] def winnowSelect(hashed: DataFrame): DataFrame = {
+    val win = (0 until WinnowW)
+      .map(o => s"element_at(hs, cast(i + $o as int))")
+      .mkString("least(", ", ", ")")
     hashed
-      .withColumn("ws", expr(
-        s"transform(sequence(1, greatest(size(hs) - ${WinnowW - 1}, 1)), i -> slice(hs, i, $WinnowW))"))
       .select(col("doc_id"),
         explode(expr(
-          s"""array_distinct(transform(ws,
-             |  s -> element_at(s, cast(size(s) - array_position(reverse(s), array_min(s)) + 1 as int))))"""
-            .stripMargin.replaceAll("\n", " "))).as("fp"))
+          s"""array_distinct(CASE WHEN size(hs) <= $WinnowW THEN array(array_min(hs))
+             |  ELSE transform(sequence(1, size(hs) - ${WinnowW - 1}), i -> $win)
+             |END)""".stripMargin.replaceAll("\n", " "))).as("fp"))
+  }
 
   /** The winnowing selection end to end: (doc_id, fp) — distinct
     * selected k-gram hashes per doc. Row-local array arithmetic;

@@ -17,6 +17,7 @@ object SparkFixture {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.artifact.isolation.enabled", "false")
+    .config("spark.sql.optimizer.excludedRules", GraftExtensions.ExcludedOptimizerRules)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir",
       System.getProperty("java.io.tmpdir") + "/graft_warehouse")
