@@ -60,6 +60,44 @@ object Prof {
     })
 
     for (round <- 1 to 2) {
+      println(s"[prof] ===== curate round $round =====")
+      spark.catalog.clearCache()
+      t0 = System.nanoTime()
+      locally {
+        import operators.{Dedup, QualityFilters, DataPrep, Pipeline}
+        val s = spark
+        val kept0 = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+        val rep = QualityFilters.repetitionFilter(s, dir).select("doc_id")
+        noop(rep); lap("repetitionFilter")
+        val con = QualityFilters.decontaminate(s, dir).select("doc_id")
+        noop(con); lap("decontaminate")
+        val w = Window.partitionBy(md5(col("text")), length(col("text")))
+          .orderBy(col("doc_id"))
+        val exact = kept0.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        noop(exact); lap("exact survivors")
+        val arr = Dedup.shingleArrays(exact).cache()
+        noop(arr); lap("shingleArrays cache")
+        val candB = Dedup.minhashMd5CandidatesFrom(arr)
+        noop(candB); lap("minhashMd5 candidates")
+        val pairs = Dedup.verifyPairs(candB, arr, 0.5).select("a_id", "b_id")
+        noop(pairs); lap("verifyPairs")
+        val pairsCk = pairs.localCheckpoint()
+        lap("pairs checkpoint (recompute)")
+        val nonReps = Dedup.ccLabels(pairsCk)
+          .filter(col("id") =!= col("lbl"))
+          .select(col("id").as("doc_id"))
+        lap("ccLabels (eager)")
+        val dropSet = nonReps.union(rep).union(con).distinct()
+        val keptD = exact.join(dropSet, Seq("doc_id"), "left_anti")
+        noop(keptD); lap("dropSet join + kept")
+        val out = DataPrep.splitOf(keptD)
+          .join(keptD.select("doc_id", "lang", "source"), "doc_id")
+          .select("doc_id", "lang", "source", "n_chars", "split")
+          .orderBy("doc_id")
+        noop(out); lap("splitOf + final")
+        arr.unpersist()
+      }
       println(s"[prof] ===== simhash round $round =====")
       spark.catalog.clearCache()
       t0 = System.nanoTime()

@@ -42,10 +42,14 @@ object Dedup {
         explode(expr(s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', slice(tk, i + 1, $n)))"))
           .as("s"))
 
-  /** Distinct 3-token shingles per document ([[ngrams]] + distinct — the
-    * distinct groups by (doc_id, shingle): one shuffle). */
+  /** Distinct n-token shingles per document, deduplicated ROW-LOCALLY
+    * (explode of [[shingleArrays]]'s per-row `array_distinct`) — the
+    * earlier `ngrams(...).distinct()` paid a corpus-wide shuffle to group
+    * by (doc_id, shingle) for a dedup that never crosses rows (r19
+    * optimization; guide §2.4 "remove shuffles outright"). Same
+    * (doc_id, s) row set — distinctness is per document either way. */
   private[graft] def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    ngrams(docs, n).distinct()
+    shingleArrays(docs, n).select(col("doc_id"), explode(col("sh")).as("s"))
 
   // ------------------------------------------------------------ exact dedup
   /** Exact dedup: keep the lowest doc_id of each identical text, with the

@@ -64,6 +64,12 @@ object QualityFilters {
     * to it; the indexed incremental-curation probe scores only its delta
     * sliver through this. */
   private[graft] def repetitionFlagsOf(docs: DataFrame): DataFrame = {
+    // Deliberately the exploded two-level groupBy, NOT a row-local
+    // sort+fold: the per-row form (array_sort + an `aggregate` HOF
+    // tracking the longest equal-run) is value-identical and shuffle-free
+    // but ArrayAggregate is CodegenFallback — measured 0.91 s → 1.75 s at
+    // sf0.1 when tried (r19 optimization round), so the two partial-agg
+    // shuffles of skinny (doc_id, bigram) rows stay.
     val bg = Dedup.ngrams(docs, 2)
       .withColumnRenamed("s", "bigram")
     bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
@@ -298,9 +304,12 @@ object QualityFilters {
     // decile cutoff as a broadcast 1-row scalar (the graph_pagerank `nn`
     // pattern) instead of a driver-side ranked.count(): the old form fired
     // an extra ACTION per build that re-ran both global sorts just to get
-    // n; this rides the one real action, and the cutoff subtree is a plain
-    // count over the join — no sorts
-    val decileDf = broadcast(joined.agg(
+    // n; this rides the one real action. Counted over the RANKED frame
+    // (same row count as the join, one row per doc) rather than the raw
+    // join: ranked reads the sort's persisted rows, so the cutoff subtree
+    // costs a count over cached rows — the joined-side form re-ran the
+    // whole quality+perplexity upstream a second time (r19 optimization).
+    val decileDf = broadcast(ranked.agg(
       greatest(lit(1L), floor(count(lit(1)) / 10)).as("decile")))
     val topQ = ranked.crossJoin(decileDf)
       .filter(col("rq") <= col("decile")).select("doc_id")

@@ -1697,31 +1697,52 @@ object Similarity {
 
   private def kcenterInner(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
+    def d2(v: org.apache.spark.sql.Column, sv: org.apache.spark.sql.Column) =
+      dot(v, v) - lit(2.0) * dot(v, sv) + dot(sv, sv)
     val e = embeddings(s, dir).select(col("vec_id"), col("v")).cache()
     var sel = e.orderBy("vec_id").limit(1)
       .select(col("vec_id"), col("v"), lit(1L).as("s_rank"),
         lit(null).cast("double").as("dmin"))
       .localCheckpoint()
+    // Running min-distance-to-selected per remaining vector, updated with
+    // ONLY the newest center each round (r19 optimization): the earlier
+    // form re-joined the full corpus against the ENTIRE selected set every
+    // round — Θ(n·i) dot products at round i, Θ(n·K²/2) total — where the
+    // greedy recurrence is dmin_i = least(dmin_{i-1}, d2(v, c_i)): Θ(n)
+    // per round. `least` over the identical d2 terms is bitwise the same
+    // as the re-computed `min` aggregate (no re-association of the
+    // floating-point arithmetic, only fewer evaluations), so ranks, ids
+    // and reported dmin are unchanged — SimilaritySpec + the unrolled
+    // DuckDB twin gate that. Each round's frame is one broadcast-scalar
+    // join over the cached corpus, checkpointed under the sanctioned
+    // eager-job tag as before.
+    var dmin = e
+      .join(broadcast(sel.select(col("vec_id").as("s_id"), col("v").as("sv"))), lit(true))
+      .filter(col("vec_id") =!= col("s_id"))
+      .select(col("vec_id"), col("v"), d2(col("v"), col("sv")).as("dmin"))
+      .localCheckpoint()
     for (i <- 2 to KcenterK) {
-      val next = e
-        .join(sel.select(col("vec_id").as("s_id"), col("v").as("sv")), lit(true))
-        .filter(col("vec_id") =!= col("s_id"))
-        .withColumn("d2",
-          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("sv")) +
-            dot(col("sv"), col("sv")))
-        .groupBy(col("vec_id"))
-        .agg(min(col("d2")).as("dmin"))
-        // already-selected candidates kept a nonzero min above (their
-        // zero self-pair was filtered) — remove them entirely here
-        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      val next = dmin
         .orderBy(col("dmin").desc, col("vec_id"))
         .limit(1)
-        .join(e, "vec_id") // re-attach the vector for the next level's joins
         .select(col("vec_id"), col("v"), lit(i.toLong).as("s_rank"), col("dmin"))
-      val prev = sel
-      sel = sel.unionByName(next).localCheckpoint()
-      GraftShims.unpersistCheckpoint(prev)
+        .localCheckpoint()
+      val prevSel = sel
+      sel = prevSel.unionByName(next).localCheckpoint()
+      GraftShims.unpersistCheckpoint(prevSel)
+      if (i < KcenterK) {
+        val prevD = dmin
+        dmin = prevD
+          .join(broadcast(next.select(col("vec_id").as("s_id"), col("v").as("sv"))),
+            lit(true))
+          .filter(col("vec_id") =!= col("s_id"))
+          .select(col("vec_id"), col("v"),
+            least(col("dmin"), d2(col("v"), col("sv"))).as("dmin"))
+          .localCheckpoint()
+        GraftShims.unpersistCheckpoint(prevD)
+      }
     }
+    GraftShims.unpersistCheckpoint(dmin)
     sel.select(col("s_rank"), col("vec_id"), round(col("dmin"), 6).as("dmin"))
       .orderBy("s_rank")
   }
@@ -1814,25 +1835,46 @@ object Similarity {
       .filter(col("rk") === 1)
       .select(col("q_id"), col("n_id"), col("v"), lit(1L).as("rnk"), col("mmr"))
       .localCheckpoint()
+    // Remaining pool rows per query with the RUNNING diversity term —
+    // the kcenterInner recurrence grouped by query (r19 optimization):
+    // max_{s∈selected} cos(c, s) updates as greatest(prev, cos(c, new))
+    // with only the round's ONE new pick per query, instead of re-joining
+    // the pool against the whole selected set every round. `greatest`
+    // over the identical cosine terms is bitwise the max aggregate's
+    // value (no re-association), and `rel` is functionally determined by
+    // (q_id, n_id), so picks, ranks and reported mmr are unchanged —
+    // spec- and oracle-gated as before.
+    var cand = pool
+      .join(sel.select(col("q_id"), col("n_id").as("s_id"), col("v").as("sv")), "q_id")
+      .filter(col("n_id") =!= col("s_id"))
+      .select(col("q_id"), col("n_id"), col("v"), col("rel"),
+        cosine(col("v"), col("sv")).as("maxsim"))
+      .localCheckpoint()
     for (r <- 2 to MmrK) {
-      val selV = sel.select(col("q_id"), col("n_id").as("s_id"), col("v").as("sv"))
-      val next = pool
-        .join(sel.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_anti")
-        .join(selV, "q_id")
-        .withColumn("sim", cosine(col("v"), col("sv")))
-        .groupBy(col("q_id"), col("n_id"))
-        .agg(max(col("sim")).as("maxsim"), min(col("rel")).as("rel"))
+      val next = cand
         .withColumn("mmr",
           lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("maxsim"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("q_id")).orderBy(col("mmr").desc, col("n_id"))))
         .filter(col("rk") === 1)
-        .join(e.select(col("vec_id").as("n_id"), col("v")), "n_id")
         .select(col("q_id"), col("n_id"), col("v"), lit(r.toLong).as("rnk"), col("mmr"))
-      val prev = sel
-      sel = sel.unionByName(next).localCheckpoint()
-      GraftShims.unpersistCheckpoint(prev)
+        .localCheckpoint()
+      val prevSel = sel
+      sel = prevSel.unionByName(next).localCheckpoint()
+      GraftShims.unpersistCheckpoint(prevSel)
+      if (r < MmrK) {
+        val prevC = cand
+        cand = prevC
+          .join(next.select(col("q_id"), col("n_id").as("s_id"), col("v").as("sv")),
+            "q_id")
+          .filter(col("n_id") =!= col("s_id"))
+          .select(col("q_id"), col("n_id"), col("v"), col("rel"),
+            greatest(col("maxsim"), cosine(col("v"), col("sv"))).as("maxsim"))
+          .localCheckpoint()
+        GraftShims.unpersistCheckpoint(prevC)
+      }
     }
+    GraftShims.unpersistCheckpoint(cand)
     sel.select(col("q_id"), col("rnk"), col("n_id"), round(col("mmr"), 6).as("mmr"))
       .orderBy("q_id", "rnk")
   }
