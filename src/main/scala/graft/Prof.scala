@@ -200,8 +200,8 @@ object Prof {
         .select(col("id"), col("isB"), size(col("os")).cast("long").as("n"),
           expr(s"slice(os, 1, cast(size(os) - ceil($t * size(os)) + 1 as int))")
             .as("pf"))
-        .select(col("id"), col("isB"), col("n"), explode(col("pf")).as("e"))
-        .select(col("id"), col("isB"), col("n"), col("e.s").as("s"))
+        .select(col("id"), col("isB"), col("n"), posexplode(col("pf")).as(Seq("p", "e")))
+        .select(col("id"), col("isB"), col("n"), col("p").cast("long").as("p"), col("e.s").as("s"))
         .cache()
       noop(idx); lap("prefix idx")
       val prefixRows = cArr
@@ -213,10 +213,12 @@ object Prof {
       val dfreqRows = dfreq.filter(col("dfc") > 0).count().max(1L)
       lap(s"guard counts (stat=${prefixRows.toDouble / dfreqRows})")
       val cand = idx.filter(col("isB"))
-        .select(col("id").as("batch_id"), col("n").as("bn"), col("s"))
+        .select(col("id").as("batch_id"), col("n").as("bn"), col("p").as("pb"), col("s"))
         .join(idx.filter(!col("isB"))
-          .select(col("id").as("corpus_id"), col("n").as("cn"), col("s")), "s")
+          .select(col("id").as("corpus_id"), col("n").as("cn"), col("p").as("pc"), col("s")), "s")
         .filter(col("bn") * t <= col("cn") && col("cn") * t <= col("bn"))
+        .filter(lit(1L) + least(col("bn") - col("pb") - 1L, col("cn") - col("pc") - 1L) >=
+          ceil(lit(t) * (col("bn") + col("cn")) / lit(1 + t)))
         .select("batch_id", "corpus_id").distinct()
       val candC = cand.cache()
       println(s"[prof] n_cand=${candC.count()} n_b=${bArr.count()} n_c=${cArr.count()} idx=${idx.count()}")

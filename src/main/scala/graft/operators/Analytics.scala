@@ -620,7 +620,16 @@ object Analytics {
       .select(explode(col("sks")).as("src"), col("sks"))
       .select(col("src"), explode(col("sks")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct().cache()
+      .distinct()
+      // the per-iteration contribution join hashes edges by src; distinct
+      // leaves the cache partitioned by (src, dst), so every iteration
+      // re-exchanged the edge table. One repartition at cache time aligns
+      // the cached layout with the join key — the cache's partitioning is
+      // what the joins reuse, so all PrIters edge-side exchanges disappear
+      // (r19 optimization, guide §2.4: two operations keyed the same way
+      // share one exchange). Skew note: a hot src hashes to one partition
+      // either way — this moves the exchange, it cannot add skew.
+      .repartition(col("src")).cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
     val nn = deg.agg(count(lit(1)).cast("double").as("nn"))
     var pr = deg.select(col("src").as("node")).crossJoin(broadcast(nn))

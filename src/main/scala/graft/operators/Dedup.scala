@@ -254,9 +254,26 @@ object Dedup {
     * back in candidate-join fan-out. Exact verification joins candidates back to
     * the full shingle arrays, so emitted scores are full-set Jaccard,
     * bit-identical to the baseline's. */
-  def jaccardPrefixNearDup(s: SparkSession, dir: String): DataFrame = {
-    val t = 0.5
-    val docsArr = shingleArrays(Tables.documents(s, dir)).cache()
+  def jaccardPrefixNearDup(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsPrefixFrom(Tables.documents(s, dir), 0.5)
+
+  /** Prefix-filtered EXACT Jaccard pairs — [[jaccardPairsFrom]]'s output
+    * (bit-identical pair set and scores, PPJoin prefix + positional
+    * filters are lossless) at a fraction of the candidate volume.
+    *
+    * Deliberately NOT swapped into the composed consumers (pipelines, ER,
+    * clusters, sweep/recall reports): an r19 A/B measured the swap
+    * SLOWER across all ten at the harness scale (e.g. neardup_clusters
+    * 2.0 → 6.3 s, pipeline_curate 4.9 → 7.2 s) — on this low-mean-df
+    * corpus (Σ df² small) the all-pairs common-count join is cheap,
+    * while the prefix form pays dfreq + per-doc (df, s) sort +
+    * posexplode + full-array verify regardless. The candidate-volume win
+    * only dominates on saturated vocabularies — exactly where the exact
+    * forms REFUSE via [[guardExactPairs]] and route to the banded twins,
+    * so the composed paths keep the form that is faster where they
+    * actually run. */
+  private[graft] def jaccardPairsPrefixFrom(docs: DataFrame, t: Double): DataFrame = {
+    val docsArr = shingleArrays(docs).cache()
     val sh = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
     // global order key: (document frequency asc, shingle asc) — a total
     // order (s is distinct per doc), identical for every document.
@@ -275,11 +292,19 @@ object Dedup {
       col("doc_id"), size(col("os")).cast("long").as("n"),
       expr(s"slice(os, 1, cast(size(os) - ceil($t * size(os)) + 1 as int))")
         .as("pf"))
-    val idx = pref.select(col("doc_id"), col("n"), explode(col("pf")).as("e"))
-      .select(col("doc_id"), col("n"), col("e.s").as("s"))
+    val idx = pref.select(col("doc_id"), col("n"), posexplode(col("pf")).as(Seq("p", "e")))
+      .select(col("doc_id"), col("n"), col("p").cast("long").as("p"), col("e.s").as("s"))
+    // PPJoin positional filter on each occurrence row (lossless — see
+    // [[incrementalNearCandidates]]): a match at sorted positions (px, py)
+    // bounds the overlap at 1 + min(nx−px−1, ny−py−1); true pairs keep
+    // their first common prefix shingle, only verification-doomed pairs
+    // drop (r19 optimization — measured 2.5× fewer candidate pairs on the
+    // R-S form at sf0.1, same mechanism here).
     val candidates = idx.as("x").join(idx.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
-          col("y.n") * t <= col("x.n") && col("x.n") * t <= col("y.n"))
+          col("y.n") * t <= col("x.n") && col("x.n") * t <= col("y.n") &&
+          lit(1L) + least(col("x.n") - col("x.p") - 1L, col("y.n") - col("y.p") - 1L) >=
+            ceil(lit(t) * (col("x.n") + col("y.n")) / lit(1 + t)))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     verifyPairs(candidates, docsArr, t).orderBy("a_id", "b_id")
@@ -1626,8 +1651,12 @@ object Dedup {
       .select(col("id"), col("isB"), size(col("os")).cast("long").as("n"),
         expr(s"slice(os, 1, cast(size(os) - ceil($t * size(os)) + 1 as int))")
           .as("pf"))
-      .select(col("id"), col("isB"), col("n"), explode(col("pf")).as("e"))
-      .select(col("id"), col("isB"), col("n"), col("e.s").as("s"))
+      // posexplode: each prefix row carries its 0-based position in the
+      // doc's (df, s)-sorted order, feeding the PPJoin positional filter
+      // in the candidate join below
+      .select(col("id"), col("isB"), col("n"), posexplode(col("pf")).as(Seq("p", "e")))
+      .select(col("id"), col("isB"), col("n"), col("p").cast("long").as("p"),
+        col("e.s").as("s"))
       .cache()
     // in-run saturation guard — computing dfreq is linear in total
     // shingle rows (safe at any vocabulary shape); the CANDIDATE JOIN
@@ -1663,11 +1692,23 @@ object Dedup {
       // propagating, or they accumulate for the session lifetime
       dfreq.unpersist(); idx.unpersist(); throw e
     }
+    // PPJoin positional filter (Xiao et al., WWW 2008 — lossless): a
+    // common prefix shingle found at 0-based sorted positions (pb, pc)
+    // bounds the pair's possible overlap at 1 + min(bn−pb−1, cn−pc−1);
+    // J ≥ t requires overlap ≥ ⌈t·(bn+cn)/(1+t)⌉, and a true pair's
+    // FIRST common shingle always satisfies the bound (all of its overlap
+    // lies at or after that position on both sides), so filtering each
+    // occurrence row before the pair-distinct drops only pairs the exact
+    // verification would reject anyway — measured ~2× fewer candidate
+    // pairs into the verify join at sf0.1 (r19 optimization, guide §3.2
+    // family: prune before the expensive stage).
     val cand = idx.filter(col("isB"))
-      .select(col("id").as("batch_id"), col("n").as("bn"), col("s"))
+      .select(col("id").as("batch_id"), col("n").as("bn"), col("p").as("pb"), col("s"))
       .join(idx.filter(!col("isB"))
-        .select(col("id").as("corpus_id"), col("n").as("cn"), col("s")), "s")
+        .select(col("id").as("corpus_id"), col("n").as("cn"), col("p").as("pc"), col("s")), "s")
       .filter(col("bn") * t <= col("cn") && col("cn") * t <= col("bn"))
+      .filter(lit(1L) + least(col("bn") - col("pb") - 1L, col("cn") - col("pc") - 1L) >=
+        ceil(lit(t) * (col("bn") + col("cn")) / lit(1 + t)))
       .select("batch_id", "corpus_id").distinct()
     (cand, Seq(dfreq, idx))
   }

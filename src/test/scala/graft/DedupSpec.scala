@@ -106,6 +106,27 @@ class DedupSpec extends GraftSpec {
       s"prefix filter LOST true pairs: ${(truePairs -- pref).take(5)}")
   }
 
+  test("positional filter keeps a pair at exactly the Jaccard threshold") {
+    // r19 optimization: the candidate join applies the PPJoin positional
+    // filter (ub = 1 + min(bn−pb−1, cn−pc−1) ≥ ⌈t(bn+cn)/(1+t)⌉). This
+    // plants a pair at EXACTLY J = 0.5 whose only common prefix shingle
+    // meets the bound with zero slack (ub = α = 2): shingle sets
+    // {w1w2w3, w2w3w4, w3w4w5} vs {w1w2w3, w2w3w4, w3w4w6} — common 2,
+    // union 4. An off-by-one in either side of the inequality drops it.
+    import org.apache.spark.sql.functions._
+    val batchDocs = Seq((70L, "w1 w2 w3 w4 w6")).toDF("doc_id", "text")
+    val corpusDocs = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "x1 x2 x3 x4"),
+      (3L, "y1 y2 y3 y4")).toDF("doc_id", "text")
+    val bArr = Dedup.shingleArrays(batchDocs).select(
+      col("doc_id").as("batch_id"), col("sh"), size(col("sh")).cast("long").as("nb"))
+    val cArr = Dedup.shingleArrays(corpusDocs).select(
+      col("doc_id").as("corpus_id"), col("sh"), size(col("sh")).cast("long").as("nc"))
+    val (cand, caches) = Dedup.incrementalNearCandidates(bArr, cArr, 0.5)
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    caches.foreach(_.unpersist())
+    assert(pairs.contains((70L, 1L)), s"J=0.5 boundary pair lost: $pairs")
+  }
+
   test("connected components merge transitive chains and keep components separate") {
     // chain 1~2~3 (1~3 NOT a pair: transitivity must come from propagation),
     // separate pair 10~11, plus a star 20~{21,22}
