@@ -634,7 +634,12 @@ object Similarity {
     * is the GATED [[semanticDedupIvfIndexed]] (round 18), so the Lloyd
     * term never reaches a day-2 pipeline. */
   def semanticDedupIvf(s: SparkSession, dir: String): DataFrame = {
-    val assigned = kmeansAssignments(s, dir, KmeansIters)
+    // cached: the within-cell pair stage references the assignment on
+    // BOTH self-join sides, and the Lloyd chain's broadcast stages are
+    // not covered by exchange reuse — without the cache the 3-round fit
+    // executed twice (r19 optimization; ccLabels materializes the pair
+    // edges eagerly right below, so the cache is released before return)
+    val assigned = kmeansAssignments(s, dir, KmeansIters).cache()
     val pairs = assigned.select(col("c_id"), col("vec_id").as("a_id"), col("v").as("va"))
       .join(assigned.select(col("c_id"), col("vec_id").as("b_id"), col("v").as("vb")),
             Seq("c_id"))
@@ -643,6 +648,7 @@ object Similarity {
       .filter(col("score") >= 0.4)
     val labels = Dedup.ccLabels(pairs.select("a_id", "b_id"))
       .withColumnRenamed("id", "vec_id")
+    assigned.unpersist()
     embeddings(s, dir).select(col("vec_id"))
       .join(labels, Seq("vec_id"), "left")
       .select(col("vec_id"),
