@@ -111,18 +111,33 @@ object Dedup {
 
   def jaccardNearDup(s: SparkSession, dir: String): DataFrame = {
     guardExactPairs(s, dir, "neardup_jaccard", "neardup_minhash_md5")
-    jaccardPairsFrom(Tables.documents(s, dir))
+    jaccardPairsFrom(Tables.documents(s, dir)).orderBy("a_id", "b_id")
   }
 
   /** [[jaccardNearDup]] parametrized by the document set — the reusable
-    * form the curation pipeline composes over exact-dedup survivors. */
-  private[graft] def jaccardPairsFrom(docs: DataFrame, t: Double = 0.5): DataFrame = {
+    * form the curation pipeline composes over exact-dedup survivors.
+    * Emits the pair set UNORDERED: every composed consumer (CC collapse,
+    * recall/sweep aggregates, the wedge join) is order-indifferent, and
+    * the orderBy this helper used to carry survived into their plans as a
+    * rangepartitioning Exchange + Sort (sampling pass included) that the
+    * cache/analysis boundary kept EliminateSorts from removing (r20
+    * optimization, guide §2.4: "an orderBy used only to make output
+    * deterministic"). Query-level callers that declare ordered output
+    * sort at their own tail. */
+  private[graft] def jaccardPairsFrom(docs: DataFrame, t: Double = 0.5): DataFrame =
+    jaccardPairsFromArrays(shingleArrays(docs).cache(), t)
+
+  /** [[jaccardPairsFrom]] over an ALREADY-BUILT (doc_id, sh) shingle-array
+    * frame (callers that hold one cached — the incremental batch stages —
+    * skip re-tokenizing the same documents; r20, guide §5 reuse). The
+    * array column must be [[shingleArrays]]' row-local distinct form. */
+  private[graft] def jaccardPairsFromArrays(docsArr0: DataFrame, t: Double = 0.5): DataFrame = {
     // per-row distinct shingle ARRAYS (no shuffle), exploded for the
     // inverted index — same distinct-shingle semantics as an
     // explode+distinct, minus its (doc_id, shingle) shuffle; per-doc set
     // sizes are a row-local size() on the same cache instead of a
     // count-aggregate shuffle
-    val docsArr = shingleArrays(docs).cache()
+    val docsArr = docsArr0.select("doc_id", "sh")
     val sh = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
     val sizes = docsArr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val a = sh.select(col("doc_id").as("a_id"), col("s"))
@@ -137,7 +152,6 @@ object Dedup {
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= t)
       .select("a_id", "b_id", "jac")
-      .orderBy("a_id", "b_id")
   }
 
   val jaccardNearDupSql: String =
@@ -300,11 +314,18 @@ object Dedup {
     // their first common prefix shingle, only verification-doomed pairs
     // drop (r19 optimization — measured 2.5× fewer candidate pairs on the
     // R-S form at sf0.1, same mechanism here).
+    // overlap bound vs required overlap compared ALGEBRAICALLY —
+    // bound * (1+t) >= t * (nx+ny) — instead of bound >= ceil(t*(nx+ny)/(1+t)):
+    // for integer bound the two are mathematically identical, but the ceil
+    // form divides doubles and an FP quotient epsilon above an integer
+    // would raise the ceil and silently drop a true boundary pair at
+    // thresholds where the division is inexact (r20, advisor note; at the
+    // shipped t = 0.5 both forms are provably exact and bit-identical)
     val candidates = idx.as("x").join(idx.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
           col("y.n") * t <= col("x.n") && col("x.n") * t <= col("y.n") &&
-          lit(1L) + least(col("x.n") - col("x.p") - 1L, col("y.n") - col("y.p") - 1L) >=
-            ceil(lit(t) * (col("x.n") + col("y.n")) / lit(1 + t)))
+          (lit(1L) + least(col("x.n") - col("x.p") - 1L, col("y.n") - col("y.p") - 1L))
+            * lit(1 + t) >= lit(t) * (col("x.n") + col("y.n")))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     verifyPairs(candidates, docsArr, t).orderBy("a_id", "b_id")
@@ -554,10 +575,21 @@ object Dedup {
     * what lets a growing index keep old band rows valid forever. */
   private[graft] def xxhashBandBuckets(docsArr: DataFrame): DataFrame = {
     // k permutations simulated as xxhash64(seed_i, shingle), min per
-    // (doc, i) — k WIDE aggregate columns in a single codegen'd pass
-    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
-    val sig = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
-      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // (doc, i) — computed ROW-LOCALLY as k × array_min(transform(sh, ...))
+    // instead of explode + k wide min aggregates: the shingle set never
+    // leaves its row, so the signature's partial-agg shuffle disappears
+    // outright (r20 optimization, guide §2.4; A/B'd on the md5 twin:
+    // 0.51 → 0.38 s warm at sf0.1 despite HOFs being interpreted — the
+    // per-shingle hash work dominates and the explode/agg machinery is
+    // pure overhead). min over the identical per-shingle values → the
+    // same signature bit-for-bit (exceptAll-checked both directions).
+    val mins = (0 until NumHashes).map(i =>
+      expr(s"array_min(transform(sh, x -> xxhash64($i, x)))").as(s"mh$i"))
+    // filter(size >= 1) mirrors the explode form exactly: a no-shingle doc
+    // produced no signature row there (all current inputs are already
+    // non-empty by [[shingleArrays]]' token filter — this is belt)
+    val sig = docsArr.filter(size(col("sh")) >= 1)
+      .select((col("doc_id") +: mins): _*)
     val bandCols = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band"),
         xxhash64((lit(b) +: (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))): _*)
@@ -602,14 +634,23 @@ object Dedup {
     * generator, and a doc's rows depend on its content only (the same
     * property [[xxhashBandBuckets]] leans on for the growing index). */
   private[graft] def mdBandRows(docsArr: DataFrame): DataFrame = {
-    // min over shingles of the seeded md5-derived long, k wide agg columns
-    // in one partial-agg shuffle (same shape as the xxhash64 variant)
-    val mins = (0 until NumHashes).map { i =>
-      min(conv(substring(md5(concat(col("s"), lit(s"#$i"))), 1, 15), 16, 10)
-        .cast("long")).as(s"mh$i")
-    }
-    val sig = docsArr.select(col("doc_id"), explode(col("sh")).as("s"))
-      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // min over shingles of the seeded md5-derived long, computed
+    // ROW-LOCALLY (k × array_min over a transform of the per-row shingle
+    // array) — the explode + k-wide-min-aggregate form paid a partial-agg
+    // shuffle and the exploded-row machinery for values that never need
+    // to leave their row (r20 optimization, guide §2.4 "remove shuffles
+    // outright"; measured 0.51 → 0.38 s warm on the signature stage at
+    // sf0.1, and bit-identical signatures — exceptAll zero both ways —
+    // since min commutes over the identical per-shingle hash values; the
+    // oracle-pinned hash definition md5(s || '#i') is untouched).
+    val mins = (0 until NumHashes).map(i =>
+      expr("array_min(transform(sh, x -> " +
+        s"cast(conv(substring(md5(concat(x, '#$i')), 1, 15), 16, 10) as bigint)))")
+        .as(s"mh$i"))
+    // filter(size >= 1) mirrors the explode form exactly (see
+    // [[xxhashBandBuckets]]): a no-shingle doc produced no signature row
+    val sig = docsArr.filter(size(col("sh")) >= 1)
+      .select((col("doc_id") +: mins): _*)
     // band bucket key = comma-joined minhash subsequence as a STRING —
     // trivially identical across engines (no second-level hash to match)
     val bandCols = (0 until NumHashes / BandRows).map { b =>
@@ -1675,13 +1716,22 @@ object Dedup {
     // adversarial sf10 = 396 — the corpus-only denominator can only
     // nudge these UP (≤ 7/6 on the harness split), preserving the 3×
     // margins on the shared 128 threshold.
-    val prefixRows = cArr
+    // ONE action for both guard statistics (r20: they ran as two driver
+    // round-trips; a tagged union of the two single-row aggregates costs
+    // one job and still fills the dfreq cache the prefix join reads)
+    val guardStats = cArr
       .select(size(col("sh")).cast("long").as("n"))
       .select(when(col("n") > 0,
         col("n") - ceil(lit(t) * col("n")).cast("long") + 1L)
         .otherwise(lit(0L)).as("p"))
-      .agg(coalesce(sum("p"), lit(0L)).as("p")).head.getLong(0)
-    val dfreqRows = dfreq.filter(col("dfc") > 0).count().max(1L)
+      .agg(coalesce(sum("p"), lit(0L)).as("v"))
+      .select(lit(0).as("tag"), col("v"))
+      .unionByName(dfreq.filter(col("dfc") > 0)
+        .agg(count(lit(1)).as("v"))
+        .select(lit(1).as("tag"), col("v")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefixRows = guardStats(0)
+    val dfreqRows = guardStats(1).max(1L)
     try {
       StandingIndex.guardMeanPrefixDf(bArr.sparkSession,
         prefixRows.toDouble / dfreqRows,
@@ -1707,8 +1757,10 @@ object Dedup {
       .join(idx.filter(!col("isB"))
         .select(col("id").as("corpus_id"), col("n").as("cn"), col("p").as("pc"), col("s")), "s")
       .filter(col("bn") * t <= col("cn") && col("cn") * t <= col("bn"))
-      .filter(lit(1L) + least(col("bn") - col("pb") - 1L, col("cn") - col("pc") - 1L) >=
-        ceil(lit(t) * (col("bn") + col("cn")) / lit(1 + t)))
+      // algebraic form of the overlap bound (see [[jaccardPairsPrefixFrom]]):
+      // identical decisions at t = 0.5, no ceil-of-double FP edge for other t
+      .filter((lit(1L) + least(col("bn") - col("pb") - 1L, col("cn") - col("pc") - 1L))
+        * lit(1 + t) >= lit(t) * (col("bn") + col("cn")))
       .select("batch_id", "corpus_id").distinct()
     (cand, Seq(dfreq, idx))
   }

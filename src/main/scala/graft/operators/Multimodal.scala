@@ -681,7 +681,13 @@ object Multimodal {
     * same twins, so fixture and corpus semantics are both exercised. */
   def imageNearDup(s: SparkSession, dir: String): DataFrame =
     imageNearDupOf(Tables.documents(s, dir), sentinels = false)
+      .orderBy("a_id", "b_id")
 
+  /** Emits the pair set UNORDERED (same reasoning as
+    * [[Dedup.jaccardPairsFrom]] — the ER edge unions are
+    * order-indifferent and the sort survived into their plans as a
+    * rangepartitioning Exchange; query-level registrations sort at their
+    * own tail, r20). */
   private[graft] def imageNearDupOf(docs: DataFrame, sentinels: Boolean): DataFrame = {
     val hashes = hashesOfMedia(mediaOf(docs, sentinels)).cache()
     val bands = hashes.selectExpr("doc_id",
@@ -697,7 +703,6 @@ object Multimodal {
          bit_count(col("ha").bitwiseXOR(col("hb")))).cast("int"))
       .filter(col("hamming") <= 3)
       .select("a_id", "b_id", "hamming")
-      .orderBy("a_id", "b_id")
   }
 
   /** Near-dup oracle over the faithful (`mirrored = false`) or fixture
@@ -865,7 +870,8 @@ object Multimodal {
       contentDedupOf(Tables.documents(s, dir), sentinels = true)),
     "mm_image_ahash" -> (imageAHash _),
     "mm_image_neardup" -> ((s, dir) =>
-      imageNearDupOf(Tables.documents(s, dir), sentinels = true)),
+      imageNearDupOf(Tables.documents(s, dir), sentinels = true)
+        .orderBy("a_id", "b_id")),
     "mm_metadata"   -> (mediaMetadata _),
     "mm_by_mime"    -> (mediaByMime _),
     "mm_features"   -> (mediaFeatures _),

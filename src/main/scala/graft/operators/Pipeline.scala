@@ -277,9 +277,15 @@ object Pipeline {
     val r3 = r2.join(nearBase.select("doc_id"), Seq("doc_id"), "left_anti")
       .cache()
 
-    // 2b. near within the remaining batch — the pipeline's CC collapse
+    // 2b. near within the remaining batch — the pipeline's CC collapse.
+    // The sliver's shingle arrays are already sitting in the bArr cache
+    // (r2 ⊇ r3, shingleArrays is per-row): a semi-join reads them back
+    // instead of re-tokenizing r3's texts (r20, guide §5 reuse)
     val nearBatch = Dedup.ccLabels(
-        Dedup.jaccardPairsFrom(r3).select("a_id", "b_id"))
+        Dedup.jaccardPairsFromArrays(bArr
+          .join(r3.select(col("doc_id").as("batch_id")), Seq("batch_id"), "left_semi")
+          .select(col("batch_id").as("doc_id"), col("sh")))
+          .select("a_id", "b_id"))
       .filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_id"), lit("near_batch").as("decision"),
         col("lbl").as("ref_id"), nullJac, nullSplit)

@@ -1096,7 +1096,10 @@ object StandingIndex {
             "left_semi")
           .select(col("batch_id").as("doc_id"), col("sh"))
         Dedup.verifyPairs(Dedup.minhashMd5CandidatesFrom(r3Arr), r3Arr, t)
-      } else Dedup.jaccardPairsFrom(r3)
+      } else Dedup.jaccardPairsFromArrays(bArr
+        .join(r3.select(col("doc_id").as("batch_id")), Seq("batch_id"),
+          "left_semi")
+        .select(col("batch_id").as("doc_id"), col("sh")))
     val nearBatch = Dedup.ccLabels(batchPairs.select("a_id", "b_id"))
       .filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_id"), lit("near_batch").as("decision"),
