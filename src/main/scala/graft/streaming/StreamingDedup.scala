@@ -329,10 +329,11 @@ object StreamingDedup {
     * IDENTICAL for every micro-batch slicing — spec-pinned against an
     * independent O(n²) in-memory reference.
     *
-    * SHAPE: the growing index is three distributed frames (kept digests,
-    * kept shingle arrays, kept prefix entries), extended per batch by
-    * union + eager localCheckpoint (lineage stays O(1) deep; the
-    * superseded snapshot is unpersisted). The prefix order here is plain
+    * SHAPE: the growing index is two distributed frames (kept
+    * digests+shingle-arrays combined, kept prefix entries — digests and
+    * arrays shared one union+checkpoint job since r20), extended per
+    * batch by union + eager localCheckpoint (lineage stays O(1) deep;
+    * the superseded snapshot is unpersisted). The prefix order here is plain
     * LEXICOGRAPHIC — unlike the static twin's corpus-df order, a
     * df-based order would shift as the corpus grows and break the prefix
     * lemma's shared-order requirement across old index vs new probe; lex
@@ -396,11 +397,19 @@ object StreamingDedup {
     * >MaxBucket fixture in StreamingDedupSpec pins this). */
   private[streaming] final class GreedyGrowingIndex(t: Double,
                                                     banded: Boolean = false) {
-    private var digests: DataFrame = null // (h, len, id)  kept docs
-    private var arrays: DataFrame = null  // (id, sh, n)   kept docs with ≥1 shingle
+    // kept digests + shingle arrays live in ONE checkpointed frame
+    // (id, h, len, sh, n) — they were two separate per-batch union +
+    // localCheckpoint jobs before (r20; the digest view projects it, the
+    // array view filters the no-shingle docs out exactly as the split
+    // frames did)
+    private var keptAll: DataFrame = null // (id, h, len, sh, n) kept docs
     private var prefix: DataFrame = null  // (id, n, s)    lex-order prefix entries
     private var bands: DataFrame = null   // (id, n, band, bucket) when banded
     private var nKept = 0L                // cumulative kept docs → honest frame stats
+    private def digests: DataFrame =      // (h, len, id)  kept docs
+      keptAll.select("h", "len", "id")
+    private def arrays: DataFrame =       // (id, sh, n)   kept docs with ≥1 shingle
+      keptAll.filter(size(col("sh")) >= 1).select("id", "sh", "n")
 
     private def lexPrefix(arr: DataFrame, idCol: String): DataFrame =
       lexPrefixOf(arr, idCol, t)
@@ -411,13 +420,29 @@ object StreamingDedup {
     def decideAndGrow(mb0: DataFrame): Seq[CurateDecision] = {
       val spark = mb0.sparkSession
       import spark.implicits._
-      // pin the batch: everything below re-references it several times
-      val mb = mb0.select("doc_id", "text").localCheckpoint()
-      val mbKeyed = mb.select(col("doc_id"), md5(col("text")).as("h"),
-        length(col("text")).as("len")).localCheckpoint()
-      val mbArr = Dedup.shingleArrays(mb)
-        .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+      // pin the batch ONCE as a single wide frame (doc_id, h, len, sh, n) —
+      // this used to be three separate eager localCheckpoints (mb, keyed,
+      // arrays), i.e. three per-batch driver jobs re-reading one another;
+      // per-batch fixed job overhead is a real fraction of small-batch
+      // latency (r20, guide §5/§1.2). The digest and shingle views below
+      // are projections of the one pinned snapshot. The shingle expression
+      // is the IF-guarded TOTAL form from [[Dedup.shingleArrays]] (short
+      // docs carry an empty array here, because the digest path must keep
+      // them; the arrays view filters them out exactly like shingleArrays'
+      // token filter did).
+      val sn = 3 // shingle width — Dedup.shingleArrays' default
+      val mbAll = mb0
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          length(col("text")).as("len"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("h"), col("len"),
+          array_distinct(expr(s"IF(size(tk) >= $sn, " +
+            s"transform(sequence(0, size(tk) - $sn), i -> concat_ws(' ', slice(tk, i + 1, $sn))), " +
+            "array())")).as("sh"))
+        .select(col("doc_id"), col("h"), col("len"), col("sh"),
+          size(col("sh")).cast("long").as("n"))
         .localCheckpoint()
+      val mbKeyed = mbAll.select("doc_id", "h", "len")
+      val mbArr = mbAll.filter(size(col("sh")) >= 1).select("doc_id", "sh", "n")
       // banded mode: the batch's band-bucket rows, computed ONCE and
       // reused by the index probe, the within-batch pass, and the grow
       val mbBands: DataFrame =
@@ -441,7 +466,7 @@ object StreamingDedup {
       // probes are independent aggregates over disjoint machinery — a
       // tagged union collects both maps in a single round trip
       val (idxExact, idxNear): (Map[Long, Long], Map[Long, Long]) =
-        if (digests == null) (Map.empty, Map.empty)
+        if (keptAll == null) (Map.empty, Map.empty)
         else {
           val exactHits = broadcast(mbKeyed).join(digests, Seq("h", "len"))
             .groupBy("doc_id").agg(min("id").as("keeper"))
@@ -549,7 +574,7 @@ object StreamingDedup {
       // foreachBatch body must not accrete cache entries batch over
       // batch — the stats diamond it would memoize is batch-bounded.
       val withinNear =
-        if (!banded) Dedup.jaccardPairsFrom(mb).select("a_id", "b_id")
+        if (!banded) Dedup.jaccardPairsFromArrays(mbArr).select("a_id", "b_id")
         else {
           val bb = mbBands.select("doc_id", "band", "bucket")
           val bstats = bb.groupBy("band", "bucket")
@@ -569,22 +594,27 @@ object StreamingDedup {
             .distinct()
           Dedup.verifyPairs(candWithin, mbArr, t).select("a_id", "b_id")
         }
+      // the batch's own doc-id list rides the SAME action as the two pair
+      // families (tag 2) — it was a separate collect before (r20)
       val pairRows = mbKeyed.alias("a")
         .join(mbKeyed.alias("b"), col("a.h") === col("b.h") &&
           col("a.len") === col("b.len") && col("a.doc_id") < col("b.doc_id"))
         .select(lit(0).as("tag"), col("a.doc_id").as("lo"), col("b.doc_id").as("hi"))
         .unionByName(withinNear
           .select(lit(1).as("tag"), col("a_id").as("lo"), col("b_id").as("hi")))
+        .unionByName(mbAll
+          .select(lit(2).as("tag"), col("doc_id").as("lo"), lit(-1L).as("hi")))
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       val exactPairs = pairRows.collect { case (0, a, b) => (a, b) }
       val nearPairs = pairRows.collect { case (1, a, b) => (a, b) }
+      val batchIds = pairRows.collect { case (2, a, _) => a }
 
       // ---- driver: greedy resolution in doc order (batch-sized, serial)
       val exactBy = exactPairs.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }
       val nearBy = nearPairs.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }
       val kept = scala.collection.mutable.TreeSet.empty[Long]
       val decisions = scala.collection.mutable.ArrayBuffer.empty[CurateDecision]
-      mb.select("doc_id").collect().map(_.getLong(0)).sorted.foreach { id =>
+      batchIds.sorted.foreach { id =>
         val exactK: Option[Long] = (idxExact.get(id).toSeq ++
           exactBy.getOrElse(id, Nil).filter(kept)).minOption
         lazy val nearK: Option[Long] = (idxNear.get(id).toSeq ++
@@ -596,11 +626,12 @@ object StreamingDedup {
 
       // ---- grow the index with this batch's kept docs
       val keptIds = kept.toSeq.toDF("doc_id")
-      val newDig = mbKeyed.join(keptIds, "doc_id")
-        .select(col("h"), col("len"), col("doc_id").as("id"))
+      val newAll = mbAll.join(keptIds, "doc_id")
+        .select(col("doc_id").as("id"), col("h"), col("len"),
+          col("sh"), col("n"))
       val newArr = mbArr.join(keptIds, "doc_id")
         .select(col("doc_id").as("id"), col("sh"), col("n"))
-      val oldDig = digests; val oldArr = arrays; val oldPf = prefix
+      val oldAll = keptAll; val oldPf = prefix
       val oldBd = bands
       // COALESCE each standing frame to the session parallelism before
       // re-pinning: a checkpointed union otherwise ACCUMULATES partitions
@@ -620,11 +651,8 @@ object StreamingDedup {
       // keep a frame that grows without bound out of broadcast plans —
       // the error direction matters, the precision does not.
       nKept += kept.size
-      digests = GraftShims.repinStats(
-        (if (oldDig == null) newDig else oldDig.unionByName(newDig))
-          .coalesce(par).localCheckpoint(), nKept, 48L)
-      arrays = GraftShims.repinStats(
-        (if (oldArr == null) newArr else oldArr.unionByName(newArr))
+      keptAll = GraftShims.repinStats(
+        (if (oldAll == null) newAll else oldAll.unionByName(newAll))
           .coalesce(par).localCheckpoint(), nKept, 16384L)
       // the index grows by the batch's DELTA only — a lex prefix (or a
       // minhash band row) never moves once computed, so old entries stay
@@ -644,9 +672,9 @@ object StreamingDedup {
       }
       // superseded snapshots: safe to drop once the new eager checkpoints
       // above have materialized
-      Seq(oldDig, oldArr, oldPf, oldBd).filter(_ != null)
+      Seq(oldAll, oldPf, oldBd).filter(_ != null)
         .foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
-      (Seq(mb, mbKeyed, mbArr) ++ Option(mbBands))
+      (Seq(mbAll) ++ Option(mbBands))
         .foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
 
       decisions.toSeq

@@ -172,6 +172,60 @@ class DedupSpec extends GraftSpec {
       "connected components over star pairs must recover the full cluster")
   }
 
+  test("row-local band signatures equal the explode + wide-min-aggregate reference") {
+    // r20 optimization: mdBandRows / xxhashBandBuckets compute the k
+    // minhashes per row (array_min over transform) instead of explode +
+    // k wide min aggregates. min commutes over the identical per-shingle
+    // hash values, so the (doc_id, band, bucket) row set must be
+    // IDENTICAL — the md5 bucket strings are the oracle-pinned
+    // cross-engine contract. This pins the row-local form against an
+    // inline explode+agg reference (the pre-r20 shape) on the real sf0.001
+    // corpus, both hash families.
+    import org.apache.spark.sql.functions._
+    val arr = Dedup.shingleArrays(graft.Tables.documents(spark, sf0001)).cache()
+    val k = Dedup.NumHashes
+    // md5 family reference: explode + wide min aggregate, then the same
+    // band/bucket assembly as mdBandRows
+    val md5Mins = (0 until k).map { i =>
+      min(conv(substring(md5(concat(col("s"), lit(s"#$i"))), 1, 15), 16, 10)
+        .cast("long")).as(s"mh$i")
+    }
+    val md5SigRef = arr.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id").agg(md5Mins.head, md5Mins.tail: _*)
+    val md5Ref = md5SigRef.select(col("doc_id"),
+        explode(array((0 until k / Dedup.BandRows).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until Dedup.BandRows)
+              .map(r => col(s"mh${b * Dedup.BandRows + r}").cast("string")): _*)
+              .as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val md5Now = Dedup.mdBandRows(arr)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(md5Now == md5Ref,
+      s"md5 band rows diverge from the explode+agg reference: " +
+      s"${md5Now.diff(md5Ref).take(3)} vs ${md5Ref.diff(md5Now).take(3)}")
+    // xxhash64 family: same check on the production hash
+    val xxMins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+    val xxSigRef = arr.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id").agg(xxMins.head, xxMins.tail: _*)
+    val xxRef = xxSigRef.select(col("doc_id"),
+        explode(array((0 until k / Dedup.BandRows).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((lit(b) +: (0 until Dedup.BandRows)
+              .map(r => col(s"mh${b * Dedup.BandRows + r}"))): _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val xxNow = Dedup.xxhashBandBuckets(arr)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(xxNow == xxRef,
+      s"xxhash band rows diverge from the explode+agg reference: " +
+      s"${xxNow.diff(xxRef).take(3)} vs ${xxRef.diff(xxNow).take(3)}")
+    arr.unpersist()
+  }
+
   test("single-key bucketCandidates (winnow path) caps hot fingerprints with the same star") {
     // the winnow fingerprint join routes through the single-key overload; a
     // viral boilerplate fingerprint shared by >MaxBucket docs must produce
