@@ -147,9 +147,9 @@ object Pipeline {
     // the same flags again — the incremental form's batch stages — pass
     // them in once instead of paying the corpus text scans twice)
     val repFlagged = repFlags.getOrElse(
-      QualityFilters.repetitionFilter(s, dir).select("doc_id"))
+      QualityFilters.repetitionFlagsOf(Tables.documents(s, dir)).select("doc_id"))
     val contaminated = conFlags.getOrElse(
-      QualityFilters.decontaminate(s, dir).select("doc_id"))
+      QualityFilters.decontaminateFlags(s, dir).select("doc_id"))
 
     val dropSet = nonReps.union(repFlagged).union(contaminated).distinct()
 
@@ -204,8 +204,9 @@ object Pipeline {
     val batch = corpus.filter(col("doc_id") % 7 === 0).cache()
     // the per-doc quality flags serve BOTH the base-kept build and the
     // batch's own stage 3/4 — compute the corpus text scans once
-    val rep = QualityFilters.repetitionFilter(s, dir).select("doc_id").cache()
-    val con = QualityFilters.decontaminate(s, dir).select("doc_id").cache()
+    val rep = QualityFilters.repetitionFlagsOf(Tables.documents(s, dir))
+      .select("doc_id").cache()
+    val con = QualityFilters.decontaminateFlags(s, dir).select("doc_id").cache()
     // the standing kept state rides the BANDED pair stage (round 16; it
     // rode the exact Σ df² join before, which made this the suite's most
     // expensive query at 18.9 s and a 6.5×-at-10× growth term): the same
@@ -1037,10 +1038,10 @@ object Pipeline {
       .select(col("id").as("doc_id"))
     val afterNear = exact.join(nonReps, Seq("doc_id"), "left_anti").cache()
     val afterRep = afterNear.join(
-      QualityFilters.repetitionFilter(s, dir).select("doc_id"),
+      QualityFilters.repetitionFlagsOf(Tables.documents(s, dir)).select("doc_id"),
       Seq("doc_id"), "left_anti").cache()
     val afterDecon = afterRep.join(
-      QualityFilters.decontaminate(s, dir).select("doc_id"),
+      QualityFilters.decontaminateFlags(s, dir).select("doc_id"),
       Seq("doc_id"), "left_anti")
     def row(ord: Int, stage: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"))

@@ -57,7 +57,7 @@ object QualityFilters {
     * count-then-reaggregate shape at any corpus size; no arrays ever
     * leave the row they were built in. */
   def repetitionFilter(s: SparkSession, dir: String): DataFrame =
-    repetitionFlagsOf(Tables.documents(s, dir))
+    repetitionFlagsOf(Tables.documents(s, dir)).orderBy("doc_id")
 
   /** [[repetitionFilter]] parametrized by the document set — the decision
     * is per-doc, so flags over a subset equal the global flags restricted
@@ -79,7 +79,9 @@ object QualityFilters {
         col("top_c").cast("double") / col("total").cast("double"))
       .filter(col("top_c") >= RepMinCount && col("rep_ratio") >= RepRatio)
       .select("doc_id", "top_c", "total", "rep_ratio")
-      .orderBy("doc_id")
+      // UNORDERED (r20): the flag set feeds drop-set joins in the composed
+      // pipelines, where the old tail sort survived as a rangepartitioning
+      // Exchange; the declared query sorts at its own tail
   }
 
   val repetitionFilterSql: String =
@@ -109,7 +111,14 @@ object QualityFilters {
     * benchmark side (actual eval sets — MBs, not TBs) is a broadcast and
     * the whole check is one scan over the corpus shingles. Catches the
     * planted harness near-dups whose partner landed in the benchmark. */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateFlags(s, dir).orderBy("doc_id")
+
+  /** [[decontaminate]] minus the presentation sort — what the composed
+    * pipelines consume (their drop-set joins are order-indifferent; the
+    * sort survived into their plans as a rangepartitioning Exchange before
+    * r20). */
+  private[graft] def decontaminateFlags(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(Tables.documents(s, dir))
     val bench = sh.filter(col("doc_id") % 10 === 0).select("s").distinct()
       .withColumn("hit", lit(1))
@@ -136,7 +145,6 @@ object QualityFilters {
       .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
       .withColumn("overlap", col("n_hit").cast("double") / col("n_sh").cast("double"))
       .filter(col("overlap") >= DeconThreshold)
-      .orderBy("doc_id")
 
   val decontaminateSql: String =
     s"""WITH sh AS (
