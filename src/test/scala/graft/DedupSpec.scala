@@ -143,10 +143,41 @@ class DedupSpec extends GraftSpec {
     // before fixpoint and emitted split clusters (ADVICE round 3). Pointer
     // doubling reaches fixpoint in O(log 200) ~ 8 rounds; the loop now
     // throws instead of returning if the cap is ever hit non-converged.
+    // driverMaxEdges = 0 forces the DISTRIBUTED fixpoint (the r20 driver
+    // union-find fast path would otherwise absorb a 199-edge fixture).
     val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val out = graft.operators.Dedup.connectedComponents(pairs)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
-    assert(out == List((1L, 200L, (1L to 200L).mkString(","))))
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    try {
+      val out = graft.operators.Dedup.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+      assert(out == List((1L, 200L, (1L to 200L).mkString(","))))
+    } finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+  }
+
+  test("CC driver union-find fast path equals the distributed fixpoint, label for label") {
+    // r20 optimization: edge sets under spark.graft.cc.driverMaxEdges are
+    // collapsed by a driver-side union-find (min-label semantics). The
+    // label table must be IDENTICAL to the distributed pointer-doubling
+    // loop's — pinned here on a mixed fixture (chain + triangle + pair +
+    // star) and on the real sf0.001 near-dup pair set.
+    def labelsOf(pairs: org.apache.spark.sql.DataFrame): List[(Long, Long)] =
+      graft.operators.Dedup.ccLabels(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    val fixture = ((1L until 50L).map(i => (i, i + 1)) ++          // chain
+      Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++             // triangle
+      Seq((200L, 201L)) ++                                          // pair
+      (301L to 310L).map(i => (300L, i))).toDF("a_id", "b_id")      // star
+    val realPairs = graft.operators.Dedup
+      .jaccardPairsFrom(graft.Tables.documents(spark, sf0001))
+      .select("a_id", "b_id")
+    val fast = (labelsOf(fixture), labelsOf(realPairs))
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    val slow =
+      try (labelsOf(fixture), labelsOf(realPairs))
+      finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    assert(fast._1 == slow._1, "fixture labels diverge between CC paths")
+    assert(fast._2 == slow._2, "sf0.001 near-dup labels diverge between CC paths")
+    assert(fast._1.nonEmpty && fast._2.nonEmpty)
   }
 
   test("oversized buckets emit star candidates that keep giant clusters fully connected") {
